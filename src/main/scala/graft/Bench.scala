@@ -4,12 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = GraftSession.builder(cpus.toInt)
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session (codegen, scheduler, parquet reader init) so
+    // the first timed query doesn't absorb JVM/session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    // also warms hash-agg + decimal codegen paths
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name")
+      .agg(org.apache.spark.sql.functions.expr(
+        "cast(sum(cast(r_regionkey as decimal(28,4))) as double)"))
+      .collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

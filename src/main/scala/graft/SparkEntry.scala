@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` demonstrates one operator family from
+  * SURVEY.md §2 over the driver's testdata tables; `oracleSql` holds the
+  * DuckDB-equivalent SQL the driver uses as a cross-engine oracle.
+  *
+  * Cross-engine exactness rules used throughout (the driver hash-compares
+  * values, so results must match DuckDB bit-for-bit):
+  *   - sums of doubles go through DECIMAL(18,x) so the summation is exact
+  *     and order-independent, then one cast back to double;
+  *   - sums of integral-valued doubles (e.g. l_quantity) are exact in
+  *     binary doubles as-is;
+  *   - per-row double arithmetic uses the same parenthesization in both
+  *     engines (identical IEEE op sequence → identical bits).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all
+
+  def oracleSql: Map[String, String] =
+    Queries.oracles
 }

@@ -14,7 +14,7 @@ object Queries {
 
   /** Exact, order-independent sum of a double column: route through
     * decimal so Spark and DuckDB agree bit-for-bit. */
-  private def dsum(c: Column, scale: Int = 4): Column =
+  private[graft] def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
 
   // ---------------------------------------------------------------
@@ -47,9 +47,9 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _)
-  ) ++ QueriesAnnualize.queries
+  ) ++ QueriesAnnualize.queries ++ QueriesCore.queries
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql
-  ) ++ QueriesAnnualize.oracles
+  ) ++ QueriesAnnualize.oracles ++ QueriesCore.oracles
 }

@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation / window / sort / set-op families (SURVEY §2.4-2.6)
+  * plus the population-scaling flagship (vignettes/pop_scaling.qmd). */
+object QueriesAgg {
+
+  import Queries.dsum
+
+  // --- A9: grouping sets (rollup)
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  private val rollupAggSql =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // --- A10: pivot (long -> wide)
+  private def pivotAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum($"l_quantity"))
+  }
+
+  private val pivotAggSql =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+      |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // --- A2: per-year expansion factor as a grouped mutate (window, not
+  //     collapse) — vignettes/pop_scaling.qmd:119-124
+  private def windowExpns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").cast(IntegerType).as("yr"))
+    val n = o.groupBy($"yr").agg(countDistinct($"o_custkey").as("n_custs"))
+    o.join(broadcast(n), Seq("yr"))
+      .withColumn("expns", lit(1000.0) / $"n_custs")
+      .select($"o_orderkey", $"yr", $"n_custs", $"expns")
+  }
+
+  private val windowExpnsSql =
+    """WITH n AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |         count(DISTINCT o_custkey) AS n_custs
+      |  FROM orders GROUP BY 1)
+      |SELECT o.o_orderkey, n.yr, n.n_custs, 1000.0 / n.n_custs AS expns
+      |FROM orders o JOIN n ON CAST(year(o.o_orderdate) AS INT) = n.yr""".stripMargin
+
+  // --- A6/W5-W7: first-death-year windows + status rewrite
+  //     (adjust_mortality shape, R/adjust_mortality.R:50-87)
+  private def firstDead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val panel = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("id"), year($"o_orderdate").cast(IntegerType).as("yr"))
+      .agg(max($"o_orderstatus").as("status"))
+    val w = Window.partitionBy($"id")
+    panel
+      .withColumn("first_f", min(when($"status" === "F", $"yr")).over(w))
+      .withColumn("last_yr", max($"yr").over(w))
+      .withColumn("status_adj",
+        when($"first_f".isNotNull && $"yr" >= $"first_f", lit("F")).otherwise($"status"))
+  }
+
+  private val firstDeadSql =
+    """WITH panel AS (
+      |  SELECT o_custkey AS id, CAST(year(o_orderdate) AS INT) AS yr,
+      |         max(o_orderstatus) AS status
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT id, yr, status,
+      |  min(CASE WHEN status = 'F' THEN yr END) OVER (PARTITION BY id) AS first_f,
+      |  max(yr) OVER (PARTITION BY id) AS last_yr,
+      |  CASE WHEN min(CASE WHEN status = 'F' THEN yr END) OVER (PARTITION BY id) IS NOT NULL
+      |            AND yr >= min(CASE WHEN status = 'F' THEN yr END) OVER (PARTITION BY id)
+      |       THEN 'F' ELSE status END AS status_adj
+      |FROM panel""".stripMargin
+
+  // --- W8: lag/lead with defaults (annualized slopes,
+  //     scripts/06-check-annualized.R:46-49)
+  private def lagLead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val panel = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("id"), year($"o_orderdate").cast(IntegerType).as("yr"))
+      .agg(max($"o_totalprice").as("m"))
+    val w = Window.partitionBy($"id").orderBy($"yr")
+    panel
+      .withColumn("prev_m", lag($"m", 1).over(w))
+      .withColumn("next_yr", coalesce(lead($"yr", 1).over(w), lit(-1989)))
+      .withColumn("slope",
+        (lead($"m", 1).over(w) - $"m") / (lead($"yr", 1).over(w) - $"yr").cast(DoubleType))
+  }
+
+  private val lagLeadSql =
+    """WITH panel AS (
+      |  SELECT o_custkey AS id, CAST(year(o_orderdate) AS INT) AS yr,
+      |         max(o_totalprice) AS m
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT id, yr, m,
+      |  lag(m, 1) OVER w AS prev_m,
+      |  coalesce(lead(yr, 1) OVER w, -1989) AS next_yr,
+      |  (lead(m, 1) OVER w - m) / CAST(lead(yr, 1) OVER w - yr AS DOUBLE) AS slope
+      |FROM panel
+      |WINDOW w AS (PARTITION BY id ORDER BY yr)""".stripMargin
+
+  // --- O2: union-all of tagged projections + aggregate
+  private def unionAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val a = o.filter($"o_orderstatus" === "F")
+      .select(lit("fin").as("src"), year($"o_orderdate").cast(IntegerType).as("yr"))
+    val b = o.filter($"o_orderstatus" === "O")
+      .select(lit("open").as("src"), year($"o_orderdate").cast(IntegerType).as("yr"))
+    a.unionByName(b).groupBy($"src", $"yr").agg(count(lit(1)).as("n"))
+  }
+
+  private val unionAllSql =
+    """SELECT src, yr, count(*) AS n FROM (
+      |  SELECT 'fin' AS src, CAST(year(o_orderdate) AS INT) AS yr
+      |  FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT 'open' AS src, CAST(year(o_orderdate) AS INT) AS yr
+      |  FROM orders WHERE o_orderstatus = 'O'
+      |) GROUP BY src, yr""".stripMargin
+
+  // --- O1/O3: deterministic top-k (exact decimal totals, tie-broken)
+  private def topK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(dsum($"o_totalprice", 2).as("total_spend"))
+      .orderBy($"total_spend".desc, $"o_custkey".asc)
+      .limit(10)
+  }
+
+  private val topKSql =
+    """SELECT o_custkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_spend
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY total_spend DESC, o_custkey ASC LIMIT 10""".stripMargin
+
+  // --- A1: distinct pairs
+  private def distinctPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_custkey", year($"o_orderdate").cast(IntegerType).as("yr"))
+      .dropDuplicates("o_custkey", "yr")
+  }
+
+  private val distinctPairsSql =
+    """SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS INT) AS yr FROM orders""".stripMargin
+
+  // --- A7: duplicate-grain assertion (expect empty)
+  private def dupCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+  }
+
+  private val dupCheckSql =
+    """SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem
+      |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin
+
+  // --- The population-scaling flagship (vignettes/pop_scaling.qmd:98-166):
+  //     domain indicators P14 -> per-year EXPNS A2 -> plot-level tree and
+  //     area totals A3/A4 (distinct cond rows) -> inner join J14 -> yearly
+  //     rollup A5 with ratio.
+  private def popScale(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dom = Tables.orders(s, dir).select(
+      $"o_custkey".as("id"),
+      year($"o_orderdate").cast(IntegerType).as("yr"),
+      when($"o_orderstatus" === "O", 1).otherwise(0).as("aDI"),
+      (when($"o_orderpriority".like("1%"), 1).otherwise(0) *
+        when($"o_orderstatus" === "O", 1).otherwise(0)).as("tDI"),
+      $"o_totalprice")
+    val n = dom.groupBy($"yr").agg(countDistinct($"id").as("n_plots"))
+    // expns (= 1000/n_plots) is constant within a year, so it is factored
+    // out of the per-plot sums: the sums stay exact (decimal / integer)
+    // across both aggregation levels and the irrational factor is applied
+    // once per year at the end — identical double ops in both engines.
+    val tree = dom.groupBy($"id", $"yr")
+      .agg(sum(($"o_totalprice" * $"tDI").cast(DecimalType(28, 2))).as("carb_dec"))
+    val area = dom.select($"id", $"yr", $"aDI").distinct()
+      .groupBy($"id", $"yr")
+      .agg(sum($"aDI").as("area_units"))
+    tree.join(area, Seq("id", "yr"))
+      .groupBy($"yr")
+      .agg(
+        sum($"carb_dec").cast(DoubleType).as("carb_t"),
+        sum($"area_units").as("area_t"))
+      .join(broadcast(n), Seq("yr"))
+      .withColumn("expns", lit(1000.0) / $"n_plots")
+      .select(
+        $"yr",
+        ($"carb_t" * $"expns" / 2000).as("total_carbon"),
+        ($"area_t" * $"expns").as("total_area"),
+        (($"carb_t" * $"expns" / 2000) / ($"area_t" * $"expns")).as("tons_per_acre"))
+  }
+
+  private val popScaleSql =
+    """WITH dom AS (
+      |  SELECT o_custkey AS id, CAST(year(o_orderdate) AS INT) AS yr,
+      |    CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS aDI,
+      |    (CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) *
+      |      (CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS tDI,
+      |    o_totalprice
+      |  FROM orders),
+      |n AS (SELECT yr, count(DISTINCT id) AS n_plots FROM dom GROUP BY yr),
+      |tree AS (
+      |  SELECT id, yr, sum(CAST(o_totalprice * tDI AS DECIMAL(28,2))) AS carb_dec
+      |  FROM dom GROUP BY id, yr),
+      |area AS (
+      |  SELECT id, yr, CAST(sum(aDI) AS BIGINT) AS area_units
+      |  FROM (SELECT DISTINCT id, yr, aDI FROM dom) GROUP BY id, yr),
+      |tot AS (
+      |  SELECT tree.yr,
+      |    CAST(sum(carb_dec) AS DOUBLE) AS carb_t,
+      |    CAST(sum(area_units) AS BIGINT) AS area_t
+      |  FROM tree JOIN area USING (id, yr)
+      |  GROUP BY tree.yr)
+      |SELECT tot.yr,
+      |  carb_t * (1000.0 / n_plots) / 2000 AS total_carbon,
+      |  area_t * (1000.0 / n_plots) AS total_area,
+      |  (carb_t * (1000.0 / n_plots) / 2000) / (area_t * (1000.0 / n_plots)) AS tons_per_acre
+      |FROM tot JOIN n USING (yr)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> (rollupAgg _),
+    "q_pivot" -> (pivotAgg _),
+    "q_window_expns" -> (windowExpns _),
+    "q_first_dead" -> (firstDead _),
+    "q_lag_lead" -> (lagLead _),
+    "q_union_all" -> (unionAll _),
+    "q_topk" -> (topK _),
+    "q_distinct_pairs" -> (distinctPairs _),
+    "q_dup_check" -> (dupCheck _),
+    "q_pop_scale" -> (popScale _))
+
+  val oracles: Map[String, String] = Map(
+    "q_rollup" -> rollupAggSql,
+    "q_pivot" -> pivotAggSql,
+    "q_window_expns" -> windowExpnsSql,
+    "q_first_dead" -> firstDeadSql,
+    "q_lag_lead" -> lagLeadSql,
+    "q_union_all" -> unionAllSql,
+    "q_topk" -> topKSql,
+    "q_distinct_pairs" -> distinctPairsSql,
+    "q_dup_check" -> dupCheckSql,
+    "q_pop_scale" -> popScaleSql)
+}

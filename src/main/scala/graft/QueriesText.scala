@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Training-data text-pipeline families: token counting, quality
+  * scoring, language ID, fingerprinting, exact dedup, Jaccard near-dup,
+  * MinHash-LSH, SimHash — all over the `documents` table with
+  * cross-engine oracles (hashing is md5-based, so even the MinHash
+  * signatures reproduce exactly in DuckDB). */
+object QueriesText {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  // --- token counting (whitespace + BPE-ish regex)
+  private def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").as("n_tokens"),
+      TextAnalysis.tokenCountBpe($"text").as("n_tokens_bpe"))
+  }
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens_bpe
+      |FROM documents""".stripMargin
+
+  // --- quality-score components
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = TextAnalysis.qualityColumns($"text").map { case (n, c) => c.as(n) }
+    docs(s, dir).select(($"doc_id" +: cols): _*)
+  }
+
+  private val qualityScoreSql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars_c,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct,
+      |  CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is)\b')) AS DOUBLE)
+      |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
+      |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |  CAST(length(text) AS DOUBLE)
+      |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_tok_len
+      |FROM documents""".stripMargin
+
+  // --- language-ID heuristic (stopword scoring, deterministic argmax)
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scores = TextAnalysis.langScores($"text").map { case (l, c) => c.as(s"score_$l") }
+    docs(s, dir).select(
+      ($"doc_id" +: $"lang" +: TextAnalysis.langId($"text").as("lang_pred") +: scores): _*)
+  }
+
+  private val langIdSql = {
+    val score = TextAnalysis.langMarkers
+      .map { case (l, p) => s"CAST(len(regexp_extract_all(text, '$p')) AS INT) AS score_$l" }
+    val names = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+    val best = s"greatest(${names.mkString(", ")})"
+    val caseChain = TextAnalysis.langMarkers
+      .map { case (l, _) => s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'" }
+      .mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, ${score.mkString(",\n    ")}
+       |  FROM documents)
+       |SELECT doc_id, lang, CASE $caseChain ELSE 'und' END AS lang_pred,
+       |  ${names.mkString(", ")}
+       |FROM s""".stripMargin
+  }
+
+  private val fpSql =
+    "md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  // --- exact-duplicate groups by normalized fingerprint
+  private def fingerprintGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(docs(s, dir), "doc_id", "text")
+
+  private val fingerprintGroupsSql =
+    s"""SELECT $fpSql AS fp, min(doc_id) AS canonical_id, count(*) AS group_size
+       |FROM documents GROUP BY 1""".stripMargin
+
+  // --- exact dedup kept-set
+  private def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docs(s, dir), "doc_id", "text")
+
+  private val exactDedupSql =
+    s"""SELECT doc_id, $fpSql AS fp FROM documents
+       |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin
+
+  // --- token-set Jaccard near-duplicate degree
+  private def jaccardDegree(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardNearDupDegree(docs(s, dir), "doc_id", "text", 0.8)
+
+  private val jaccardDegreeSql =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+      |inter AS (
+      |  SELECT a.id AS i, b.id AS j, count(*) AS inter
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i, j
+      |  FROM inter JOIN sizes s1 ON i = s1.id JOIN sizes s2 ON j = s2.id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) > 0.8),
+      |deg AS (
+      |  SELECT id, count(*) AS near_dups
+      |  FROM (SELECT i AS id FROM pairs UNION ALL SELECT j AS id FROM pairs)
+      |  GROUP BY 1)
+      |SELECT d.doc_id AS id, coalesce(deg.near_dups, 0) AS near_dups
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN deg ON d.doc_id = deg.id""".stripMargin
+
+  // --- MinHash-LSH pairs (6 perms, bands of 2, verified Jaccard > 0.7)
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+      numPerms = 6, bandSize = 2, threshold = 0.7)
+
+  private val minhashLshSql =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |mh AS (
+      |  SELECT id, p,
+      |    min(CAST(CAST('0x' || substr(md5(p || ':' || tok), 1, 15) AS UBIGINT) AS BIGINT)) AS mh
+      |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) perms
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT id, CAST(p // 2 AS INT) AS band,
+      |    concat_ws('_',
+      |      max(CASE WHEN p % 2 = 0 THEN mh END),
+      |      max(CASE WHEN p % 2 = 1 THEN mh END)) AS band_sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT l.id AS i, r.id AS j
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.band_sig = r.band_sig AND l.id < r.id),
+      |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+      |inter AS (
+      |  SELECT c.i, c.j, count(*) AS inter
+      |  FROM cand c
+      |  JOIN toks a ON a.id = c.i
+      |  JOIN toks b ON b.id = c.j AND a.tok = b.tok
+      |  GROUP BY 1, 2)
+      |SELECT i, j, jac FROM (
+      |  SELECT i, j,
+      |    CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jac
+      |  FROM inter JOIN sizes s1 ON i = s1.id JOIN sizes s2 ON j = s2.id)
+      |WHERE jac > 0.7""".stripMargin
+
+  // --- 16-bit SimHash
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash16(docs(s, dir), "doc_id", "text")
+
+  private val simhashSql = {
+    val bits = (0 until 16)
+      .map(b =>
+        s"CASE WHEN sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT id, CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) AS h
+       |  FROM toks)
+       |SELECT id, $bits AS simhash FROM h GROUP BY id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats" -> (tokenStats _),
+    "q_quality_score" -> (qualityScore _),
+    "q_lang_id" -> (langId _),
+    "q_fingerprint_groups" -> (fingerprintGroups _),
+    "q_exact_dedup" -> (exactDedup _),
+    "q_jaccard_neardup" -> (jaccardDegree _),
+    "q_minhash_lsh" -> (minhashLsh _),
+    "q_simhash" -> (simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q_token_stats" -> tokenStatsSql,
+    "q_quality_score" -> qualityScoreSql,
+    "q_lang_id" -> langIdSql,
+    "q_fingerprint_groups" -> fingerprintGroupsSql,
+    "q_exact_dedup" -> exactDedupSql,
+    "q_jaccard_neardup" -> jaccardDegreeSql,
+    "q_minhash_lsh" -> minhashLshSql,
+    "q_simhash" -> simhashSql)
+}

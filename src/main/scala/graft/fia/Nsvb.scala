@@ -1,0 +1,339 @@
+package graft.fia
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** NSVB (National Scale Volume and Biomass) prediction DAG — the Spark
+  * re-expression of `predictCRM2()` (`R/predictCRM2.R:4-626`).
+  *
+  * Structural rewrites vs the reference (SURVEY §4):
+  *   - the reference's per-target {3-level coefficient merge, row-split
+  *     by equation + eval(parse(...)), anti-join combine, re-merge by ID}
+  *     becomes: 3 broadcast left joins (one per fallback level) + a
+  *     `when`-chain equation dispatch + a first-match-level CASE — all
+  *     pure column expressions in one plan, no row splitting, no unions,
+  *     and the fact table never shuffles;
+  *   - rows the reference drops via inner merges (no coefficient match at
+  *     any level) here simply carry null predictions — identical final
+  *     output after estimate_carbon's left join back;
+  *   - R's null semantics are preserved expression-by-expression
+  *     (`pmax` propagates NA -> guarded greatest; `ifelse(NA,..)` -> NA
+  *     -> `when(c, x).when(!c, y)` which yields null on null conditions).
+  *
+  * `findHT` (equations 7/12) is the one non-algebraic step: a per-row
+  * bounded scalar minimization (R `stats::optimise`) of the taper
+  * derivative, implemented as a Scala UDF over [[Brent]].
+  */
+object Nsvb {
+
+  private val LEVELS = Seq("SPCD_DIVISION", "SPCD", "JENKINS_SPGRPCD")
+
+  /** kz-objective merch height search (`R/predictCRM2.R:729-765`):
+    * height at which stem diameter tapers to `dlim`; saplings -> null. */
+  def findHt(dbh: Double, tht: Double, dlim: Double,
+      alpha: Double, beta: Double, a: Double, b: Double, c: Double): Double = {
+    // taper-derived diameter at height h (op order matches the R source)
+    def kz(h: Double): Double = {
+      val pd = math.sqrt(
+        a * math.pow(dbh, b) * math.pow(tht, c) / .005454154 / tht * alpha * beta *
+          math.pow(1 - h / tht, alpha - 1) *
+          math.pow(1 - math.pow(1 - h / tht, alpha), beta - 1))
+      math.abs(pd - dlim)
+    }
+    Brent.minimize(kz, 0.0, tht)
+  }
+
+  private val findHtUdf = udf(
+    (dbh: java.lang.Double, tht: java.lang.Double, dlim: java.lang.Double,
+     alpha: java.lang.Double, beta: java.lang.Double,
+     a: java.lang.Double, b: java.lang.Double, c: java.lang.Double) => {
+      if (dbh == null || dbh < 5.0 || tht == null || dlim == null ||
+          alpha == null || beta == null || a == null || b == null || c == null) null
+      else java.lang.Double.valueOf(findHt(dbh, tht, dlim, alpha, beta, a, b, c))
+    })
+
+  /** R `pmax(x, k)` — propagates null (Spark greatest would ignore it). */
+  private def pmaxLit(x: Column, k: Double): Column =
+    when(x.isNull, lit(null)).otherwise(greatest(x, lit(k)))
+
+  /** R `ifelse(cond, a, b)` — null condition yields null. */
+  private def ifelseNa(cond: Column, a: Column, b: Column): Column =
+    when(cond, a).when(!cond, b)
+
+  /** Segment volume (`findVol`, `R/predictCRM2.R:767-785`):
+    * ((1-(1-hu/THT)^alpha)^beta - (1-(1-hl/THT)^alpha)^beta) * vol. */
+  private def volSeg(hl: Column, hu: Column, tht: Column,
+      alpha: Column, beta: Column, vol: Column): Column = {
+    val vl = pow(lit(1) - pow(lit(1) - (hl / tht), alpha), beta) * vol
+    val vu = pow(lit(1) - pow(lit(1) - (hu / tht), alpha), beta) * vol
+    vu - vl
+  }
+
+  /** Closed-form equation dispatch for the volume/biomass coefficient
+    * tables (equations 3, 3.1, 4, 5, 50 — `equation_forms_and_calls.csv`). */
+  private def closedForm(eq: Column, c: String => Column): Column = {
+    val dbh = col("DBH"); val tht = col("THT")
+    when(eq === 3.0, c("a") * pow(dbh, c("b")) * pow(tht, c("c")))
+      .when(eq === 3.1, c("a") * pow(dbh, c("b")) * pow(tht, c("c")) * col("WDSG"))
+      .when(eq === 4.0,
+        when(dbh < col("k"), c("a0") * pow(dbh, c("b0")) * pow(tht, c("c")))
+          .when(!(dbh < col("k")),
+            c("a0") * pow(col("k"), c("b0") - c("b1")) * pow(dbh, c("b1")) * pow(tht, c("c"))))
+      .when(eq === 5.0,
+        c("a") * pow(dbh, c("a1") * pow(lit(1) - exp(-c("b1") * dbh), c("c1"))) * pow(tht, c("c")))
+      .when(eq === 50.0,
+        c("a") * pow(dbh, c("b")) * pow(tht, c("c")) * exp(-(c("b2") * dbh)))
+  }
+
+  /** Run the full predictCRM2 DAG. Input must carry the columns produced
+    * by prep/estimate_carbon: DBH, THT, CULL, ACTUALHT, CR, CRmn, WDSG,
+    * SPCD (string), SPCD_DIVISION, JENKINS_SPGRPCD, SFTWD_HRDWD,
+    * STANDING_DEAD_CD, CULL_DECAY_RATIO, DECAY_WD, DECAY_BK, DECAY_BR,
+    * C_FRAC, BROKEN_TOP. Adds all volume/weight targets + BIOMASS,
+    * CARBON, AGB. */
+  def predict(spark: SparkSession, fiadb: DataFrame): DataFrame = {
+    val coefs: Map[String, DataFrame] =
+      RefData.coefNames.map(n => n -> RefData.coefs(spark, n)).toMap
+
+    var d = fiadb
+      .withColumn("SPCD_NUMERIC", regexp_replace(col("SPCD"), "1_", "").cast(DoubleType))
+      .withColumn("k", when(col("SPCD_NUMERIC") < 300, lit(9.0)).otherwise(lit(11.0)))
+      .withColumn("saw", when(col("SPCD_NUMERIC") < 300, lit(7.0)).otherwise(lit(9.0)))
+
+    /** join + evaluate one target across the 3 fallback levels. */
+    def target(
+        lhs: String,
+        sets: Seq[DataFrame],
+        formula: (Column, String => Column) => Column,
+        eqOverride: Option[Double] = None,
+        jenkinsEq31: Boolean = false): Unit = {
+      val levelPred = LEVELS.zipWithIndex.map { case (level, li) =>
+        val sfx = s"__${lhs}_$li"
+        val levelDims = sets.map { cs =>
+          val keep = cs.columns.filterNot(LEVELS.contains).toSeq
+          cs.filter(col(level).isNotNull).select((level +: keep).map(col): _*)
+        }
+        val merged = levelDims.reduce { (x, y) =>
+          val shared = x.columns.intersect(y.columns).filterNot(_ == level).toSeq
+          x.join(y.drop(shared: _*), Seq(level))
+        }
+        val dim = merged.columns.foldLeft(merged) { (dd, n) =>
+          dd.withColumnRenamed(n, n + sfx)
+        }.withColumn(s"__m$sfx", lit(1))
+        d = d.join(broadcast(dim), col(level) === col(level + sfx), "left")
+
+        def cf(name: String): Column = {
+          val full = name + sfx
+          if (d.columns.contains(full)) col(full) else lit(null).cast(DoubleType)
+        }
+        val baseEq: Column = eqOverride.map(e => lit(e)).getOrElse(cf("equation"))
+        val eq =
+          if (jenkinsEq31 && level == "JENKINS_SPGRPCD") lit(3.1) else baseEq
+        (col(s"__m$sfx"), formula(eq, cf))
+      }
+      val combined = levelPred.foldRight(lit(null).cast(DoubleType): Column) {
+        case ((m, p), acc) => when(m.isNotNull, p).otherwise(acc)
+      }
+      d = d.withColumn(lhs, combined)
+      // drop the per-level scratch columns
+      val scratch = d.columns.filter(n => LEVELS.indices.exists(li => n.endsWith(s"__${lhs}_$li")))
+      d = d.drop(scratch.toSeq: _*)
+    }
+
+    val cfClosed = closedForm _
+
+    // --- volumes (R/predictCRM2.R:40-171)
+    target("VTOTIB_GROSS", Seq(coefs("volib")), cfClosed)
+    target("VTOTBK_GROSS", Seq(coefs("volbk")), cfClosed)
+    d = d.withColumn("VTOTOB_GROSS", col("VTOTIB_GROSS") + col("VTOTBK_GROSS"))
+
+    def findHtFormula(dlim: Column)(eq: Column, c: String => Column): Column =
+      findHtUdf(col("DBH"), col("THT"), dlim, c("alpha"), c("beta"), c("a"), c("b"), c("c"))
+
+    target("HT4", Seq(coefs("rcumob"), coefs("volob")), findHtFormula(lit(4.0)), eqOverride = Some(7))
+    d = d.withColumn("HT4", pmaxLit(col("HT4"), 5))
+
+    def volFormula(hl: Column, hu: String, vol: String)(
+        eq: Column, c: String => Column): Column =
+      volSeg(hl, col(hu), col("THT"), c("alpha"), c("beta"), col(vol))
+
+    target("VMERIB_GROSS", Seq(coefs("rcumib")), volFormula(lit(1), "HT4", "VTOTIB_GROSS"), Some(8))
+    target("VMEROB_GROSS", Seq(coefs("rcumib")), volFormula(lit(1), "HT4", "VTOTOB_GROSS"), Some(9))
+    d = d.withColumn("VMERBK_GROSS", col("VMEROB_GROSS") - col("VMERIB_GROSS"))
+
+    def stumpFormula(vol: String)(eq: Column, c: String => Column): Column =
+      // findVol(hl=0, hu=1): fixed heights
+      volSeg(lit(0), lit(1), col("THT"), c("alpha"), c("beta"), col(vol))
+    target("VSTPIB_GROSS", Seq(coefs("rcumib")), stumpFormula("VTOTIB_GROSS"), Some(10))
+    target("VSTPOB_GROSS", Seq(coefs("rcumib")), stumpFormula("VTOTOB_GROSS"), Some(11))
+    // no stump volumes for saplings
+    d = d
+      .withColumn("VSTPIB_GROSS", when(col("DBH") < 5.0, lit(null)).otherwise(col("VSTPIB_GROSS")))
+      .withColumn("VSTPOB_GROSS", when(col("DBH") < 5.0, lit(null)).otherwise(col("VSTPOB_GROSS")))
+      .withColumn("VSTPBK_GROSS", col("VSTPOB_GROSS") - col("VSTPIB_GROSS"))
+      .withColumn("VTOPIB_GROSS", col("VTOTIB_GROSS") - col("VMERIB_GROSS") - col("VSTPIB_GROSS"))
+      .withColumn("VTOPOB_GROSS", col("VTOTOB_GROSS") - col("VMEROB_GROSS") - col("VSTPOB_GROSS"))
+      .withColumn("VTOPBK_GROSS", col("VTOPOB_GROSS") - col("VTOPIB_GROSS"))
+
+    target("HTSAW", Seq(coefs("rcumob"), coefs("volob")), findHtFormula(col("saw")), Some(12))
+    d = d.withColumn("HTSAW", pmaxLit(col("HTSAW"), 5))
+    target("VSAWIB_GROSS", Seq(coefs("rcumib")), volFormula(lit(1), "HTSAW", "VTOTIB_GROSS"), Some(13))
+    target("VSAWOB_GROSS", Seq(coefs("rcumib")), volFormula(lit(1), "HTSAW", "VTOTOB_GROSS"), Some(14))
+    d = d.withColumn("VSAWBK_GROSS", col("VSAWOB_GROSS") - col("VSAWIB_GROSS"))
+
+    def htRatFormula(eq: Column, c: String => Column): Column =
+      pow(lit(1) - pow(lit(1) - col("ACTUALHT") / col("THT"), c("alpha")), c("beta"))
+    target("HT_RAT_ADJ", Seq(coefs("rcumib")), htRatFormula, Some(6.1))
+    d = d.withColumn("HT_RAT_ADJ",
+      ifelseNa(col("ACTUALHT") < col("THT"), col("HT_RAT_ADJ"), lit(1.0)))
+
+    // --- broken-top present volumes (R/predictCRM2.R:244-289)
+    d = d
+      .withColumn("VTOTIB_PRESENT", col("VTOTIB_GROSS") * col("HT_RAT_ADJ"))
+      .withColumn("VTOTBK_PRESENT", col("VTOTBK_GROSS") * col("HT_RAT_ADJ"))
+      .withColumn("VTOTOB_PRESENT", col("VTOTIB_PRESENT") + col("VTOTBK_PRESENT"))
+      .withColumn("VMERIB_PRESENT",
+        ifelseNa(col("ACTUALHT") < col("HT4"),
+          (col("VTOTIB_GROSS") * col("HT_RAT_ADJ")) - col("VSTPIB_GROSS"),
+          col("VMERIB_GROSS")))
+      .withColumn("VMERBK_PRESENT",
+        ifelseNa(col("ACTUALHT") < col("HT4"),
+          (col("VTOTBK_GROSS") * col("HT_RAT_ADJ")) - col("VSTPBK_GROSS"),
+          col("VMERBK_GROSS")))
+      .withColumn("VMEROB_PRESENT", col("VMERIB_PRESENT") + col("VMERBK_PRESENT"))
+      .withColumn("VSAWIB_PRESENT",
+        ifelseNa(col("ACTUALHT") < col("HTSAW"),
+          (col("VTOTIB_GROSS") * col("HT_RAT_ADJ")) - col("VSTPIB_GROSS"),
+          col("VSAWIB_GROSS")))
+      .withColumn("VSAWBK_PRESENT",
+        ifelseNa(col("ACTUALHT") < col("HTSAW"),
+          (col("VTOTBK_GROSS") * col("HT_RAT_ADJ")) - col("VSTPBK_GROSS"),
+          col("VSAWBK_GROSS")))
+      .withColumn("VSAWOB_PRESENT", col("VSAWIB_PRESENT") + col("VSAWBK_PRESENT"))
+      .withColumn("VSTPIB_PRESENT", col("VSTPIB_GROSS"))
+      .withColumn("VSTPBK_PRESENT", col("VSTPBK_GROSS"))
+      .withColumn("VSTPOB_PRESENT", col("VSTPOB_GROSS"))
+      .withColumn("VTOPIB_PRESENT",
+        col("VTOTIB_PRESENT") - col("VMERIB_PRESENT") - col("VSTPIB_PRESENT"))
+      .withColumn("VTOPBK_PRESENT",
+        col("VTOTBK_PRESENT") - col("VMERBK_PRESENT") - col("VSTPBK_PRESENT"))
+      .withColumn("VTOPOB_PRESENT", col("VTOPIB_PRESENT") + col("VTOPBK_PRESENT"))
+
+    // broken top below bole height -> top vols zero
+    val topZero = (col("ACTUALHT") < col("HT4")) && col("HT4").isNotNull
+    for (c0 <- Seq("VTOPIB_PRESENT", "VTOPBK_PRESENT", "VTOPOB_PRESENT"))
+      d = d.withColumn(c0, when(topZero, lit(0.0)).otherwise(col(c0)))
+
+    // --- cull/sound reductions (R/predictCRM2.R:292-324)
+    d = d.withColumn("SND_WOOD_DECAY",
+      ifelseNa(col("CULL") < 99, lit(1) - col("CULL") / 100, lit(0.0)))
+    for (base <- Seq("VTOTIB", "VMERIB", "VSTPIB", "VTOPIB", "VSAWIB"))
+      d = d.withColumn(s"${base}_SOUND", col(s"${base}_PRESENT") * col("SND_WOOD_DECAY"))
+    for (base <- Seq("VTOTBK", "VSTPBK", "VMERBK", "VTOPBK", "VSAWBK"))
+      d = d.withColumn(s"${base}_SOUND", col(s"${base}_PRESENT") * col("DECAY_BK"))
+    for (base <- Seq("VTOT", "VMER", "VSTP", "VTOP", "VSAW"))
+      d = d.withColumn(s"${base}OB_SOUND", col(s"${base}IB_SOUND") + col(s"${base}BK_SOUND"))
+
+    // --- sawlog minimum DBH (9" softwood / 11" hardwood) -> NA
+    val sawCols = Seq(
+      "VSAWIB_GROSS", "VSAWOB_GROSS", "VSAWBK_GROSS",
+      "VSAWIB_PRESENT", "VSAWOB_PRESENT", "VSAWBK_PRESENT",
+      "VSAWIB_SOUND", "VSAWOB_SOUND", "VSAWBK_SOUND")
+    val sawNa =
+      (col("SFTWD_HRDWD") === "S" && col("DBH") < 9.0 && col("DBH").isNotNull) ||
+        (col("SFTWD_HRDWD") === "H" && col("DBH") < 11.0 && col("DBH").isNotNull)
+    for (c0 <- sawCols)
+      d = d.withColumn(c0, when(sawNa, lit(null)).otherwise(col(c0)))
+
+    // --- biomass components (R/predictCRM2.R:358-417)
+    target("Total", Seq(coefs("total_biomass")), cfClosed, jenkinsEq31 = true)
+    target("Bark", Seq(coefs("bark_biomass")), cfClosed)
+    target("Branch", Seq(coefs("branch_biomass")), cfClosed, jenkinsEq31 = true)
+    target("FOLIAGE", Seq(coefs("foliage")), cfClosed)
+
+    // --- weights + reduction factors (R/predictCRM2.R:419-466)
+    d = d
+      .withColumn("Wood", col("VTOTIB_GROSS") * col("WDSG") * 62.4)
+      .withColumn("CULL_REDUCTION",
+        ifelseNa(col("STANDING_DEAD_CD") < 1,
+          lit(1) - ((lit(1) - col("CULL_DECAY_RATIO")) * col("CULL")) / 100,
+          lit(1.0)))
+      .withColumn("WOOD_REDUCTION",
+        col("HT_RAT_ADJ") * col("CULL_REDUCTION") * col("DECAY_WD"))
+      .withColumn("BARK_REDUCTION",
+        col("HT_RAT_ADJ") * col("DECAY_BK") * col("DECAY_WD"))
+      .withColumn("CR", pmaxLit(col("CR"), 1))
+      .withColumn("CRprop_HT",
+        lit(1) - (col("ACTUALHT") / col("THT")) * (lit(1) - col("CR") / 100))
+      .withColumn("CRprop_HT",
+        ifelseNa(col("STANDING_DEAD_CD") === 1, col("CRmn") / 100, col("CRprop_HT")))
+      .withColumn("broken_crn_prop",
+        pmaxLit2(
+          (col("ACTUALHT") - (lit(1) - col("CRprop_HT")) * col("THT")) /
+            (col("CRprop_HT") * col("THT")),
+          lit(0.0)))
+      .withColumn("broken_crn_prop",
+        ifelseNa(col("broken_crn_prop") < 0.01, lit(0.0), col("broken_crn_prop")))
+      .withColumn("broken_crn_prop",
+        when(!col("BROKEN_TOP"), lit(1.0)).otherwise(col("broken_crn_prop")))
+      .withColumn("BRANCH_REDUCTION",
+        col("broken_crn_prop") * col("DECAY_BR") * col("DECAY_WD"))
+      .withColumn("FOLIAGE_REDUCTION",
+        ifelseNa(col("STANDING_DEAD_CD") === 1, lit(0.0), col("broken_crn_prop")))
+
+    // --- component harmonization (R/predictCRM2.R:469-505)
+    d = d
+      .withColumn("Wood_Reduced", col("Wood") * col("WOOD_REDUCTION"))
+      .withColumn("Bark_Reduced", col("Bark") * col("BARK_REDUCTION"))
+      .withColumn("Branch_Reduced", col("Branch") * col("BRANCH_REDUCTION"))
+      .withColumn("Foliage_Reduced", col("FOLIAGE") * col("FOLIAGE_REDUCTION"))
+      .withColumn("AGB_Reduction_Factor",
+        (col("Wood_Reduced") + col("Bark_Reduced") + col("Branch_Reduced")) /
+          (col("Wood") + col("Bark") + col("Branch")))
+      .withColumn("Total_Reduced", col("Total") * col("AGB_Reduction_Factor"))
+      .withColumn("TotalC",
+        col("Wood_Reduced") + col("Bark_Reduced") + col("Branch_Reduced"))
+      .withColumn("Diff", col("Total_Reduced") - col("TotalC"))
+      .withColumn("WoodF", (col("Diff") * (col("Wood_Reduced") / col("TotalC"))) + col("Wood_Reduced"))
+      .withColumn("BarkF", (col("Diff") * (col("Bark_Reduced") / col("TotalC"))) + col("Bark_Reduced"))
+      .withColumn("BranchF", (col("Diff") * (col("Branch_Reduced") / col("TotalC"))) + col("Branch_Reduced"))
+
+    // --- per-segment weights via adjusted specific gravities (L508-546)
+    d = d
+      .withColumn("WDSGAdj", col("WoodF") / col("VTOTIB_PRESENT") / 62.4)
+      .withColumn("BKSGAdj", col("BarkF") / col("VTOTBK_PRESENT") / 62.4)
+    for ((seg, v) <- Seq("WMER" -> "VMER", "WSTP" -> "VSTP", "WTOP" -> "VTOP", "WSAW" -> "VSAW")) {
+      d = d
+        .withColumn(s"${seg}IB", col(s"${v}IB_PRESENT") * col("WDSGAdj") * 62.4)
+        .withColumn(s"${seg}BK", col(s"${v}BK_PRESENT") * col("BKSGAdj") * 62.4)
+        .withColumn(s"${seg}OB", col(s"${seg}IB") + col(s"${seg}BK"))
+    }
+    d = d
+      .withColumn("WTOTIB", col("WoodF"))
+      .withColumn("WTOTBK", col("BarkF"))
+      .withColumn("WTOTOB", col("WoodF") + col("BarkF"))
+      .withColumn("WTOTBCH", col("BranchF"))
+      .withColumn("WMERBCH", col("WTOTBCH") + col("WTOPOB"))
+      .withColumn("FOLIAGE", col("Foliage_Reduced"))
+      .withColumn("BIOMASS", col("Total_Reduced"))
+      .withColumn("CARBON", col("BIOMASS") * (col("C_FRAC") / 100))
+      .withColumn("AGB", col("BIOMASS") + col("FOLIAGE"))
+
+    // --- sapling NA-ing (R/predictCRM2.R:550-579)
+    val sapCols = Seq(
+      "VMERBK_GROSS", "VMERBK_SOUND", "VMERIB_GROSS", "VMERIB_SOUND",
+      "VSAWBK_GROSS", "VSAWBK_SOUND", "VSAWIB_GROSS", "VSAWIB_SOUND",
+      "VSTPBK_GROSS", "VSTPBK_SOUND", "VSTPIB_GROSS", "VSTPIB_SOUND",
+      "VTOPBK_GROSS", "VTOPBK_SOUND", "VTOPIB_GROSS", "VTOPIB_SOUND",
+      "WMERBK", "WMERIB", "WSTPBK", "WSTPIB", "WTOPBK", "WTOPIB")
+    for (c0 <- sapCols)
+      d = d.withColumn(c0, when(col("DBH") < 5, lit(null)).otherwise(col(c0)))
+
+    d
+  }
+
+  /** R `pmax(x, y)` with column y — null-propagating. */
+  private def pmaxLit2(x: Column, y: Column): Column =
+    when(x.isNull || y.isNull, lit(null)).otherwise(greatest(x, y))
+}

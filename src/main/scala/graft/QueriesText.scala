@@ -117,25 +117,31 @@ object QueriesText {
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN deg ON d.doc_id = deg.id""".stripMargin
 
-  // --- MinHash-LSH pairs (6 perms, bands of 2, verified Jaccard > 0.7)
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
-      numPerms = 6, bandSize = 2, threshold = 0.7)
+  // --- MinHash-LSH pairs (6 perms, bands of 3, verified Jaccard > 0.8).
+  // The synthetic corpus is near-dup-dense (tiny shared vocabulary), so
+  // the pair set grows quadratically with corpus size — the gate query
+  // bounds the corpus to 2000 docs; the operator itself is unbounded.
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minHashLshPairs(docs(s, dir).filter($"doc_id" < 2000), "doc_id", "text",
+      numPerms = 6, bandSize = 3, threshold = 0.8)
+  }
 
   private val minhashLshSql =
     """WITH toks AS (
       |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 2000),
       |mh AS (
       |  SELECT id, p,
       |    min(CAST(CAST('0x' || substr(md5(p || ':' || tok), 1, 15) AS UBIGINT) AS BIGINT)) AS mh
       |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) perms
       |  GROUP BY 1, 2),
       |bands AS (
-      |  SELECT id, CAST(p // 2 AS INT) AS band,
+      |  SELECT id, CAST(p // 3 AS INT) AS band,
       |    concat_ws('_',
-      |      max(CASE WHEN p % 2 = 0 THEN mh END),
-      |      max(CASE WHEN p % 2 = 1 THEN mh END)) AS band_sig
+      |      max(CASE WHEN p % 3 = 0 THEN mh END),
+      |      max(CASE WHEN p % 3 = 1 THEN mh END),
+      |      max(CASE WHEN p % 3 = 2 THEN mh END)) AS band_sig
       |  FROM mh GROUP BY 1, 2),
       |cand AS (
       |  SELECT DISTINCT l.id AS i, r.id AS j
@@ -152,7 +158,7 @@ object QueriesText {
       |  SELECT i, j,
       |    CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jac
       |  FROM inter JOIN sizes s1 ON i = s1.id JOIN sizes s2 ON j = s2.id)
-      |WHERE jac > 0.7""".stripMargin
+      |WHERE jac > 0.8""".stripMargin
 
   // --- 16-bit SimHash
   private def simhash(s: SparkSession, dir: String): DataFrame =

@@ -108,13 +108,13 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
-    // exact verify
+    // exact verify — token equality is part of the second join's key so
+    // the intermediate is the intersection itself, not |A| x |B| pairs
     val t = tokens(df, idCol, textCol)
     val sizes = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     candidates
-      .join(t.withColumnRenamed("id", "i").withColumnRenamed("tok", "tok_i"), "i")
-      .join(t.withColumnRenamed("id", "j").withColumnRenamed("tok", "tok_j"), "j")
-      .filter(col("tok_i") === col("tok_j"))
+      .join(t.withColumnRenamed("id", "i").withColumnRenamed("tok", "tok_c"), "i")
+      .join(t.withColumnRenamed("id", "j").withColumnRenamed("tok", "tok_c"), Seq("j", "tok_c"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "sz_i"), "i")

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.fia.Interp
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * The reference is batch-only; these are the engine's streaming
+  * extensions: (1) watermarked tumbling-window aggregation over the
+  * `events` table shape, and (2) incremental annualization — the
+  * reference's whole-pipeline recompute becomes a keyed stateful
+  * operator: when a new survey row for a tree arrives, only that tree's
+  * annual series is recomputed from its accumulated survey state.
+  */
+object Streams {
+
+  /** Event schema as stored (ns timestamps surface as LongType under
+    * nanosAsLong; converted to a real timestamp here). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_v"))
+  }
+
+  /** One tree survey arriving on the stream. */
+  final case class Survey(tree_ID: String, YEAR: Int, DIA: Double)
+  /** One annualized output row (recomputed tail for the tree). */
+  final case class AnnualRow(tree_ID: String, YEAR: Int, DIA: Double, interpolated: Boolean)
+
+  /** Incremental annualization: per-tree state accumulates surveys; each
+    * new arrival re-emits the tree's full interpolated series (Update
+    * semantics — downstream sinks upsert by (tree_ID, YEAR)). This is
+    * the `flatMapGroupsWithState` design sketched in SURVEY §2.9. */
+  def annualizeSurveys(surveys: Dataset[Survey]): Dataset[AnnualRow] = {
+    import surveys.sparkSession.implicits._
+
+    def update(
+        treeId: String,
+        rows: Iterator[Survey],
+        state: GroupState[Map[Int, Double]]): Iterator[AnnualRow] = {
+      val prev = state.getOption.getOrElse(Map.empty[Int, Double])
+      val next = prev ++ rows.map(s => s.YEAR -> s.DIA)
+      state.update(next)
+      if (next.isEmpty) Iterator.empty
+      else {
+        val lo = next.keys.min; val hi = next.keys.max
+        val years = Array.range(lo, hi + 1)
+        val ys = years.map(y => next.getOrElse(y, Double.NaN))
+        val interp = Interp.interExtraPolate(years, ys, extrapolate = true)
+        years.indices.iterator.map { i =>
+          AnnualRow(treeId, years(i), interp(i), !next.contains(years(i)))
+        }
+      }
+    }
+
+    surveys
+      .groupByKey(_.tree_ID)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+}

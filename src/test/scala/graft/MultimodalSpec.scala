@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  private lazy val binDf = Tables.documents(spark, "/root/testdata/sf0.001")
+    .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+
+  test("extractFeatures: schema, determinism, and byte-accurate meta") {
+    val out = Multimodal.extractFeatures(binDf, "doc_id", "content", dims = 16)
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "meta", "features"))
+    val r = out.filter("doc_id = 0").collect()(0)
+    val meta = r.getStruct(1)
+    val txt = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter("doc_id = 0").collect()(0).getAs[String]("text")
+    assert(meta.getInt(0) == txt.getBytes("UTF-8").length)
+    val b0 = txt.getBytes("UTF-8")(0) & 0xff
+    assert(meta.getInt(1) == 64 + b0 % 64)
+    assert(r.getSeq[Float](2).length == 16)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(binDf, "doc_id", "content", dims = 16)
+      .filter("doc_id = 0").collect()(0)
+    assert(again.getSeq[Float](2) == r.getSeq[Float](2))
+  }
+
+  test("sampleFrames: strided fixed-size blocks") {
+    val out = Multimodal.sampleFrames(binDf, "doc_id", "content", frameBytes = 16, stride = 2)
+    val r = out.filter("doc_id = 0").collect()
+    val len = binDf.filter("doc_id = 0").collect()(0).getAs[Array[Byte]]("content").length
+    val expected = (0 until len / 16 by 2).size
+    assert(r.length == expected)
+    assert(r.forall(_.getAs[Array[Byte]]("frame").length == 16))
+  }
+
+  test("features feed similarity search end-to-end") {
+    val feats = Multimodal.extractFeatures(binDf, "doc_id", "content", dims = 16)
+    val corpus = feats.select(col("doc_id").as("id"), col("features").as("embedding"))
+    val queries = feats.filter("doc_id < 2")
+      .select(col("doc_id").as("qid"), col("features").as("embedding"))
+    val topk = graft.ops.Similarity.bruteForceTopK(queries, corpus, k = 3)
+    assert(topk.count() == 6) // 2 queries x 3 neighbors
+  }
+}

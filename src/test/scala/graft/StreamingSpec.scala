@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.{AnnualRow, Survey}
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  test("windowed event counts run over the batch parquet as a stream") {
+    val q = Streams.windowedEventCounts(spark, "/root/testdata/sf0.001")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wincounts")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode only emits closed windows; with a 1h watermark over a
+    // 30-day batch, all but the last window close
+    val n = spark.sql("SELECT count(*) FROM wincounts").collect()(0).getLong(0)
+    assert(n > 0, "expected closed windows in the memory sink")
+  }
+
+  test("incremental annualization recomputes a tree's series on arrival") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Survey]
+    val q = Streams.annualizeSurveys(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("annual")
+      .start()
+
+    input.addData(Survey("t1", 2005, 10.0), Survey("t1", 2010, 12.0))
+    q.processAllAvailable()
+    val first = spark.table("annual").as[AnnualRow].collect()
+    assert(first.count(_.tree_ID == "t1") == 6) // 2005..2010
+    val d2007 = first.find(r => r.YEAR == 2007).get
+    assert(math.abs(d2007.DIA - 10.8) < 1e-12 && d2007.interpolated)
+
+    // a new survey arrives -> the series extends and re-emits
+    input.addData(Survey("t1", 2015, 14.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("annual").as[AnnualRow].collect()
+    assert(all.count(_.tree_ID == "t1") == 6 + 11) // first emit + re-emit
+    assert(all.exists(r => r.YEAR == 2012 && math.abs(r.DIA - 12.8) < 1e-12))
+  }
+}

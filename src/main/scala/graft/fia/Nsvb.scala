@@ -92,6 +92,56 @@ object Nsvb {
     * STANDING_DEAD_CD, CULL_DECAY_RATIO, DECAY_WD, DECAY_BK, DECAY_BR,
     * C_FRAC, BROKEN_TOP. Adds all volume/weight targets + BIOMASS,
     * CARBON, AGB. */
+  /** Join + evaluate one prediction target across the 3 fallback levels:
+    * per level, broadcast-left-join the level's coefficient rows and
+    * evaluate its equation; combine with first-MATCHED-level-wins (exact
+    * `combineLevels2` semantics — a matched level wins even if its
+    * prediction is null). Public so a single target (e.g. a gross-volume
+    * query) can run without the whole DAG. */
+  def levelFallbackTarget(
+      df: DataFrame,
+      sets: Seq[DataFrame],
+      lhs: String,
+      formula: (Column, String => Column) => Column,
+      eqOverride: Option[Double] = None,
+      jenkinsEq31: Boolean = false): DataFrame = {
+    var d = df
+    val levelPred = LEVELS.zipWithIndex.map { case (level, li) =>
+      val sfx = s"__${lhs}_$li"
+      val levelDims = sets.map { cs =>
+        val keep = cs.columns.filterNot(LEVELS.contains).toSeq
+        cs.filter(col(level).isNotNull).select((level +: keep).map(col): _*)
+      }
+      val merged = levelDims.reduce { (x, y) =>
+        val shared = x.columns.intersect(y.columns).filterNot(_ == level).toSeq
+        x.join(y.drop(shared: _*), Seq(level))
+      }
+      val dim = merged.columns.foldLeft(merged) { (dd, n) =>
+        dd.withColumnRenamed(n, n + sfx)
+      }.withColumn(s"__m$sfx", lit(1))
+      d = d.join(broadcast(dim), col(level) === col(level + sfx), "left")
+
+      def cf(name: String): Column = {
+        val full = name + sfx
+        if (d.columns.contains(full)) col(full) else lit(null).cast(DoubleType)
+      }
+      val baseEq: Column = eqOverride.map(e => lit(e)).getOrElse(cf("equation"))
+      val eq =
+        if (jenkinsEq31 && level == "JENKINS_SPGRPCD") lit(3.1) else baseEq
+      (col(s"__m$sfx"), formula(eq, cf))
+    }
+    val combined = levelPred.foldRight(lit(null).cast(DoubleType): Column) {
+      case ((m, p), acc) => when(m.isNotNull, p).otherwise(acc)
+    }
+    d = d.withColumn(lhs, combined)
+    // drop the per-level scratch columns
+    val scratch = d.columns.filter(n => LEVELS.indices.exists(li => n.endsWith(s"__${lhs}_$li")))
+    d.drop(scratch.toSeq: _*)
+  }
+
+  /** The closed-form dispatch, usable with [[levelFallbackTarget]]. */
+  def closedFormDispatch: (Column, String => Column) => Column = closedForm _
+
   def predict(spark: SparkSession, fiadb: DataFrame): DataFrame = {
     val coefs: Map[String, DataFrame] =
       RefData.coefNames.map(n => n -> RefData.coefs(spark, n)).toMap
@@ -101,45 +151,13 @@ object Nsvb {
       .withColumn("k", when(col("SPCD_NUMERIC") < 300, lit(9.0)).otherwise(lit(11.0)))
       .withColumn("saw", when(col("SPCD_NUMERIC") < 300, lit(7.0)).otherwise(lit(9.0)))
 
-    /** join + evaluate one target across the 3 fallback levels. */
     def target(
         lhs: String,
         sets: Seq[DataFrame],
         formula: (Column, String => Column) => Column,
         eqOverride: Option[Double] = None,
-        jenkinsEq31: Boolean = false): Unit = {
-      val levelPred = LEVELS.zipWithIndex.map { case (level, li) =>
-        val sfx = s"__${lhs}_$li"
-        val levelDims = sets.map { cs =>
-          val keep = cs.columns.filterNot(LEVELS.contains).toSeq
-          cs.filter(col(level).isNotNull).select((level +: keep).map(col): _*)
-        }
-        val merged = levelDims.reduce { (x, y) =>
-          val shared = x.columns.intersect(y.columns).filterNot(_ == level).toSeq
-          x.join(y.drop(shared: _*), Seq(level))
-        }
-        val dim = merged.columns.foldLeft(merged) { (dd, n) =>
-          dd.withColumnRenamed(n, n + sfx)
-        }.withColumn(s"__m$sfx", lit(1))
-        d = d.join(broadcast(dim), col(level) === col(level + sfx), "left")
-
-        def cf(name: String): Column = {
-          val full = name + sfx
-          if (d.columns.contains(full)) col(full) else lit(null).cast(DoubleType)
-        }
-        val baseEq: Column = eqOverride.map(e => lit(e)).getOrElse(cf("equation"))
-        val eq =
-          if (jenkinsEq31 && level == "JENKINS_SPGRPCD") lit(3.1) else baseEq
-        (col(s"__m$sfx"), formula(eq, cf))
-      }
-      val combined = levelPred.foldRight(lit(null).cast(DoubleType): Column) {
-        case ((m, p), acc) => when(m.isNotNull, p).otherwise(acc)
-      }
-      d = d.withColumn(lhs, combined)
-      // drop the per-level scratch columns
-      val scratch = d.columns.filter(n => LEVELS.indices.exists(li => n.endsWith(s"__${lhs}_$li")))
-      d = d.drop(scratch.toSeq: _*)
-    }
+        jenkinsEq31: Boolean = false): Unit =
+      d = levelFallbackTarget(d, sets, lhs, formula, eqOverride, jenkinsEq31)
 
     val cfClosed = closedForm _
 

@@ -259,7 +259,20 @@ object QueriesCore {
       |LEFT JOIN l2 ON p.p_brand = l2.p_brand
       |LEFT JOIN l3 ON p.p_brand = l3.p_brand""".stripMargin
 
+  // --- J16: explicit cross join (legacy year-grid shape,
+  //     scripts/06-check-annualized.R:61-68)
+  private def crossJoinGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select($"r_name", $"n_name", ($"r_regionkey" * 100 + $"n_nationkey").as("cell"))
+  }
+
+  private val crossJoinGridSql =
+    """SELECT r_name, n_name, r_regionkey * 100 + n_nationkey AS cell
+      |FROM region CROSS JOIN nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_join" -> (crossJoinGrid _),
     "q_filter_project" -> (filterProject _),
     "q_composite_ids" -> (compositeIds _),
     "q_coalesce_fill" -> (coalesceFill _),
@@ -273,6 +286,7 @@ object QueriesCore {
     "q_coef_fallback" -> (coefFallback _))
 
   val oracles: Map[String, String] = Map(
+    "q_cross_join" -> crossJoinGridSql,
     "q_filter_project" -> filterProjectSql,
     "q_composite_ids" -> compositeIdsSql,
     "q_coalesce_fill" -> coalesceFillSql,

@@ -124,7 +124,7 @@ object QueriesText {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.minHashLshPairs(docs(s, dir).filter($"doc_id" < 2000), "doc_id", "text",
-      numPerms = 6, bandSize = 3, threshold = 0.8)
+      numPerms = 6, bandSize = 3, threshold = 0.8, maxBucket = Some(100))
   }
 
   private val minhashLshSql =
@@ -136,13 +136,17 @@ object QueriesText {
       |    min(CAST(CAST('0x' || substr(md5(p || ':' || tok), 1, 15) AS UBIGINT) AS BIGINT)) AS mh
       |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) perms
       |  GROUP BY 1, 2),
-      |bands AS (
+      |bands0 AS (
       |  SELECT id, CAST(p // 3 AS INT) AS band,
       |    concat_ws('_',
       |      max(CASE WHEN p % 3 = 0 THEN mh END),
       |      max(CASE WHEN p % 3 = 1 THEN mh END),
       |      max(CASE WHEN p % 3 = 2 THEN mh END)) AS band_sig
       |  FROM mh GROUP BY 1, 2),
+      |bsz AS (SELECT band, band_sig, count(*) AS bucket_n FROM bands0 GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT bands0.* FROM bands0 JOIN bsz USING (band, band_sig)
+      |  WHERE bucket_n <= 100),
       |cand AS (
       |  SELECT DISTINCT l.id AS i, r.id AS j
       |  FROM bands l JOIN bands r

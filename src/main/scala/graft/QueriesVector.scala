@@ -29,8 +29,8 @@ object QueriesVector {
       |c AS (SELECT vec_id AS id, embedding AS ce FROM embeddings),
       |scored AS (
       |  SELECT qid, id,
-      |    list_dot_product(qe, ce) /
-      |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+      |    list_dot_product(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[]))) * sqrt(list_dot_product(CAST(ce AS DOUBLE[]), CAST(ce AS DOUBLE[])))) AS cos
       |  FROM c CROSS JOIN q WHERE qid != id)
       |SELECT qid, id, CAST(rank AS INT) AS rank FROM (
       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
@@ -52,7 +52,7 @@ object QueriesVector {
     val bucketExpr = (v: String) =>
       planes.zipWithIndex.map { case (plane, p) =>
         val lst = plane.map(_.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product($v, CAST($lst AS DOUBLE[])) >= 0 THEN ${1L << p} ELSE 0 END)"
+        s"(CASE WHEN list_dot_product(CAST($v AS DOUBLE[]), CAST($lst AS DOUBLE[])) >= 0 THEN ${1L << p} ELSE 0 END)"
       }.mkString(" + ")
     s"""WITH q AS (
        |  SELECT vec_id AS qid, embedding AS qe,
@@ -64,8 +64,8 @@ object QueriesVector {
        |  FROM embeddings),
        |scored AS (
        |  SELECT qid, id,
-       |    list_dot_product(qe, ce) /
-       |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+       |    list_dot_product(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) /
+       |      (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[]))) * sqrt(list_dot_product(CAST(ce AS DOUBLE[]), CAST(ce AS DOUBLE[])))) AS cos
        |  FROM c JOIN q USING (bucket) WHERE qid != id)
        |SELECT qid, id, CAST(rank AS INT) AS rank FROM (
        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
@@ -73,11 +73,42 @@ object QueriesVector {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // --- embedding-cosine near-duplicate pairs (dedup variant): LSH
+  //     bucket restriction + quantized cosine threshold
+  private def embNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.cosineNearDupPairs(
+      emb(s, dir).select($"vec_id".as("id"), $"embedding"),
+      thresholdQ = 3000L, numPlanes = 4)
+  }
+
+  private val embNearDupSql: String = {
+    val planes = Similarity.hyperplane(4, 64)
+    val bucketExpr = (v: String) =>
+      planes.zipWithIndex.map { case (plane, p) =>
+        val lst = plane.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(CAST($v AS DOUBLE[]), CAST($lst AS DOUBLE[])) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id AS id, embedding, ${bucketExpr("embedding")} AS bucket,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT l.id AS i, r.id AS j,
+       |    CAST(floor(
+       |      list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) /
+       |        (l.nrm * r.nrm) * 10000.0) AS BIGINT) AS cos_q
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+       |SELECT i, j, cos_q FROM p WHERE cos_q >= 3000""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopK _),
-    "q_lsh_ann" -> (lshAnn _))
+    "q_lsh_ann" -> (lshAnn _),
+    "q_emb_neardup" -> (embNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
-    "q_lsh_ann" -> lshAnnSql)
+    "q_lsh_ann" -> lshAnnSql,
+    "q_emb_neardup" -> embNearDupSql)
 }

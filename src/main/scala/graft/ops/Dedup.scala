@@ -92,9 +92,10 @@ object Dedup {
     * Returns (i, j, jac) with i < j and jac > threshold. */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      numPerms: Int, bandSize: Int, threshold: Double): DataFrame = {
+      numPerms: Int, bandSize: Int, threshold: Double,
+      maxBucket: Option[Int] = None): DataFrame = {
     val sig = minHashSignatures(df, idCol, textCol, numPerms)
-    val bands = sig
+    val bands0 = sig
       .withColumn("band", (col("p") / bandSize).cast(IntegerType))
       .groupBy(col("id"), col("band"))
       // order-independent band signature: concat of the per-perm minima
@@ -102,6 +103,19 @@ object Dedup {
       .agg(concat_ws("_",
         (0 until bandSize).map(o =>
           max(when(col("p") % bandSize === o, col("mh")))): _*).as("band_sig"))
+    // Degenerate buckets (near-dup-dense corpora) make the candidate
+    // self-join quadratic AND skewed onto single keys; production LSH
+    // drops or subsamples them — a bucket larger than maxBucket carries
+    // almost no pair information anyway.
+    val bands = maxBucket match {
+      case Some(cap) =>
+        val sizes = bands0.groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("bucket_n"))
+        bands0.join(sizes, Seq("band", "band_sig"))
+          .filter(col("bucket_n") <= cap)
+          .drop("bucket_n")
+      case None => bands0
+    }
     val l = bands.as("l"); val r = bands.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig") &&

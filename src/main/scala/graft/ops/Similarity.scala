@@ -74,6 +74,28 @@ object Similarity {
       when(dot(emb, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs (the dedup variant): corpus
+    * vectors are bucketed by sign-bit LSH and only same-bucket pairs
+    * are scored — candidates shrink ~2^numPlanes vs all-pairs, which is
+    * what makes this runnable over a 100 TB corpus. Returns (i, j,
+    * cos_q) with i < j and cos_q = floor(cosine * 1e4) >= the quantized
+    * threshold (quantized so results reproduce across engines). */
+  def cosineNearDupPairs(corpus: DataFrame, thresholdQ: Long, numPlanes: Int): DataFrame = {
+    val planes = hyperplane(numPlanes, 64)
+    // norms computed once per vector, not per pair (1 dot/pair, not 3)
+    val b = corpus.select(col("id"), col("embedding"))
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+      .withColumn("nrm", norm(col("embedding")))
+    val l = b.select(col("id").as("i"), col("embedding").as("e_i"), col("nrm").as("n_i"), col("bucket"))
+    val r = b.select(col("id").as("j"), col("embedding").as("e_j"), col("nrm").as("n_j"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("i") < col("j"))
+      .withColumn("cos_q",
+        floor(dot(col("e_i"), col("e_j")) / (col("n_i") * col("n_j")) * 1e4).cast("long"))
+      .filter(col("cos_q") >= thresholdQ)
+      .select(col("i"), col("j"), col("cos_q"))
+  }
+
   /** Bucketed ANN: queries only probe corpus vectors in the same LSH
     * bucket. Trades recall for a ~2^numPlanes candidate reduction; the
     * exactness contract is "exact top-k within the shared bucket". */

@@ -237,7 +237,42 @@ object QueriesAgg {
       |  (carb_t * (1000.0 / n_plots) / 2000) / (area_t * (1000.0 / n_plots)) AS tons_per_acre
       |FROM tot JOIN n USING (yr)""".stripMargin
 
+  // --- A8 + W8: transition-flag tally (sapling_transitions shape,
+  //     scripts/05-check_saplings.R:64-127): per-entity lagged status ->
+  //     0/1 transition flags -> per-year sums
+  private def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val panel = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("id"), year($"o_orderdate").cast(IntegerType).as("yr"))
+      .agg(max($"o_orderstatus").as("status"))
+    val w = Window.partitionBy($"id").orderBy($"yr")
+    panel
+      .withColumn("prev", lag($"status", 1).over(w))
+      .groupBy($"yr")
+      .agg(
+        sum(when($"prev" === "O" && $"status" === "F", 1).otherwise(0)).as("o_to_f"),
+        sum(when($"prev" === "F" && $"status" === "O", 1).otherwise(0)).as("f_to_o"),
+        sum(when($"prev" === $"status", 1).otherwise(0)).as("stayed"),
+        sum(when($"prev".isNull, 1).otherwise(0)).as("first_seen"))
+  }
+
+  private val transitionsSql =
+    """WITH panel AS (
+      |  SELECT o_custkey AS id, CAST(year(o_orderdate) AS INT) AS yr,
+      |         max(o_orderstatus) AS status
+      |  FROM orders GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT yr, status, lag(status, 1) OVER (PARTITION BY id ORDER BY yr) AS prev
+      |  FROM panel)
+      |SELECT yr,
+      |  CAST(sum(CASE WHEN prev = 'O' AND status = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS o_to_f,
+      |  CAST(sum(CASE WHEN prev = 'F' AND status = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS f_to_o,
+      |  CAST(sum(CASE WHEN prev = status THEN 1 ELSE 0 END) AS BIGINT) AS stayed,
+      |  CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS first_seen
+      |FROM lagged GROUP BY yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transitions" -> (transitions _),
     "q_rollup" -> (rollupAgg _),
     "q_pivot" -> (pivotAgg _),
     "q_window_expns" -> (windowExpns _),
@@ -250,6 +285,7 @@ object QueriesAgg {
     "q_pop_scale" -> (popScale _))
 
   val oracles: Map[String, String] = Map(
+    "q_transitions" -> transitionsSql,
     "q_rollup" -> rollupAggSql,
     "q_pivot" -> pivotAggSql,
     "q_window_expns" -> windowExpnsSql,

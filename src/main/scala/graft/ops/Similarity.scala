@@ -18,13 +18,21 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, accumulated in
-    * doubles. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product, double accumulation — higher-order
+    * function form (works for any numeric array, incl. double-literal
+    * hyperplanes). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0),
       (acc, v) => acc + v)
+
+  /** Dot product of two `array<float>` columns via the native codegen'd
+    * [[graft.functions.FloatVectorDot]] expression — same accumulation
+    * order as [[dotHof]] (bit-identical results), but stays inside
+    * whole-stage codegen instead of allocating lambda closures per row. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorDot.floatVectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -71,7 +79,8 @@ object Similarity {
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
-      when(dot(emb, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+      // hof form: the plane literal is array<double>, not array<float>
+      when(dotHof(emb, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Embedding-cosine near-duplicate pairs (the dedup variant): corpus

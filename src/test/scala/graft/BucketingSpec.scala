@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The co-located join story (SURVEY §1.4 / build prompt): persisting
+  * both sides of a recurring join bucketed by the join key lets Spark
+  * plan a SortMergeJoin with NO Exchange on either side — at 100 TB the
+  * repeated shuffle of the fact table is the dominant cost this removes. */
+class BucketingSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  test("bucketed tables join without a shuffle") {
+    // warehouse dir is a static conf; tables land in ./spark-warehouse
+    // (gitignored) under the default session. DROP TABLE doesn't know
+    // about locations left by a previous JVM — remove them directly.
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    for (t <- Seq("li_b", "o_b")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
+
+    val dir = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, dir)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, dir)
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+
+    val joined = spark.table("li_b").join(spark.table("o_b"), Seq("l_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+    val plan = joined.queryExecution.executedPlan.toString
+
+    // the join itself must not shuffle either side: the only Exchange
+    // allowed is the final single-column aggregation
+    val joinSection = plan.split("SortMergeJoin|BroadcastHashJoin").last
+    assert(joinSection.contains("Scan"), s"unexpected plan:\n$plan")
+    assert(
+      !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+      s"join should read bucketed layout without shuffling:\n$plan")
+    assert(joined.collect().nonEmpty)
+  }
+}

@@ -21,9 +21,20 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+  /** Flagship: the full reference pipeline (load -> tidy -> annualize ->
+    * NSVB estimate) over the bundled synthetic state; driver smoke-checks
+    * rows>0. Falls back to q1_agg if the fixture path is unavailable. */
+  def entry(spark: SparkSession): DataFrame = {
+    val fixture = "/root/repo/src/test/resources/fixture"
+    if (new java.io.File(s"$fixture/XX_TREE.csv").exists()) {
+      val tables = graft.fia.Ingest.load(spark, fixture, Seq("XX"))
+      val tidy = graft.fia.Tidy.fiaTidy(tables)
+      val annual = graft.fia.FiaAnnualize.annualize(spark, tidy, useMortyr = true)
+      graft.fia.EstimateCarbon.fiaEstimate(spark, annual)
+    } else {
+      queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all

@@ -206,52 +206,55 @@ object Nsvb {
     d = d.withColumn("HT_RAT_ADJ",
       ifelseNa(col("ACTUALHT") < col("THT"), col("HT_RAT_ADJ"), lit(1.0)))
 
-    // --- broken-top present volumes (R/predictCRM2.R:244-289)
-    d = d
-      .withColumn("VTOTIB_PRESENT", col("VTOTIB_GROSS") * col("HT_RAT_ADJ"))
-      .withColumn("VTOTBK_PRESENT", col("VTOTBK_GROSS") * col("HT_RAT_ADJ"))
-      .withColumn("VTOTOB_PRESENT", col("VTOTIB_PRESENT") + col("VTOTBK_PRESENT"))
-      .withColumn("VMERIB_PRESENT",
-        ifelseNa(col("ACTUALHT") < col("HT4"),
-          (col("VTOTIB_GROSS") * col("HT_RAT_ADJ")) - col("VSTPIB_GROSS"),
-          col("VMERIB_GROSS")))
-      .withColumn("VMERBK_PRESENT",
-        ifelseNa(col("ACTUALHT") < col("HT4"),
-          (col("VTOTBK_GROSS") * col("HT_RAT_ADJ")) - col("VSTPBK_GROSS"),
-          col("VMERBK_GROSS")))
-      .withColumn("VMEROB_PRESENT", col("VMERIB_PRESENT") + col("VMERBK_PRESENT"))
-      .withColumn("VSAWIB_PRESENT",
-        ifelseNa(col("ACTUALHT") < col("HTSAW"),
-          (col("VTOTIB_GROSS") * col("HT_RAT_ADJ")) - col("VSTPIB_GROSS"),
-          col("VSAWIB_GROSS")))
-      .withColumn("VSAWBK_PRESENT",
-        ifelseNa(col("ACTUALHT") < col("HTSAW"),
-          (col("VTOTBK_GROSS") * col("HT_RAT_ADJ")) - col("VSTPBK_GROSS"),
-          col("VSAWBK_GROSS")))
-      .withColumn("VSAWOB_PRESENT", col("VSAWIB_PRESENT") + col("VSAWBK_PRESENT"))
-      .withColumn("VSTPIB_PRESENT", col("VSTPIB_GROSS"))
-      .withColumn("VSTPBK_PRESENT", col("VSTPBK_GROSS"))
-      .withColumn("VSTPOB_PRESENT", col("VSTPOB_GROSS"))
-      .withColumn("VTOPIB_PRESENT",
-        col("VTOTIB_PRESENT") - col("VMERIB_PRESENT") - col("VSTPIB_PRESENT"))
-      .withColumn("VTOPBK_PRESENT",
-        col("VTOTBK_PRESENT") - col("VMERBK_PRESENT") - col("VSTPBK_PRESENT"))
-      .withColumn("VTOPOB_PRESENT", col("VTOPIB_PRESENT") + col("VTOPBK_PRESENT"))
+    // --- broken-top present volumes (R/predictCRM2.R:244-289).
+    // Arithmetic blocks are batched into dependency "waves" via
+    // withColumns so Catalyst analyzes each wave once instead of once
+    // per column (plan-construction cost, SURVEY §7.4.10).
+    def wave(cols: (String, Column)*): Unit = d = d.withColumns(Map(cols: _*))
+
+    wave(
+      "VTOTIB_PRESENT" -> col("VTOTIB_GROSS") * col("HT_RAT_ADJ"),
+      "VTOTBK_PRESENT" -> col("VTOTBK_GROSS") * col("HT_RAT_ADJ"),
+      "VMERIB_PRESENT" -> ifelseNa(col("ACTUALHT") < col("HT4"),
+        (col("VTOTIB_GROSS") * col("HT_RAT_ADJ")) - col("VSTPIB_GROSS"),
+        col("VMERIB_GROSS")),
+      "VMERBK_PRESENT" -> ifelseNa(col("ACTUALHT") < col("HT4"),
+        (col("VTOTBK_GROSS") * col("HT_RAT_ADJ")) - col("VSTPBK_GROSS"),
+        col("VMERBK_GROSS")),
+      "VSAWIB_PRESENT" -> ifelseNa(col("ACTUALHT") < col("HTSAW"),
+        (col("VTOTIB_GROSS") * col("HT_RAT_ADJ")) - col("VSTPIB_GROSS"),
+        col("VSAWIB_GROSS")),
+      "VSAWBK_PRESENT" -> ifelseNa(col("ACTUALHT") < col("HTSAW"),
+        (col("VTOTBK_GROSS") * col("HT_RAT_ADJ")) - col("VSTPBK_GROSS"),
+        col("VSAWBK_GROSS")),
+      "VSTPIB_PRESENT" -> col("VSTPIB_GROSS"),
+      "VSTPBK_PRESENT" -> col("VSTPBK_GROSS"),
+      "VSTPOB_PRESENT" -> col("VSTPOB_GROSS"))
+    wave(
+      "VTOTOB_PRESENT" -> (col("VTOTIB_PRESENT") + col("VTOTBK_PRESENT")),
+      "VMEROB_PRESENT" -> (col("VMERIB_PRESENT") + col("VMERBK_PRESENT")),
+      "VSAWOB_PRESENT" -> (col("VSAWIB_PRESENT") + col("VSAWBK_PRESENT")),
+      "VTOPIB_PRESENT" ->
+        (col("VTOTIB_PRESENT") - col("VMERIB_PRESENT") - col("VSTPIB_PRESENT")),
+      "VTOPBK_PRESENT" ->
+        (col("VTOTBK_PRESENT") - col("VMERBK_PRESENT") - col("VSTPBK_PRESENT")))
+    wave("VTOPOB_PRESENT" -> (col("VTOPIB_PRESENT") + col("VTOPBK_PRESENT")))
 
     // broken top below bole height -> top vols zero
     val topZero = (col("ACTUALHT") < col("HT4")) && col("HT4").isNotNull
-    for (c0 <- Seq("VTOPIB_PRESENT", "VTOPBK_PRESENT", "VTOPOB_PRESENT"))
-      d = d.withColumn(c0, when(topZero, lit(0.0)).otherwise(col(c0)))
+    wave(Seq("VTOPIB_PRESENT", "VTOPBK_PRESENT", "VTOPOB_PRESENT")
+      .map(c0 => c0 -> when(topZero, lit(0.0)).otherwise(col(c0))): _*)
 
     // --- cull/sound reductions (R/predictCRM2.R:292-324)
-    d = d.withColumn("SND_WOOD_DECAY",
+    wave("SND_WOOD_DECAY" ->
       ifelseNa(col("CULL") < 99, lit(1) - col("CULL") / 100, lit(0.0)))
-    for (base <- Seq("VTOTIB", "VMERIB", "VSTPIB", "VTOPIB", "VSAWIB"))
-      d = d.withColumn(s"${base}_SOUND", col(s"${base}_PRESENT") * col("SND_WOOD_DECAY"))
-    for (base <- Seq("VTOTBK", "VSTPBK", "VMERBK", "VTOPBK", "VSAWBK"))
-      d = d.withColumn(s"${base}_SOUND", col(s"${base}_PRESENT") * col("DECAY_BK"))
-    for (base <- Seq("VTOT", "VMER", "VSTP", "VTOP", "VSAW"))
-      d = d.withColumn(s"${base}OB_SOUND", col(s"${base}IB_SOUND") + col(s"${base}BK_SOUND"))
+    wave(
+      (Seq("VTOTIB", "VMERIB", "VSTPIB", "VTOPIB", "VSAWIB")
+        .map(b => s"${b}_SOUND" -> col(s"${b}_PRESENT") * col("SND_WOOD_DECAY")) ++
+        Seq("VTOTBK", "VSTPBK", "VMERBK", "VTOPBK", "VSAWBK")
+          .map(b => s"${b}_SOUND" -> col(s"${b}_PRESENT") * col("DECAY_BK"))): _*)
+    wave(Seq("VTOT", "VMER", "VSTP", "VTOP", "VSAW")
+      .map(b => s"${b}OB_SOUND" -> (col(s"${b}IB_SOUND") + col(s"${b}BK_SOUND"))): _*)
 
     // --- sawlog minimum DBH (9" softwood / 11" hardwood) -> NA
     val sawCols = Seq(
@@ -261,8 +264,7 @@ object Nsvb {
     val sawNa =
       (col("SFTWD_HRDWD") === "S" && col("DBH") < 9.0 && col("DBH").isNotNull) ||
         (col("SFTWD_HRDWD") === "H" && col("DBH") < 11.0 && col("DBH").isNotNull)
-    for (c0 <- sawCols)
-      d = d.withColumn(c0, when(sawNa, lit(null)).otherwise(col(c0)))
+    wave(sawCols.map(c0 => c0 -> when(sawNa, lit(null)).otherwise(col(c0))): _*)
 
     // --- biomass components (R/predictCRM2.R:358-417)
     target("Total", Seq(coefs("total_biomass")), cfClosed, jenkinsEq31 = true)
@@ -271,72 +273,78 @@ object Nsvb {
     target("FOLIAGE", Seq(coefs("foliage")), cfClosed)
 
     // --- weights + reduction factors (R/predictCRM2.R:419-466)
-    d = d
-      .withColumn("Wood", col("VTOTIB_GROSS") * col("WDSG") * 62.4)
-      .withColumn("CULL_REDUCTION",
-        ifelseNa(col("STANDING_DEAD_CD") < 1,
-          lit(1) - ((lit(1) - col("CULL_DECAY_RATIO")) * col("CULL")) / 100,
-          lit(1.0)))
-      .withColumn("WOOD_REDUCTION",
-        col("HT_RAT_ADJ") * col("CULL_REDUCTION") * col("DECAY_WD"))
-      .withColumn("BARK_REDUCTION",
-        col("HT_RAT_ADJ") * col("DECAY_BK") * col("DECAY_WD"))
-      .withColumn("CR", pmaxLit(col("CR"), 1))
-      .withColumn("CRprop_HT",
-        lit(1) - (col("ACTUALHT") / col("THT")) * (lit(1) - col("CR") / 100))
-      .withColumn("CRprop_HT",
-        ifelseNa(col("STANDING_DEAD_CD") === 1, col("CRmn") / 100, col("CRprop_HT")))
-      .withColumn("broken_crn_prop",
-        pmaxLit2(
-          (col("ACTUALHT") - (lit(1) - col("CRprop_HT")) * col("THT")) /
-            (col("CRprop_HT") * col("THT")),
-          lit(0.0)))
-      .withColumn("broken_crn_prop",
-        ifelseNa(col("broken_crn_prop") < 0.01, lit(0.0), col("broken_crn_prop")))
-      .withColumn("broken_crn_prop",
-        when(!col("BROKEN_TOP"), lit(1.0)).otherwise(col("broken_crn_prop")))
-      .withColumn("BRANCH_REDUCTION",
-        col("broken_crn_prop") * col("DECAY_BR") * col("DECAY_WD"))
-      .withColumn("FOLIAGE_REDUCTION",
+    wave(
+      "Wood" -> col("VTOTIB_GROSS") * col("WDSG") * 62.4,
+      "CULL_REDUCTION" -> ifelseNa(col("STANDING_DEAD_CD") < 1,
+        lit(1) - ((lit(1) - col("CULL_DECAY_RATIO")) * col("CULL")) / 100,
+        lit(1.0)),
+      "BARK_REDUCTION" -> col("HT_RAT_ADJ") * col("DECAY_BK") * col("DECAY_WD"),
+      "CR" -> pmaxLit(col("CR"), 1))
+    wave(
+      "WOOD_REDUCTION" ->
+        col("HT_RAT_ADJ") * col("CULL_REDUCTION") * col("DECAY_WD"),
+      // composed: the base crown proportion, then the standing-dead
+      // override (R does two mutates; same value)
+      "CRprop_HT" -> ifelseNa(
+        col("STANDING_DEAD_CD") === 1,
+        col("CRmn") / 100,
+        lit(1) - (col("ACTUALHT") / col("THT")) * (lit(1) - col("CR") / 100)))
+    wave("broken_crn_prop" -> pmaxLit2(
+      (col("ACTUALHT") - (lit(1) - col("CRprop_HT")) * col("THT")) /
+        (col("CRprop_HT") * col("THT")),
+      lit(0.0)))
+    wave("broken_crn_prop" ->
+      when(!col("BROKEN_TOP"), lit(1.0)).otherwise(
+        ifelseNa(col("broken_crn_prop") < 0.01, lit(0.0), col("broken_crn_prop"))))
+    wave(
+      "BRANCH_REDUCTION" ->
+        col("broken_crn_prop") * col("DECAY_BR") * col("DECAY_WD"),
+      "FOLIAGE_REDUCTION" ->
         ifelseNa(col("STANDING_DEAD_CD") === 1, lit(0.0), col("broken_crn_prop")))
 
     // --- component harmonization (R/predictCRM2.R:469-505)
-    d = d
-      .withColumn("Wood_Reduced", col("Wood") * col("WOOD_REDUCTION"))
-      .withColumn("Bark_Reduced", col("Bark") * col("BARK_REDUCTION"))
-      .withColumn("Branch_Reduced", col("Branch") * col("BRANCH_REDUCTION"))
-      .withColumn("Foliage_Reduced", col("FOLIAGE") * col("FOLIAGE_REDUCTION"))
-      .withColumn("AGB_Reduction_Factor",
+    wave(
+      "Wood_Reduced" -> col("Wood") * col("WOOD_REDUCTION"),
+      "Bark_Reduced" -> col("Bark") * col("BARK_REDUCTION"),
+      "Branch_Reduced" -> col("Branch") * col("BRANCH_REDUCTION"),
+      "Foliage_Reduced" -> col("FOLIAGE") * col("FOLIAGE_REDUCTION"))
+    wave(
+      "AGB_Reduction_Factor" ->
         (col("Wood_Reduced") + col("Bark_Reduced") + col("Branch_Reduced")) /
-          (col("Wood") + col("Bark") + col("Branch")))
-      .withColumn("Total_Reduced", col("Total") * col("AGB_Reduction_Factor"))
-      .withColumn("TotalC",
-        col("Wood_Reduced") + col("Bark_Reduced") + col("Branch_Reduced"))
-      .withColumn("Diff", col("Total_Reduced") - col("TotalC"))
-      .withColumn("WoodF", (col("Diff") * (col("Wood_Reduced") / col("TotalC"))) + col("Wood_Reduced"))
-      .withColumn("BarkF", (col("Diff") * (col("Bark_Reduced") / col("TotalC"))) + col("Bark_Reduced"))
-      .withColumn("BranchF", (col("Diff") * (col("Branch_Reduced") / col("TotalC"))) + col("Branch_Reduced"))
+          (col("Wood") + col("Bark") + col("Branch")),
+      "TotalC" ->
+        (col("Wood_Reduced") + col("Bark_Reduced") + col("Branch_Reduced")))
+    wave("Total_Reduced" -> col("Total") * col("AGB_Reduction_Factor"))
+    wave("Diff" -> (col("Total_Reduced") - col("TotalC")))
+    wave(
+      "WoodF" -> ((col("Diff") * (col("Wood_Reduced") / col("TotalC"))) + col("Wood_Reduced")),
+      "BarkF" -> ((col("Diff") * (col("Bark_Reduced") / col("TotalC"))) + col("Bark_Reduced")),
+      "BranchF" -> ((col("Diff") * (col("Branch_Reduced") / col("TotalC"))) + col("Branch_Reduced")))
 
     // --- per-segment weights via adjusted specific gravities (L508-546)
-    d = d
-      .withColumn("WDSGAdj", col("WoodF") / col("VTOTIB_PRESENT") / 62.4)
-      .withColumn("BKSGAdj", col("BarkF") / col("VTOTBK_PRESENT") / 62.4)
-    for ((seg, v) <- Seq("WMER" -> "VMER", "WSTP" -> "VSTP", "WTOP" -> "VTOP", "WSAW" -> "VSAW")) {
-      d = d
-        .withColumn(s"${seg}IB", col(s"${v}IB_PRESENT") * col("WDSGAdj") * 62.4)
-        .withColumn(s"${seg}BK", col(s"${v}BK_PRESENT") * col("BKSGAdj") * 62.4)
-        .withColumn(s"${seg}OB", col(s"${seg}IB") + col(s"${seg}BK"))
-    }
-    d = d
-      .withColumn("WTOTIB", col("WoodF"))
-      .withColumn("WTOTBK", col("BarkF"))
-      .withColumn("WTOTOB", col("WoodF") + col("BarkF"))
-      .withColumn("WTOTBCH", col("BranchF"))
-      .withColumn("WMERBCH", col("WTOTBCH") + col("WTOPOB"))
-      .withColumn("FOLIAGE", col("Foliage_Reduced"))
-      .withColumn("BIOMASS", col("Total_Reduced"))
-      .withColumn("CARBON", col("BIOMASS") * (col("C_FRAC") / 100))
-      .withColumn("AGB", col("BIOMASS") + col("FOLIAGE"))
+    wave(
+      "WDSGAdj" -> col("WoodF") / col("VTOTIB_PRESENT") / 62.4,
+      "BKSGAdj" -> col("BarkF") / col("VTOTBK_PRESENT") / 62.4)
+    val segs = Seq("WMER" -> "VMER", "WSTP" -> "VSTP", "WTOP" -> "VTOP", "WSAW" -> "VSAW")
+    wave(segs.flatMap { case (seg, v) =>
+      Seq(
+        s"${seg}IB" -> col(s"${v}IB_PRESENT") * col("WDSGAdj") * 62.4,
+        s"${seg}BK" -> col(s"${v}BK_PRESENT") * col("BKSGAdj") * 62.4)
+    }: _*)
+    wave(segs.map { case (seg, _) =>
+      s"${seg}OB" -> (col(s"${seg}IB") + col(s"${seg}BK"))
+    }: _*)
+    wave(
+      "WTOTIB" -> col("WoodF"),
+      "WTOTBK" -> col("BarkF"),
+      "WTOTOB" -> (col("WoodF") + col("BarkF")),
+      "WTOTBCH" -> col("BranchF"),
+      "FOLIAGE" -> col("Foliage_Reduced"),
+      "BIOMASS" -> col("Total_Reduced"))
+    wave(
+      "WMERBCH" -> (col("WTOTBCH") + col("WTOPOB")),
+      "CARBON" -> col("BIOMASS") * (col("C_FRAC") / 100),
+      "AGB" -> (col("BIOMASS") + col("FOLIAGE")))
 
     // --- sapling NA-ing (R/predictCRM2.R:550-579)
     val sapCols = Seq(
@@ -345,8 +353,7 @@ object Nsvb {
       "VSTPBK_GROSS", "VSTPBK_SOUND", "VSTPIB_GROSS", "VSTPIB_SOUND",
       "VTOPBK_GROSS", "VTOPBK_SOUND", "VTOPIB_GROSS", "VTOPIB_SOUND",
       "WMERBK", "WMERIB", "WSTPBK", "WSTPIB", "WTOPBK", "WTOPIB")
-    for (c0 <- sapCols)
-      d = d.withColumn(c0, when(col("DBH") < 5, lit(null)).otherwise(col(c0)))
+    wave(sapCols.map(c0 => c0 -> when(col("DBH") < 5, lit(null)).otherwise(col(c0))): _*)
 
     d
   }

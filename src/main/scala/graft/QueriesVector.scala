@@ -102,13 +102,63 @@ object QueriesVector {
        |SELECT i, j, cos_q FROM p WHERE cos_q >= 3000""".stripMargin
   }
 
+  // --- IVF ANN: centroids = the first 8 corpus vectors (deterministic
+  //     stand-in for a k-means fit); queries probe their 2 nearest cells
+  private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    Similarity.ivfTopK(
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30).select($"vec_id".as("qid"), $"embedding"),
+      e.select($"vec_id".as("id"), $"embedding"),
+      e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding"),
+      k = 3, probes = 2)
+  }
+
+  private val ivfAnnSql =
+    """WITH ct AS (SELECT vec_id AS cid, embedding AS ct_emb FROM embeddings WHERE vec_id < 8),
+      |corpus AS (SELECT vec_id AS id, embedding FROM embeddings),
+      |qs AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id >= 10 AND vec_id < 30),
+      |corpus_cells AS (
+      |  SELECT id, embedding, cell FROM (
+      |    SELECT c.id, c.embedding, ct.cid AS cell,
+      |      row_number() OVER (PARTITION BY c.id ORDER BY
+      |        list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])) /
+      |          (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+      |           sqrt(list_dot_product(CAST(ct.ct_emb AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])))) DESC,
+      |        ct.cid ASC) AS rn
+      |    FROM corpus c CROSS JOIN ct)
+      |  WHERE rn = 1),
+      |query_cells AS (
+      |  SELECT qid, embedding AS q_emb, cell FROM (
+      |    SELECT q.qid, q.embedding, ct.cid AS cell,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])) /
+      |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+      |           sqrt(list_dot_product(CAST(ct.ct_emb AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])))) DESC,
+      |        ct.cid ASC) AS rn
+      |    FROM qs q CROSS JOIN ct)
+      |  WHERE rn <= 2),
+      |scored AS (
+      |  SELECT DISTINCT qid, id,
+      |    list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(q_emb AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos
+      |  FROM corpus_cells c JOIN query_cells USING (cell)
+      |  WHERE qid != id)
+      |SELECT qid, id, CAST(rank AS INT) AS rank FROM (
+      |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopK _),
     "q_lsh_ann" -> (lshAnn _),
-    "q_emb_neardup" -> (embNearDup _))
+    "q_emb_neardup" -> (embNearDup _),
+    "q_ivf_ann" -> (ivfAnn _))
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
     "q_lsh_ann" -> lshAnnSql,
-    "q_emb_neardup" -> embNearDupSql)
+    "q_emb_neardup" -> embNearDupSql,
+    "q_ivf_ann" -> ivfAnnSql)
 }

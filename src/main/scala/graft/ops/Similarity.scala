@@ -105,6 +105,41 @@ object Similarity {
       .select(col("i"), col("j"), col("cos_q"))
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest centroid cell (one broadcast pass); each query probes its
+    * `probes` nearest cells and ranks only those cells' members. With C
+    * cells and p probes the scored candidates shrink ~p/C vs brute
+    * force — the standard coarse-quantizer scale path. Centroids here
+    * are caller-provided (e.g. a deterministic corpus sample; in
+    * production a k-means fit).
+    *
+    * @return (qid, id, rank) — rank 1..k by cosine desc, id asc */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, probes: Int): DataFrame = {
+    def cells(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val ct = centroids.select(col("cid"), col("embedding").as("ct_emb"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(cosine(col("embedding"), col("ct_emb")).desc, col("cid").asc)
+      df.crossJoin(broadcast(ct))
+        .withColumn("cell_rn", row_number().over(w))
+        .filter(col("cell_rn") <= n)
+        .select(col(idCol), col("embedding"), col("cid").as("cell"))
+    }
+    val corpusCells = cells(corpus.select(col("id"), col("embedding")), "id", 1)
+    val queryCells = cells(queries.select(col("qid"), col("embedding")), "qid", probes)
+      .withColumnRenamed("embedding", "q_emb")
+    val scored = corpusCells.join(queryCells, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .distinct() // a corpus vector reached via two probed cells scores once
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"))
+  }
+
   /** Bucketed ANN: queries only probe corpus vectors in the same LSH
     * bucket. Trades recall for a ~2^numPlanes candidate reduction; the
     * exactness contract is "exact top-k within the shared bucket". */

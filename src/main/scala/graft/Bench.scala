@@ -3,7 +3,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The driver contract is local[32]; fall back to all visible cores if
+    // the host has fewer. SPARK_GRAFT_CPUS stays as a dev override.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = GraftSession.builder(cpus.toInt)
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()

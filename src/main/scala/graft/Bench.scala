@@ -12,9 +12,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (codegen, scheduler, parquet reader init) so
-    // the first timed query doesn't absorb JVM/session startup.
+    // the first timed query doesn't absorb JVM/session startup. A full
+    // all-queries warmup pass at sf0.001 was tried and is a net LOSS
+    // (31.7s -> 63.9s total): 45 extra executions overflow the 100-entry
+    // generated-class cache and leave cleanup churn behind.
     spark.range(1000).selectExpr("sum(id)").collect()
-    // also warms hash-agg + decimal codegen paths
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name")
       .agg(org.apache.spark.sql.functions.expr(

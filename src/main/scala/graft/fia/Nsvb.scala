@@ -1,6 +1,6 @@
 package graft.fia
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -142,49 +142,136 @@ object Nsvb {
   /** The closed-form dispatch, usable with [[levelFallbackTarget]]. */
   def closedFormDispatch: (Column, String => Column) => Column = closedForm _
 
+  /** Pre-merged per-level coefficient dims.
+    *
+    * [[levelFallbackTarget]] joins each target's coefficient table(s)
+    * separately — 3 joins per target, 45 for the full DAG, and plan
+    * construction cost grows with each join over an ever-wider fact.
+    * Since all 9 coefficient tables are keyed by the same 3 fallback
+    * levels, `predict` instead merges them driver-side into ONE dim per
+    * level (key + every table's coefficient columns + a per-table
+    * presence flag) and broadcast-left-joins the fact exactly 3 times
+    * for the whole DAG. Per-target "matched at level" is then a pure
+    * column predicate: every table in the target's set has its presence
+    * flag — identical to the previous per-target inner-merge semantics.
+    * Built from the parsed CSVs (no jobs); each dim is a LocalRelation
+    * of a few hundred rows. */
+  private case class CoefDims(
+      dims: Seq[DataFrame], // one per LEVELS entry, keyed __k<li>
+      tableCols: Map[String, Seq[String]]) { // coef cols per table
+
+    /** Coefficient resolver for a target's table set at one level:
+      * first table in the set that has the column (matches the old
+      * x-keeps-shared-columns merge order). */
+    def cf(tables: Seq[String], li: Int)(name: String): Column =
+      tables.find(t => tableCols(t).contains(name))
+        .map(t => col(s"__c_${t}_${name}_$li"))
+        .getOrElse(lit(null).cast(DoubleType))
+
+    /** "This level matched" for a table set: every table has a row for
+      * the fact's key (old inner-merge-then-left-join semantics). */
+    def matched(tables: Seq[String], li: Int): Column =
+      tables.map(t => col(s"__m_${t}_$li").isNotNull).reduce(_ && _)
+
+    def scratch(d: DataFrame): Seq[String] =
+      d.columns.filter(n =>
+        n.startsWith("__k") || n.startsWith("__c_") || n.startsWith("__m_")).toSeq
+  }
+
+  private def buildCoefDims(spark: SparkSession): CoefDims = {
+    val local: Seq[(String, (StructType, Seq[Row]))] =
+      RefData.coefNames.map(n => n -> RefData.coefsLocal(n))
+    val tableCols: Map[String, Seq[String]] = local.map { case (n, (schema, _)) =>
+      n -> schema.fieldNames.filterNot(LEVELS.contains).toSeq
+    }.toMap
+    val dims = LEVELS.zipWithIndex.map { case (level, li) =>
+      val keyType = if (level == "JENKINS_SPGRPCD") IntegerType else StringType
+      // per table: rows keyed by this level's (non-null) value
+      val byKey: Seq[(String, Map[Any, Row])] = local.map { case (n, (schema, rows)) =>
+        val ki = schema.fieldIndex(level)
+        val m = rows.filter(r => !r.isNullAt(ki)).map(r => r.get(ki) -> r).toMap
+        n -> m
+      }
+      val keys = byKey.flatMap(_._2.keys).distinct
+      val fields = StructField(s"__k$li", keyType, nullable = true) +:
+        local.flatMap { case (n, (schema, _)) =>
+          tableCols(n).map(c =>
+            StructField(s"__c_${n}_${c}_$li", schema(c).dataType, nullable = true)) :+
+            StructField(s"__m_${n}_$li", BooleanType, nullable = true)
+        }
+      val data = keys.map { k =>
+        val vals = Seq[Any](k) ++ local.flatMap { case (n, (schema, _)) =>
+          byKey.collectFirst { case (`n`, m) => m }.get.get(k) match {
+            case Some(r) => tableCols(n).map(c => r.get(schema.fieldIndex(c))) :+ true
+            case None => tableCols(n).map(_ => null) :+ null
+          }
+        }
+        Row.fromSeq(vals)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(data: _*), StructType(fields))
+    }
+    CoefDims(dims, tableCols)
+  }
+
   def predict(spark: SparkSession, fiadb: DataFrame): DataFrame = {
-    val coefs: Map[String, DataFrame] =
-      RefData.coefNames.map(n => n -> RefData.coefs(spark, n)).toMap
+    val cd = buildCoefDims(spark)
 
     var d = fiadb
       .withColumn("SPCD_NUMERIC", regexp_replace(col("SPCD"), "1_", "").cast(DoubleType))
       .withColumn("k", when(col("SPCD_NUMERIC") < 300, lit(9.0)).otherwise(lit(11.0)))
       .withColumn("saw", when(col("SPCD_NUMERIC") < 300, lit(7.0)).otherwise(lit(9.0)))
 
+    // The only joins of the whole DAG: one broadcast per fallback level.
+    LEVELS.zipWithIndex.foreach { case (level, li) =>
+      d = d.join(broadcast(cd.dims(li)), col(level) === col(s"__k$li"), "left")
+    }
+
     def target(
         lhs: String,
-        sets: Seq[DataFrame],
+        tables: Seq[String],
         formula: (Column, String => Column) => Column,
         eqOverride: Option[Double] = None,
-        jenkinsEq31: Boolean = false): Unit =
-      d = levelFallbackTarget(d, sets, lhs, formula, eqOverride, jenkinsEq31)
+        jenkinsEq31: Boolean = false): Unit = {
+      val levelPred = LEVELS.zipWithIndex.map { case (level, li) =>
+        val c = cd.cf(tables, li) _
+        val baseEq: Column = eqOverride.map(e => lit(e)).getOrElse(c("equation"))
+        val eq =
+          if (jenkinsEq31 && level == "JENKINS_SPGRPCD") lit(3.1) else baseEq
+        (cd.matched(tables, li), formula(eq, c))
+      }
+      val combined = levelPred.foldRight(lit(null).cast(DoubleType): Column) {
+        case ((m, p), acc) => when(m, p).otherwise(acc)
+      }
+      d = d.withColumn(lhs, combined)
+    }
 
     val cfClosed = closedForm _
 
     // --- volumes (R/predictCRM2.R:40-171)
-    target("VTOTIB_GROSS", Seq(coefs("volib")), cfClosed)
-    target("VTOTBK_GROSS", Seq(coefs("volbk")), cfClosed)
+    target("VTOTIB_GROSS", Seq("volib"), cfClosed)
+    target("VTOTBK_GROSS", Seq("volbk"), cfClosed)
     d = d.withColumn("VTOTOB_GROSS", col("VTOTIB_GROSS") + col("VTOTBK_GROSS"))
 
     def findHtFormula(dlim: Column)(eq: Column, c: String => Column): Column =
       findHtUdf(col("DBH"), col("THT"), dlim, c("alpha"), c("beta"), c("a"), c("b"), c("c"))
 
-    target("HT4", Seq(coefs("rcumob"), coefs("volob")), findHtFormula(lit(4.0)), eqOverride = Some(7))
+    target("HT4", Seq("rcumob", "volob"), findHtFormula(lit(4.0)), eqOverride = Some(7))
     d = d.withColumn("HT4", pmaxLit(col("HT4"), 5))
 
     def volFormula(hl: Column, hu: String, vol: String)(
         eq: Column, c: String => Column): Column =
       volSeg(hl, col(hu), col("THT"), c("alpha"), c("beta"), col(vol))
 
-    target("VMERIB_GROSS", Seq(coefs("rcumib")), volFormula(lit(1), "HT4", "VTOTIB_GROSS"), Some(8))
-    target("VMEROB_GROSS", Seq(coefs("rcumib")), volFormula(lit(1), "HT4", "VTOTOB_GROSS"), Some(9))
+    target("VMERIB_GROSS", Seq("rcumib"), volFormula(lit(1), "HT4", "VTOTIB_GROSS"), Some(8))
+    target("VMEROB_GROSS", Seq("rcumib"), volFormula(lit(1), "HT4", "VTOTOB_GROSS"), Some(9))
     d = d.withColumn("VMERBK_GROSS", col("VMEROB_GROSS") - col("VMERIB_GROSS"))
 
     def stumpFormula(vol: String)(eq: Column, c: String => Column): Column =
       // findVol(hl=0, hu=1): fixed heights
       volSeg(lit(0), lit(1), col("THT"), c("alpha"), c("beta"), col(vol))
-    target("VSTPIB_GROSS", Seq(coefs("rcumib")), stumpFormula("VTOTIB_GROSS"), Some(10))
-    target("VSTPOB_GROSS", Seq(coefs("rcumib")), stumpFormula("VTOTOB_GROSS"), Some(11))
+    target("VSTPIB_GROSS", Seq("rcumib"), stumpFormula("VTOTIB_GROSS"), Some(10))
+    target("VSTPOB_GROSS", Seq("rcumib"), stumpFormula("VTOTOB_GROSS"), Some(11))
     // no stump volumes for saplings
     d = d
       .withColumn("VSTPIB_GROSS", when(col("DBH") < 5.0, lit(null)).otherwise(col("VSTPIB_GROSS")))
@@ -194,15 +281,15 @@ object Nsvb {
       .withColumn("VTOPOB_GROSS", col("VTOTOB_GROSS") - col("VMEROB_GROSS") - col("VSTPOB_GROSS"))
       .withColumn("VTOPBK_GROSS", col("VTOPOB_GROSS") - col("VTOPIB_GROSS"))
 
-    target("HTSAW", Seq(coefs("rcumob"), coefs("volob")), findHtFormula(col("saw")), Some(12))
+    target("HTSAW", Seq("rcumob", "volob"), findHtFormula(col("saw")), Some(12))
     d = d.withColumn("HTSAW", pmaxLit(col("HTSAW"), 5))
-    target("VSAWIB_GROSS", Seq(coefs("rcumib")), volFormula(lit(1), "HTSAW", "VTOTIB_GROSS"), Some(13))
-    target("VSAWOB_GROSS", Seq(coefs("rcumib")), volFormula(lit(1), "HTSAW", "VTOTOB_GROSS"), Some(14))
+    target("VSAWIB_GROSS", Seq("rcumib"), volFormula(lit(1), "HTSAW", "VTOTIB_GROSS"), Some(13))
+    target("VSAWOB_GROSS", Seq("rcumib"), volFormula(lit(1), "HTSAW", "VTOTOB_GROSS"), Some(14))
     d = d.withColumn("VSAWBK_GROSS", col("VSAWOB_GROSS") - col("VSAWIB_GROSS"))
 
     def htRatFormula(eq: Column, c: String => Column): Column =
       pow(lit(1) - pow(lit(1) - col("ACTUALHT") / col("THT"), c("alpha")), c("beta"))
-    target("HT_RAT_ADJ", Seq(coefs("rcumib")), htRatFormula, Some(6.1))
+    target("HT_RAT_ADJ", Seq("rcumib"), htRatFormula, Some(6.1))
     d = d.withColumn("HT_RAT_ADJ",
       ifelseNa(col("ACTUALHT") < col("THT"), col("HT_RAT_ADJ"), lit(1.0)))
 
@@ -267,10 +354,10 @@ object Nsvb {
     wave(sawCols.map(c0 => c0 -> when(sawNa, lit(null)).otherwise(col(c0))): _*)
 
     // --- biomass components (R/predictCRM2.R:358-417)
-    target("Total", Seq(coefs("total_biomass")), cfClosed, jenkinsEq31 = true)
-    target("Bark", Seq(coefs("bark_biomass")), cfClosed)
-    target("Branch", Seq(coefs("branch_biomass")), cfClosed, jenkinsEq31 = true)
-    target("FOLIAGE", Seq(coefs("foliage")), cfClosed)
+    target("Total", Seq("total_biomass"), cfClosed, jenkinsEq31 = true)
+    target("Bark", Seq("bark_biomass"), cfClosed)
+    target("Branch", Seq("branch_biomass"), cfClosed, jenkinsEq31 = true)
+    target("FOLIAGE", Seq("foliage"), cfClosed)
 
     // --- weights + reduction factors (R/predictCRM2.R:419-466)
     wave(
@@ -355,7 +442,7 @@ object Nsvb {
       "WMERBK", "WMERIB", "WSTPBK", "WSTPIB", "WTOPBK", "WTOPIB")
     wave(sapCols.map(c0 => c0 -> when(col("DBH") < 5, lit(null)).otherwise(col(c0))): _*)
 
-    d
+    d.drop(cd.scratch(d): _*)
   }
 
   /** R `pmax(x, y)` with column y — null-propagating. */

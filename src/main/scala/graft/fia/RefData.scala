@@ -66,11 +66,12 @@ object RefData {
     case v => v
   }
 
-  /** Build a DataFrame from a classpath CSV, keeping only `fields`
-    * (name -> target type); values parsed per type with NA -> null. */
-  private def load(
-      spark: SparkSession, resource: String, fields: Seq[(String, DataType)],
-      rename: Map[String, String] = Map.empty): DataFrame = {
+  /** Parse a classpath CSV into (schema, rows) driver-side, keeping only
+    * `fields` (name -> target type); values parsed per type with
+    * NA -> null. */
+  private[fia] def loadLocal(
+      resource: String, fields: Seq[(String, DataType)],
+      rename: Map[String, String] = Map.empty): (StructType, Seq[Row]) = {
     val (header, rows) = readCsv(resource)
     val idx = fields.map { case (n, _) =>
       val i = header.indexOf(n)
@@ -91,7 +92,16 @@ object RefData {
         }
       })
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+    (schema, data)
+  }
+
+  /** Build a DataFrame from a classpath CSV — a LocalRelation, so every
+    * downstream broadcast is computed driver-side without a job. */
+  private def load(
+      spark: SparkSession, resource: String, fields: Seq[(String, DataType)],
+      rename: Map[String, String] = Map.empty): DataFrame = {
+    val (schema, data) = loadLocal(resource, fields, rename)
+    spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
   }
 
   private val base = "/graft/refdata"
@@ -145,17 +155,22 @@ object RefData {
     "volib", "volbk", "volob", "rcumib", "rcumob",
     "total_biomass", "bark_biomass", "branch_biomass", "foliage")
 
-  /** One coefficient table (183-424 rows). All coefficient columns the
-    * equations reference exist in the output (missing ones as null
-    * literals are added by the caller when needed). */
-  def coefs(spark: SparkSession, name: String): DataFrame = {
+  private def coefFields(name: String): Seq[(String, DataType)] = {
     val (header, _) = readCsv(s"$base/coefs/${name}_coefs.csv")
     val numeric = Seq("a", "b", "c", "b2", "a0", "b0", "b1", "a1", "c1",
       "alpha", "beta", "equation").filter(header.contains)
-    val fields =
-      numeric.map(_ -> (DoubleType: DataType)) ++
-        Seq("SPCD_DIVISION" -> StringType, "SPCD" -> StringType,
-          "JENKINS_SPGRPCD" -> IntegerType)
-    load(spark, s"$base/coefs/${name}_coefs.csv", fields)
+    numeric.map(_ -> (DoubleType: DataType)) ++
+      Seq("SPCD_DIVISION" -> StringType, "SPCD" -> StringType,
+        "JENKINS_SPGRPCD" -> IntegerType)
   }
+
+  /** One coefficient table (183-424 rows). All coefficient columns the
+    * equations reference exist in the output (missing ones as null
+    * literals are added by the caller when needed). */
+  def coefs(spark: SparkSession, name: String): DataFrame =
+    load(spark, s"$base/coefs/${name}_coefs.csv", coefFields(name))
+
+  /** Same, parsed driver-side (for pre-merging dims without jobs). */
+  def coefsLocal(name: String): (StructType, Seq[Row]) =
+    loadLocal(s"$base/coefs/${name}_coefs.csv", coefFields(name))
 }

@@ -42,10 +42,13 @@ object Dedup {
       .drop("rn")
   }
 
-  /** Distinct (id, token) pairs. */
+  /** Distinct (id, token) pairs. `array_distinct` dedups within the
+    * document BEFORE the explode, so for a unique-id input (every caller
+    * here — document tables) the result is already distinct with no
+    * shuffle. A global `.distinct()` would re-shuffle the largest
+    * intermediate of every text operator for nothing. */
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .distinct()
 
   /** Per-document near-duplicate degree via token-set Jaccard: for each
     * doc, how many other docs share > `threshold` Jaccard similarity.
@@ -74,17 +77,27 @@ object Dedup {
       .withColumn("near_dups", coalesce(col("near_dups"), lit(0L)))
   }
 
-  /** Long-form MinHash signatures: one row per (id, perm) with the min
-    * token hash under permutation `p` (h_p(t) = hash60(p || ':' || t)). */
-  def minHashSignatures(
+  /** Wide MinHash signatures: one row per id, columns mh0..mh{n-1} with
+    * the min token hash under permutation `p` (h_p(t) = hash60(p||':'||t)).
+    * All permutations aggregate in ONE groupBy(id) pass with map-side
+    * partial min — no per-permutation row explosion through the shuffle. */
+  def minHashWide(
       df: DataFrame, idCol: String, textCol: String, numPerms: Int): DataFrame = {
     val t = tokens(df, idCol, textCol)
-    val perms = explode(array((0 until numPerms).map(lit): _*)).as("p")
-    t.select(col("id"), col("tok"), perms)
-      .withColumn("h", hash60(concat(col("p").cast(StringType), lit(":"), col("tok"))))
-      .groupBy(col("id"), col("p"))
-      .agg(min(col("h")).as("mh"))
+    val aggs = (0 until numPerms).map { p =>
+      min(hash60(concat(lit(p.toString), lit(":"), col("tok")))).as(s"mh$p")
+    }
+    t.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Long-form MinHash signatures: one row per (id, perm) — an unpivot of
+    * [[minHashWide]], so still a single shuffle. */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String, numPerms: Int): DataFrame =
+    minHashWide(df, idCol, textCol, numPerms)
+      .select(col("id"), explode(array((0 until numPerms).map(p =>
+        struct(lit(p).as("p"), col(s"mh$p").as("mh"))): _*)).as("s"))
+      .select(col("id"), col("s.p").as("p"), col("s.mh").as("mh"))
 
   /** MinHash-LSH near-duplicate pairs: band the signature (bandSize
     * consecutive perms per band), bucket-join docs sharing any band
@@ -94,15 +107,16 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numPerms: Int, bandSize: Int, threshold: Double,
       maxBucket: Option[Int] = None): DataFrame = {
-    val sig = minHashSignatures(df, idCol, textCol, numPerms)
-    val bands0 = sig
-      .withColumn("band", (col("p") / bandSize).cast(IntegerType))
-      .groupBy(col("id"), col("band"))
-      // order-independent band signature: concat of the per-perm minima
-      // in perm order via max(CASE) pivoting (bandSize is small)
-      .agg(concat_ws("_",
-        (0 until bandSize).map(o =>
-          max(when(col("p") % bandSize === o, col("mh")))): _*).as("band_sig"))
+    // band signatures straight off the wide signature row — the banding
+    // itself is a projection, not another aggregation shuffle
+    val numBands = numPerms / bandSize
+    val bands0 = minHashWide(df, idCol, textCol, numPerms)
+      .select(col("id"), explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until bandSize).map(o =>
+            col(s"mh${b * bandSize + o}")): _*).as("band_sig"))
+      }: _*)).as("s"))
+      .select(col("id"), col("s.band").as("band"), col("s.band_sig").as("band_sig"))
     // Degenerate buckets (near-dup-dense corpora) make the candidate
     // self-join quadratic AND skewed onto single keys; production LSH
     // drops or subsamples them — a bucket larger than maxBucket carries

@@ -117,6 +117,56 @@ object QueriesText {
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN deg ON d.doc_id = deg.id""".stripMargin
 
+  // --- word-bigram (shingle) Jaccard near-duplicate degree
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardDegree(docs(s, dir), "doc_id", "text", 2, 0.6)
+
+  private val ngramJaccardSql =
+    """WITH ts AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
+      |toks AS (
+      |  SELECT id, unnest(list_distinct([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) AS tok
+      |  FROM ts WHERE len(ts) >= 2),
+      |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+      |inter AS (
+      |  SELECT a.id AS i, b.id AS j, count(*) AS inter
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i, j
+      |  FROM inter JOIN sizes s1 ON i = s1.id JOIN sizes s2 ON j = s2.id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) > 0.6),
+      |deg AS (
+      |  SELECT id, count(*) AS near_dups
+      |  FROM (SELECT i AS id FROM pairs UNION ALL SELECT j AS id FROM pairs)
+      |  GROUP BY 1)
+      |SELECT d.doc_id AS id, coalesce(deg.near_dups, 0) AS near_dups
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN deg ON d.doc_id = deg.id""".stripMargin
+
+  // --- winnowing fingerprints (k=8 char grams, window w=4): per-doc
+  // fingerprint-set summary (count/min/max keeps the gate output small
+  // while pinning the full selected set)
+  private def winnowFp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", 8, 4)
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_fp"), min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+  }
+
+  private val winnowFpSql =
+    """WITH pos AS (
+      |  SELECT doc_id AS id, i,
+      |    CAST(CAST('0x' || substr(md5(substring(text, CAST(i AS INT), 8)), 1, 15) AS UBIGINT) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+      |        FROM documents WHERE length(text) >= 8)),
+      |w AS (
+      |  SELECT id, i,
+      |    min(h) OVER (PARTITION BY id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM pos),
+      |sel AS (SELECT DISTINCT id, fp FROM w WHERE i >= 4)
+      |SELECT id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+      |FROM sel GROUP BY id""".stripMargin
+
   // --- MinHash-LSH pairs (6 perms, bands of 3, verified Jaccard > 0.8).
   // The synthetic corpus is near-dup-dense (tiny shared vocabulary), so
   // the pair set grows quadratically with corpus size — the gate query
@@ -189,6 +239,8 @@ object QueriesText {
     "q_fingerprint_groups" -> (fingerprintGroups _),
     "q_exact_dedup" -> (exactDedup _),
     "q_jaccard_neardup" -> (jaccardDegree _),
+    "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_winnow_fp" -> (winnowFp _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_simhash" -> (simhash _))
 
@@ -199,6 +251,8 @@ object QueriesText {
     "q_fingerprint_groups" -> fingerprintGroupsSql,
     "q_exact_dedup" -> exactDedupSql,
     "q_jaccard_neardup" -> jaccardDegreeSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_winnow_fp" -> winnowFpSql,
     "q_minhash_lsh" -> minhashLshSql,
     "q_simhash" -> simhashSql)
 }

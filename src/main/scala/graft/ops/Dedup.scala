@@ -50,14 +50,36 @@ object Dedup {
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
 
+  /** Distinct (id, word-n-gram) pairs: contiguous n-token shingles of the
+    * whitespace tokenization. Shingle sets, unlike token sets, preserve
+    * local word order — the standard unit for n-gram Jaccard dedup. */
+  def ngramTokens(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = transform(
+      // guard: sequence(0, negative) would run DOWNWARD, fabricating grams
+      when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+        .otherwise(array().cast(ArrayType(IntegerType))),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("tok"))
+  }
+
   /** Per-document near-duplicate degree via token-set Jaccard: for each
     * doc, how many other docs share > `threshold` Jaccard similarity.
     * Inverted-index join: pairs are only formed for docs sharing at
     * least one token. At 100 TB scale, add a document-frequency cut on
     * `tokens` to bound the per-token posting lists. */
   def jaccardNearDupDegree(
-      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val t = tokens(df, idCol, textCol)
+      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =
+    nearDupDegree(df, idCol, tokens(df, idCol, textCol), threshold)
+
+  /** Same degree computation over word-n-gram shingle sets. */
+  def ngramJaccardDegree(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame =
+    nearDupDegree(df, idCol, ngramTokens(df, idCol, textCol, n), threshold)
+
+  private def nearDupDegree(
+      df: DataFrame, idCol: String, t: DataFrame, threshold: Double): DataFrame = {
     val sizes = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = t.as("a"); val b = t.as("b")
     val inter = a.join(b, col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))

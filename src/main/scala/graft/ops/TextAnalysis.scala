@@ -68,4 +68,33 @@ object TextAnalysis {
       regexp_replace(
         regexp_replace(lower(text), "[^a-z0-9 ]", ""),
         " +", " "))
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    * every char k-gram, slide a window of `w` consecutive hashes, keep
+    * each window's minimum; the distinct kept hashes are the document's
+    * fingerprint set. Guarantees any shared substring of length
+    * >= k + w - 1 contributes at least one common fingerprint.
+    *
+    * Output: one row per (id, fp). Execution: explode positions at scan
+    * (no shuffle), ONE hash shuffle on id for the per-document sliding
+    * window + distinct — partitions by document, so 100 TB of docs
+    * spreads evenly. The hash is [[Dedup.hash60]] (md5-based) so
+    * fingerprints are engine-reproducible; min-in-window selection, not
+    * the hash rolling-update trick, is what defines the algorithm. */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col(textCol)
+    val positions = sequence(lit(1), length(t) - (k - 1))
+    val win = Window.partitionBy(col("id")).orderBy(col("i"))
+      .rowsBetween(-(w - 1), 0)
+    df.filter(length(t) >= k)
+      .select(col(idCol).as("id"), t.as("t"), explode(positions).as("i"))
+      .select(col("id"), col("i"),
+        Dedup.hash60(col("t").substr(col("i"), lit(k))).as("h"))
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("i") >= w) // full windows only
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
 }

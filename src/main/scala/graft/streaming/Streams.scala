@@ -71,4 +71,18 @@ object Streams {
       .groupByKey(_.tree_ID)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming exact dedup for a document stream: keep the first row per
+    * normalized-content fingerprint, with state bounded by the event-time
+    * watermark (`dropDuplicatesWithinWatermark` — duplicate state for a
+    * fingerprint is dropped once the watermark passes it, so state stays
+    * O(docs-per-delay), not O(all docs ever). The batch equivalent is
+    * [[graft.ops.Dedup.exactDedup]]. */
+  def dedupDocuments(
+      docs: DataFrame, tsCol: String, textCol: String,
+      delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
 }

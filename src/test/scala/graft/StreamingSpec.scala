@@ -46,4 +46,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.count(_.tree_ID == "t1") == 6 + 11) // first emit + re-emit
     assert(all.exists(r => r.YEAR == 2012 && math.abs(r.DIA - 12.8) < 1e-12))
   }
+
+  test("streaming dedup keeps first doc per fingerprint within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.dedupDocuments(docs, "ts", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_docs")
+      .start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    input.addData(
+      (t(0), "a", "the quick fox"),
+      (t(1), "b", "THE  quick fox!"), // same normalized fingerprint as a
+      (t(2), "c", "something else"))
+    q.processAllAvailable()
+    input.addData((t(3), "d", "the quick fox")) // still a duplicate
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_docs").select("doc_id").as[String].collect().toSet
+    assert(kept == Set("a", "c"), s"expected first-per-fingerprint, got $kept")
+  }
 }

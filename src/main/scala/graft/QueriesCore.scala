@@ -271,7 +271,43 @@ object QueriesCore {
     """SELECT r_name, n_name, r_regionkey * 100 + n_nationkey AS cell
       |FROM region CROSS JOIN nation""".stripMargin
 
+  // --- semi/anti joins (existence tests without multiplicity blowup —
+  // the shape a curation pipeline uses for allowlist/denylist filtering;
+  // plans as BroadcastHashJoin LeftSemi/LeftAnti, fact never duplicated)
+  private def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hot = Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === 1995)
+      .select($"o_custkey")
+    Tables.customer(s, dir)
+      .join(hot, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_custkey IN
+      |  (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)""".stripMargin
+
+  private def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_join" -> (semiJoin _),
+    "q_anti_join" -> (antiJoin _),
     "q_cross_join" -> (crossJoinGrid _),
     "q_filter_project" -> (filterProject _),
     "q_composite_ids" -> (compositeIds _),
@@ -286,6 +322,8 @@ object QueriesCore {
     "q_coef_fallback" -> (coefFallback _))
 
   val oracles: Map[String, String] = Map(
+    "q_semi_join" -> semiJoinSql,
+    "q_anti_join" -> antiJoinSql,
     "q_cross_join" -> crossJoinGridSql,
     "q_filter_project" -> filterProjectSql,
     "q_composite_ids" -> compositeIdsSql,

@@ -76,6 +76,36 @@ object Multimodal {
     }
   }
 
+  /** Resize over a (id, content: binary) frame: emits (id, resized
+    * binary, meta) with meta.width/height pinned to the target. The
+    * pixel resampling itself is part of the STUB (deterministic byte
+    * stride-sample into a w*h*channels buffer); the plumbing — binary
+    * in/out, struct metadata, per-partition batching — is real. */
+  def resizeImages(
+      df: DataFrame, idCol: String, binCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", metaSchema, nullable = false)))
+    implicit val enc = Encoders.row(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val (_, _, c) = decodeImageStub(bytes)
+        val n = targetW * targetH * c
+        val out = new Array[Byte](n)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < n) { out(i) = bytes((i.toLong * bytes.length / n).toInt); i += 1 }
+        }
+        val meta = new GenericRowWithSchema(
+          Array[Any](n, targetW, targetH, c), metaSchema)
+        new GenericRowWithSchema(Array[Any](r.get(0), out, meta), outSchema): Row
+      }
+    }
+  }
+
   /** Frame sampling for "video" binary payloads: every `stride`-th
     * fixed-size block becomes one frame row (id, frame_idx, frame). */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,

@@ -28,6 +28,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.getSeq[Float](2) == r.getSeq[Float](2))
   }
 
+  test("resizeImages: target dims pinned, payload sized w*h*c, deterministic") {
+    val out = Multimodal.resizeImages(binDf, "doc_id", "content", 32, 16)
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "content", "meta"))
+    val r = out.filter("doc_id = 0").collect()(0)
+    val meta = r.getStruct(2)
+    assert(meta.getInt(1) == 32 && meta.getInt(2) == 16)
+    val bytes = r.getAs[Array[Byte]](1)
+    assert(bytes.length == 32 * 16 * meta.getInt(3))
+    val again = Multimodal.resizeImages(binDf, "doc_id", "content", 32, 16)
+      .filter("doc_id = 0").collect()(0).getAs[Array[Byte]](1)
+    assert(java.util.Arrays.equals(bytes, again))
+  }
+
   test("sampleFrames: strided fixed-size blocks") {
     val out = Multimodal.sampleFrames(binDf, "doc_id", "content", frameBytes = 16, stride = 2)
     val r = out.filter("doc_id = 0").collect()

@@ -29,6 +29,33 @@ object QueriesText {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens_bpe
       |FROM documents""".stripMargin
 
+  // --- per-language token-count quantiles (exact percentile: Spark
+  // `percentile` and DuckDB `quantile_cont` use the same p*(n-1) index
+  // rule; inputs are small ints so the interpolation arithmetic is
+  // IEEE-exact in both engines)
+  private def tokenQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"lang", TextAnalysis.tokenCount($"text").as("nt"))
+      .groupBy($"lang")
+      .agg(
+        expr("percentile(nt, 0.25)").as("q25"),
+        expr("percentile(nt, 0.5)").as("q50"),
+        expr("percentile(nt, 0.75)").as("q75"),
+        count(lit(1)).as("n"))
+  }
+
+  private val tokenQuantilesSql =
+    """WITH s AS (
+      |  SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS nt
+      |  FROM documents)
+      |SELECT lang,
+      |  quantile_cont(nt, 0.25) AS q25,
+      |  quantile_cont(nt, 0.5) AS q50,
+      |  quantile_cont(nt, 0.75) AS q75,
+      |  count(*) AS n
+      |FROM s GROUP BY lang""".stripMargin
+
   // --- quality-score components
   private def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -310,6 +337,7 @@ object QueriesText {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats" -> (tokenStats _),
+    "q_token_quantiles" -> (tokenQuantiles _),
     "q_quality_score" -> (qualityScore _),
     "q_lang_id" -> (langId _),
     "q_fingerprint_groups" -> (fingerprintGroups _),
@@ -323,6 +351,7 @@ object QueriesText {
 
   val oracles: Map[String, String] = Map(
     "q_token_stats" -> tokenStatsSql,
+    "q_token_quantiles" -> tokenQuantilesSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,
     "q_fingerprint_groups" -> fingerprintGroupsSql,

@@ -56,6 +56,40 @@ object QueriesText {
       |  count(*) AS n
       |FROM s GROUP BY lang""".stripMargin
 
+  // --- engine-exact HyperLogLog over order keys (n >> m regime where
+  // the raw estimate is meaningful; one row: exact distinct count
+  // alongside the fully reproducible sketch)
+  private def hllTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.lineitem(s, dir)
+      .select($"l_orderkey".cast(StringType).as("v"))
+    val exact = vals.agg(count_distinct($"v").as("n_exact"))
+    exact.crossJoin(graft.ops.Sketches.hllDistinct(vals, "v"))
+  }
+
+  private val hllTokensSql =
+    """WITH vals AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem),
+      |h AS (
+      |  SELECT CAST(CAST('0x' || substr(md5(v), 1, 15) AS UBIGINT) AS BIGINT) AS h
+      |  FROM vals),
+      |r AS (
+      |  SELECT h % 64 AS bucket,
+      |    CASE WHEN (h >> 6) = 0 THEN 55
+      |         ELSE instr(lpad(bin(h >> 6), 54, '0'), '1') END AS rho
+      |  FROM h),
+      |regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY bucket),
+      |s AS (
+      |  SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - m_j)) AS BIGINT)
+      |           + (64 - count(*)) * 36028797018963968 AS s_fixed,
+      |         count(*) AS n_regs
+      |  FROM regs),
+      |e AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_exact FROM vals)
+      |SELECT e.n_exact, s.s_fixed, s.n_regs,
+      |  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) * CAST(36028797018963968.0 AS DOUBLE)
+      |    / CAST(s_fixed AS DOUBLE) AS hll_est
+      |FROM e, s""".stripMargin
+
   // --- quality-score components
   private def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -338,6 +372,7 @@ object QueriesText {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats" -> (tokenStats _),
     "q_token_quantiles" -> (tokenQuantiles _),
+    "q_hll_distinct" -> (hllTokens _),
     "q_quality_score" -> (qualityScore _),
     "q_lang_id" -> (langId _),
     "q_fingerprint_groups" -> (fingerprintGroups _),
@@ -352,6 +387,7 @@ object QueriesText {
   val oracles: Map[String, String] = Map(
     "q_token_stats" -> tokenStatsSql,
     "q_token_quantiles" -> tokenQuantilesSql,
+    "q_hll_distinct" -> hllTokensSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,
     "q_fingerprint_groups" -> fingerprintGroupsSql,

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed sketches, built so their OUTPUT is engine-exact — the
+  * whole sketch (hashing, register updates, estimate arithmetic) is
+  * reproducible bit-for-bit in any engine with md5 and 64-bit ints,
+  * unlike black-box `approx_count_distinct` whose HLL++ registers are
+  * implementation-private.
+  *
+  * HyperLogLog (Flajolet et al. 2007), p=6 / m=64 registers:
+  *   - value hash: md5-based 60-bit [[Dedup.hash60]];
+  *   - bucket  = h mod 64, suffix = h >> 6 (54 bits);
+  *   - rho     = leading-zero count of the suffix + 1 (via the binary
+  *     string — portable, no clz builtin needed);
+  *   - registers aggregate with max (commutative — one shuffle of at
+  *     most m rows per partition after partial aggregation);
+  *   - the harmonic sum uses FIXED-POINT arithmetic: sum of
+  *     2^(54 - M_j) as BIGINT (exact, order-independent — a double sum
+  *     of 2^-M_j would need 60 significand bits and become
+  *     aggregation-order-dependent), converted to double exactly once.
+  *
+  * No small/large-range correction: those need ln(), whose last-ulp
+  * behavior differs across libm implementations; the raw estimate is
+  * the documented output (fine for the n >> m regime this targets).
+  */
+object Sketches {
+
+  val P = 6
+  val M = 1 << P // 64 registers
+  private val ALPHA_64 = 0.709 // HLL alpha for m = 64
+
+  /** Per-register (bucket, M_j) for a value column. */
+  def hllRegisters(values: DataFrame, valueCol: String): DataFrame = {
+    val h = Dedup.hash60(col(valueCol))
+    values
+      .select(
+        pmod(h, lit(M.toLong)).as("bucket"),
+        shiftright(h, P).as("suffix"))
+      .select(col("bucket"),
+        // rho = index of first 1-bit in the 54-bit suffix, 55 if none
+        when(col("suffix") === 0L, lit(55))
+          .otherwise(instr(lpad(bin(col("suffix")), 54, "0"), "1"))
+          .as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Single-row sketch summary: the HLL estimate plus the exact
+    * fixed-point register sum (s_fixed = sum 2^(55-M_j) — scale 2^55
+    * because rho reaches 55 on an all-zero suffix; absent registers
+    * contribute 2^55) and the present-register count. */
+  def hllDistinct(values: DataFrame, valueCol: String): DataFrame = {
+    val regs = hllRegisters(values, valueCol)
+    val two55 = 36028797018963968L // 1 << 55
+    regs.agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m_j)")) +
+        (lit(M.toLong) - count(lit(1))) * lit(two55)).as("s_fixed"),
+      count(lit(1)).as("n_regs"))
+      .select(
+        col("s_fixed"), col("n_regs"),
+        // alpha * m^2 * 2^55 / S — identical op order in the oracle
+        (lit(ALPHA_64) * lit(4096.0) * lit(two55.toDouble) /
+          col("s_fixed").cast("double")).as("hll_est"))
+  }
+}

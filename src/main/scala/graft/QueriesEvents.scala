@@ -114,17 +114,117 @@ object QueriesEvents {
       |QUALIFY row_number() OVER
       |  (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) = 1""".stripMargin
 
+  // --- gaps-and-islands sessionization (30-min gap): per-session stats.
+  //     The batch shape of the streaming session window; one shuffle total
+  //     (sessionize windows + the session rollup share the user_id hash).
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ev(s, dir).select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+    graft.ops.Sessionize
+      .sessionize(base, Seq("user_id"), $"us", $"event_id", gap = 1800000000L)
+      .groupBy($"user_id", $"session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max($"us") - min($"us")).as("dur_us"),
+        min($"event_id").as("first_event"))
+  }
+
+  private val sessionizeSql =
+    """WITH base AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+      |lagged AS (
+      |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      |  FROM base),
+      |sess AS (
+      |  SELECT user_id, event_id, us,
+      |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_seq
+      |  FROM lagged)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  max(us) - min(us) AS dur_us, min(event_id) AS first_event
+      |FROM sess GROUP BY 1, 2""".stripMargin
+
+  // --- per-user trend slope (OLS of value on event index), integer-exact:
+  //     y scaled to micro-units (value has ≤2 decimals, exactly
+  //     representable ×1e6), x centered as x' = 2x-(n+1) so Σx' = 0 and
+  //     slope = 2Σx'y/Σx'² — all sums are BIGINT, division is the only
+  //     float op and is identical in both engines.
+  private def userSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    val wAll = Window.partitionBy($"user_id")
+    ev(s, dir)
+      .select($"event_id", $"user_id", $"value", unix_micros($"ts").as("us"))
+      .withColumn("x", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("xc", lit(2L) * $"x" - ($"n" + lit(1L)))
+      .withColumn("ys", round($"value" * lit(1.0e6)).cast(LongType))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"xc" * $"ys").as("sxy"),
+        sum($"xc" * $"xc").as("sxx"))
+      .filter($"n" >= 2)
+      .select(
+        $"user_id", $"n",
+        ((lit(2L) * $"sxy").cast(DoubleType) / $"sxx".cast(DoubleType) / lit(1.0e6))
+          .as("slope"))
+  }
+
+  private val userSlopeSql =
+    """WITH base AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      |idx AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS x,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM base),
+      |terms AS (
+      |  SELECT user_id, n, 2 * x - (n + 1) AS xc,
+      |    CAST(round(value * 1000000.0) AS BIGINT) AS ys
+      |  FROM idx),
+      |agg AS (
+      |  SELECT user_id, count(*) AS n, sum(xc * ys) AS sxy, sum(xc * xc) AS sxx
+      |  FROM terms GROUP BY 1)
+      |SELECT user_id, n,
+      |  CAST(2 * sxy AS DOUBLE) / CAST(sxx AS DOUBLE) / 1000000.0 AS slope
+      |FROM agg WHERE n >= 2""".stripMargin
+
+  // --- decile binning per event type (ntile over a total order)
+  private def valueDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".asc, $"event_id".asc)
+    ev(s, dir)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n"), min($"value").as("min_v"), max($"value").as("max_v"))
+  }
+
+  private val valueDecilesSql =
+    """WITH d AS (
+      |  SELECT event_type, value,
+      |    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+      |  FROM events)
+      |SELECT event_type, decile, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+      |FROM d GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_fill" -> (windowFill _),
     "q_asof_signup" -> (asOfSignup _),
     "q_time_buckets" -> (timeBuckets _),
     "q_json_extract" -> (jsonExtract _),
-    "q_first_per_grain" -> (firstPerGrain _))
+    "q_first_per_grain" -> (firstPerGrain _),
+    "q_sessionize" -> (sessionize _),
+    "q_user_slope" -> (userSlope _),
+    "q_value_deciles" -> (valueDeciles _))
 
   val oracles: Map[String, String] = Map(
     "q_window_fill" -> windowFillSql,
     "q_asof_signup" -> asOfSignupSql,
     "q_time_buckets" -> timeBucketsSql,
     "q_json_extract" -> jsonExtractSql,
-    "q_first_per_grain" -> firstPerGrainSql)
+    "q_first_per_grain" -> firstPerGrainSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_user_slope" -> userSlopeSql,
+    "q_value_deciles" -> valueDecilesSql)
 }

@@ -369,7 +369,63 @@ object QueriesText {
        |SELECT id, $bits AS simhash FROM h GROUP BY id""".stripMargin
   }
 
+  // --- per-language top-k frequent tokens (exact heavy hitters):
+  // explode -> two-level count (map-side partial agg) -> per-lang rank.
+  // At 100 TB the same shape holds: the token count shuffle carries
+  // (lang, token) partials, and ranking only shuffles the distinct
+  // (lang, token) space, not the corpus.
+  private def topkTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"lang", $"tok")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok".asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"lang", $"rk", $"tok", $"cnt")
+  }
+
+  private val topkTokensSql =
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |counts AS (
+      |  SELECT lang, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 1, 2)
+      |SELECT lang,
+      |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk,
+      |  tok, cnt
+      |FROM counts
+      |QUALIFY rk <= 5""".stripMargin
+
+  // --- deterministic stratified sampling: multiplicative-hash bucket on
+  // the id, per-stratum keep rate via a rate table. Unlike rand()-based
+  // sampling this is reproducible across engines, retries, and
+  // partitionings — the property a training-data pipeline needs for
+  // auditable splits. The modulus keeps the product far from 2^63.
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = (col("doc_id") % 100003L) * 2654435761L % 1000L
+    val rate = when($"lang" === "en", 500L)
+      .when($"lang" === "zh", 250L)
+      .otherwise(100L)
+    docs(s, dir)
+      .withColumn("bucket", bucket)
+      .filter($"bucket" < rate)
+      .select($"doc_id", $"lang", $"bucket")
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT doc_id, lang, (doc_id % 100003) * 2654435761 % 1000 AS bucket
+      |FROM documents
+      |WHERE (doc_id % 100003) * 2654435761 % 1000 <
+      |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 250 ELSE 100 END""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_tokens" -> (topkTokens _),
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_token_stats" -> (tokenStats _),
     "q_token_quantiles" -> (tokenQuantiles _),
     "q_hll_distinct" -> (hllTokens _),
@@ -385,6 +441,8 @@ object QueriesText {
     "q_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_topk_tokens" -> topkTokensSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
     "q_token_stats" -> tokenStatsSql,
     "q_token_quantiles" -> tokenQuantilesSql,
     "q_hll_distinct" -> hllTokensSql,

@@ -25,8 +25,10 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     df.schema("ts").dataType match {
       case LongType =>
-        // nanos since epoch -> microsecond timestamp (floor division).
-        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+        // nanos since epoch -> microsecond timestamp. Must be integral
+        // `div`: `/` on longs is DOUBLE division, and epoch-nanos exceed
+        // 2^53, so the quotient would round (±1us on ~half the rows).
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

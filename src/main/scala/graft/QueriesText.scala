@@ -400,6 +400,27 @@ object QueriesText {
       |FROM counts
       |QUALIFY rk <= 5""".stripMargin
 
+  // --- the same top-k via the bounded-buffer Aggregator (ops.TopK):
+  // identical results to the window form, but the shuffle after the
+  // token count carries only k items per language instead of the whole
+  // vocabulary — the heavy-hitters scale path. Shares the window form's
+  // oracle SQL because the outputs must agree exactly.
+  private def topkHeap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = docs(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"lang", $"tok")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy($"lang")
+      .agg(graft.ops.TopK.topK(5)($"cnt", $"tok").as("top"))
+      .select($"lang", posexplode($"top"))
+      .select(
+        $"lang", ($"pos" + 1).cast(LongType).as("rk"),
+        $"col._2".as("tok"), $"col._1".as("cnt"))
+  }
+
   // --- deterministic stratified sampling: multiplicative-hash bucket on
   // the id, per-stratum keep rate via a rate table. Unlike rand()-based
   // sampling this is reproducible across engines, retries, and
@@ -425,6 +446,7 @@ object QueriesText {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_tokens" -> (topkTokens _),
+    "q_topk_heap" -> (topkHeap _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_token_stats" -> (tokenStats _),
     "q_token_quantiles" -> (tokenQuantiles _),
@@ -442,6 +464,7 @@ object QueriesText {
 
   val oracles: Map[String, String] = Map(
     "q_topk_tokens" -> topkTokensSql,
+    "q_topk_heap" -> topkTokensSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_token_stats" -> tokenStatsSql,
     "q_token_quantiles" -> tokenQuantilesSql,

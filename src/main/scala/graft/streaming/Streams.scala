@@ -29,7 +29,9 @@ object Streams {
     val stream = spark.readStream
       .schema(eventsSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integral div, not `/`: long `/` is double division and epoch-nanos
+      // exceed 2^53 (same hazard fixed in graft.Tables.normalizeEvents)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
@@ -71,6 +73,24 @@ object Streams {
       .groupByKey(_.tree_ID)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming session windows: the streaming counterpart of
+    * [[graft.ops.Sessionize]] — events for a user merge into one session
+    * while gaps stay under `gap`; a session closes (and, in Append mode,
+    * emits) once the watermark passes its end. State per key is one open
+    * session, so state size is O(active users), not O(events). */
+  def sessionizedCounts(
+      events: DataFrame, tsCol: String, userCol: String,
+      gap: String = "30 minutes", delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 
   /** Streaming exact dedup for a document stream: keep the first row per
     * normalized-content fingerprint, with state bounded by the event-time

@@ -47,6 +47,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.exists(r => r.YEAR == 2012 && math.abs(r.DIA - 12.8) < 1e-12))
   }
 
+  test("session windows merge events within the gap and close on watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = Streams.sessionizedCounts(events, "ts", "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // user 1: two events 10 min apart (one session), then one 2h later
+    // (a second session); user 2: a single event
+    input.addData((t(10, 0), 1L), (t(10, 10), 1L), (t(12, 30), 1L), (t(10, 5), 2L))
+    q.processAllAvailable()
+    // advance the watermark far past every session end so they all emit
+    input.addData((t(20, 0), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions")
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted
+    assert(rows.count(_._1 == 1L) == 2, s"user 1 should have 2 sessions: ${rows.toSeq}")
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(rows.count(_._1 == 2L) == 1 && rows.filter(_._1 == 2L).head._2 == 1L)
+  }
+
   test("streaming dedup keeps first doc per fingerprint within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

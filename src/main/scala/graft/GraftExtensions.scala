@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorDot, NormalizeAscii}
 
 /** The engine's `SparkSessionExtensions` entry point (SURVEY §7.3 tier
   * (c)): registers native expressions into the SQL function registry so
@@ -23,6 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot takes exactly 2 arguments")
         FloatVectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("norm_text"),
+      new ExpressionInfo(
+        classOf[NormalizeAscii].getName, null, "norm_text",
+        "norm_text(s) - one-pass ASCII normalize: lowercase, keep " +
+          "[a-z0-9 ], collapse spaces (codegen'd)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "norm_text takes exactly 1 argument")
+        NormalizeAscii(children.head)
       }))
   }
 }

@@ -62,12 +62,12 @@ object TextAnalysis {
   }
 
   /** Normalized-content fingerprint: lowercase, strip non-alphanumerics,
-    * collapse whitespace, md5. Equal fingerprints = same normalized text. */
+    * collapse whitespace, md5. Equal fingerprints = same normalized text.
+    * Normalization is the codegen'd one-pass
+    * [[graft.functions.NormalizeAscii]] (see its scaladoc for the exact
+    * equivalence to the lower→strip→collapse regex chain). */
   def fingerprint(text: Column): Column =
-    md5(
-      regexp_replace(
-        regexp_replace(lower(text), "[^a-z0-9 ]", ""),
-        " +", " "))
+    md5(graft.functions.NormalizeAscii.normText(text))
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
     * every char k-gram, slide a window of `w` consecutive hashes, keep

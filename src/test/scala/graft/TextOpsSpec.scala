@@ -31,4 +31,32 @@ class TextOpsSpec extends AnyFunSuite {
     // winnowing selects far fewer fingerprints than there are k-grams
     assert(byId(1).size < text.length - 8 + 1)
   }
+
+  test("NormalizeAscii equals the lower→strip→collapse regex chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val samples = Seq(
+      "Hello,  World!  123",
+      "  leading and trailing  ",
+      "UPPER lower MiXeD",
+      "punct...only!!!",
+      "",
+      "tabs\tand\nnewlines stay out",
+      "汉字 mixed with ASCII Text 42",
+      "àccénts Übermäßig ÇA",
+      "a  b   c    d",
+      "ALL CAPS WITH 999 DIGITS")
+    val df = samples.toDF("t").select(
+      graft.functions.NormalizeAscii.normText($"t").as("fast"),
+      regexp_replace(regexp_replace(lower($"t"), "[^a-z0-9 ]", ""), " +", " ").as("ref"))
+    // both the codegen path (collect) and the SQL-registered function
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(1), r))
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val esc = s.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n").replace("\t", "\\t")
+      val Array(a, b) = spark.sql(
+        s"SELECT norm_text('$esc'), regexp_replace(regexp_replace(lower('$esc'), '[^a-z0-9 ]', ''), ' +', ' ')")
+        .collect()(0).toSeq.map(_.asInstanceOf[String]).toArray
+      assert(a == b, s"sample $i")
+    }
+  }
 }

@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the generated-class cache defaults to 100 entries; a 58-query
+      // suite evicts and recompiles hot plans mid-run (measured: 0.8s
+      // queries ballooning to 5s). Static conf, so it must be set here.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // events.parquet carries INT64 TIMESTAMP(NANOS); Spark reads it as
       // LongType nanos with this flag instead of failing the scan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -351,6 +351,31 @@ object QueriesText {
       |  FROM inter JOIN sizes s1 ON i = s1.id JOIN sizes s2 ON j = s2.id)
       |WHERE jac > 0.8""".stripMargin
 
+  // --- near-duplicate clusters: LSH pairs -> connected components
+  //     (ops.Graph min-label propagation). The oracle computes the same
+  //     transitive closure with a recursive CTE — min reachable id is
+  //     the component label in both engines.
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minHashLshPairs(docs(s, dir).filter($"doc_id" < 2000),
+      "doc_id", "text", numPerms = 6, bandSize = 3, threshold = 0.8,
+      maxBucket = Some(100))
+    graft.ops.Graph.connectedComponents(pairs, "i", "j")
+      .select($"node".as("doc_id"), $"lab".as("component"))
+  }
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |$minhashLshSql
+       |),
+       |und AS (SELECT i AS a, j AS b FROM pairs
+       |        UNION SELECT j AS a, i AS b FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT a AS node, a AS lab FROM und
+       |  UNION
+       |  SELECT u.a AS node, r.lab FROM und u JOIN reach r ON u.b = r.node)
+       |SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node""".stripMargin
+
   // --- 16-bit SimHash
   private def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash16(docs(s, dir), "doc_id", "text")
@@ -460,6 +485,7 @@ object QueriesText {
     "q_winnow_fp" -> (winnowFp _),
     "q_doc_curate" -> (docCurate _),
     "q_minhash_lsh" -> (minhashLsh _),
+    "q_dup_clusters" -> (dupClusters _),
     "q_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
@@ -478,5 +504,6 @@ object QueriesText {
     "q_winnow_fp" -> winnowFpSql,
     "q_doc_curate" -> docCurateSql,
     "q_minhash_lsh" -> minhashLshSql,
+    "q_dup_clusters" -> dupClustersSql,
     "q_simhash" -> simhashSql)
 }

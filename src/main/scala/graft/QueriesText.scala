@@ -351,6 +351,36 @@ object QueriesText {
       |  FROM inter JOIN sizes s1 ON i = s1.id JOIN sizes s2 ON j = s2.id)
       |WHERE jac > 0.8""".stripMargin
 
+  // --- count-min sketch heavy hitters (ops.Sketches.cms*): estimate the
+  //     top-25 tokens' counts from a 4x256 counter matrix; the oracle
+  //     rebuilds the identical sketch (same md5 row hashes, same integer
+  //     counters), so estimates — over-counts included — match exactly.
+  private def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val occ = docs(s, dir).select(explode(split($"text", " ")).as("tok"))
+    val counters = graft.ops.Sketches.cmsCounters(occ, "tok", depth = 4, width = 256)
+    val top = occ.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok".asc).limit(25)
+    graft.ops.Sketches.cmsEstimate(counters, top, "tok", depth = 4, width = 256)
+      .join(broadcast(top), Seq("tok"))
+      .select($"tok", $"exact_n", $"cms_est")
+  }
+
+  private val cmsHeavySql =
+    """WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS exact_n FROM occ GROUP BY tok),
+      |hashes AS (
+      |  SELECT tok, exact_n, i,
+      |    CAST(CAST('0x' || substr(md5(i || ':' || tok), 1, 15) AS UBIGINT) AS BIGINT) % 256 AS b
+      |  FROM cnt CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) d),
+      |counters AS (SELECT i, b, CAST(sum(exact_n) AS BIGINT) AS c FROM hashes GROUP BY i, b),
+      |top AS (SELECT tok, exact_n FROM cnt ORDER BY exact_n DESC, tok ASC LIMIT 25)
+      |SELECT t.tok, t.exact_n, min(c.c) AS cms_est
+      |FROM top t
+      |JOIN hashes h ON t.tok = h.tok
+      |JOIN counters c ON h.i = c.i AND h.b = c.b
+      |GROUP BY t.tok, t.exact_n""".stripMargin
+
   // --- near-duplicate clusters: LSH pairs -> connected components
   //     (ops.Graph min-label propagation). The oracle computes the same
   //     transitive closure with a recursive CTE — min reachable id is
@@ -486,6 +516,7 @@ object QueriesText {
     "q_doc_curate" -> (docCurate _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_dup_clusters" -> (dupClusters _),
+    "q_cms_heavy" -> (cmsHeavy _),
     "q_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
@@ -505,5 +536,6 @@ object QueriesText {
     "q_doc_curate" -> docCurateSql,
     "q_minhash_lsh" -> minhashLshSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_cms_heavy" -> cmsHeavySql,
     "q_simhash" -> simhashSql)
 }

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout-for-scale helpers: at 100 TB, how a table lands on disk
+  * decides every later scan's cost. Two composable levers:
+  *
+  *   1. directory partitioning (`partitionBy`) — a filter on the
+  *      partition column becomes partition PRUNING: pruned directories
+  *      are never listed, opened, or read;
+  *   2. in-file ordering (`repartitionByRange` + `sortWithinPartitions`)
+  *      — parquet row-group min/max stats become selective, so filters
+  *      on the sort column skip row groups inside the surviving files,
+  *      and downstream range queries read near-minimal bytes.
+  *
+  * `repartitionByRange` samples the column to build balanced range
+  * bounds (one shuffle), so output files are evenly sized even under
+  * value skew — unlike `partitionBy` alone, which writes one directory
+  * per value with whatever skew the data has.
+  */
+object Layout {
+
+  /** Write `df` partitioned by a derived low-cardinality column and
+    * range-ordered inside each partition by `sortCol`. */
+  def writeRangeLayout(
+      df: DataFrame, path: String, partCol: String, sortCol: String,
+      filesPerPartition: Int = 4): Unit =
+    df.repartitionByRange(filesPerPartition, col(partCol), col(sortCol))
+      .sortWithinPartitions(col(partCol), col(sortCol))
+      .write.mode("overwrite")
+      .partitionBy(partCol)
+      .parquet(path)
+
+  /** Read back with a partition filter; the physical plan must show the
+    * filter under PartitionFilters (pruning), not PushedFilters. */
+  def readPruned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

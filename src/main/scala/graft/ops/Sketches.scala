@@ -47,6 +47,47 @@ object Sketches {
       .agg(max(col("rho")).as("m_j"))
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over token
+    * occurrences, engine-exact like the HLL above: row i of the d×w
+    * counter matrix buckets each token by the md5-based
+    * `hash60(i || ':' || tok) mod w`, counters aggregate with plain
+    * integer sums (one shuffle of at most d·w rows after partial
+    * aggregation, whatever the corpus size), and a point estimate is
+    * the MIN over the d bucket counters — always an over-estimate,
+    * within eps·N with probability 1-delta for w=⌈e/eps⌉, d=⌈ln 1/delta⌉.
+    *
+    * @param occurrences one row per token OCCURRENCE (not distinct)
+    * @return the (i, b, c) counter matrix, d·w rows max */
+  def cmsCounters(
+      occurrences: DataFrame, tokCol: String,
+      depth: Int, width: Int): DataFrame =
+    occurrences
+      .select(explode(array((0 until depth).map { i =>
+        struct(lit(i).as("i"),
+          pmod(Dedup.hash60(concat_ws(":", lit(i), col(tokCol))),
+            lit(width.toLong)).as("b"))
+      }: _*)).as("s"))
+      .groupBy(col("s.i").as("i"), col("s.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** CMS point estimates for the given candidate tokens: hash each
+    * candidate with the same row hashes and take the min matching
+    * counter. The counter matrix broadcasts (d·w rows), so estimating
+    * costs no extra shuffle over the candidate set. */
+  def cmsEstimate(
+      counters: DataFrame, candidates: DataFrame, tokCol: String,
+      depth: Int, width: Int): DataFrame =
+    candidates
+      .select(col(tokCol), explode(array((0 until depth).map { i =>
+        struct(lit(i).as("i"),
+          pmod(Dedup.hash60(concat_ws(":", lit(i), col(tokCol))),
+            lit(width.toLong)).as("b"))
+      }: _*)).as("s"))
+      .select(col(tokCol), col("s.i").as("i"), col("s.b").as("b"))
+      .join(broadcast(counters), Seq("i", "b"))
+      .groupBy(col(tokCol))
+      .agg(min(col("c")).as("cms_est"))
+
   /** Single-row sketch summary: the HLL estimate plus the exact
     * fixed-point register sum (s_fixed = sum 2^(55-M_j) — scale 2^55
     * because rho reaches 55 on an all-zero suffix; absent registers

@@ -92,6 +92,34 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension with a broadcast hash join — stateless (no watermark
+    * required; unmatched stream rows pass through with nulls under
+    * "left"). The static side's plan is re-bound per micro-batch, so a
+    * dimension refreshed in place (e.g. an overwritten parquet dir) is
+    * picked up without restarting the query. */
+  def enrichWithDim(
+      stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
+  /** Stream-stream event-time join: correlate two event streams per user
+    * within a bounded time window (`right.ts` in `[left.ts, left.ts +
+    * within]`). Both sides carry watermarks AND the join condition bounds
+    * event-time distance, so each side's buffered state is evictable —
+    * O(events per watermark delay), never the full history. Append-only
+    * (inner join) output. */
+  def correlateStreams(
+      left: DataFrame, right: DataFrame, userCol: String, tsCol: String,
+      within: String = "1 hour", delay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, delay).as("l")
+    val r = right.withWatermark(tsCol, delay).as("r")
+    l.join(r,
+      col(s"l.$userCol") === col(s"r.$userCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
+  }
+
   /** Streaming exact dedup for a document stream: keep the first row per
     * normalized-content fingerprint, with state bounded by the event-time
     * watermark (`dropDuplicatesWithinWatermark` — duplicate state for a

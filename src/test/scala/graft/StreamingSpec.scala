@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
 import graft.streaming.Streams.{AnnualRow, Survey}
@@ -92,5 +93,48 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val kept = spark.table("dedup_docs").select("doc_id").as[String].collect().toSet
     assert(kept == Set("a", "c"), s"expected first-per-fingerprint, got $kept")
+  }
+
+  test("stream-static enrichment joins each micro-batch to the dimension") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = Streams.enrichWithDim(stream, dim, Seq("user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched")
+      .start()
+    input.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().toMap
+    assert(rows == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
+  test("stream-stream join correlates events within the time bound only") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val q = Streams.correlateStreams(
+        clicks.toDF().toDF("ts", "user_id"),
+        buys.toDF().toDF("ts", "user_id"),
+        "user_id", "ts", within = "1 hour")
+      .select(col("l.user_id"), col("l.ts").as("click_ts"), col("r.ts").as("buy_ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("correlated")
+      .start()
+    // user 1 buys 30 min after click (match); user 2 buys 3h after (no
+    // match); user 3 buys with no click (no match)
+    clicks.addData((t(10, 0), 1L), (t(10, 0), 2L))
+    buys.addData((t(10, 30), 1L), (t(13, 0), 2L), (t(10, 15), 3L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("correlated")
+      .select("user_id").as[Long].collect().toSeq
+    assert(rows == Seq(1L), s"only user 1 is inside the window, got $rows")
   }
 }

@@ -424,6 +424,36 @@ object QueriesText {
        |SELECT id, $bits AS simhash FROM h GROUP BY id""".stripMargin
   }
 
+  // --- SimHash near-dup retrieval: banded (scalable) on the Spark side,
+  //     brute-force all-pairs on the oracle side — identical output by
+  //     the pigeonhole recall guarantee (see Dedup.simHashNearDupPairs).
+  //     The synthetic corpus is near-dup-dense (tiny shared vocabulary),
+  //     so the gate bounds the doc set to keep the pair count
+  //     oracle-comparable at every SF — same reasoning as q_minhash_lsh.
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simHashNearDupPairs(docs(s, dir).filter($"doc_id" < 1000),
+      "doc_id", "text", maxHamming = 3)
+  }
+
+  private val simhashPairsSql = {
+    val bits = (0 until 16)
+      .map(b =>
+        s"CASE WHEN sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents WHERE doc_id < 1000),
+       |h AS (
+       |  SELECT id, CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) AS h
+       |  FROM toks),
+       |sh AS (SELECT id, $bits AS simhash FROM h GROUP BY id)
+       |SELECT a.id AS i, b.id AS j,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
+
   // --- per-language top-k frequent tokens (exact heavy hitters):
   // explode -> two-level count (map-side partial agg) -> per-lang rank.
   // At 100 TB the same shape holds: the token count shuffle carries
@@ -517,6 +547,7 @@ object QueriesText {
     "q_minhash_lsh" -> (minhashLsh _),
     "q_dup_clusters" -> (dupClusters _),
     "q_cms_heavy" -> (cmsHeavy _),
+    "q_simhash_pairs" -> (simhashPairs _),
     "q_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
@@ -537,5 +568,6 @@ object QueriesText {
     "q_minhash_lsh" -> minhashLshSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_cms_heavy" -> cmsHeavySql,
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_simhash" -> simhashSql)
 }

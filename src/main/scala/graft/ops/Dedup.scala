@@ -184,6 +184,42 @@ object Dedup {
       .select("i", "j", "jac")
   }
 
+  /** SimHash near-duplicate pairs: ALL pairs at Hamming distance ≤
+    * `maxHamming` on the 16-bit signature, found WITHOUT the O(n²)
+    * all-pairs scan. The signature is banded into 4 nibbles; by
+    * pigeonhole, any pair differing in ≤ 3 bits agrees on at least one
+    * whole nibble, so the band-bucket self-join has exact recall for
+    * maxHamming ≤ 3 and the Hamming filter removes the rest — the
+    * result is IDENTICAL to brute force (which is what the oracle
+    * runs). At corpus scale the same shape holds with 64-bit
+    * signatures and k+1 bands for distance k (Manku et al., WWW'07);
+    * bucket sizes shrink as bands widen. */
+  def simHashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(0 <= maxHamming && maxHamming <= 3,
+      "4 nibble bands guarantee recall only up to hamming 3")
+    val sig = simHash16(df, idCol, textCol)
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("nib"))
+      }: _*)).as("s"))
+      .select(col("id"), col("simhash"),
+        col("s.band").as("band"), col("s.nib").as("nib"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.nib") === col("r.nib") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"),
+        col("l.simhash").as("si"), col("r.simhash").as("sj"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("si").bitwiseXOR(col("sj"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("i", "j", "hamming")
+  }
+
   /** 16-bit SimHash over token hashes: bit b is set iff the majority of
     * the document's tokens have bit b set in their hash. */
   def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {

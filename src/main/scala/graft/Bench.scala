@@ -32,11 +32,21 @@ object Bench {
     spark.range(100).selectExpr("id % 10 as k", "id as v")
       .selectExpr("k", "row_number() over (partition by k order by v) as rn")
       .collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Two interleaved passes, min per query: the host is a shared VM and
+    // contention bursts (measured: the same query 0.9s vs 11s minutes
+    // apart) land on random contiguous windows — interleaving makes it
+    // very unlikely BOTH runs of one query are hit, and min-of-2 also
+    // sheds first-run plan/codegen cost. Engine cost is the stable
+    // floor, which is what the number is for.
+    val ordered = SparkEntry.queries.toSeq
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 2; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
     }
+    val results = ordered.map { case (name, _) => name -> times(name) }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -23,6 +23,24 @@ object QueriesAgg {
     """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // --- A9 companion: full cube with grouping_id (distinguishes "null
+  //     because aggregated away" from "null in the data")
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast(IntegerType).as("gid"))
+  }
+
+  private val cubeAggSql =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |  count(*) AS n,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   // --- A10: pivot (long -> wide)
   private def pivotAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -274,6 +292,7 @@ object QueriesAgg {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_transitions" -> (transitions _),
     "q_rollup" -> (rollupAgg _),
+    "q_cube" -> (cubeAgg _),
     "q_pivot" -> (pivotAgg _),
     "q_window_expns" -> (windowExpns _),
     "q_first_dead" -> (firstDead _),
@@ -287,6 +306,7 @@ object QueriesAgg {
   val oracles: Map[String, String] = Map(
     "q_transitions" -> transitionsSql,
     "q_rollup" -> rollupAggSql,
+    "q_cube" -> cubeAggSql,
     "q_pivot" -> pivotAggSql,
     "q_window_expns" -> windowExpnsSql,
     "q_first_dead" -> firstDeadSql,

@@ -68,6 +68,29 @@ object QueriesEvents {
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_value
       |FROM events""".stripMargin
 
+  // --- forward as-of: each event picks up the user's NEXT purchase
+  //     time at or after it (time-to-conversion shape)
+  private def asOfNext(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ev(s, dir).select(
+      $"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+    AsOf.attachNextMarker(
+      base,
+      keyCols = Seq("user_id"),
+      orderCols = Seq(col("us"), col("event_id")),
+      markerCond = col("event_type") === "purchase",
+      value = col("us"),
+      as = "next_purchase_us")
+      .select($"event_id", $"user_id", $"next_purchase_us")
+  }
+
+  private val asOfNextSql =
+    """SELECT event_id, user_id,
+      |  first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_us
+      |FROM events""".stripMargin
+
   // --- tumbling 6h buckets (batch shape of the streaming windowed agg);
   //     sums avoided on arbitrary doubles — count/min/max are engine-exact
   private def timeBuckets(s: SparkSession, dir: String): DataFrame = {
@@ -208,9 +231,78 @@ object QueriesEvents {
       |SELECT event_type, decile, count(*) AS n, min(value) AS min_v, max(value) AS max_v
       |FROM d GROUP BY 1, 2""".stripMargin
 
+  // --- retention cohorts: users bucketed by first-seen month, counted
+  //     as active per later month. Two aggregation shuffles (per-user
+  //     first month; per (cohort, month) distinct users) — at scale the
+  //     per-user grain dominates and partial aggregation carries it.
+  private def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select(
+      $"user_id", date_trunc("week", $"ts".cast(TimestampType)).cast(DateType).as("m"))
+    val cohort = e.groupBy($"user_id").agg(min($"m").as("cohort_m"))
+    e.join(cohort, "user_id")
+      .groupBy($"cohort_m", $"m")
+      .agg(countDistinct($"user_id").as("active_users"))
+  }
+
+  private val retentionCohortsSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS m FROM events),
+      |cohort AS (SELECT user_id, min(m) AS cohort_m FROM e GROUP BY user_id)
+      |SELECT c.cohort_m, e.m, count(DISTINCT e.user_id) AS active_users
+      |FROM e JOIN cohort c USING (user_id)
+      |GROUP BY c.cohort_m, e.m""".stripMargin
+
+  // --- conversion funnel: signup -> first click after signup -> first
+  //     purchase after that click; one row of stage counts. Conditional
+  //     per-user aggregates, each stage gated on the previous stage's
+  //     timestamp — three per-user aggregation passes, no self-join of
+  //     the event log against itself.
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select(
+      $"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val s1 = e.groupBy($"user_id")
+      .agg(min(when($"event_type" === "signup", $"us")).as("t_signup"))
+    val s2 = e.join(s1, "user_id")
+      .groupBy($"user_id", $"t_signup")
+      .agg(min(when($"event_type" === "click" && $"us" >= $"t_signup", $"us"))
+        .as("t_click"))
+    val s3 = e.join(s2, "user_id")
+      .groupBy($"user_id", $"t_signup", $"t_click")
+      .agg(min(when($"event_type" === "purchase" && $"us" >= $"t_click", $"us"))
+        .as("t_purchase"))
+    s3.agg(
+      count($"t_signup").as("n_signup"),
+      count($"t_click").as("n_click_after"),
+      count($"t_purchase").as("n_purchase_after"))
+  }
+
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN us END) AS t_signup
+      |  FROM e GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, t_signup,
+      |    min(CASE WHEN event_type = 'click' AND us >= t_signup THEN us END) AS t_click
+      |  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id, t_signup),
+      |s3 AS (
+      |  SELECT e.user_id, t_signup, t_click,
+      |    min(CASE WHEN event_type = 'purchase' AND us >= t_click THEN us END) AS t_purchase
+      |  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id, t_signup, t_click)
+      |SELECT count(t_signup) AS n_signup,
+      |  count(t_click) AS n_click_after,
+      |  count(t_purchase) AS n_purchase_after
+      |FROM s3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_fill" -> (windowFill _),
     "q_asof_signup" -> (asOfSignup _),
+    "q_asof_next" -> (asOfNext _),
+    "q_retention" -> (retentionCohorts _),
+    "q_funnel" -> (funnel _),
     "q_time_buckets" -> (timeBuckets _),
     "q_json_extract" -> (jsonExtract _),
     "q_first_per_grain" -> (firstPerGrain _),
@@ -221,6 +313,9 @@ object QueriesEvents {
   val oracles: Map[String, String] = Map(
     "q_window_fill" -> windowFillSql,
     "q_asof_signup" -> asOfSignupSql,
+    "q_asof_next" -> asOfNextSql,
+    "q_retention" -> retentionCohortsSql,
+    "q_funnel" -> funnelSql,
     "q_time_buckets" -> timeBucketsSql,
     "q_json_extract" -> jsonExtractSql,
     "q_first_per_grain" -> firstPerGrainSql,

@@ -34,4 +34,21 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(as, last(when(markerCond, value), ignoreNulls = true).over(w))
   }
+
+  /** Forward as-of: attach `first value where markerCond` at or AFTER
+    * each row as `as`; rows after the last marker get null. Same single
+    * shuffle + sort — the frame direction flips, not the plan shape. */
+  def attachNextMarker(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      markerCond: Column,
+      value: Column,
+      as: String): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn(as, first(when(markerCond, value), ignoreNulls = true).over(w))
+  }
 }

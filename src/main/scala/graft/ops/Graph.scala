@@ -12,19 +12,24 @@ import org.apache.spark.sql.functions._
   * Algorithm: iterative min-label propagation. Every node starts
   * labeled with itself; each round every node takes the minimum label
   * in its closed 1-hop neighborhood; fixpoint when no label changes.
-  * Each round is one shuffle on node id (join + groupBy-min with
-  * map-side partial aggregation), and rounds = graph diameter. Dup
-  * clusters are near-cliques (diameter 2-3), so the loop runs ~3
-  * rounds regardless of corpus size; for general high-diameter graphs
-  * the two-phase large-star/small-star scheme (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) converges
-  * in O(log^2 n) rounds and drops in here unchanged.
+  * Rounds = graph diameter. Dup clusters are near-cliques (diameter
+  * 2-3), so the loop runs ~3 rounds regardless of corpus size; for
+  * general high-diameter graphs the two-phase large-star/small-star
+  * scheme (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) converges in O(log^2 n) rounds and drops in here
+  * unchanged.
   *
-  * Scale notes: `localCheckpoint` after every round truncates lineage —
-  * without it the plan doubles per iteration and Catalyst analysis,
-  * not the data, becomes the bottleneck. The convergence probe is a
-  * `limit(1).count` on changed labels, so the per-round action cost is
-  * bounded by the first changed partition, not a full scan.
+  * Per-round cost is ONE job with ONE shuffle: the adjacency is
+  * hash-partitioned on its probe key once up front and self-loops are
+  * folded in, so the propagation join needs no exchange on either side
+  * (labels come out of the previous round's groupBy already hashed on
+  * `node`), and only the post-join groupBy(node) exchanges. The old
+  * label rides the self-loop contribution through the aggregation, so
+  * convergence is a filter+limit probe over the round's checkpointed
+  * in-memory result — no join, no shuffle, no lineage recompute.
+  * `localCheckpoint` after every round truncates lineage; without it
+  * the plan doubles per iteration and Catalyst analysis, not the data,
+  * becomes the bottleneck.
   */
 object Graph {
 
@@ -33,27 +38,42 @@ object Graph {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    // Materialize the edge list ONCE before fanning it out: it appears
+    // twice in the symmetrization union and four times in the final
+    // adjacency lineage, and Spark does not dedupe common subplans —
+    // without this an expensive upstream (e.g. LSH candidate
+    // generation) would execute 4x inside the adjacency job.
     val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    val adj = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
       .localCheckpoint(true)
-    var labels = adj.select(col("a").as("node")).distinct()
-      .withColumn("lab", col("node"))
+    val sym = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+    // Closed neighborhood: a self-loop per node makes each node's own
+    // label a contribution of the propagation join, removing the
+    // labels-union branch (and its extra scan) from the loop body.
+    val adj = sym
+      .union(sym.select(col("a"), col("a").as("b")))
+      .distinct()
+      .repartition(col("b"))
+      .localCheckpoint(true)
+    var labels = adj.filter(col("a") === col("b"))
+      .select(col("a").as("node"), col("a").as("lab"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbors = adj
-        .join(labels, adj("b") === labels("node"))
-        .select(adj("a").as("node"), col("lab"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("node").agg(min("lab").as("lab"))
+      val contrib = adj.join(labels, adj("b") === labels("node"))
+        .select(adj("a").as("node"), col("lab"),
+          (adj("a") === adj("b")).as("self"))
+      val next = contrib
+        .groupBy("node")
+        .agg(min("lab").as("lab"),
+          max(when(col("self"), col("lab"))).as("old"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.lab") =!= col("o.lab"))
-        .limit(1).count() == 0L
-      labels = next
+      // Convergence probe over the just-materialized in-memory round:
+      // a filter+limit scan of the checkpointed RDD — no join, no
+      // shuffle, no recomputation of lineage.
+      converged =
+        next.filter(col("lab") =!= col("old")).limit(1).count() == 0L
+      labels = next.select("node", "lab")
       i += 1
     }
     labels

@@ -454,6 +454,32 @@ object QueriesText {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }
 
+  // --- TF-IDF top-3 terms per document. Score doubles are rounded to
+  //     6 dp on both sides; ranking uses the raw double with a term
+  //     tiebreak (equal (tf, df) pairs produce bit-identical doubles in
+  //     both engines, so ties are broken identically).
+  private def tfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+
+  private val tfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         tf.tf * ln(1.0 + CAST(n.n AS DOUBLE) / df.df) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term, round(score, 6) AS tfidf, rk
+      |FROM ranked WHERE rk <= 3""".stripMargin
+
   // --- per-language top-k frequent tokens (exact heavy hitters):
   // explode -> two-level count (map-side partial agg) -> per-lang rank.
   // At 100 TB the same shape holds: the token count shuffle carries
@@ -534,6 +560,7 @@ object QueriesText {
     "q_topk_heap" -> (topkHeap _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_token_stats" -> (tokenStats _),
+    "q_tfidf" -> (tfidf _),
     "q_token_quantiles" -> (tokenQuantiles _),
     "q_hll_distinct" -> (hllTokens _),
     "q_quality_score" -> (qualityScore _),
@@ -555,6 +582,7 @@ object QueriesText {
     "q_topk_heap" -> topkTokensSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_token_stats" -> tokenStatsSql,
+    "q_tfidf" -> tfidfSql,
     "q_token_quantiles" -> tokenQuantilesSql,
     "q_hll_distinct" -> hllTokensSql,
     "q_quality_score" -> qualityScoreSql,

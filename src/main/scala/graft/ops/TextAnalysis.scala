@@ -97,4 +97,40 @@ object TextAnalysis {
       .select(col("id"), col("fp"))
       .distinct()
   }
+
+  /** TF-IDF top-`k` terms per document: `tf * ln(1 + N/df)`, ties on
+    * score broken by term so the ranking is deterministic.
+    *
+    * Shape chosen for scale: term frequencies are a partial-aggregated
+    * `groupBy(doc, term)`, document frequencies a second
+    * partial-aggregated `groupBy(term)` over the tf rows (a window
+    * `count.over(partitionBy(term))` would colocate every row of a hot
+    * stopword on one task — the groupBy combiner is what survives
+    * skewed vocabularies), reattached with a plain join on `term`
+    * (AQE-splittable). The corpus size joins in as a broadcast 1-row
+    * aggregate, and the final per-document top-k is a window over the
+    * doc partition. Output score is rounded to 6 dp for cross-engine
+    * comparability; ordering uses the raw double. */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log(lit(1.0) + col("n").cast(DoubleType) / col("df")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"),
+        round(col("score"), 6).as("tfidf"), col("rk"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -289,7 +289,102 @@ object QueriesAgg {
       |  CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS first_seen
       |FROM lagged GROUP BY yr""".stripMargin
 
+  // --- A10 melt: unpivot wide numeric attributes into long form.
+  //     Spark's native unpivot (= melt) generator; value columns are
+  //     cast to a common type first, as unpivot requires.
+  private def unpivotAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey", $"p_size".cast(DoubleType).as("p_size"), $"p_retailprice")
+      .unpivot(Array($"p_partkey"), Array($"p_size", $"p_retailprice"), "attr", "val")
+  }
+
+  private val unpivotAggSql =
+    """UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part)
+      |ON p_size, p_retailprice INTO NAME attr VALUE val""".stripMargin
+
+  // --- set operations: INTERSECT / EXCEPT (set semantics, dedup) over
+  //     two year slices of the same table, tagged and unioned.
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def custkeys(yr: Int) = Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === yr).select($"o_custkey")
+    custkeys(1997).intersect(custkeys(1998)).withColumn("tag", lit("both"))
+      .unionByName(
+        custkeys(1997).except(custkeys(1998)).withColumn("tag", lit("only_1997")))
+  }
+
+  private val setOpsSql =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+      |     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT o_custkey, 'only_1997' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""".stripMargin
+
+  // --- statistical aggregates (corr / sample stddev) with a
+  //     DETERMINISTIC distributed reduction: float sums are
+  //     order-dependent and partial-agg merge order is not stable
+  //     run-to-run, so the power sums (Σx, Σx², Σxy) accumulate as
+  //     decimals (exact, associative) and only the final combination
+  //     runs in IEEE doubles — bit-identical on any cluster layout and
+  //     in the oracle engine. Precision 19 (not 18): engines back
+  //     p ≤ 18 decimals with int64, whose product overflows before
+  //     widening; p ≥ 19 forces int128 multiply on both sides.
+  private def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_quantity".cast(DecimalType(19, 4))
+    val y = $"l_extendedprice".cast(DecimalType(19, 4))
+    val d = (c: Column) => c.cast(DoubleType)
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select($"l_returnflag", $"n",
+        round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+          (sqrt(d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+            sqrt(d($"n") * d($"syy") - d($"sy") * d($"sy"))), 6).as("corr_qty_price"),
+        round(sqrt((d($"n") * d($"sxx") - d($"sx") * d($"sx")) /
+          (d($"n") * (d($"n") - 1.0))), 6).as("stddev_qty"))
+  }
+
+  private val statsMomentsSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS corr_qty_price,
+      |  round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS stddev_qty
+      |FROM m""".stripMargin
+
+  // --- fuzzy vocabulary matching (edit-distance near-pairs on the
+  //     distinct value domain; see ops.Dedup.fuzzyVocabPairs)
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.fuzzyVocabPairs(Tables.part(s, dir), "p_name", maxDist = 2)
+
+  private val fuzzyPairsSql =
+    """WITH vocab AS (SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+      |       a.n_rows AS rows_a, b.n_rows AS rows_b
+      |FROM vocab a JOIN vocab b
+      |  ON a.name < b.name
+      | AND abs(length(a.name) - length(b.name)) <= 2
+      | AND levenshtein(a.name, b.name) <= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (unpivotAgg _),
+    "q_set_ops" -> (setOps _),
+    "q_stats_moments" -> (statsMoments _),
+    "q_fuzzy_pairs" -> (fuzzyPairs _),
     "q_transitions" -> (transitions _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
@@ -304,6 +399,10 @@ object QueriesAgg {
     "q_pop_scale" -> (popScale _))
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" -> unpivotAggSql,
+    "q_set_ops" -> setOpsSql,
+    "q_stats_moments" -> statsMomentsSql,
+    "q_fuzzy_pairs" -> fuzzyPairsSql,
     "q_transitions" -> transitionsSql,
     "q_rollup" -> rollupAggSql,
     "q_cube" -> cubeAggSql,

@@ -233,4 +233,31 @@ object Dedup {
       .reduce(_ + _)
     voted.select(col("id"), sim.as("simhash"))
   }
+
+  /** Fuzzy value matching by edit distance, distinct-first: collapse
+    * the column to its vocabulary (with per-value row counts) BEFORE
+    * pairing, so the quadratic step is O(vocab²), not O(rows²) — a
+    * 100 TB column with a bounded value domain pairs in milliseconds,
+    * and the only full-data cost is one partial-aggregated groupBy.
+    * The pair join is a broadcast nested-loop with a cheap
+    * length-band guard ahead of the levenshtein evaluation; for
+    * genuinely unbounded vocabularies swap the guard for a blocking
+    * key (prefix/soundex) on both sides of an equi join.
+    *
+    * @return (name_a, name_b, dist, rows_a, rows_b), name_a < name_b,
+    *         dist ≤ maxDist
+    */
+  def fuzzyVocabPairs(df: DataFrame, colName: String, maxDist: Int): DataFrame = {
+    val vocab = df.groupBy(col(colName).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val a = vocab.select(col("name").as("name_a"), col("n_rows").as("rows_a"))
+    val b = vocab.select(col("name").as("name_b"), col("n_rows").as("rows_b"))
+    a.join(b,
+        col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
+          levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("rows_a"), col("rows_b"))
+  }
 }

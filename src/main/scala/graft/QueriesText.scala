@@ -394,6 +394,18 @@ object QueriesText {
       .select($"node".as("doc_id"), $"lab".as("component"))
   }
 
+  // --- same clustering through the large-star/small-star rewrite (the
+  //     O(log^2 n)-round path for high-diameter graphs); identical
+  //     result, identical oracle.
+  private def dupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minHashLshPairs(docs(s, dir).filter($"doc_id" < 2000),
+      "doc_id", "text", numPerms = 6, bandSize = 3, threshold = 0.8,
+      maxBucket = Some(100))
+    graft.ops.Graph.connectedComponentsStar(pairs, "i", "j")
+      .select($"node".as("doc_id"), $"lab".as("component"))
+  }
+
   private val dupClustersSql =
     s"""WITH RECURSIVE pairs AS (
        |$minhashLshSql
@@ -573,6 +585,7 @@ object QueriesText {
     "q_doc_curate" -> (docCurate _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_dup_clusters" -> (dupClusters _),
+    "q_dup_clusters_star" -> (dupClustersStar _),
     "q_cms_heavy" -> (cmsHeavy _),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_simhash" -> (simhash _))
@@ -595,6 +608,7 @@ object QueriesText {
     "q_doc_curate" -> docCurateSql,
     "q_minhash_lsh" -> minhashLshSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_dup_clusters_star" -> dupClustersSql,
     "q_cms_heavy" -> cmsHeavySql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_simhash" -> simhashSql)

@@ -119,7 +119,12 @@ object TextAnalysis {
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // The tf>=1 guard is a semantic no-op, but it keeps `tf` referenced
+    // so column pruning cannot drop the count from this branch's
+    // aggregate — both branches then shuffle the IDENTICAL tf stage and
+    // AQE reuses one map output instead of tokenizing the corpus twice.
+    val dfreq = tf.filter(col("tf") >= 1)
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(n))

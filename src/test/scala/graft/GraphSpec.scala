@@ -26,4 +26,37 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(5L -> 5L, 6L -> 5L))
   }
+
+  test("large-star/small-star agrees with min-label propagation") {
+    import spark.implicits._
+    // chain + pair + triangle + self-loop: same fixture family as above
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 30L)).toDF("src", "dst")
+    val star = Graph.connectedComponentsStar(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val prop = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop + (30L -> 30L) || star == prop) // prop includes 30 via self-loop
+    assert(star(4L) == 1L && star(11L) == 10L && star(22L) == 20L)
+  }
+
+  test("large-star/small-star handles a 60-node chain (high diameter)") {
+    import spark.implicits._
+    val edges = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.connectedComponentsStar(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 60 && got.values.forall(_ == 1L))
+  }
+
+  test("star variant matches propagation on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val star = Graph.connectedComponentsStar(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val prop = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
 }

@@ -101,27 +101,35 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s0 = col(srcCol); val d0 = col(dstCol)
+    // Materialize the input ONCE: it fans out into the node list
+    // (twice) and the canonicalized edge set, and Spark does not
+    // dedupe common subplans — without this an expensive upstream
+    // (LSH candidate generation) would execute three times.
+    val input = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .localCheckpoint(true)
     // All nodes, including isolated-by-canonicalization ones (self
     // loops in the input), must appear in the output.
-    val nodes = edges.select(s0.as("n")).union(edges.select(d0.as("n")))
+    val nodes = input.select(col("s").as("n")).union(input.select(col("d").as("n")))
       .distinct().localCheckpoint(true)
-    var e = edges
-      .select(greatest(s0, d0).as("u"), least(s0, d0).as("v"))
+    var e = input
+      .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    var eCount = e.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val wSym = Window.partitionBy(col("u"))
+      // No distinct after large: duplicate edges don't change small's
+      // window-min and small dedupes its own output — one less shuffle
+      // per alternation.
       val large = sym
         .withColumn("m", least(min(col("v")).over(wSym), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       val wDir = Window.partitionBy(col("u"))
       val withMin = large.withColumn("m", min(col("v")).over(wDir))
       val small = withMin.select(col("v").as("u"), col("m").as("v"))
@@ -130,12 +138,15 @@ object Graph {
         .distinct()
         .localCheckpoint(true)
       // Both sides are distinct sets, so equal cardinality plus an
-      // empty one-sided difference proves equality; the counts are
-      // near-free on the checkpointed rounds and skip the except
-      // entirely while the edge set is still shrinking.
-      converged = small.count() == e.count() &&
+      // empty one-sided difference proves equality; the count is
+      // near-free on the checkpointed round (and the previous round's
+      // is carried), and the except runs only once the edge set has
+      // stopped shrinking.
+      val smallCount = small.count()
+      converged = smallCount == eCount &&
         small.exceptAll(e).limit(1).count() == 0L
       e = small
+      eCount = smallCount
       i += 1
     }
     nodes.join(e, nodes("n") === e("u"), "left")

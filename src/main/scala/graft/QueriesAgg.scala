@@ -365,6 +365,28 @@ object QueriesAgg {
       |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS stddev_qty
       |FROM m""".stripMargin
 
+  // --- equi-width histogram: one partial-aggregated groupBy over a
+  //     closed-form bucket id — at any scale this is a single shuffle
+  //     of (n_buckets) partials, never a sort. Bucket arithmetic is
+  //     identical integer-exact floor((x-lo)/w) on both sides.
+  private def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = 0.0; val w = 50000.0
+    Tables.orders(s, dir)
+      .select(floor(($"o_totalprice" - lo) / w).cast(IntegerType).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", $"bucket" * w)
+      .withColumn("hi", ($"bucket" + 1) * w)
+  }
+
+  private val histogramSql =
+    """WITH b AS (
+      |  SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket FROM orders)
+      |SELECT bucket, count(*) AS n,
+      |       bucket * 50000.0 AS lo, (bucket + 1) * 50000.0 AS hi
+      |FROM b GROUP BY bucket""".stripMargin
+
   // --- fuzzy vocabulary matching (edit-distance near-pairs on the
   //     distinct value domain; see ops.Dedup.fuzzyVocabPairs)
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
@@ -382,6 +404,7 @@ object QueriesAgg {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot" -> (unpivotAgg _),
+    "q_histogram" -> (histogram _),
     "q_set_ops" -> (setOps _),
     "q_stats_moments" -> (statsMoments _),
     "q_fuzzy_pairs" -> (fuzzyPairs _),
@@ -400,6 +423,7 @@ object QueriesAgg {
 
   val oracles: Map[String, String] = Map(
     "q_unpivot" -> unpivotAggSql,
+    "q_histogram" -> histogramSql,
     "q_set_ops" -> setOpsSql,
     "q_stats_moments" -> statsMomentsSql,
     "q_fuzzy_pairs" -> fuzzyPairsSql,

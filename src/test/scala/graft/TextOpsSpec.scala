@@ -59,4 +59,41 @@ class TextOpsSpec extends AnyFunSuite {
       assert(a == b, s"sample $i")
     }
   }
+
+  test("tfidfTopTerms: hand-computed scores, deterministic tie-break") {
+    import spark.implicits._
+    // 3 docs; "common" in all (df=3), "rare" only in doc 1 (df=1),
+    // "pair" in docs 2+3 (df=2). Doc 1 repeats "rare" twice.
+    val df = Seq(
+      (1L, "common rare rare"),
+      (2L, "common pair"),
+      (3L, "common pair")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), (r.getString(1), r.getDouble(2))))
+      .toMap
+    def score(tf: Long, dfreq: Long) =
+      BigDecimal(tf * math.log1p(3.0 / dfreq))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 1)) == ("rare", score(2, 1)))   // 2*ln(4) beats ln(2)
+    assert(got((1L, 2)) == ("common", score(1, 3)))
+    // docs 2/3: pair (ln 2.5) beats common (ln 2)
+    assert(got((2L, 1)) == ("pair", score(1, 2)))
+    assert(got((3L, 2)) == ("common", score(1, 3)))
+  }
+
+  test("fuzzyVocabPairs: length guard and distance bound") {
+    import spark.implicits._
+    val df = Seq("red bolt", "red bolt", "rod bolt", "red colt",
+      "blue anvil", "blue anvi", "completely different")
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+    val got = graft.ops.Dedup.fuzzyVocabPairs(df, "name", maxDist = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      ("red bolt", "rod bolt", 1, 2L, 1L),   // rows_a=2 (dup "red bolt")
+      ("red bolt", "red colt", 1, 2L, 1L),
+      ("red colt", "rod bolt", 2, 1L, 1L),
+      ("blue anvi", "blue anvil", 1, 1L, 1L)))
+  }
 }

@@ -39,8 +39,29 @@ def main(sfdir, outdir):
         if name not in oracle:
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
-        exp = con.sql(oracle[name]).df()
+        rel = con.sql(oracle[name])
+        # The driver hashes stringified values: a DuckDB HUGEINT becomes
+        # pandas float64 ("1.0" vs spark's "1") and hash-mismatches even
+        # when values compare equal numerically — fail it here too.
+        huge = [c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"]
+        if huge:
+            print(f"[FAIL-dtype] {name}: oracle HUGEINT cols {huge} — CAST to BIGINT in the SQL")
+            n_bad += 1
+            continue
+        exp = rel.df()
         g, e = canon(got), canon(exp)
+        # Same stringification class (int vs float vs other) is what the
+        # driver's value hash needs — int32 vs int64 is fine, int vs
+        # float is not.
+        def kind(s):
+            k = s.dtype.kind
+            return {"i": "int", "u": "int", "f": "float"}.get(k, "other")
+        dt_bad = [c for c in g.columns if kind(g[c]) != kind(e[c])]
+        if dt_bad:
+            print(f"[FAIL-dtype] {name}: " + "; ".join(
+                f"{c}: spark={g[c].dtype} oracle={e[c].dtype}" for c in dt_bad))
+            n_bad += 1
+            continue
         if list(g.columns) != list(e.columns):
             print(f"[FAIL-schema] {name}: spark={list(g.columns)} oracle={list(e.columns)}")
             n_bad += 1

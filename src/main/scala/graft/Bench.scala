@@ -40,17 +40,32 @@ object Bench {
     // floor, which is what the number is for.
     val ordered = SparkEntry.queries.toSeq
     val times = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to 2; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            false
+        }
+      // Failed passes are excluded from the min: a fast crash must not
+      // masquerade as a fast query.
+      if (ok) {
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      }
     }
-    val results = ordered.map { case (name, _) => name -> times(name) }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = ordered.map { case (name, _) =>
+      val v = if (times.contains(name)) times(name).toString else "\"error\""
+      s"\"" + name + "\":" + v
+    }.mkString("{", ",", "}")
+    val total = times.values.sum
+    val nFail = failed.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFail > 0) sys.exit(1)
   }
 }

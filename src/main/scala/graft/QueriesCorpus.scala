@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+
+/** Round-3 training-data-pipeline wave: dataset splitting, systematic
+  * weighted sampling, benchmark decontamination, n-gram LM statistics,
+  * frequency spectra, keep-best dedup, graph triangle counting,
+  * integer-exact outlier detection, and the SQL-API surface — all
+  * oracle-gated cross-engine (md5 hashing + integer/decimal arithmetic,
+  * so results reproduce bit-for-bit in DuckDB). */
+object QueriesCorpus {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  // --- stable train/val/test split (ops.Sampling.trainValTestSplit):
+  //     hash-mod assignment, scan-side only; per-split corpus stats.
+  private def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("split",
+        Sampling.trainValTestSplit($"doc_id".cast(StringType), "split"))
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount($"text").cast(LongType)).as("n_tokens"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"))
+  }
+
+  private val trainSplitSql =
+    """WITH b AS (
+      |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+      |    CAST(CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) % 100 AS h
+      |  FROM documents)
+      |SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM b GROUP BY 1""".stripMargin
+
+  // --- systematic weighted sampling (ops.Sampling.systematicByWeight):
+  //     two-level prefix sum, no global sort; sampled ids + crossing
+  //     positions are integer-exact in both engines.
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.systematicByWeight(
+      docs(s, dir).select($"doc_id", $"n_chars"),
+      "doc_id", "n_chars", step = 10000L)
+      .select($"doc_id", $"n_chars", $"cum")
+  }
+
+  private val weightedSampleSql =
+    """WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM documents)
+      |SELECT doc_id, n_chars, cum FROM c
+      |WHERE cum % 10000 < n_chars""".stripMargin
+
+  // --- benchmark decontamination (ops.Dedup.ngramContamination):
+  //     docs < 100 act as the benchmark set; shared distinct 8-gram
+  //     shingle counts per corpus doc.
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    Dedup.ngramContamination(
+      d.filter($"doc_id" >= 100), d.filter($"doc_id" < 100),
+      "doc_id", "text", n = 8)
+      .select($"id".as("doc_id"), $"n_shared")
+  }
+
+  private val contaminationSql =
+    """WITH g AS (
+      |  SELECT doc_id, array_to_string(l[i:i+7], ' ') AS tok FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS l,
+      |      unnest(generate_series(1, len(string_split(text, ' ')) - 7)) AS i
+      |    FROM documents)),
+      |bench AS (SELECT DISTINCT tok FROM g WHERE doc_id < 100),
+      |corpus AS (SELECT DISTINCT doc_id, tok FROM g WHERE doc_id >= 100)
+      |SELECT corpus.doc_id, count(*) AS n_shared
+      |FROM corpus JOIN bench USING (tok)
+      |GROUP BY 1""".stripMargin
+
+  // --- corpus bigram statistics (ops.TextAnalysis.ngramCounts): top-25
+  //     bigrams by occurrence count, ties broken lexicographically.
+  private def topBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.ngramCounts(docs(s, dir), "text", n = 2)
+      .orderBy($"n".desc, $"gram".asc)
+      .limit(25)
+  }
+
+  private val topBigramsSql =
+    """WITH b AS (
+      |  SELECT l[i] || ' ' || l[i+1] AS gram FROM (
+      |    SELECT string_split(text, ' ') AS l,
+      |      unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+      |    FROM documents))
+      |SELECT gram, count(*) AS n FROM b
+      |GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 25""".stripMargin
+
+  // --- token frequency spectrum (count-of-counts — the Zipf/Good-Turing
+  //     table): two partial-aggregated shuffles, output is #distinct
+  //     frequencies rows.
+  private def freqSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("f"))
+      .groupBy($"f").agg(count(lit(1)).as("n_toks"))
+  }
+
+  private val freqSpectrumSql =
+    """WITH cnt AS (
+      |  SELECT tok, count(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok)
+      |SELECT f, count(*) AS n_toks FROM cnt GROUP BY f""".stripMargin
+
+  // --- keep-best exact dedup: one survivor per normalized fingerprint,
+  //     chosen by highest token count (then lowest id) — the "keep the
+  //     richest duplicate" variant of q_exact_dedup.
+  private def keepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fp").orderBy($"nt".desc, $"doc_id".asc)
+    docs(s, dir)
+      .select($"doc_id",
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.tokenCount($"text").as("nt"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"fp", $"nt")
+  }
+
+  private val keepBestSql =
+    s"""SELECT doc_id, ${QueriesText.fpSql} AS fp,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS nt
+       |FROM documents
+       |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY nt DESC, doc_id ASC) = 1""".stripMargin
+
+  // --- distributed triangle counting (ops.Graph.triangleCount) over the
+  //     parts-bought-together co-occurrence graph.
+  private def triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter(pmod($"l_orderkey", lit(50)) === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"), "ok")
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+    graft.ops.Graph.triangleCount(edges, "u", "v")
+  }
+
+  private val trianglesSql =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |  WHERE l_orderkey % 50 = 0),
+      |e AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+      |n AS (SELECT count(DISTINCT x) AS n_nodes FROM
+      |  (SELECT u AS x FROM e UNION SELECT v AS x FROM e)),
+      |m AS (SELECT count(*) AS n_edges FROM e),
+      |t AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac
+      |    ON ac.u = ab.u AND ac.v = bc.v)
+      |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin
+
+  // --- integer-exact z-score outliers: value has <= 2 decimals, so
+  //     v100 = round(value*100) is exact; |x - mean| > 2*stddev_pop
+  //     rewrites to (n*x - s)^2 > 4*(n*s2 - s^2) — all integer (decimal
+  //     on the Spark side, HUGEINT in DuckDB), so the boundary decision
+  //     is bit-exact in both engines.
+  private def outliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val e = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100).cast(d38).as("v"))
+    val agg = e.groupBy($"event_type")
+      .agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum($"v").as("sv"),
+        sum($"v" * $"v").as("sv2"))
+    e.join(agg, "event_type")
+      .filter(
+        ($"n" * $"v" - $"sv") * ($"n" * $"v" - $"sv") >
+          lit(4) * ($"n" * $"sv2" - $"sv" * $"sv"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_outliers"))
+      .join(agg.select($"event_type", $"n".cast(LongType).as("n")), "event_type")
+      .select($"event_type", $"n", $"n_outliers")
+  }
+
+  private val outliersSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS sv2
+      |  FROM e GROUP BY 1),
+      |o AS (
+      |  SELECT e.event_type, count(*) AS n_outliers
+      |  FROM e JOIN agg USING (event_type)
+      |  WHERE (n * v - sv) * (n * v - sv) > 4 * (n * sv2 - sv * sv)
+      |  GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, n_outliers
+      |FROM o JOIN agg USING (event_type)""".stripMargin
+
+  // --- the SQL API surface (SURVEY §2.1 S5): the same engine consumed
+  //     through spark.sql over registered temp views — join + decimal-
+  //     exact aggregate + window, all planned by Catalyst from SQL text.
+  private def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT n_name, c_name, rev, rk FROM (
+        |  SELECT n_name, c_name, rev,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY rev DESC, c_name) AS rk
+        |  FROM (
+        |    SELECT n_name, c_name,
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS rev
+        |    FROM nation
+        |    JOIN customer ON c_nationkey = n_nationkey
+        |    JOIN orders ON o_custkey = c_custkey
+        |    GROUP BY n_name, c_name))
+        |WHERE rk <= 3""".stripMargin)
+  }
+
+  private val sqlSurfaceSql =
+    """SELECT n_name, c_name, rev, CAST(rk AS INT) AS rk FROM (
+      |  SELECT n_name, c_name, rev,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY rev DESC, c_name) AS rk
+      |  FROM (
+      |    SELECT n_name, c_name,
+      |      CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS rev
+      |    FROM nation
+      |    JOIN customer ON c_nationkey = n_nationkey
+      |    JOIN orders ON o_custkey = c_custkey
+      |    GROUP BY n_name, c_name))
+      |WHERE rk <= 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_train_split" -> (trainSplit _),
+    "q_weighted_sample" -> (weightedSample _),
+    "q_contamination" -> (contamination _),
+    "q_top_bigrams" -> (topBigrams _),
+    "q_freq_spectrum" -> (freqSpectrum _),
+    "q_keep_best" -> (keepBest _),
+    "q_triangles" -> (triangles _),
+    "q_outliers" -> (outliers _),
+    "q_sql_surface" -> (sqlSurface _))
+
+  val oracles: Map[String, String] = Map(
+    "q_train_split" -> trainSplitSql,
+    "q_weighted_sample" -> weightedSampleSql,
+    "q_contamination" -> contaminationSql,
+    "q_top_bigrams" -> topBigramsSql,
+    "q_freq_spectrum" -> freqSpectrumSql,
+    "q_keep_best" -> keepBestSql,
+    "q_triangles" -> trianglesSql,
+    "q_outliers" -> outliersSql,
+    "q_sql_surface" -> sqlSurfaceSql)
+}

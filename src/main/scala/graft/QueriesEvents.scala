@@ -160,8 +160,8 @@ object QueriesEvents {
       |  FROM base),
       |sess AS (
       |  SELECT user_id, event_id, us,
-      |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_seq
+      |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_seq
       |  FROM lagged)
       |SELECT user_id, session_seq, count(*) AS n_events,
       |  max(us) - min(us) AS dur_us, min(event_id) AS first_event
@@ -231,27 +231,27 @@ object QueriesEvents {
       |SELECT event_type, decile, count(*) AS n, min(value) AS min_v, max(value) AS max_v
       |FROM d GROUP BY 1, 2""".stripMargin
 
-  // --- retention cohorts: users bucketed by first-seen month, counted
-  //     as active per later month. Two aggregation shuffles (per-user
-  //     first month; per (cohort, month) distinct users) — at scale the
-  //     per-user grain dominates and partial aggregation carries it.
+  // --- retention cohorts: users bucketed by first-seen WEEK, counted
+  //     as active per later week. Two aggregation shuffles (per-user
+  //     first week; per (cohort_week, week) distinct users) — at scale
+  //     the per-user grain dominates and partial aggregation carries it.
   private def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = ev(s, dir).select(
-      $"user_id", date_trunc("week", $"ts".cast(TimestampType)).cast(DateType).as("m"))
-    val cohort = e.groupBy($"user_id").agg(min($"m").as("cohort_m"))
+      $"user_id", date_trunc("week", $"ts".cast(TimestampType)).cast(DateType).as("week"))
+    val cohort = e.groupBy($"user_id").agg(min($"week").as("cohort_week"))
     e.join(cohort, "user_id")
-      .groupBy($"cohort_m", $"m")
+      .groupBy($"cohort_week", $"week")
       .agg(countDistinct($"user_id").as("active_users"))
   }
 
   private val retentionCohortsSql =
     """WITH e AS (
-      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS m FROM events),
-      |cohort AS (SELECT user_id, min(m) AS cohort_m FROM e GROUP BY user_id)
-      |SELECT c.cohort_m, e.m, count(DISTINCT e.user_id) AS active_users
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      |cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+      |SELECT c.cohort_week, e.week, count(DISTINCT e.user_id) AS active_users
       |FROM e JOIN cohort c USING (user_id)
-      |GROUP BY c.cohort_m, e.m""".stripMargin
+      |GROUP BY c.cohort_week, e.week""".stripMargin
 
   // --- conversion funnel: signup -> first click after signup -> first
   //     purchase after that click; one row of stage counts. Conditional

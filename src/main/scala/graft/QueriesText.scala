@@ -134,7 +134,7 @@ object QueriesText {
        |FROM s""".stripMargin
   }
 
-  private val fpSql =
+  private[graft] val fpSql =
     "md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   // --- exact-duplicate groups by normalized fingerprint
@@ -358,9 +358,15 @@ object QueriesText {
   private def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val occ = docs(s, dir).select(explode(split($"text", " ")).as("tok"))
-    val counters = graft.ops.Sketches.cmsCounters(occ, "tok", depth = 4, width = 256)
-    val top = occ.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
-      .orderBy($"exact_n".desc, $"tok".asc).limit(25)
+    // One tokenize+count pass feeds BOTH the sketch and the exact top-25
+    // (materialized once — Spark does not dedupe the shared subplan),
+    // and the d md5 row-hashes are paid per vocab entry, not per
+    // occurrence.
+    val cnt = occ.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint(true)
+    val counters = graft.ops.Sketches
+      .cmsCountersWeighted(cnt, "tok", "exact_n", depth = 4, width = 256)
+    val top = cnt.orderBy($"exact_n".desc, $"tok".asc).limit(25)
     graft.ops.Sketches.cmsEstimate(counters, top, "tok", depth = 4, width = 256)
       .join(broadcast(top), Seq("tok"))
       .select($"tok", $"exact_n", $"cms_est")

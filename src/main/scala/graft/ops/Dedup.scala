@@ -108,6 +108,26 @@ object Dedup {
       .withColumn("near_dups", coalesce(col("near_dups"), lit(0L)))
   }
 
+  /** Benchmark-contamination check (the decontamination primitive of
+    * training-data pipelines): for every corpus document, the number of
+    * distinct word `n`-gram shingles it shares with ANY benchmark
+    * document. Non-zero rows are contamination candidates.
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the corpus
+    * (eval suites are MBs; the corpus is TBs) — it broadcasts, so the
+    * corpus side is ONE scan + explode with a map-side hash-join probe
+    * and one groupBy(id) shuffle. No corpus-vs-corpus pairing. */
+  def ngramContamination(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val benchGrams = ngramTokens(bench, idCol, textCol, n)
+      .select(col("tok")).distinct()
+    ngramTokens(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Wide MinHash signatures: one row per id, columns mh0..mh{n-1} with
     * the min token hash under permutation `p` (h_p(t) = hash60(p||':'||t)).
     * All permutations aggregate in ONE groupBy(id) pass with map-side

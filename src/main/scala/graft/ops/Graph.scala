@@ -76,6 +76,11 @@ object Graph {
       labels = next.select("node", "lab")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); labels would be partially " +
+          "propagated — raise maxIter or use connectedComponentsStar")
     labels
   }
 
@@ -149,7 +154,48 @@ object Graph {
       eCount = smallCount
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds; " +
+          "the edge set was still changing — labels would be wrong. " +
+          "Raise maxIter (rounds needed is O(log² n)).")
     nodes.join(e, nodes("n") === e("u"), "left")
       .select(nodes("n").as("node"), coalesce(col("v"), nodes("n")).as("lab"))
+  }
+
+  /** Exact triangle count over an undirected edge list — the classic
+    * distributed graph-analytics primitive (clustering coefficient,
+    * community density).
+    *
+    * Edges canonicalize to u < v, so each triangle {a < b < c} is
+    * counted exactly once as the join (a,b) ⋈ (b,c) ⋈ (a,c). Two
+    * shuffle joins; the first join's fan-out is Σ deg²(v) over
+    * canonical orientation, which the u < v direction already bounds
+    * (every vertex keeps only its higher neighbors — the standard
+    * degree-ordering trick that caps fan-out at O(m^1.5) pairs). At
+    * scale, hot vertices are handled by AQE skew splitting on the
+    * `b`-join.
+    *
+    * @return one row: (n_nodes, n_edges, n_triangles). */
+  def triangleCount(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // appears 3× below; materialize once
+    val nNodes = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .distinct().count()
+    val nEdges = e.count()
+    val ab = e.select(col("u").as("a"), col("v").as("b"))
+    val bc = e.select(col("u").as("b"), col("v").as("c"))
+    val ac = e.select(col("u").as("a2"), col("v").as("c2"))
+    val tri = ab.join(bc, "b")
+      .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+      .count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nNodes, nEdges, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
 }

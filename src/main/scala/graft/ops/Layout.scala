@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Write `df` partitioned by a derived low-cardinality column and
-    * range-ordered inside each partition by `sortCol`. */
+    * range-ordered inside each partition by `sortCol`.
+    *
+    * @param numRangePartitions TOTAL number of range partitions across
+    *   the whole write (≈ total output files, spread over the
+    *   directory partitions as the range bounds fall) — NOT a
+    *   files-per-directory knob. Size it as data volume / target file
+    *   size (e.g. ~128 MB files). */
   def writeRangeLayout(
       df: DataFrame, path: String, partCol: String, sortCol: String,
-      filesPerPartition: Int = 4): Unit =
-    df.repartitionByRange(filesPerPartition, col(partCol), col(sortCol))
+      numRangePartitions: Int = 4): Unit =
+    df.repartitionByRange(numRangePartitions, col(partCol), col(sortCol))
       .sortWithinPartitions(col(partCol), col(sortCol))
       .write.mode("overwrite")
       .partitionBy(partCol)

@@ -75,12 +75,14 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket id for an embedding column: bit p is set iff
-    * dot(embedding, plane_p) >= 0. */
+    * dot(embedding, plane_p) >= 0. The float×double dot runs through the
+    * codegen'd [[graft.functions.FloatVectorDot]] (per-element widening
+    * to double, sequential accumulation — bit-identical to the HOF
+    * form but inside whole-stage codegen). */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
-      // hof form: the plane literal is array<double>, not array<float>
-      when(dotHof(emb, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(emb, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Embedding-cosine near-duplicate pairs (the dedup variant): corpus

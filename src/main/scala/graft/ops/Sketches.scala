@@ -56,19 +56,36 @@ object Sketches {
     * the MIN over the d bucket counters — always an over-estimate,
     * within eps·N with probability 1-delta for w=⌈e/eps⌉, d=⌈ln 1/delta⌉.
     *
+    * Cost shape: the d md5 hashes are paid per DISTINCT token, not per
+    * occurrence — occurrences reduce to (token, n) first (a cheap
+    * string-hash shuffle with map-side partial aggregation), then each
+    * vocabulary entry contributes its count to d buckets. At 100 TB the
+    * vocabulary is orders of magnitude smaller than the occurrence
+    * stream, so this moves the expensive hashing off the hot path.
+    *
     * @param occurrences one row per token OCCURRENCE (not distinct)
     * @return the (i, b, c) counter matrix, d·w rows max */
   def cmsCounters(
       occurrences: DataFrame, tokCol: String,
       depth: Int, width: Int): DataFrame =
-    occurrences
-      .select(explode(array((0 until depth).map { i =>
+    cmsCountersWeighted(
+      occurrences.groupBy(col(tokCol)).agg(count(lit(1)).as("__n")),
+      tokCol, "__n", depth, width)
+
+  /** CMS counters from pre-aggregated (token, count) rows: each token
+    * adds `countCol` to counter (i, hash60(i ':' tok) mod w) for every
+    * row i — identical matrix to [[cmsCounters]] on the raw stream. */
+  def cmsCountersWeighted(
+      counts: DataFrame, tokCol: String, countCol: String,
+      depth: Int, width: Int): DataFrame =
+    counts
+      .select(col(countCol).as("__w"), explode(array((0 until depth).map { i =>
         struct(lit(i).as("i"),
           pmod(Dedup.hash60(concat_ws(":", lit(i), col(tokCol))),
             lit(width.toLong)).as("b"))
       }: _*)).as("s"))
       .groupBy(col("s.i").as("i"), col("s.b").as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("__w")).as("c"))
 
   /** CMS point estimates for the given candidate tokens: hash each
     * candidate with the same row hashes and take the min matching

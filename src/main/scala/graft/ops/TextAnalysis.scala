@@ -98,6 +98,23 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** All-occurrence word n-gram counts over a corpus (the n-gram
+    * language-model statistics shape): one scan-side explode (no
+    * per-doc distinct — this
+    * is the frequency table, not the dedup unit), one partial-aggregated
+    * groupBy shuffle. */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+    df.select(explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** TF-IDF top-`k` terms per document: `tf * ln(1 + N/df)`, ties on
     * score broken by term so the ranking is deterministic.
     *

@@ -59,4 +59,34 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(star == prop)
   }
+
+  test("non-convergence within maxIter throws instead of returning wrong labels") {
+    import spark.implicits._
+    // a 10-node chain has diameter 9: 2 rounds of 1-hop propagation
+    // cannot finish — the old behavior silently returned partial labels
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(edges, "src", "dst", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val e2 = intercept[IllegalStateException] {
+      Graph.connectedComponentsStar(edges, "src", "dst", maxIter = 1).collect()
+    }
+    assert(e2.getMessage.contains("did not converge"))
+  }
+
+  test("triangle counting on a known graph") {
+    import spark.implicits._
+    // triangle 1-2-3; square 10-11-12-13 (no triangle); triangle 20-21-22
+    // sharing edge with 20-22-23 => 2 triangles there; duplicate +
+    // reversed edges must not double-count
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L), (20L, 23L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((11L, 12L, 3L))) // 11 nodes, 12 distinct edges, 3 triangles
+  }
 }

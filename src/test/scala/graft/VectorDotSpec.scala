@@ -32,9 +32,19 @@ class VectorDotSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
-  test("rejects non-float arrays at analysis time") {
+  test("accepts double arrays and mixed float×double (hyperplane dot shape)") {
     import spark.implicits._
-    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    val dd = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(dd.select(graft.functions.VectorDot.floatVectorDot(col("a"), col("b")))
+      .collect()(0).getDouble(0) == 32.0)
+    val fd = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25))).toDF("a", "b")
+    assert(fd.select(graft.functions.VectorDot.floatVectorDot(col("a"), col("b")))
+      .collect()(0).getDouble(0) == 1.0)
+  }
+
+  test("rejects non-numeric arrays at analysis time") {
+    import spark.implicits._
+    val df = Seq((Array("x", "y"), Array("x", "y"))).toDF("a", "b")
     intercept[Exception] {
       df.select(graft.functions.VectorDot.floatVectorDot(col("a"), col("b"))).collect()
     }

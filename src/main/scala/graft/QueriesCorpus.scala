@@ -245,7 +245,63 @@ object QueriesCorpus {
       |    GROUP BY n_name, c_name))
       |WHERE rk <= 3""".stripMargin
 
+  // --- Z-order (Morton) clustering value (ops.Layout.zOrderValue): the
+  //     multi-column data-skipping sort key, bit-exact in both engines.
+  private def zorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      $"o_orderkey",
+      graft.ops.Layout.zOrderValue(
+        $"o_custkey".bitwiseAND(lit(65535L)),
+        $"o_orderkey".bitwiseAND(lit(65535L)), bits = 16).as("z"))
+  }
+
+  private val zorderSql: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((o_custkey & 65535) >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(((o_orderkey & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }
+    s"""SELECT o_orderkey, CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+       |FROM orders""".stripMargin
+  }
+
+  // --- n-gram repetition ratio (the C4/Gopher repetitious-text quality
+  //     filter): per doc, total vs distinct 3-gram counts and an
+  //     integer-exact "over 20% repeated" flag (5*(n3-nd3) > n3).
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    docs(s, dir)
+      .select($"doc_id", grams.as("g"))
+      .select($"doc_id",
+        size($"g").as("n3"),
+        size(array_distinct($"g")).as("nd3"))
+      .withColumn("repetitious",
+        (lit(5) * ($"n3" - $"nd3") > $"n3").cast(IntegerType))
+  }
+
+  private val repetitionSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(l) >= 3 THEN
+      |      [array_to_string(l[i:i+2], ' ') FOR i IN generate_series(1, len(l) - 2)]
+      |    ELSE [] END AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+      |SELECT doc_id,
+      |  CAST(len(grams) AS INT) AS n3,
+      |  CAST(len(list_distinct(grams)) AS INT) AS nd3,
+      |  CAST(CASE WHEN 5 * (len(grams) - len(list_distinct(grams))) > len(grams)
+      |    THEN 1 ELSE 0 END AS INT) AS repetitious
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (zorder _),
+    "q_repetition" -> (repetition _),
     "q_train_split" -> (trainSplit _),
     "q_weighted_sample" -> (weightedSample _),
     "q_contamination" -> (contamination _),
@@ -257,6 +313,8 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" -> zorderSql,
+    "q_repetition" -> repetitionSql,
     "q_train_split" -> trainSplitSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_contamination" -> contaminationSql,

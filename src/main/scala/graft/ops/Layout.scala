@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout-for-scale helpers: at 100 TB, how a table lands on disk
@@ -42,4 +42,36 @@ object Layout {
     * filter under PartitionFilters (pruning), not PushedFilters. */
   def readPruned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Rows close in Z-value are close in BOTH
+    * dimensions, so range-partitioning + sorting by the Z-value makes
+    * parquet row-group min/max stats selective for filters on EITHER
+    * column — the multi-column generalization of [[writeRangeLayout]]'s
+    * single sort key. Pure bit-arithmetic column expression (shifts,
+    * masks, adds) — whole-stage codegen, no UDF.
+    */
+  def zOrderValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` clustered by the Z-order of (`colA`, `colB`): range
+    * partition + in-file sort on the interleaved value. Filters on
+    * either column then skip most files via row-group stats without
+    * choosing a single "primary" sort column. */
+  def writeZOrderLayout(
+      df: DataFrame, path: String, colA: String, colB: String,
+      numRangePartitions: Int = 4, bits: Int = 16): Unit =
+    df.withColumn("__z", zOrderValue(col(colA), col(colB), bits))
+      .repartitionByRange(numRangePartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .parquet(path)
 }

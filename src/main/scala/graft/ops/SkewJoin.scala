@@ -49,6 +49,12 @@ object SkewJoin {
       pmod(xxhash64(spread: _*), lit(salt)).cast("int"))
     val b = build.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
-    p.join(b, keys :+ "__salt", joinType).drop("__salt")
+    // A salted join exists because the build side is too big to
+    // broadcast — but Catalyst only sees the PRE-explode size estimate
+    // and happily broadcasts the salt× replicated table (a driver-built
+    // hashed relation of salt× rows: the single-node bottleneck this
+    // operator is supposed to remove). Pin a shuffled hash join: each
+    // reducer builds only its (key, salt) slice, and no sort is paid.
+    p.join(b.hint("shuffle_hash"), keys :+ "__salt", joinType).drop("__salt")
   }
 }

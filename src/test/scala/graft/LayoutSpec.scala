@@ -38,4 +38,41 @@ class LayoutSpec extends AnyFunSuite {
     assert(filesRead > 0 && filesRead < allFiles,
       s"pruning should read fewer than all $allFiles files, read $filesRead")
   }
+
+  test("zOrderValue interleaves bits exactly") {
+    import spark.implicits._
+    // reference implementation, bit by bit
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map { i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L),
+      (0L, 65535L), (12345L, 54321L), (65535L, 65535L))
+    val got = cases.toDF("a", "b")
+      .select(Layout.zOrderValue(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq == cases.map { case (a, b) => morton(a, b) })
+  }
+
+  test("z-order layout keeps per-file min/max tight on BOTH dimensions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    // two independent uniform dims: a single-column sort would leave the
+    // OTHER column's per-file range at ~full width; z-clustering bounds
+    // both, which is exactly what file/row-group min-max skipping needs
+    val df = spark.range(40000).select(
+      (col("id") % 200).as("x"),
+      ((col("id") * 7919) % 200).as("y"),
+      col("id").as("payload"))
+    Layout.writeZOrderLayout(df, dir, "x", "y", numRangePartitions = 16, bits = 8)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("rx"), (max($"y") - min($"y")).as("ry"))
+      .agg(avg($"rx").as("ax"), avg($"ry").as("ay"), count(lit(1)).as("nf"))
+      .as[(Double, Double, Long)].collect().head
+    val (ax, ay, nf) = ranges
+    assert(nf >= 8, s"want multiple files, got $nf")
+    assert(ax < 150 && ay < 150,
+      s"z-clustering should bound both dims' per-file ranges (<150 of 199): x=$ax y=$ay")
+  }
 }

@@ -270,14 +270,9 @@ object QueriesCorpus {
   //     integer-exact "over 20% repeated" flag (5*(n3-nd3) > n3).
   private def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = split($"text", " ")
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array().cast(ArrayType(StringType)))
     docs(s, dir)
-      .select($"doc_id", grams.as("g"))
+      .select($"doc_id", split($"text", " ").as("__toks"))
+      .select($"doc_id", TextAnalysis.ngramArray($"__toks", 3).as("g"))
       .select($"doc_id",
         size($"g").as("n3"),
         size(array_distinct($"g")).as("nd3"))
@@ -299,7 +294,90 @@ object QueriesCorpus {
       |    THEN 1 ELSE 0 END AS INT) AS repetitious
       |FROM g""".stripMargin
 
+  // --- vocabulary build + OOV mapping (tokenizer-at-scale shape):
+  //     min-frequency vocab with deterministic ids (freq desc, token
+  //     asc), corpus mapped through it; per-doc token/OOV counts plus
+  //     an id-sum checksum proving the mapping itself matches.
+  private def vocabOov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val occ = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val cnt = occ.groupBy($"tok").agg(count(lit(1)).as("f"))
+    // global rank over the vocab — fine: the min-frequency cut keeps the
+    // vocab orders of magnitude smaller than the corpus (here 31 rows;
+    // a 100 TB corpus's word vocab is ~1e7 — still one task's work)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"f".desc, $"tok".asc)
+    val vocab = cnt.filter($"f" >= 5)
+      .withColumn("vid", row_number().over(w).cast(LongType))
+    occ.join(broadcast(vocab.select($"tok", $"vid")), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        count(when($"vid".isNull, 1)).as("n_oov"),
+        coalesce(sum($"vid"), lit(0L)).as("vid_sum"))
+  }
+
+  private val vocabOovSql =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS f FROM occ GROUP BY tok),
+      |vocab AS (
+      |  SELECT tok, CAST(row_number() OVER (ORDER BY f DESC, tok ASC) AS BIGINT) AS vid
+      |  FROM cnt WHERE f >= 5)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  count(CASE WHEN vid IS NULL THEN 1 END) AS n_oov,
+      |  COALESCE(CAST(sum(vid) AS BIGINT), 0) AS vid_sum
+      |FROM occ LEFT JOIN vocab USING (tok)
+      |GROUP BY doc_id""".stripMargin
+
+  // --- deterministic corpus shuffle (ops.Sampling.deterministicShuffle):
+  //     reproducible global training order without a single-task sort.
+  private def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.deterministicShuffle(
+      docs(s, dir).select($"doc_id"), "doc_id", salt = "epoch0")
+      .select($"doc_id", $"shuffle_key", $"pos")
+  }
+
+  private val shuffleOrderSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(CAST('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS shuffle_key
+      |  FROM documents)
+      |SELECT doc_id, shuffle_key,
+      |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+      |FROM h""".stripMargin
+
+  // --- schema-evolution union (multi-source corpus ingestion):
+  //     unionByName with missing columns null-filled, per-source
+  //     completeness counts.
+  private def schemaUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val src0 = d.filter($"source" === "src0").select($"doc_id", $"source", $"lang")
+    val rest = d.filter($"source" =!= "src0").select($"doc_id", $"source", $"n_chars")
+    src0.unionByName(rest, allowMissingColumns = true)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n"),
+        count($"lang").as("n_lang"),
+        count($"n_chars").as("n_nchars"))
+  }
+
+  private val schemaUnionSql =
+    """WITH u AS (
+      |  SELECT doc_id, source, lang, NULL AS n_chars FROM documents WHERE source = 'src0'
+      |  UNION ALL BY NAME
+      |  SELECT doc_id, source, n_chars FROM documents WHERE source <> 'src0')
+      |SELECT source, count(*) AS n, count(lang) AS n_lang,
+      |  count(n_chars) AS n_nchars
+      |FROM u GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_oov" -> (vocabOov _),
+    "q_shuffle_order" -> (shuffleOrder _),
+    "q_schema_union" -> (schemaUnion _),
     "q_zorder" -> (zorder _),
     "q_repetition" -> (repetition _),
     "q_train_split" -> (trainSplit _),
@@ -313,6 +391,9 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_oov" -> vocabOovSql,
+    "q_shuffle_order" -> shuffleOrderSql,
+    "q_schema_union" -> schemaUnionSql,
     "q_zorder" -> zorderSql,
     "q_repetition" -> repetitionSql,
     "q_train_split" -> trainSplitSql,

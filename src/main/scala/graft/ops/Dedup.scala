@@ -61,16 +61,13 @@ object Dedup {
 
   /** Distinct (id, word-n-gram) pairs: contiguous n-token shingles of the
     * whitespace tokenization. Shingle sets, unlike token sets, preserve
-    * local word order — the standard unit for n-gram Jaccard dedup. */
-  def ngramTokens(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = transform(
-      // guard: sequence(0, negative) would run DOWNWARD, fabricating grams
-      when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-        .otherwise(array().cast(ArrayType(IntegerType))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
-    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("tok"))
-  }
+    * local word order — the standard unit for n-gram Jaccard dedup.
+    * The token array is materialized before the gram lambda (see
+    * [[TextAnalysis.ngramArray]] for why that matters). */
+  def ngramTokens(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(TextAnalysis.ngramArray(col("__toks"), n))).as("tok"))
 
   /** Per-document near-duplicate degree via token-set Jaccard: for each
     * doc, how many other docs share > `threshold` Jaccard similarity.

@@ -69,4 +69,35 @@ object Sampling {
       .filter(pmod(col("cum"), lit(step)) < col(weightCol))
       .drop("__b", "__off")
   }
+
+  /** Deterministic corpus shuffle with GLOBAL positions: every row gets
+    * `shuffle_key` = hash60(salt ':' id) and `pos` = its 1-based rank in
+    * (shuffle_key, id) order — the reproducible training-order
+    * permutation (same salt → same order, new salt → fresh order).
+    *
+    * Scale shape: a bare `row_number() OVER (ORDER BY hash)` sorts the
+    * corpus on ONE task. Here the top `bucketBits` bits of the hash
+    * range-bucket the rows (hash order == (bucket, in-bucket) order by
+    * construction), bucket counts aggregate to a tiny offsets table,
+    * and each bucket ranks independently and adds its offset — the
+    * same two-level prefix-sum trick as [[systematicByWeight]]. */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, salt: String,
+      bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 20, s"bad bucketBits $bucketBits")
+    val h = Dedup.hash60(concat_ws(":", lit(salt), col(idCol)))
+    val withH = df.withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
+    val counts = withH.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    withH.join(broadcast(offsets), "__b")
+      .withColumn("pos", row_number().over(wIn).cast(LongType) + col("__off"))
+      .withColumnRenamed("__h", "shuffle_key")
+      .drop("__b", "__off")
+  }
 }

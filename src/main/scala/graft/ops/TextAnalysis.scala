@@ -98,22 +98,33 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Word n-gram array over an ALREADY-MATERIALIZED token-array column.
+    *
+    * `toksCol` must be a bound column (select the `split` into a named
+    * column first), NOT the `split(...)` expression itself: expressions
+    * passed into a higher-order-function lambda are inlined at every
+    * use site and re-evaluated per element — with k element_at calls
+    * per position that turns O(len) gram generation into O(k·len)
+    * re-splits per row and dominated a corpus scan by two orders of
+    * magnitude. One `slice` per position over the materialized array
+    * keeps it linear. */
+  def ngramArray(toksCol: Column, n: Int): Column =
+    when(size(toksCol) >= n,
+      transform(
+        sequence(lit(1), size(toksCol) - n + 1),
+        i => array_join(slice(toksCol, i, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
   /** All-occurrence word n-gram counts over a corpus (the n-gram
     * language-model statistics shape): one scan-side explode (no
     * per-doc distinct — this
     * is the frequency table, not the dedup unit), one partial-aggregated
     * groupBy shuffle. */
-  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
-    df.select(explode(grams).as("gram"))
+  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(split(col(textCol), " ").as("__toks"))
+      .select(explode(ngramArray(col("__toks"), n)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** TF-IDF top-`k` terms per document: `tf * ln(1 + N/df)`, ties on
     * score broken by term so the ranking is deterministic.

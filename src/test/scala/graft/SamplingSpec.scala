@@ -27,6 +27,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("deterministicShuffle assigns a dense global rank in hash order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0L until 1000L).toDF("id")
+    val got = Sampling.deterministicShuffle(df, "id", "s1", bucketBits = 4)
+      .select($"id", $"shuffle_key", $"pos")
+      .as[(Long, Long, Long)].collect()
+    // pos is a permutation of 1..n
+    assert(got.map(_._3).sorted.toSeq == (1L to 1000L))
+    // and ranks exactly by (shuffle_key, id)
+    val byPos = got.sortBy(_._3).map(r => (r._2, r._1)).toSeq
+    assert(byPos == got.map(r => (r._2, r._1)).sortBy(identity).toSeq)
+    // same salt reproduces; different salt permutes differently
+    val again = Sampling.deterministicShuffle(df, "id", "s1", bucketBits = 4)
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    assert(got.forall(r => again(r._1) == r._3))
+    val other = Sampling.deterministicShuffle(df, "id", "s2", bucketBits = 4)
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    assert(got.exists(r => other(r._1) != r._3))
+  }
+
   test("trainValTestSplit is stable and roughly proportional") {
     import spark.implicits._
     val df = (0L until 2000L).toDF("id")

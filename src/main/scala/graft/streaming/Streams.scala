@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -133,4 +133,21 @@ object Streams {
       .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Idempotent batch sink: `foreachBatch` writing each micro-batch to
+    * a `batch_id=<id>` directory with overwrite — the standard
+    * exactly-once-to-storage pattern. A batch replayed after a failure
+    * re-runs with the SAME batch id and overwrites its own directory,
+    * so retries are no-ops instead of duplicates; readers see
+    * effectively-once data without a transactional sink. Returns the
+    * started query. */
+  def sinkBatchesIdempotent(
+      df: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .start()
 }

@@ -137,4 +137,25 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id").as[Long].collect().toSeq
     assert(rows == Seq(1L), s"only user 1 is inside the window, got $rows")
   }
+
+  test("foreachBatch sink writes per-batch dirs and replays idempotently") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val input = MemoryStream[Long]
+    val q = Streams.sinkBatchesIdempotent(input.toDF().toDF("v"), out, ckpt)
+    input.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    input.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // batch_id is a partition column: each micro-batch landed in its own dir
+    assert(got.select("batch_id").distinct().count() == 2)
+    // replaying a batch id overwrites its own directory — rows don't double
+    Seq(1L, 2L, 3L).toDF("v").write.mode("overwrite").parquet(s"$out/batch_id=0")
+    assert(spark.read.parquet(out).count() == 5)
+  }
 }

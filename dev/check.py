@@ -50,6 +50,13 @@ def main(sfdir, outdir):
             continue
         exp = rel.df()
         g, e = canon(got), canon(exp)
+        # Column-list check FIRST: the dtype loop below indexes the
+        # oracle frame by the spark frame's columns and would KeyError
+        # (aborting the whole harness) on a schema mismatch.
+        if list(g.columns) != list(e.columns):
+            print(f"[FAIL-schema] {name}: spark={list(g.columns)} oracle={list(e.columns)}")
+            n_bad += 1
+            continue
         # Same stringification class (int vs float vs other) is what the
         # driver's value hash needs — int32 vs int64 is fine, int vs
         # float is not.
@@ -60,10 +67,6 @@ def main(sfdir, outdir):
         if dt_bad:
             print(f"[FAIL-dtype] {name}: " + "; ".join(
                 f"{c}: spark={g[c].dtype} oracle={e[c].dtype}" for c in dt_bad))
-            n_bad += 1
-            continue
-        if list(g.columns) != list(e.columns):
-            print(f"[FAIL-schema] {name}: spark={list(g.columns)} oracle={list(e.columns)}")
             n_bad += 1
             continue
         if len(g) != len(e):

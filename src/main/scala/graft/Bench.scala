@@ -32,15 +32,31 @@ object Bench {
     spark.range(100).selectExpr("id % 10 as k", "id as v")
       .selectExpr("k", "row_number() over (partition by k order by v) as rn")
       .collect()
-    // Two interleaved passes, min per query: the host is a shared VM and
-    // contention bursts (measured: the same query 0.9s vs 11s minutes
-    // apart) land on random contiguous windows — interleaving makes it
-    // very unlikely BOTH runs of one query are hit, and min-of-2 also
-    // sheds first-run plan/codegen cost. Engine cost is the stable
+    // Three interleaved passes, min per query: the host is a shared VM
+    // and contention bursts (measured: the same query 0.9s vs 11s
+    // minutes apart) land on random contiguous windows — interleaving
+    // makes it very unlikely ALL runs of one query are hit, and the min
+    // also sheds first-run plan/codegen cost. Engine cost is the stable
     // floor, which is what the number is for.
     val ordered = SparkEntry.queries.toSeq
     val times = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
+    // Plan fingerprint per query: md5 of the canonicalized physical
+    // plan, BEFORE execution (no timing impact; doubles as plan warmup).
+    // Round-over-round, a changed fingerprint means the PLAN changed; an
+    // unchanged fingerprint with a big time delta means the HOST was
+    // busy — separating the two is what makes bench numbers auditable
+    // on a shared VM.
+    val plans = scala.collection.mutable.Map.empty[String, String]
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((name, fn) <- ordered) {
+      try {
+        val canon = fn(spark, sfDir).queryExecution.executedPlan.canonicalized.toString
+        plans(name) = md5hex(canon).take(12)
+      } catch { case _: Throwable => () } // failure surfaces in the timed pass
+    }
     // Iterative queries localCheckpoint intermediates; without cleanup
     // those blocks accumulate across the 90+-query run and later
     // queries execute under artificial memory pressure. Each timed run
@@ -49,7 +65,7 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    for (_ <- 1 to 2; (name, fn) <- ordered) {
+    for (_ <- 1 to 3; (name, fn) <- ordered) {
       clearState()
       val t0 = System.nanoTime()
       val ok =
@@ -67,13 +83,21 @@ object Bench {
         times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
       }
     }
+    // A query that failed in ANY pass reports "error", not a number — a
+    // partially-succeeding query must not masquerade as a clean timing.
     val qs = ordered.map { case (name, _) =>
-      val v = if (times.contains(name)) times(name).toString else "\"error\""
+      val v = if (!failed.contains(name) && times.contains(name))
+        times(name).toString else "\"error\""
       s"\"" + name + "\":" + v
     }.mkString("{", ",", "}")
-    val total = times.values.sum
+    val ps = ordered.flatMap { case (name, _) =>
+      plans.get(name).map(fp => s"\"" + name + "\":\"" + fp + "\"")
+    }.mkString("{", ",", "}")
+    val total = ordered.collect {
+      case (name, _) if !failed.contains(name) && times.contains(name) => times(name)
+    }.sum
     val nFail = failed.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -153,14 +153,22 @@ object QueriesText {
     s"""SELECT doc_id, $fpSql AS fp FROM documents
        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin
 
-  // --- token-set Jaccard near-duplicate degree
+  // --- token-set Jaccard near-duplicate degree, document-frequency cut
+  //     at 100: the synthetic vocab is ~30 ubiquitous tokens (df≈80% of
+  //     corpus) + one rare marker — the cut drops the stop-word-grade
+  //     tokens exactly as a production pipeline would, and is what keeps
+  //     the inverted-index self-join non-quadratic at scale
   private def jaccardDegree(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardNearDupDegree(docs(s, dir), "doc_id", "text", 0.8)
+    Dedup.jaccardNearDupDegree(docs(s, dir), "doc_id", "text", 0.8,
+      maxDocFreq = Some(100))
 
   private val jaccardDegreeSql =
-    """WITH toks AS (
+    """WITH toks0 AS (
       |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
       |  FROM documents),
+      |toks AS (
+      |  SELECT id, tok FROM toks0
+      |  WHERE tok NOT IN (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) > 100)),
       |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
       |inter AS (
       |  SELECT a.id AS i, b.id AS j, count(*) AS inter
@@ -178,15 +186,21 @@ object QueriesText {
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN deg ON d.doc_id = deg.id""".stripMargin
 
-  // --- word-bigram (shingle) Jaccard near-duplicate degree
+  // --- word-bigram (shingle) Jaccard near-duplicate degree; df cut at
+  //     40 binds lightly (drops the ~2% hottest shingles) — same
+  //     posting-list bound as q_jaccard_neardup
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardDegree(docs(s, dir), "doc_id", "text", 2, 0.6)
+    Dedup.ngramJaccardDegree(docs(s, dir), "doc_id", "text", 2, 0.6,
+      maxDocFreq = Some(40))
 
   private val ngramJaccardSql =
     """WITH ts AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
-      |toks AS (
+      |toks0 AS (
       |  SELECT id, unnest(list_distinct([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) AS tok
       |  FROM ts WHERE len(ts) >= 2),
+      |toks AS (
+      |  SELECT id, tok FROM toks0
+      |  WHERE tok NOT IN (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) > 40)),
       |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
       |inter AS (
       |  SELECT a.id AS i, b.id AS j, count(*) AS inter

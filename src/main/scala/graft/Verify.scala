@@ -44,5 +44,23 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Fail-loud guard: an empty verify dir or an empty/missing
+    // oracle_sql.json must never ship silently as a green round
+    // (round 3's correctness artifact reached the judge as "{}").
+    val writtenDirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.endsWith(".parquet")))
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    val oracleBytes = if (Files.exists(oraclePath)) Files.size(oraclePath) else 0L
+    val expected = SparkEntry.queries.count { case (name, _) => only.forall(_.contains(name)) }
+    println(s"[verify] ${writtenDirs.length}/$expected query dirs written, " +
+      s"oracle_sql.json $oracleBytes bytes, ${SparkEntry.oracleSql.size} oracles")
+    if (writtenDirs.isEmpty || oracleBytes <= 2) {
+      System.err.println("[verify] FATAL: empty verify output — refusing to ship " +
+        s"(dirs=${writtenDirs.length}, oracleBytes=$oracleBytes)")
+      sys.exit(1)
+    }
   }
 }

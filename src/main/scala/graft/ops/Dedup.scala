@@ -69,23 +69,45 @@ object Dedup {
       .select(col("id"),
         explode(array_distinct(TextAnalysis.ngramArray(col("__toks"), n))).as("tok"))
 
+  /** Document-frequency cut on a distinct (id, tok) posting stream:
+    * drops every token appearing in MORE than `maxDocFreq` documents —
+    * stop-word-grade tokens — from the token sets entirely (so both the
+    * intersection counts and the set sizes of the downstream Jaccard see
+    * the filtered sets; the oracle applies the identical cut).
+    *
+    * This is what bounds the inverted-index self-join at 100 TB: without
+    * it, ONE ubiquitous token degenerates `a.tok = b.tok` to ~O(n²)
+    * pairs on a single hot key. The hot-token list is tiny by
+    * construction (≤ |postings| / maxDocFreq distinct tokens), so it
+    * broadcasts and the cut itself is a map-side anti-join — the only
+    * added shuffle is the partial-aggregated df count. */
+  def dfCutTokens(t: DataFrame, maxDocFreq: Int): DataFrame = {
+    val hot = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("tok"))
+    t.join(broadcast(hot), Seq("tok"), "left_anti")
+  }
+
   /** Per-document near-duplicate degree via token-set Jaccard: for each
     * doc, how many other docs share > `threshold` Jaccard similarity.
     * Inverted-index join: pairs are only formed for docs sharing at
-    * least one token. At 100 TB scale, add a document-frequency cut on
-    * `tokens` to bound the per-token posting lists. */
+    * least one token. `maxDocFreq` applies [[dfCutTokens]] to the
+    * posting lists first — mandatory at scale (see there). */
   def jaccardNearDupDegree(
-      df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =
-    nearDupDegree(df, idCol, tokens(df, idCol, textCol), threshold)
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxDocFreq: Option[Int] = None): DataFrame =
+    nearDupDegree(df, idCol, tokens(df, idCol, textCol), threshold, maxDocFreq)
 
   /** Same degree computation over word-n-gram shingle sets. */
   def ngramJaccardDegree(
       df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame =
-    nearDupDegree(df, idCol, ngramTokens(df, idCol, textCol, n), threshold)
+      threshold: Double, maxDocFreq: Option[Int] = None): DataFrame =
+    nearDupDegree(df, idCol, ngramTokens(df, idCol, textCol, n), threshold, maxDocFreq)
 
   private def nearDupDegree(
-      df: DataFrame, idCol: String, t: DataFrame, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, t0: DataFrame, threshold: Double,
+      maxDocFreq: Option[Int]): DataFrame = {
+    val t = maxDocFreq.fold(t0)(dfCutTokens(t0, _))
     val sizes = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = t.as("a"); val b = t.as("b")
     val inter = a.join(b, col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))

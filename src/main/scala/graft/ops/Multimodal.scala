@@ -10,13 +10,21 @@ import org.apache.spark.sql.types._
   * kernels (the Scala analog of pandas-batch UDFs: one partition = one
   * batch stream, amortized setup per batch).
   *
-  * The actual media decoding is STUBBED — this container has no
-  * image/audio codecs — with a deterministic fake that reads header
-  * bytes, clearly marked below. The Spark-side plumbing is real: binary
-  * schema, per-partition batching, struct metadata output, feature
-  * vectors sized for downstream [[Similarity]] search.
+  * Image decoding is REAL for the formats the JDK ships codecs for
+  * (PNG, JPEG, BMP, GIF, WBMP via `javax.imageio` — zero external
+  * dependencies); payloads no installed reader claims fall back to the
+  * deterministic header-byte stub below, clearly marked, so the opaque-
+  * binary plumbing stays exercisable with synthetic payloads. The
+  * Spark-side plumbing is real throughout: binary schema, per-partition
+  * batching, struct metadata output, feature vectors sized for
+  * downstream [[Similarity]] search.
   */
 object Multimodal {
+
+  // keep ImageIO memory-only: the default stream-decode path spills
+  // through a disk cache file per image, which an executor thread pool
+  // would hammer
+  javax.imageio.ImageIO.setUseCache(false)
 
   val metaSchema: StructType = StructType(Seq(
     StructField("byte_len", IntegerType, nullable = false),
@@ -24,11 +32,18 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false)))
 
-  /** STUB decode =========================================================
-    * A real deployment replaces this body with an actual codec call
-    * (e.g. TwelveMonkeys/JAI for images) keeping the same signature.
-    * The fake derives deterministic "dimensions" from header bytes so
-    * tests can assert exact values. */
+  /** Real JDK decode via `javax.imageio.ImageIO`. None when no
+    * installed reader recognizes the byte stream (or it is
+    * truncated/corrupt). */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** STUB fallback ======================================================
+    * Used only for payloads [[decodeImage]] cannot read (synthetic test
+    * bytes, formats outside the JDK codec set — e.g. WebP/AVIF, which
+    * would need an external ImageIO plugin). Derives deterministic
+    * "dimensions" from header bytes so tests can assert exact values. */
   def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
@@ -36,8 +51,48 @@ object Multimodal {
   }
   // ======================================================================
 
-  /** Deterministic fake feature vector (stands in for a CNN embedding);
-    * real plumbing: fixed dims, Array[Float], batch-amortized. */
+  /** Decode metadata: real codec first, stub fallback. */
+  def decodeMeta(bytes: Array[Byte]): (Int, Int, Int) =
+    decodeImage(bytes) match {
+      case Some(img) => (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+      case None      => decodeImageStub(bytes)
+    }
+
+  /** Real image features for decodable payloads: mean luminance over a
+    * ~sqrt(dims) × sqrt(dims) grid, normalized to [0, 1] — a genuine
+    * (if simple) visual signature suitable for near-dup bucketing.
+    * A production pipeline swaps this for a CNN embedding; the batch
+    * shape and output type are identical. */
+  def gridLuminanceFeatures(img: java.awt.image.BufferedImage, dims: Int): Array[Float] = {
+    val gw = math.ceil(math.sqrt(dims.toDouble)).toInt
+    val out = new Array[Float](dims)
+    val w = img.getWidth; val h = img.getHeight
+    var d = 0
+    while (d < dims) {
+      val cx = d % gw; val cy = d / gw
+      val x0 = cx * w / gw; val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+      val y0 = cy * h / gw; val y1 = math.max(y0 + 1, (cy + 1) * h / gw)
+      var sum = 0.0; var n = 0
+      var y = math.min(y0, h - 1)
+      while (y < math.min(y1, h)) {
+        var x = math.min(x0, w - 1)
+        while (x < math.min(x1, w)) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          sum += lum; n += 1
+          x += 1
+        }
+        y += 1
+      }
+      out(d) = if (n == 0) 0f else (sum / n / 255.0).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** Deterministic fake feature vector (fallback for payloads the JDK
+    * cannot decode); real plumbing: fixed dims, Array[Float]. */
   def featureStub(bytes: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var h = 1125899906842597L
@@ -67,20 +122,53 @@ object Multimodal {
       // real implementation)
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, c) = decodeImageStub(bytes)
+        val decoded = decodeImage(bytes)
+        val (w, h, c) = decoded match {
+          case Some(img) => (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+          case None      => decodeImageStub(bytes)
+        }
+        val features = decoded match {
+          case Some(img) => gridLuminanceFeatures(img, dims)
+          case None      => featureStub(bytes, dims)
+        }
         val meta = new GenericRowWithSchema(
           Array[Any](bytes.length, w, h, c), metaSchema)
         new GenericRowWithSchema(
-          Array[Any](r.get(0), meta, featureStub(bytes, dims)), outSchema): Row
+          Array[Any](r.get(0), meta, features), outSchema): Row
       }
     }
   }
 
+  /** Deterministic nearest-neighbor resample + PNG re-encode for a
+    * decodable image. Nearest-neighbor (not Graphics2D SCALE_SMOOTH)
+    * keeps the output bit-reproducible across JVMs. */
+  def resizeImageBytes(
+      img: java.awt.image.BufferedImage, targetW: Int, targetH: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val kind =
+      if (img.getColorModel.hasAlpha) BufferedImage.TYPE_INT_ARGB
+      else BufferedImage.TYPE_INT_RGB
+    val out = new BufferedImage(targetW, targetH, kind)
+    var y = 0
+    while (y < targetH) {
+      var x = 0
+      while (x < targetW) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / targetW, y * img.getHeight / targetH))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   /** Resize over a (id, content: binary) frame: emits (id, resized
-    * binary, meta) with meta.width/height pinned to the target. The
-    * pixel resampling itself is part of the STUB (deterministic byte
-    * stride-sample into a w*h*channels buffer); the plumbing — binary
-    * in/out, struct metadata, per-partition batching — is real. */
+    * binary, meta) with meta.width/height pinned to the target.
+    * Decodable payloads get a real nearest-neighbor resample re-encoded
+    * as PNG ([[resizeImageBytes]]); codec-less payloads keep the
+    * deterministic byte stride-sample STUB so synthetic binaries still
+    * flow through the same plumbing. */
   def resizeImages(
       df: DataFrame, idCol: String, binCol: String,
       targetW: Int, targetH: Int): DataFrame = {
@@ -92,15 +180,23 @@ object Multimodal {
     df.select(col(idCol), col(binCol)).mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val (_, _, c) = decodeImageStub(bytes)
-        val n = targetW * targetH * c
-        val out = new Array[Byte](n)
-        if (bytes.nonEmpty) {
-          var i = 0
-          while (i < n) { out(i) = bytes((i.toLong * bytes.length / n).toInt); i += 1 }
+        val (out, c) = decodeImage(bytes) match {
+          case Some(img) =>
+            val resized = resizeImageBytes(img, targetW, targetH)
+            val channels = if (img.getColorModel.hasAlpha) 4 else 3
+            (resized, channels)
+          case None => // STUB fallback: deterministic stride-sample
+            val (_, _, c) = decodeImageStub(bytes)
+            val n = targetW * targetH * c
+            val buf = new Array[Byte](n)
+            if (bytes.nonEmpty) {
+              var i = 0
+              while (i < n) { buf(i) = bytes((i.toLong * bytes.length / n).toInt); i += 1 }
+            }
+            (buf, c)
         }
         val meta = new GenericRowWithSchema(
-          Array[Any](n, targetW, targetH, c), metaSchema)
+          Array[Any](out.length, targetW, targetH, c), metaSchema)
         new GenericRowWithSchema(Array[Any](r.get(0), out, meta), outSchema): Row
       }
     }

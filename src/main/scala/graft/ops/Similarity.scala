@@ -107,8 +107,53 @@ object Similarity {
       .select(col("i"), col("j"), col("cos_q"))
   }
 
+  /** Scan-side nearest-centroid assignment: adds a `cell` column holding
+    * the `cid` of the centroid with the highest cosine to `embedding`
+    * (ties broken by smallest cid, matching `ORDER BY cos DESC, cid ASC`).
+    *
+    * The centroid table is collected to the driver (it is broadcast-sized
+    * by contract — a coarse quantizer is at most a few thousand vectors,
+    * the same data movement a broadcast join would ship) and folded over
+    * as a constant array with a sequential `aggregate`, so the argmax
+    * happens INSIDE the scan projection: no crossJoin row explosion, no
+    * per-id window, and critically no Exchange of the corpus — at 100 TB
+    * with C=1024 cells the previous window formulation shuffled
+    * corpus×C rows just to pick each row's nearest centroid.
+    *
+    * Cosines use the same codegen'd [[graft.functions.FloatVectorDot]]
+    * accumulation as the windowed form (centroid norms are precomputed
+    * on the driver with the identical sequential double fold), so cell
+    * assignments are bit-for-bit unchanged. Zero-norm centroids
+    * (NaN cosine) are unsupported. */
+  def nearestCell(df: DataFrame, centroids: DataFrame): DataFrame = {
+    val rows = centroids.select(col("cid"), col("embedding")).orderBy(col("cid")).collect()
+    require(rows.nonEmpty, "centroids must be non-empty")
+    val cidType = centroids.schema("cid").dataType
+    val ctArr = array(rows.map { r =>
+      val e = r.getSeq[Float](1).toArray
+      var acc = 0.0
+      e.foreach(f => acc += f.toDouble * f.toDouble) // same fold as FloatVectorDot
+      struct(
+        lit(r.get(0)).cast(cidType).as("cid"),
+        array(e.map(lit(_)): _*).as("ct"),
+        lit(math.sqrt(acc)).as("nrm"))
+    }: _*)
+    val nrm = norm(col("embedding"))
+    val best = aggregate(
+      ctArr,
+      struct(lit(null).cast(cidType).as("cid"), lit(Double.NegativeInfinity).as("cos")),
+      (acc, c) => {
+        val cos = dot(col("embedding"), c.getField("ct")) / (nrm * c.getField("nrm"))
+        // strict > over cid-ascending centroids keeps the smallest cid on ties
+        when(cos > acc.getField("cos"),
+          struct(c.getField("cid").as("cid"), cos.as("cos"))).otherwise(acc)
+      })
+    df.withColumn("cell", best.getField("cid"))
+  }
+
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
-    * nearest centroid cell (one broadcast pass); each query probes its
+    * nearest centroid cell (a scan-side argmax over the broadcast
+    * centroid array — see [[nearestCell]]); each query probes its
     * `probes` nearest cells and ranks only those cells' members. With C
     * cells and p probes the scored candidates shrink ~p/C vs brute
     * force — the standard coarse-quantizer scale path. Centroids here
@@ -119,6 +164,8 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int, probes: Int): DataFrame = {
+    // query side keeps the windowed top-n form: queries are small, and
+    // probes > 1 needs the n best cells, not just the argmax
     def cells(df: DataFrame, idCol: String, n: Int): DataFrame = {
       val ct = centroids.select(col("cid"), col("embedding").as("ct_emb"))
       val w = Window.partitionBy(col(idCol))
@@ -128,7 +175,7 @@ object Similarity {
         .filter(col("cell_rn") <= n)
         .select(col(idCol), col("embedding"), col("cid").as("cell"))
     }
-    val corpusCells = cells(corpus.select(col("id"), col("embedding")), "id", 1)
+    val corpusCells = nearestCell(corpus.select(col("id"), col("embedding")), centroids)
     val queryCells = cells(queries.select(col("qid"), col("embedding")), "qid", probes)
       .withColumnRenamed("embedding", "q_emb")
     val scored = corpusCells.join(queryCells, Seq("cell"))

@@ -50,6 +50,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Array[Byte]]("frame").length == 16))
   }
 
+  private def png2x2: Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red
+    img.setRGB(1, 0, 0x00ff00) // green
+    img.setRGB(0, 1, 0x0000ff) // blue
+    img.setRGB(1, 1, 0xffffff) // white
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG payload decodes with the JDK codec — exact dims and meta") {
+    val png = png2x2
+    assert(Multimodal.decodeMeta(png) == ((2, 2, 3)))
+    import spark.implicits._
+    val df = Seq((0L, png)).toDF("doc_id", "content")
+    val r = Multimodal.extractFeatures(df, "doc_id", "content", dims = 4).collect()(0)
+    val meta = r.getStruct(1)
+    assert(meta.getInt(0) == png.length)
+    assert(meta.getInt(1) == 2 && meta.getInt(2) == 2 && meta.getInt(3) == 3)
+    // 2x2 grid over a 2x2 image = per-pixel luminance / 255
+    val f = r.getSeq[Float](2)
+    assert(math.abs(f(0) - 0.299f) < 1e-3) // red
+    assert(math.abs(f(1) - 0.587f) < 1e-3) // green
+    assert(math.abs(f(2) - 0.114f) < 1e-3) // blue
+    assert(math.abs(f(3) - 1.0f) < 1e-3)   // white
+  }
+
+  test("real PNG payload resizes through a real codec round-trip") {
+    val png = png2x2
+    import spark.implicits._
+    val df = Seq((0L, png)).toDF("doc_id", "content")
+    val r = Multimodal.resizeImages(df, "doc_id", "content", 4, 4).collect()(0)
+    val meta = r.getStruct(2)
+    assert(meta.getInt(1) == 4 && meta.getInt(2) == 4 && meta.getInt(3) == 3)
+    val outBytes = r.getAs[Array[Byte]](1)
+    assert(meta.getInt(0) == outBytes.length)
+    // the resized payload is itself a decodable PNG of the target size
+    val back = Multimodal.decodeImage(outBytes).get
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    // nearest-neighbor upsample: out(x, y) = src(x/2, y/2)
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(3, 0) & 0xffffff) == 0x00ff00)
+    assert((back.getRGB(0, 3) & 0xffffff) == 0x0000ff)
+    assert((back.getRGB(3, 3) & 0xffffff) == 0xffffff)
+  }
+
   test("features feed similarity search end-to-end") {
     val feats = Multimodal.extractFeatures(binDf, "doc_id", "content", dims = 16)
     val corpus = feats.select(col("doc_id").as("id"), col("features").as("embedding"))

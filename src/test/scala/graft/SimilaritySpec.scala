@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+
+/** IVF cell assignment: scan-side argmax semantics and — the 100 TB
+  * property — no Exchange of the corpus to pick each row's nearest
+  * centroid. */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("nearestCell assigns by max cosine with smallest-cid tie-break") {
+    import spark.implicits._
+    val centroids = Seq(
+      (0L, vec(1, 0, 0, 0)),
+      (1L, vec(0, 1, 0, 0)),
+      (2L, vec(0, 0, 1, 0))).toDF("cid", "embedding")
+    val corpus = Seq(
+      (10L, vec(0.9, 0.1, 0, 0)),  // -> cell 0
+      (11L, vec(0.1, 0.9, 0, 0)),  // -> cell 1
+      (12L, vec(0, 0.2, 0.9, 0)),  // -> cell 2
+      (13L, vec(0, 1, 1, 0))       // tie cos(c1)=cos(c2) -> smallest cid 1
+    ).toDF("id", "embedding")
+    val cells = Similarity.nearestCell(corpus, centroids)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == Map(10L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 1L))
+  }
+
+  test("nearestCell plan has no Exchange — assignment happens in the scan projection") {
+    import spark.implicits._
+    val centroids = Seq((0L, vec(1, 0)), (1L, vec(0, 1))).toDF("cid", "embedding")
+    val corpus = Seq((10L, vec(1, 0)), (11L, vec(0, 1))).toDF("id", "embedding")
+    val plan = Similarity.nearestCell(corpus, centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("ivfTopK matches the windowed brute-force assignment on the fixture table") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.ivfTopK(
+        e.filter($"vec_id" >= 10 && $"vec_id" < 20).select($"vec_id".as("qid"), $"embedding"),
+        e.select($"vec_id".as("id"), $"embedding"),
+        e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding"),
+        k = 3, probes = 2)
+    // reference formulation: windowed row_number over the crossJoin
+    val ct = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding".as("ct_emb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"id")
+      .orderBy(Similarity.cosine($"embedding", $"ct_emb").desc, $"cid".asc)
+    val refCells = e.select($"vec_id".as("id"), $"embedding")
+      .crossJoin(broadcast(ct))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"id", $"cid".as("cell"))
+    val newCells = Similarity.nearestCell(
+      e.select($"vec_id".as("id"), $"embedding"),
+      e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding"))
+      .select($"id", $"cell")
+    assert(newCells.except(refCells).isEmpty && refCells.except(newCells).isEmpty)
+    assert(got.count() > 0)
+  }
+}

@@ -150,15 +150,47 @@ object QueriesVector {
       |  FROM scored)
       |WHERE rank <= 3""".stripMargin
 
+  // --- k-means sufficient statistics (one Lloyd step's shuffle stage):
+  //     scan-side cell assignment + per-(cell, dim) decimal-exact sums.
+  //     Centroids = the first 8 corpus vectors, as in q_ivf_ann.
+  private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    graft.ops.KMeans.assignStats(
+      e.select($"vec_id".as("id"), $"embedding"),
+      e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding"))
+  }
+
+  private val kmeansStepSql =
+    """WITH ct AS (SELECT vec_id AS cid, embedding AS ct_emb FROM embeddings WHERE vec_id < 8),
+      |corpus AS (SELECT vec_id AS id, embedding FROM embeddings),
+      |corpus_cells AS (
+      |  SELECT embedding, cell FROM (
+      |    SELECT c.id, c.embedding, ct.cid AS cell,
+      |      row_number() OVER (PARTITION BY c.id ORDER BY
+      |        list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])) /
+      |          (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+      |           sqrt(list_dot_product(CAST(ct.ct_emb AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])))) DESC,
+      |        ct.cid ASC) AS rn
+      |    FROM corpus c CROSS JOIN ct)
+      |  WHERE rn = 1)
+      |SELECT cell, i - 1 AS pos,
+      |  CAST(sum(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) AS s,
+      |  count(*) AS n
+      |FROM corpus_cells CROSS JOIN generate_series(1, 64) AS t(i)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopK _),
     "q_lsh_ann" -> (lshAnn _),
     "q_emb_neardup" -> (embNearDup _),
-    "q_ivf_ann" -> (ivfAnn _))
+    "q_ivf_ann" -> (ivfAnn _),
+    "q_kmeans_step" -> (kmeansStep _))
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
     "q_lsh_ann" -> lshAnnSql,
     "q_emb_neardup" -> embNearDupSql,
-    "q_ivf_ann" -> ivfAnnSql)
+    "q_ivf_ann" -> ivfAnnSql,
+    "q_kmeans_step" -> kmeansStepSql)
 }

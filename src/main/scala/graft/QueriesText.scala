@@ -587,7 +587,33 @@ object QueriesText {
       |WHERE (doc_id % 100003) * 2654435761 % 1000 <
       |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 250 ELSE 100 END""".stripMargin
 
+  // --- per-doc cross-entropy under the corpus's own MLE bigram LM
+  //     (CCNet-style LM quality filter)
+  private def bigramXent(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramCrossEntropy(docs(s, dir), "doc_id", "text")
+
+  private val bigramXentSql =
+    """WITH ts AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT id, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS gram
+      |  FROM ts WHERE len(ts) >= 2),
+      |cb AS (SELECT gram, count(*) AS n FROM occ GROUP BY 1),
+      |ctx AS (SELECT string_split(gram, ' ')[1] AS w1, sum(n) AS cn FROM cb GROUP BY 1),
+      |scored AS (
+      |  SELECT id,
+      |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(cn AS DOUBLE)), 6) AS DECIMAL(28,6)) AS lp
+      |  FROM (SELECT id, gram, string_split(gram, ' ')[1] AS w1 FROM occ)
+      |  JOIN cb USING (gram) JOIN ctx USING (w1)),
+      |agg AS (
+      |  SELECT id, count(*) AS n_bigrams,
+      |    round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS xent
+      |  FROM scored GROUP BY 1)
+      |SELECT d.doc_id AS id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.xent
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN agg ON d.doc_id = agg.id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_xent" -> (bigramXent _),
     "q_topk_tokens" -> (topkTokens _),
     "q_topk_heap" -> (topkHeap _),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -611,6 +637,7 @@ object QueriesText {
     "q_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_xent" -> bigramXentSql,
     "q_topk_tokens" -> topkTokensSql,
     "q_topk_heap" -> topkTokensSql,
     "q_stratified_sample" -> stratifiedSampleSql,

@@ -126,6 +126,45 @@ object TextAnalysis {
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-document cross-entropy under the corpus's own MLE bigram LM
+    * (`P(w2|w1) = c(w1 w2) / c(w1 ·)`) — the CCNet-style LM quality
+    * filter: documents whose word transitions are improbable under the
+    * corpus distribution score high (gibberish, boilerplate-mangled, or
+    * off-domain text). Scored against the SAME corpus here, so every
+    * observed bigram has mass and no smoothing is needed; swap `cb`/
+    * `ctx` for an external LM's count tables to score against a
+    * reference corpus.
+    *
+    * Scale shape: the LM tables are corpus-level aggregates (two
+    * partial-aggregated shuffles, vocab-bounded); the per-occurrence
+    * stream joins them on `gram`/`w1` — plain equi joins, AQE-splittable
+    * when a stop-word bigram is hot — then one groupBy(id). Per-term
+    * log-probs round at 6 dp into decimals so the per-doc sum is
+    * order-independent and engine-reproducible.
+    *
+    * @return (id, n_bigrams, xent) — xent = -avg ln P, null for docs
+    *         with fewer than 2 tokens */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), explode(ngramArray(col("__toks"), 2)).as("gram"))
+    val cb = ngramCounts(df, textCol, 2)
+    val ctx = cb.groupBy(split(col("gram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("n")).as("cn"))
+    val scored = occ
+      .join(cb, "gram")
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(ctx, "w1")
+      .withColumn("lp",
+        round(log(col("n").cast(DoubleType) / col("cn").cast(DoubleType)), 6)
+          .cast(DecimalType(28, 6)))
+    val agg = scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("lp")).cast(DoubleType) / count(lit(1)), 6).as("xent"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(agg, Seq("id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   /** TF-IDF top-`k` terms per document: `tf * ln(1 + N/df)`, ties on
     * score broken by term so the ranking is deterministic.
     *

@@ -96,4 +96,19 @@ class TextOpsSpec extends AnyFunSuite {
       ("red colt", "rod bolt", 2, 1L, 1L),
       ("blue anvi", "blue anvil", 1, 1L, 1L)))
   }
+
+  test("bigramCrossEntropy: hand-computed MLE log-probs, short docs null") {
+    import spark.implicits._
+    // corpus bigrams: "a b" x2, "a c" x1; c(w1 = a) = 3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out.size == 4)
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2.get - 0.405465) < 1e-6) // -ln(2/3)
+    assert(out(2L) == out(1L))
+    assert(out(3L)._1 == 1L && math.abs(out(3L)._2.get - 1.098612) < 1e-6) // -ln(1/3)
+    assert(out(4L) == ((0L, None))) // no bigrams -> null score
+  }
 }

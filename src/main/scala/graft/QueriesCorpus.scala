@@ -374,7 +374,31 @@ object QueriesCorpus {
       |  count(n_chars) AS n_nchars
       |FROM u GROUP BY source""".stripMargin
 
+  // --- GPT-style sequence packing: contiguous token stream chunked
+  //     into 512-token context windows, doc -> (bin, offset) via the
+  //     two-level prefix sum (no global window over the corpus)
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Packing.packSequences(
+      docs(s, dir).select($"doc_id".as("id"),
+        size(split($"text", " ")).cast("long").as("n_tokens")),
+      "id", "n_tokens", capacity = 512L, bucketSpan = 100L)
+  }
+
+  private val packSequencesSql =
+    """WITH t AS (SELECT doc_id AS id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |c AS (
+      |  SELECT id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (
+      |      ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+      |  FROM t)
+      |SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(cum0 // 512 AS BIGINT) AS bin,
+      |  CAST(cum0 % 512 AS BIGINT) AS offset
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (packSequences _),
     "q_vocab_oov" -> (vocabOov _),
     "q_shuffle_order" -> (shuffleOrder _),
     "q_schema_union" -> (schemaUnion _),
@@ -391,6 +415,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "q_pack_sequences" -> packSequencesSql,
     "q_vocab_oov" -> vocabOovSql,
     "q_shuffle_order" -> shuffleOrderSql,
     "q_schema_union" -> schemaUnionSql,

@@ -70,4 +70,34 @@ class SamplingSpec extends AnyFunSuite {
           .cast("string"), "salt2"))
     assert(df.except(other).count() > 0)
   }
+
+  test("packSequences: hand-computed bins/offsets, pack-with-overflow layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, 4L), (1L, 5L), (2L, 3L), (3L, 8L), (4L, 2L))
+      .toDF("id", "n_tokens")
+    val out = graft.ops.Packing.packSequences(df, "id", "n_tokens", capacity = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // cum_before: 0, 4, 9, 12, 20 -> (bin, offset)
+    assert(out == Map(0L -> (0L, 0L), 1L -> (0L, 4L), 2L -> (0L, 9L),
+      3L -> (1L, 2L), 4L -> (2L, 0L)))
+  }
+
+  test("packSequences two-level prefix sum equals the naive global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0L until 500L).toDF("id")
+      .withColumn("n_tokens", (pmod(col("id") * 37 + 11, lit(90)) + 1))
+    // tiny bucketSpan so many buckets participate
+    val packed = graft.ops.Packing.packSequences(df, "id", "n_tokens",
+        capacity = 128L, bucketSpan = 13L)
+      .select("id", "bin", "offset")
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = df
+      .withColumn("cum0", coalesce(sum(col("n_tokens")).over(wAll), lit(0L)))
+      .select(col("id"), expr("cum0 div 128").as("bin"),
+        pmod(col("cum0"), lit(128L)).as("offset"))
+    assert(packed.except(naive).isEmpty && naive.except(packed).isEmpty)
+  }
 }

@@ -147,7 +147,10 @@ object TextAnalysis {
   def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val occ = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
       .select(col("id"), explode(ngramArray(col("__toks"), 2)).as("gram"))
-    val cb = ngramCounts(df, textCol, 2)
+    // the count table feeds BOTH the bigram join and the context sums;
+    // Spark does not dedupe common subplans, so checkpoint the (small,
+    // vocab-bounded) counts to tokenize + aggregate the corpus ONCE
+    val cb = ngramCounts(df, textCol, 2).localCheckpoint()
     val ctx = cb.groupBy(split(col("gram"), " ").getItem(0).as("w1"))
       .agg(sum(col("n")).as("cn"))
     val scored = occ

@@ -397,7 +397,24 @@ object QueriesCorpus {
       |  CAST(cum0 % 512 AS BIGINT) AS offset
       |FROM c""".stripMargin
 
+  // --- domain mixing: deterministic weighted interleave key per doc
+  //     (src0 oversampled 3x, src1 2x, the rest 1x)
+  private def domainMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixing.mixKeys(docs(s, dir), "doc_id", "source",
+      weights = Map("src0" -> 3.0, "src1" -> 2.0), bucketSpan = 100L)
+
+  private val domainMixSql =
+    """WITH r AS (
+      |  SELECT doc_id AS id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+      |  FROM documents)
+      |SELECT id, source, CAST(src_rank AS BIGINT) AS src_rank,
+      |  round((src_rank - 0.5) /
+      |    (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0 ELSE 1.0 END), 6) AS mix_key
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_mix" -> (domainMix _),
     "q_pack_sequences" -> (packSequences _),
     "q_vocab_oov" -> (vocabOov _),
     "q_shuffle_order" -> (shuffleOrder _),
@@ -415,6 +432,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "q_domain_mix" -> domainMixSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_oov" -> vocabOovSql,
     "q_shuffle_order" -> shuffleOrderSql,

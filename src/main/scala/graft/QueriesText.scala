@@ -90,6 +90,47 @@ object QueriesText {
       |    / CAST(s_fixed AS DOUBLE) AS hll_est
       |FROM e, s""".stripMargin
 
+  // --- HLL merge: per-shard sketches (one per l_linestatus) compose
+  //     by element-wise register max into EXACTLY the whole-stream
+  //     sketch — the property that makes per-file/per-day sketches
+  //     usable without re-scanning; output matches q_hll_distinct's
+  //     sketch columns by construction
+  private def hllMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.lineitem(s, dir)
+      .select($"l_linestatus".cast(StringType).as("grp"),
+        $"l_orderkey".cast(StringType).as("v"))
+    graft.ops.Sketches.hllSummary(
+      graft.ops.Sketches.hllMergeRegisters(
+        graft.ops.Sketches.hllRegistersBy(vals, "grp", "v")))
+  }
+
+  private val hllMergeSql =
+    """WITH vals AS (
+      |  SELECT CAST(l_linestatus AS VARCHAR) AS grp,
+      |         CAST(l_orderkey AS VARCHAR) AS v
+      |  FROM lineitem),
+      |h AS (
+      |  SELECT grp,
+      |    CAST(CAST('0x' || substr(md5(v), 1, 15) AS UBIGINT) AS BIGINT) AS h
+      |  FROM vals),
+      |r AS (
+      |  SELECT grp, h % 64 AS bucket,
+      |    CASE WHEN (h >> 6) = 0 THEN 55
+      |         ELSE instr(lpad(bin(h >> 6), 54, '0'), '1') END AS rho
+      |  FROM h),
+      |regs_by AS (SELECT grp, bucket, max(rho) AS m_j FROM r GROUP BY 1, 2),
+      |regs AS (SELECT bucket, max(m_j) AS m_j FROM regs_by GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - m_j)) AS BIGINT)
+      |           + (64 - count(*)) * 36028797018963968 AS s_fixed,
+      |         count(*) AS n_regs
+      |  FROM regs)
+      |SELECT s.s_fixed, s.n_regs,
+      |  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) * CAST(36028797018963968.0 AS DOUBLE)
+      |    / CAST(s_fixed AS DOUBLE) AS hll_est
+      |FROM s""".stripMargin
+
   // --- quality-score components
   private def qualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -621,6 +662,7 @@ object QueriesText {
     "q_tfidf" -> (tfidf _),
     "q_token_quantiles" -> (tokenQuantiles _),
     "q_hll_distinct" -> (hllTokens _),
+    "q_hll_merge" -> (hllMerge _),
     "q_quality_score" -> (qualityScore _),
     "q_lang_id" -> (langId _),
     "q_fingerprint_groups" -> (fingerprintGroups _),
@@ -645,6 +687,7 @@ object QueriesText {
     "q_tfidf" -> tfidfSql,
     "q_token_quantiles" -> tokenQuantilesSql,
     "q_hll_distinct" -> hllTokensSql,
+    "q_hll_merge" -> hllMergeSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,
     "q_fingerprint_groups" -> fingerprintGroupsSql,

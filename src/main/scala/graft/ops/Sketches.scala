@@ -105,12 +105,38 @@ object Sketches {
       .groupBy(col(tokCol))
       .agg(min(col("c")).as("cms_est"))
 
-  /** Single-row sketch summary: the HLL estimate plus the exact
-    * fixed-point register sum (s_fixed = sum 2^(55-M_j) — scale 2^55
-    * because rho reaches 55 on an all-zero suffix; absent registers
-    * contribute 2^55) and the present-register count. */
-  def hllDistinct(values: DataFrame, valueCol: String): DataFrame = {
-    val regs = hllRegisters(values, valueCol)
+  /** Per-group HLL registers (group, bucket, m_j) — the per-shard
+    * sketches a distributed pipeline keeps (one per source / file /
+    * day); compose with [[hllMergeRegisters]]. */
+  def hllRegistersBy(values: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = Dedup.hash60(col(valueCol))
+    values
+      .select(col(groupCol).as("grp"),
+        pmod(h, lit(M.toLong)).as("bucket"),
+        shiftright(h, P).as("suffix"))
+      .select(col("grp"), col("bucket"),
+        when(col("suffix") === 0L, lit(55))
+          .otherwise(instr(lpad(bin(col("suffix")), 54, "0"), "1"))
+          .as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Sketch union: element-wise register max — HLL's defining merge
+    * property (registers(A ∪ B) = max(registers(A), registers(B))
+    * bucket-wise), which is what lets per-shard sketches compose into
+    * a corpus estimate without re-scanning anything. The input is a
+    * (…, bucket, m_j) table from any number of [[hllRegistersBy]]
+    * groups; at most groups × 64 rows ever shuffle. */
+  def hllMergeRegisters(regs: DataFrame): DataFrame =
+    regs.groupBy(col("bucket")).agg(max(col("m_j")).as("m_j"))
+
+  /** Single-row sketch summary from a (bucket, m_j) register table:
+    * the HLL estimate plus the exact fixed-point register sum
+    * (s_fixed = sum 2^(55-M_j) — scale 2^55 because rho reaches 55 on
+    * an all-zero suffix; absent registers contribute 2^55) and the
+    * present-register count. */
+  def hllSummary(regs: DataFrame): DataFrame = {
     val two55 = 36028797018963968L // 1 << 55
     regs.agg(
       (sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m_j)")) +
@@ -122,4 +148,8 @@ object Sketches {
         (lit(ALPHA_64) * lit(4096.0) * lit(two55.toDouble) /
           col("s_fixed").cast("double")).as("hll_est"))
   }
+
+  /** Whole-stream sketch: [[hllSummary]] over [[hllRegisters]]. */
+  def hllDistinct(values: DataFrame, valueCol: String): DataFrame =
+    hllSummary(hllRegisters(values, valueCol))
 }

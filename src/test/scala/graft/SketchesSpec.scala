@@ -34,4 +34,18 @@ class SketchesSpec extends AnyFunSuite {
       b >= 0 && b < 64 && m >= 1 && m <= 55
     })
   }
+
+  test("merged per-shard sketches EQUAL the whole-stream sketch") {
+    import spark.implicits._
+    // arbitrary 3-way shard split; merge must be exact regardless
+    val vals = spark.range(2000)
+      .select(($"id" % 3).cast("string").as("grp"), $"id".cast("string").as("v"))
+    val merged = Sketches.hllSummary(
+      Sketches.hllMergeRegisters(Sketches.hllRegistersBy(vals, "grp", "v")))
+      .collect()(0)
+    val direct = Sketches.hllDistinct(vals, "v").collect()(0)
+    assert(merged.getLong(0) == direct.getLong(0))     // s_fixed
+    assert(merged.getLong(1) == direct.getLong(1))     // n_regs
+    assert(merged.getDouble(2) == direct.getDouble(2)) // hll_est, bit-equal
+  }
 }

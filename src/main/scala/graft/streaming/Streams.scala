@@ -134,6 +134,64 @@ object Streams {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** A streaming LSH near-duplicate candidate: `id` collided with the
+    * bucket whose first-seen (canonical) doc is `dup_of`, on `band`. */
+  final case class DupCandidate(id: Long, dup_of: Long, band: Int)
+
+  /** Streaming MinHash-LSH near-duplicate candidates against history:
+    * each arriving doc's banded MinHash signature is computed in the
+    * PROJECTION — per-row `array_min` fold over the token array, no
+    * aggregation shuffle (the batch [[graft.ops.Dedup.minHashWide]]
+    * amortizes the same hashes via groupBy instead; identical
+    * signatures by construction) — bands explode, and a keyed stateful
+    * operator remembers the FIRST doc id seen per (band, signature)
+    * bucket. A later doc hashing into a seen bucket emits a candidate
+    * pair. Collisions are CANDIDATES, exactly as in the batch LSH path:
+    * verify with exact Jaccard downstream.
+    *
+    * State is one long per live bucket. Pass `stateTtlMs = Some(ms)` to
+    * expire idle buckets with a processing-time timeout (bounding state
+    * to buckets seen per TTL window instead of ever — what a production
+    * deployment with a processing-time trigger wants); the default keeps
+    * NoTimeout, which dedups against ALL history. */
+  def nearDupCandidatesMinHash(
+      docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 6, bandSize: Int = 3,
+      stateTtlMs: Option[Long] = None): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    require(numPerms % bandSize == 0, "numPerms must divide into bands")
+    val numBands = numPerms / bandSize
+    val toks = array_distinct(split(col(textCol), " "))
+    val mh = (0 until numPerms).map { p =>
+      array_min(transform(toks, t =>
+        graft.ops.Dedup.hash60(concat(lit(p.toString), lit(":"), t))))
+    }
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until bandSize).map(o => mh(b * bandSize + o)): _*).as("sig"))
+    }
+    docs
+      .select(col(idCol).cast("long").as("id"), explode(array(bands: _*)).as("s"))
+      .select(col("id"), col("s.band").as("band"), col("s.sig").as("sig"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, sig) => (band, sig) }
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        stateTtlMs.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+          .getOrElse(GroupStateTimeout.NoTimeout)) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ids = rows.map(_._1).toArray.distinct.sorted
+            val canon = state.getOption.getOrElse(ids.head)
+            if (!state.exists) state.update(canon)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            ids.iterator.filter(_ != canon).map(i => DupCandidate(i, canon, key._1))
+          }
+      }
+  }
+
   /** Idempotent batch sink: `foreachBatch` writing each micro-batch to
     * a `batch_id=<id>` directory with overwrite — the standard
     * exactly-once-to-storage pattern. A batch replayed after a failure

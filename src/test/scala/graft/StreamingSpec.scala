@@ -158,4 +158,29 @@ class StreamingSpec extends AnyFunSuite {
     Seq(1L, 2L, 3L).toDF("v").write.mode("overwrite").parquet(s"$out/batch_id=0")
     assert(spark.read.parquet(out).count() == 5)
   }
+
+  test("streaming minhash near-dup flags collisions against earlier batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.nearDupCandidatesMinHash(
+        input.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup")
+      .start()
+
+    input.addData((1L, "alpha beta gamma delta"), (2L, "totally unrelated content row"))
+    q.processAllAvailable()
+    assert(spark.table("neardup").count() == 0) // nothing collides yet
+
+    // identical token set arrives in a LATER batch -> candidate vs history
+    input.addData((3L, "delta gamma beta alpha"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("neardup")
+      .as[Streams.DupCandidate].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(c => c.id == 3L && c.dup_of == 1L))
+    assert(out.map(_.band).distinct.length == 2) // collides on both bands
+  }
 }

@@ -97,7 +97,13 @@ object Bench {
       case (name, _) if !failed.contains(name) && times.contains(name) => times(name)
     }.sum
     val nFail = failed.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"failed":$nFail,"sf":"$sfDir"}""")
+    // Two separate single-line JSON objects, TIMES LAST: the driver
+    // captures a bounded tail of stdout, and in round 4 the plans
+    // payload pushed the times object past the cut (BENCH_r04.json
+    // shipped parsed:null). Plans go on their own earlier line — the
+    // tail always ends with a complete, parseable times line.
+    println(s"""{"metric":"plans","plans":$ps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -180,11 +180,100 @@ object QueriesVector {
       |FROM corpus_cells CROSS JOIN generate_series(1, 64) AS t(i)
       |GROUP BY 1, 2""".stripMargin
 
+  // --- IVF ANN with its PRODUCTION centroids: a 2-iteration k-means fit
+  //     (deterministic init = the 8 lowest vec_ids) feeds ivfTopK — the
+  //     composition ivfTopK's doc contract names. Both pieces are
+  //     oracle-exact on their own (q_ivf_ann, q_kmeans_step); this gate
+  //     proves they stay exact THROUGH composition: the oracle re-derives
+  //     the fitted float centroids by unrolling both Lloyd steps in SQL
+  //     (decimal-exact sums, double division, float cast — bit-identical
+  //     to KMeans.step) and then runs the same IVF ranking on them.
+  private def ivfKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val corpus = e.select($"vec_id".as("id"), $"embedding")
+    val centroids = graft.ops.KMeans.fit(corpus, k = 8, iters = 2, idCol = "id")
+    Similarity.ivfTopK(
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30).select($"vec_id".as("qid"), $"embedding"),
+      corpus, centroids, k = 3, probes = 2)
+  }
+
+  /** One unrolled Lloyd step in SQL: assign (argmax-cosine, cid-asc
+    * tiebreak) → per-(cell, dim) decimal-exact stats → float means with
+    * empty-cell fallback to the previous centroid. `ct$i` → `ct${i+1}`. */
+  private def lloydStepSql(i: Int): String =
+    s"""assign$i AS (
+       |  SELECT embedding, cell FROM (
+       |    SELECT c.id, c.embedding, ct.cid AS cell,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])) /
+       |          (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+       |           sqrt(list_dot_product(CAST(ct.ct_emb AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])))) DESC,
+       |        ct.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN ct$i ct)
+       |  WHERE rn = 1),
+       |stats$i AS (
+       |  SELECT cell, t.i AS pos,
+       |    CAST(sum(CAST(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) AS s,
+       |    count(*) AS n
+       |  FROM assign$i CROSS JOIN generate_series(1, 64) AS t(i)
+       |  GROUP BY 1, 2),
+       |means$i AS (
+       |  SELECT cell AS cid, list(CAST(s / n AS FLOAT) ORDER BY pos) AS next_emb
+       |  FROM stats$i GROUP BY 1),
+       |ct${i + 1} AS (
+       |  SELECT p.cid, coalesce(m.next_emb, p.ct_emb) AS ct_emb
+       |  FROM ct$i p LEFT JOIN means$i m USING (cid))""".stripMargin
+
+  private val ivfKmeansSql = {
+    val iters = 2
+    val steps = (0 until iters).map(lloydStepSql).mkString(",\n")
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |ct0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, embedding AS ct_emb
+       |  FROM (SELECT id, embedding FROM corpus ORDER BY id LIMIT 8)),
+       |$steps,
+       |ct AS (SELECT cid, ct_emb FROM ct$iters),
+       |qs AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id >= 10 AND vec_id < 30),
+       |corpus_cells AS (
+       |  SELECT id, embedding, cell FROM (
+       |    SELECT c.id, c.embedding, ct.cid AS cell,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])) /
+       |          (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+       |           sqrt(list_dot_product(CAST(ct.ct_emb AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])))) DESC,
+       |        ct.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN ct)
+       |  WHERE rn = 1),
+       |query_cells AS (
+       |  SELECT qid, embedding AS q_emb, cell FROM (
+       |    SELECT q.qid, q.embedding, ct.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])) /
+       |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+       |           sqrt(list_dot_product(CAST(ct.ct_emb AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])))) DESC,
+       |        ct.cid ASC) AS rn
+       |    FROM qs q CROSS JOIN ct)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT DISTINCT qid, id,
+       |    list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+       |      (sqrt(list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(q_emb AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos
+       |  FROM corpus_cells c JOIN query_cells USING (cell)
+       |  WHERE qid != id)
+       |SELECT qid, id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopK _),
     "q_lsh_ann" -> (lshAnn _),
     "q_emb_neardup" -> (embNearDup _),
     "q_ivf_ann" -> (ivfAnn _),
+    "q_ivf_kmeans" -> (ivfKmeans _),
     "q_kmeans_step" -> (kmeansStep _))
 
   val oracles: Map[String, String] = Map(
@@ -192,5 +281,6 @@ object QueriesVector {
     "q_lsh_ann" -> lshAnnSql,
     "q_emb_neardup" -> embNearDupSql,
     "q_ivf_ann" -> ivfAnnSql,
+    "q_ivf_kmeans" -> ivfKmeansSql,
     "q_kmeans_step" -> kmeansStepSql)
 }

@@ -62,5 +62,17 @@ object Verify {
         s"(dirs=${writtenDirs.length}, oracleBytes=$oracleBytes)")
       sys.exit(1)
     }
+    // Per-query fail-loud: a query that threw in the write loop above
+    // would otherwise just be missing from the output dir, and the
+    // driver's compare iterates over dirs PRESENT — the failure would
+    // silently vanish from the correctness artifact instead of gating.
+    if (writtenDirs.length < expected) {
+      val written = writtenDirs.map(_.getName).toSet
+      val missing = SparkEntry.queries.keys
+        .filter(n => only.forall(_.contains(n)) && !written.contains(n))
+      System.err.println(s"[verify] FATAL: ${expected - writtenDirs.length} " +
+        s"queries failed to write: ${missing.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

@@ -47,8 +47,17 @@ object Download {
     conn.setRequestProperty("User-Agent", "graft-fia (Spark FIA pipeline)")
     if (partial > 0L) conn.setRequestProperty("Range", s"bytes=$partial-")
     val resuming = conn match {
-      case h: HttpURLConnection => partial > 0L && h.getResponseCode == 206
-      case _                    => false // file:// etc. — full copy
+      case h: HttpURLConnection =>
+        val code = h.getResponseCode
+        // Range starting AT the file length is unsatisfiable (RFC 9110
+        // §14.2): a 416 here means the local file is already complete —
+        // return it untouched instead of throwing on getInputStream
+        // (the reference's `curl resume=TRUE` skips complete files the
+        // same way). Also complete: a 206 whose Content-Range total
+        // equals what we already have.
+        if (partial > 0L && code == 416) { h.disconnect(); return dest }
+        partial > 0L && code == 206
+      case _ => false // file:// etc. — full copy
     }
     val in = new BufferedInputStream(conn.getInputStream)
     val out = new BufferedOutputStream(new FileOutputStream(dest.toFile, resuming))

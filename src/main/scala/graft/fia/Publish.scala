@@ -38,9 +38,9 @@ object Publish {
     HttpRequest.newBuilder(URI.create(url))
       .header("Authorization", s"Bearer $token")
 
-  private def send(r: HttpRequest): String = {
+  private def send(r: HttpRequest, tolerate: Set[Int] = Set.empty): String = {
     val resp = client.send(r, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() >= 300)
+    if (resp.statusCode() >= 300 && !tolerate.contains(resp.statusCode()))
       throw new RuntimeException(s"HTTP ${resp.statusCode()} from ${r.uri()}: ${resp.body().take(500)}")
     resp.body()
   }
@@ -64,18 +64,49 @@ object Publish {
       .getOrElse(throw new RuntimeException(s"no latest_draft link in: ${body.take(300)}"))
   }
 
-  /** Step 2: list the draft's carried-over files and its upload bucket. */
+  /** The `"files": [...]` array slice of a deposition body: bracket-
+    * matched (string-aware) so nested objects inside file entries don't
+    * end the slice early. Returns None when the body has no files array. */
+  private[fia] def filesBlock(body: String): Option[String] =
+    "\"files\"\\s*:\\s*\\[".r.findFirstMatchIn(body).map { m =>
+      val start = m.end - 1 // at '['
+      var depth = 0; var i = start; var end = body.length
+      var inStr = false; var esc = false; var done = false
+      while (i < body.length && !done) {
+        val c = body.charAt(i)
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '[' => depth += 1
+          case ']' => depth -= 1; if (depth == 0) { end = i + 1; done = true }
+          case _   => ()
+        }
+        i += 1
+      }
+      body.substring(start, end)
+    }
+
+  /** Step 2: list the draft's carried-over files and its upload bucket.
+    * File ids are collected ONLY from the `"files"` array — a deposition
+    * body can carry string `"id"` fields elsewhere (grant/license
+    * objects in metadata), and treating those as file ids would DELETE
+    * nonexistent paths and abort the flow after the draft was created. */
   def draftInfo(baseUrl: String, draftId: String, token: String): (String, Seq[String]) = {
     val body = send(req(s"$baseUrl/api/deposit/depositions/$draftId", token).GET().build())
     val bucket = jsonStr(body, "bucket")
       .getOrElse(throw new RuntimeException(s"no bucket link in: ${body.take(300)}"))
-    (bucket, jsonStrAll(body, "id").filterNot(_ == draftId))
+    val fileIds = filesBlock(body).map(jsonStrAll(_, "id")).getOrElse(Nil)
+    (bucket, fileIds.filterNot(_ == draftId))
   }
 
-  /** Step 2b: delete one carried-over file from the draft. */
+  /** Step 2b: delete one carried-over file from the draft. A 404 is
+    * tolerated — the file being already gone is the desired end state. */
   def deleteFile(baseUrl: String, draftId: String, fileId: String, token: String): Unit = {
     send(req(s"$baseUrl/api/deposit/depositions/$draftId/files/$fileId", token)
-      .DELETE().build())
+      .DELETE().build(), tolerate = Set(404))
     ()
   }
 

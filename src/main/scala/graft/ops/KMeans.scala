@@ -62,16 +62,27 @@ object KMeans {
   }
 
   /** Full fit: deterministic init (the k lowest-`idCol` rows, cid
-    * 0..k-1), then `iters` Lloyd steps. Returns (cid, embedding).
-    * Each step materializes only k×dims values on the driver. */
+    * 0..k-1), then `iters` Lloyd steps. Returns (cid, embedding) as a
+    * LOCAL (driver-materialized) frame.
+    *
+    * Each step's k×dims result is collected and re-created as a local
+    * DataFrame before the next step: [[step]]'s empty-cell fallback is a
+    * `coalesce(next, prev)` join that keeps the previous centroid frame
+    * in lineage, and without the cut iteration i would re-execute every
+    * prior iteration's corpus scan when [[Similarity.nearestCell]]
+    * collects its centroids — O(iters²) corpus scans. The collect moves
+    * exactly the k×dims values the next broadcast needs anyway. */
   def fit(corpus: DataFrame, k: Int, iters: Int, idCol: String = "id"): DataFrame = {
+    val spark = corpus.sparkSession
     val w = Window.orderBy(col(idCol))
     // the k seed rows collapse to one task — k is small by definition
     var centroids = corpus.orderBy(col(idCol)).limit(k)
       .withColumn("cid", row_number().over(w).cast(LongType) - 1)
       .select(col("cid"), col("embedding"))
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
     var i = 0
-    while (i < iters) { centroids = step(corpus, centroids); i += 1 }
-    centroids
+    while (i < iters) { centroids = localize(step(corpus, centroids)); i += 1 }
+    if (iters > 0) centroids else localize(centroids)
   }
 }

@@ -41,6 +41,22 @@ class KMeansSpec extends AnyFunSuite {
     assert(math.abs(next(0L)(0) - 0.95f) < 1e-4)
   }
 
+  test("fit materializes centroids between steps — no corpus scan in the result plan") {
+    import spark.implicits._
+    val corpus = (Seq(
+      (0L, vec(1.0, 0.1)), (2L, vec(0.9, 0.0)),
+      (1L, vec(0.1, 1.0)), (3L, vec(0.0, 0.9))
+    )).toDF("id", "embedding")
+    val fitted = KMeans.fit(corpus, k = 2, iters = 3)
+    // The returned frame must be a local relation: step()'s
+    // coalesce(next, prev) join would otherwise keep every prior
+    // iteration's corpus scan in lineage, and iteration i would
+    // re-execute them all (O(iters²) scans) when nearestCell collects.
+    val plan = fitted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"), s"expected LocalRelation, got:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"lineage not cut:\n$plan")
+  }
+
   test("fit on the embeddings table returns k centroids of the right arity") {
     import spark.implicits._
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

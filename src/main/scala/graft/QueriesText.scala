@@ -479,53 +479,55 @@ object QueriesText {
        |  SELECT u.a AS node, r.lab FROM und u JOIN reach r ON u.b = r.node)
        |SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node""".stripMargin
 
-  // --- 16-bit SimHash
+  // --- 64-bit SimHash (production width; bits 0..59 from md5 chars
+  //     1-15, bits 60..63 from the low nibble of md5 chars 17-31)
   private def simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash16(docs(s, dir), "doc_id", "text")
+    Dedup.simHash64(docs(s, dir), "doc_id", "text")
 
-  private val simhashSql = {
-    val bits = (0 until 16)
-      .map(b =>
-        s"CASE WHEN sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
+  /** The 64 majority-vote bit terms, ascending — partial sums stay
+    * ≤ 2⁶³−1 until the (negative) bit-63 literal lands, so the addition
+    * chain never overflows DuckDB's checked BIGINT arithmetic. */
+  private def simhash64Bits: String =
+    (0 until 64).map { b =>
+      val vote =
+        if (b < 60) s"(h1 >> $b) % 2 = 1" else s"(h2 >> ${b - 60}) % 2 = 1"
+      val value =
+        if (b == 63) "CAST(-9223372036854775808 AS BIGINT)" else s"${1L << b}"
+      s"CASE WHEN sum(CASE WHEN $vote THEN 1 ELSE -1 END) > 0 THEN $value ELSE 0 END"
+    }.mkString(" + ")
+
+  private def simhash64Sql(docFilter: String): String =
     s"""WITH toks AS (
        |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
-       |  FROM documents),
+       |  FROM documents$docFilter),
        |h AS (
-       |  SELECT id, CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) AS h
+       |  SELECT id,
+       |    CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) AS h1,
+       |    CAST(CAST('0x' || substr(md5(tok), 17, 15) AS UBIGINT) AS BIGINT) AS h2
        |  FROM toks)
-       |SELECT id, $bits AS simhash FROM h GROUP BY id""".stripMargin
-  }
+       |SELECT id, $simhash64Bits AS simhash FROM h GROUP BY id""".stripMargin
 
-  // --- SimHash near-dup retrieval: banded (scalable) on the Spark side,
-  //     brute-force all-pairs on the oracle side — identical output by
-  //     the pigeonhole recall guarantee (see Dedup.simHashNearDupPairs).
-  //     The synthetic corpus is near-dup-dense (tiny shared vocabulary),
-  //     so the gate bounds the doc set to keep the pair count
-  //     oracle-comparable at every SF — same reasoning as q_minhash_lsh.
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Dedup.simHashNearDupPairs(docs(s, dir).filter($"doc_id" < 1000),
-      "doc_id", "text", maxHamming = 3)
-  }
+  private val simhashSql = simhash64Sql("")
 
-  private val simhashPairsSql = {
-    val bits = (0 until 16)
-      .map(b =>
-        s"CASE WHEN sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH toks AS (
-       |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
-       |  FROM documents WHERE doc_id < 1000),
-       |h AS (
-       |  SELECT id, CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) AS h
-       |  FROM toks),
-       |sh AS (SELECT id, $bits AS simhash FROM h GROUP BY id)
+  // --- SimHash near-dup retrieval: banded k+1-block bucket join
+  //     (scalable) on the Spark side, brute-force all-pairs on the
+  //     oracle side — identical output by the pigeonhole recall
+  //     guarantee (see Dedup.simHashNearDupPairs). At 64 bits two
+  //     unrelated docs land within Hamming 3 with negligible
+  //     probability, so the gate needs no doc-id bound to keep the
+  //     pair count oracle-comparable (the 16-bit demo this replaced
+  //     needed one).
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+
+  private val simhashPairsSql =
+    s"""WITH sh AS (
+       |${simhash64Sql("")}
+       |)
        |SELECT a.id AS i, b.id AS j,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sh a JOIN sh b ON a.id < b.id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
-  }
 
   // --- TF-IDF top-3 terms per document. Score doubles are rounded to
   //     6 dp on both sides; ranking uses the raw double with a term

@@ -223,51 +223,85 @@ object Dedup {
       .select("i", "j", "jac")
   }
 
-  /** SimHash near-duplicate pairs: ALL pairs at Hamming distance ≤
-    * `maxHamming` on the 16-bit signature, found WITHOUT the O(n²)
-    * all-pairs scan. The signature is banded into 4 nibbles; by
-    * pigeonhole, any pair differing in ≤ 3 bits agrees on at least one
-    * whole nibble, so the band-bucket self-join has exact recall for
-    * maxHamming ≤ 3 and the Hamming filter removes the rest — the
-    * result is IDENTICAL to brute force (which is what the oracle
-    * runs). At corpus scale the same shape holds with 64-bit
-    * signatures and k+1 bands for distance k (Manku et al., WWW'07);
-    * bucket sizes shrink as bands widen. */
+  /** SimHash near-duplicate pairs, production width: ALL pairs at
+    * Hamming distance ≤ `maxHamming` on the 64-bit signature, found
+    * WITHOUT the O(n²) all-pairs scan (Manku et al., WWW'07). The
+    * signature is banded into `maxHamming + 1` contiguous blocks; by
+    * pigeonhole, any pair differing in ≤ k bits agrees on at least one
+    * whole block, so the band-bucket self-join has EXACT recall and the
+    * Hamming filter removes the rest — the result is IDENTICAL to brute
+    * force (which is what the oracle runs).
+    *
+    * Scale shape: with k = 3 each band is 16 bits, so two UNRELATED
+    * documents collide on a band with probability ~4·2⁻¹⁶ — candidate
+    * volume stays proportional to the true near-dup count instead of
+    * n²/buckets (the failure mode of the 16-bit demo this replaced,
+    * which had 64 total (band, nibble) buckets and degenerated toward
+    * n²/64 at corpus size). Bands are banded as a projection off the
+    * one signature aggregation — no extra shuffle before the bucket
+    * join. */
   def simHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(0 <= maxHamming && maxHamming <= 3,
-      "4 nibble bands guarantee recall only up to hamming 3")
-    val sig = simHash16(df, idCol, textCol)
-    val banded = sig.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("nib"))
-      }: _*)).as("s"))
-      .select(col("id"), col("simhash"),
-        col("s.band").as("band"), col("s.nib").as("nib"))
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r,
-        col("l.band") === col("r.band") && col("l.nib") === col("r.nib") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("i"), col("r.id").as("j"),
-        col("l.simhash").as("si"), col("r.simhash").as("sj"))
-      .distinct()
+      maxHamming: Int = 3): DataFrame =
+    simHashCandidates(df, idCol, textCol, maxHamming)
       .withColumn("hamming",
         bit_count(col("si").bitwiseXOR(col("sj"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("i", "j", "hamming")
+
+  /** Banded candidate pairs (pre-Hamming-filter): (i, j, si, sj),
+    * i < j, sharing at least one of the `maxHamming + 1` signature
+    * blocks. Package-visible so the scale spec can assert the
+    * candidate count stays near the true-pair count. */
+  private[graft] def simHashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(0 <= maxHamming && maxHamming < 32,
+      "need bands of >= 2 bits: 0 <= maxHamming < 32")
+    val numBands = maxHamming + 1
+    // band b covers bits [floor(b·64/nb), floor((b+1)·64/nb)) — widths
+    // differ by at most 1 when nb does not divide 64
+    val bounds = (0 to numBands).map(i => i * 64 / numBands)
+    val sig = simHash64(df, idCol, textCol)
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until numBands).map { b =>
+        val lo = bounds(b); val width = bounds(b + 1) - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        // unsigned shift + mask: the sign bit of the 64-bit signature
+        // must not smear into narrower bands
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("band_sig"))
+      }: _*)).as("s"))
+      .select(col("id"), col("simhash"),
+        col("s.band").as("band"), col("s.band_sig").as("band_sig"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"),
+        col("l.simhash").as("si"), col("r.simhash").as("sj"))
+      .distinct()
   }
 
-  /** 16-bit SimHash over token hashes: bit b is set iff the majority of
-    * the document's tokens have bit b set in their hash. */
-  def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(df, idCol, textCol).withColumn("h", hash60(col("tok")))
-    val bitVotes = (0 until 16).map { b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
+  /** 64-bit SimHash over token hashes: bit b is set iff the majority of
+    * the document's tokens have bit b set in their hash. Token bits
+    * 0..59 come from md5 chars 1–15 ([[hash60]]); bits 60..63 from the
+    * low nibble of a second 60-bit value (md5 chars 17–31) — both
+    * engine-reproducible, so the signature itself is oracle-checkable. */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(df, idCol, textCol)
+      .withColumn("h1", hash60(col("tok")))
+      .withColumn("h2",
+        conv(substring(md5(col("tok")), 17, 15), 16, 10).cast(LongType))
+    val bitVotes = (0 until 64).map { b =>
+      val bit = if (b < 60) shiftright(col("h1"), b) else shiftright(col("h2"), b - 60)
+      sum(when(bit % 2 === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val voted = t.groupBy(col("id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until 16)
+    // ascending-bit addition of disjoint powers: partial sums stay
+    // ≤ 2⁶³−1 until the (negative) bit-63 term lands — no overflow
+    // under ANSI in either engine
+    val sim = (0 until 64)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     voted.select(col("id"), sim.as("simhash"))

@@ -32,6 +32,43 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(candidatePairs(Dedup.dfCutTokens(t, 10)) == 2L)
   }
 
+  test("64-bit simhash banding: candidate volume tracks the true-pair count, not n²") {
+    import spark.implicits._
+    // 100 unrelated docs (disjoint vocabularies -> ~uniform signatures)
+    // plus 5 cloned pairs (identical token sets -> Hamming 0)
+    val unrelated = (0 until 100).map { i =>
+      (i.toLong, (0 until 12).map(j => s"d${i}w$j").mkString(" "))
+    }
+    val clones = (0 until 5).flatMap { p =>
+      val text = (0 until 12).map(j => s"c${p}w$j").mkString(" ")
+      Seq((1000L + 2 * p, text), (1001L + 2 * p, text))
+    }
+    val df = (unrelated ++ clones).toDF("id", "text")
+
+    // signatures use the full 64-bit width (bit 63 in play -> some negative)
+    val sigs = Dedup.simHash64(df, "id", "text").collect().map(_.getLong(1))
+    assert(sigs.exists(_ < 0L) && sigs.exists(_ > (1L << 32)))
+
+    // banded result == brute force over the same signatures (exact recall)
+    val sig = Dedup.simHash64(df, "id", "text")
+    val brute = sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simHashNearDupPairs(df, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    assert(brute.size >= 5) // the 5 clone pairs are all found
+
+    // the scale property the 16-bit demo lacked: candidate volume stays
+    // near the true-pair count — a 16-bit/4-nibble banding would have
+    // produced ~C(110,2)/64 ≈ 94+ coincidental candidates here, 16-bit
+    // bands produce ~C(110,2)·4/2^16 ≈ 0.37 expected
+    val cands = Dedup.simHashCandidates(df, "id", "text", maxHamming = 3).count()
+    assert(cands <= brute.size + 5, s"candidates=$cands truePairs=${brute.size}")
+  }
+
   test("jaccard degree with df cut still finds the rare-token dup pair") {
     val deg = Dedup.jaccardNearDupDegree(hotCorpus, "id", "text",
         threshold = 0.5, maxDocFreq = Some(10))

@@ -392,6 +392,12 @@ object QueriesAgg {
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.fuzzyVocabPairs(Tables.part(s, dir), "p_name", maxDist = 2)
 
+  // --- same contract through the deletion-neighborhood BLOCKED equi
+  //     join (the unbounded-vocabulary path — no nested loop); exact
+  //     recall, so the brute-force oracle is shared with q_fuzzy_pairs
+  private def fuzzyBlocked(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.fuzzyVocabPairsBlocked(Tables.part(s, dir), "p_name", maxDist = 2)
+
   private val fuzzyPairsSql =
     """WITH vocab AS (SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1)
       |SELECT a.name AS name_a, b.name AS name_b,
@@ -408,6 +414,7 @@ object QueriesAgg {
     "q_set_ops" -> (setOps _),
     "q_stats_moments" -> (statsMoments _),
     "q_fuzzy_pairs" -> (fuzzyPairs _),
+    "q_fuzzy_blocked" -> (fuzzyBlocked _),
     "q_transitions" -> (transitions _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
@@ -427,6 +434,7 @@ object QueriesAgg {
     "q_set_ops" -> setOpsSql,
     "q_stats_moments" -> statsMomentsSql,
     "q_fuzzy_pairs" -> fuzzyPairsSql,
+    "q_fuzzy_blocked" -> fuzzyPairsSql,
     "q_transitions" -> transitionsSql,
     "q_rollup" -> rollupAggSql,
     "q_cube" -> cubeAggSql,

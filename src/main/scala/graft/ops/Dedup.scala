@@ -333,4 +333,52 @@ object Dedup {
         levenshtein(col("name_a"), col("name_b")).as("dist"),
         col("rows_a"), col("rows_b"))
   }
+
+  /** All single-character deletions of `v` (SQL expr text; `i` is the
+    * lambda variable name — nested layers need distinct names). */
+  private def del1(v: String, i: String): String =
+    s"CASE WHEN length($v) = 0 THEN array($v) " +
+      s"ELSE transform(sequence(0, length($v) - 1), $i -> concat(left($v, $i), substring($v, $i + 2))) END"
+
+  /** SQL expr for the ≤`maxDist`-deletion neighborhood of a string
+    * column: the string itself plus every variant reachable by deleting
+    * up to `maxDist` characters (deduplicated). */
+  private[graft] def deletionNeighborhoodExpr(colName: String, maxDist: Int): String = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    var layers = List(s"array($colName)")
+    for (d <- 1 to maxDist)
+      layers ::= s"flatten(transform(${layers.head}, v$d -> ${del1(s"v$d", s"i$d")}))"
+    s"array_distinct(concat(${layers.reverse.mkString(", ")}))"
+  }
+
+  /** [[fuzzyVocabPairs]] for UNBOUNDED vocabularies: same contract
+    * ((name_a, name_b, dist, rows_a, rows_b), name_a < name_b,
+    * dist ≤ maxDist), but candidates come from an EQUI join on a
+    * deletion-neighborhood blocking key instead of a broadcast nested
+    * loop over the whole vocabulary.
+    *
+    * If lev(a, b) ≤ k then an optimal alignment's matched positions are
+    * a common string reachable by ≤ k deletions from EACH side (each
+    * substitution drops one char from both, each insert/delete drops
+    * one from one side) — so a and b share a blocking key and recall is
+    * EXACT; the final levenshtein filter restores precision. Cost per
+    * name is its C(len, ≤k) deletion variants — the SymSpell trade:
+    * rows scale with vocab × len^k, never vocab². The join is a plain
+    * shuffled equi-join, so a 10⁹-value vocabulary partitions across
+    * the cluster instead of broadcasting. */
+  def fuzzyVocabPairsBlocked(df: DataFrame, colName: String, maxDist: Int): DataFrame = {
+    val vocab = df.groupBy(col(colName).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val variants = vocab.select(col("name"), col("n_rows"),
+      explode(expr(deletionNeighborhoodExpr("name", maxDist))).as("blk"))
+    val a = variants.select(col("name").as("name_a"), col("n_rows").as("rows_a"), col("blk"))
+    val b = variants.select(col("name").as("name_b"), col("n_rows").as("rows_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("rows_a"), col("rows_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("rows_a"), col("rows_b"))
+  }
 }

@@ -69,6 +69,26 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(cands <= brute.size + 5, s"candidates=$cands truePairs=${brute.size}")
   }
 
+  test("blocked fuzzy matching: same pairs as the nested loop, no nested loop in the plan") {
+    import spark.implicits._
+    val rows = Seq("martha", "marsha", "martin", "martini", "zelda",
+      "zeldda", "qqqq", "wwww").flatMap(n => Seq(n, n)) // 2 rows per name
+    val df = rows.toDF("name")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val loop = canon(Dedup.fuzzyVocabPairs(df, "name", maxDist = 2))
+    val blocked = canon(Dedup.fuzzyVocabPairsBlocked(df, "name", maxDist = 2))
+    assert(blocked == loop)
+    assert(loop.contains(("marsha", "martha", 1, 2L, 2L)))
+    // the point of the variant: candidates come from an EQUI join on the
+    // deletion-neighborhood key — no broadcast nested loop anywhere
+    val plan = Dedup.fuzzyVocabPairsBlocked(df, "name", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("jaccard degree with df cut still finds the rare-token dup pair") {
     val deg = Dedup.jaccardNearDupDegree(hotCorpus, "id", "text",
         threshold = 0.5, maxDocFreq = Some(10))

@@ -202,6 +202,139 @@ object Multimodal {
     }
   }
 
+  // --------------------------------------------------------------------
+  // Audio columns: WAV/PCM via javax.sound.sampled (zero external deps,
+  // same decode-real/stub-fallback pattern as the ImageIO path above).
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", DoubleType, nullable = false)))
+
+  /** A decoded clip: format metadata + the mono-mixed samples in
+    * [-1, 1] (channels averaged per frame). */
+  final case class AudioClip(
+      sampleRate: Float, channels: Int, frames: Long, samples: Array[Float])
+
+  /** Real JDK decode via `javax.sound.sampled.AudioSystem`: WAV/AIFF/AU
+    * containers with signed PCM payloads (8- or 16-bit, either
+    * endianness). None when no installed reader recognizes the stream or
+    * the encoding is not plain signed PCM. */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioClip] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8)
+      if (!ok) { ais.close(); None }
+      else {
+        val data = ais.readAllBytes(); ais.close()
+        val ch = fmt.getChannels
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        val frameBytes = bytesPerSample * ch
+        val nFrames = data.length / frameBytes
+        val mono = new Array[Float](nFrames)
+        val big = fmt.isBigEndian
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0f; var c = 0
+          while (c < ch) {
+            val off = f * frameBytes + c * bytesPerSample
+            val v =
+              if (bytesPerSample == 2) {
+                val s = if (big) ((data(off) << 8) | (data(off + 1) & 0xff))
+                        else ((data(off + 1) << 8) | (data(off) & 0xff))
+                s.toShort / 32768.0f
+              } else data(off) / 128.0f
+            acc += v; c += 1
+          }
+          mono(f) = acc / ch
+          f += 1
+        }
+        Some(AudioClip(fmt.getSampleRate, ch, nFrames.toLong, mono))
+      }
+    } catch { case _: Exception => None }
+
+  /** Real audio features: the first `dims/2` slots are per-window RMS
+    * energy (the clip split into equal windows — an energy envelope),
+    * the rest per-window zero-crossing rate (a crude spectral proxy:
+    * high for noise/fricatives, low for tonal content). Deterministic,
+    * [0, 1]-bounded, sized for [[Similarity]] search; a production
+    * pipeline swaps in a learned audio embedding with the same shape. */
+  def audioEnvelopeFeatures(samples: Array[Float], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    val n = samples.length
+    if (n == 0) return out
+    val half = (dims + 1) / 2
+    var w = 0
+    while (w < half) {
+      val lo = (w.toLong * n / half).toInt
+      val hi = math.max(lo + 1, ((w + 1).toLong * n / half).toInt)
+      var sum = 0.0; var i = lo
+      while (i < hi) { sum += samples(i).toDouble * samples(i); i += 1 }
+      out(w) = math.sqrt(sum / (hi - lo)).toFloat
+      w += 1
+    }
+    val zhalf = dims - half
+    var z = 0
+    while (z < zhalf) {
+      val lo = math.max(1, (z.toLong * n / zhalf).toInt)
+      val hi = math.max(lo + 1, ((z + 1).toLong * n / zhalf).toInt)
+      var crossings = 0; var i = lo
+      while (i < hi) {
+        if ((samples(i) >= 0f) != (samples(i - 1) >= 0f)) crossings += 1
+        i += 1
+      }
+      out(half + z) = crossings.toFloat / (hi - lo)
+      z += 1
+    }
+    out
+  }
+
+  /** STUB fallback for payloads [[decodeAudio]] cannot read (synthetic
+    * test bytes, compressed codecs outside the JDK set — e.g. MP3/OGG).
+    * Deterministic header-derived metadata, same shape as the real path. */
+  def decodeAudioStub(bytes: Array[Byte]): (Int, Int, Long) = {
+    val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
+    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+    (8000 + (b0 % 8) * 1000, 1 + b1 % 2, bytes.length.toLong / 2)
+  }
+
+  /** Decode + feature-extract over a (id, content: binary) audio frame:
+    * one partition-batched pass emitting (id, meta struct, features).
+    * Real `javax.sound.sampled` decode with energy/ZCR features for PCM
+    * payloads; the deterministic stub keeps codec-less payloads flowing
+    * through identical plumbing. */
+  def extractAudioFeatures(
+      df: DataFrame, idCol: String, binCol: String, dims: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("meta", audioMetaSchema, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    implicit val enc = Encoders.row(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val (rate, ch, frames, features) = decodeAudio(bytes) match {
+          case Some(clip) =>
+            (math.round(clip.sampleRate), clip.channels, clip.frames,
+              audioEnvelopeFeatures(clip.samples, dims))
+          case None =>
+            val (sr, c, fr) = decodeAudioStub(bytes)
+            (sr, c, fr, featureStub(bytes, dims))
+        }
+        val durationMs = if (rate == 0) 0.0 else frames * 1000.0 / rate
+        val meta = new GenericRowWithSchema(
+          Array[Any](bytes.length, rate, ch, frames, durationMs), audioMetaSchema)
+        new GenericRowWithSchema(
+          Array[Any](r.get(0), meta, features), outSchema): Row
+      }
+    }
+  }
+
   /** Frame sampling for "video" binary payloads: every `stride`-th
     * fixed-size block becomes one frame row (id, frame_idx, frame). */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,

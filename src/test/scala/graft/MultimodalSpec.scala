@@ -106,4 +106,86 @@ class MultimodalSpec extends AnyFunSuite {
     val topk = graft.ops.Similarity.bruteForceTopK(queries, corpus, k = 3)
     assert(topk.count() == 6) // 2 queries x 3 neighbors
   }
+
+  /** A real PCM-16 mono WAV, generated through the JDK encoder. */
+  private def wavBytes(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian per fmt
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 0.5 s silence then 0.5 s of a `freq`-Hz sine at 8 kHz. */
+  private def silenceThenTone(freq: Double, amp: Double = 0.8): Array[Short] =
+    Array.tabulate(8000) { i =>
+      if (i < 4000) 0.toShort
+      else (math.sin(2 * math.Pi * freq * (i - 4000) / 8000.0) * amp * 32767).toShort
+    }
+
+  test("real WAV payload decodes to exact metadata and envelope features") {
+    val wav = wavBytes(silenceThenTone(440), 8000f)
+    val clip = Multimodal.decodeAudio(wav).get
+    assert(clip.sampleRate == 8000f && clip.channels == 1 && clip.frames == 8000L)
+    import spark.implicits._
+    val df = Seq((0L, wav)).toDF("doc_id", "content")
+    val r = Multimodal.extractAudioFeatures(df, "doc_id", "content", dims = 8).collect()(0)
+    val meta = r.getStruct(1)
+    assert(meta.getInt(0) == wav.length)
+    assert(meta.getInt(1) == 8000 && meta.getInt(2) == 1 && meta.getLong(3) == 8000L)
+    assert(math.abs(meta.getDouble(4) - 1000.0) < 1e-9) // exactly 1 s
+    // energy envelope (first 4 slots): halves 1-2 silent, 3-4 loud
+    val f = r.getSeq[Float](2)
+    assert(f(0) < 0.01f && f(1) < 0.01f, s"silent windows: ${f.take(4)}")
+    assert(f(2) > 0.3f && f(3) > 0.3f, s"tone windows: ${f.take(4)}")
+    // ZCR (last 4): a 440 Hz tone crosses ~880 times/s -> ~0.11/sample
+    assert(f(6) > 0.05f && f(7) > 0.05f, s"zcr: ${f.drop(4)}")
+    // deterministic
+    val again = Multimodal.extractAudioFeatures(df, "doc_id", "content", dims = 8)
+      .collect()(0).getSeq[Float](2)
+    assert(again == f)
+  }
+
+  test("audio features feed cosine near-dup search — clones pair, the distinct tone doesn't") {
+    import spark.implicits._
+    // two near-identical 440 Hz clips (one at slightly lower gain) and
+    // one 3700 Hz clip with a different envelope (tone first, silence
+    // after) — near-dup must flag ONLY the 440 Hz pair
+    val a = wavBytes(silenceThenTone(440), 8000f)
+    val b = wavBytes(silenceThenTone(440, amp = 0.72), 8000f)
+    val c = wavBytes(
+      Array.tabulate(8000) { i =>
+        if (i >= 4000) 0.toShort
+        else (math.sin(2 * math.Pi * 3700 * i / 8000.0) * 0.8 * 32767).toShort
+      }, 8000f)
+    val df = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "content")
+    // dims = 64 matches cosineNearDupPairs' hyperplane dimensionality
+    val feats = Multimodal.extractAudioFeatures(df, "doc_id", "content", dims = 64)
+      .select(col("doc_id").as("id"), col("features").as("embedding"))
+    val pairs = graft.ops.Similarity
+      .cosineNearDupPairs(feats, thresholdQ = 9900L, numPlanes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"pairs=$pairs")
+  }
+
+  test("non-audio payloads fall back to the deterministic stub") {
+    import spark.implicits._
+    val junk = "definitely not audio".getBytes("UTF-8")
+    assert(Multimodal.decodeAudio(junk).isEmpty)
+    val df = Seq((7L, junk)).toDF("doc_id", "content")
+    val r = Multimodal.extractAudioFeatures(df, "doc_id", "content", dims = 4).collect()(0)
+    val meta = r.getStruct(1)
+    val (sr, ch, fr) = Multimodal.decodeAudioStub(junk)
+    assert(meta.getInt(1) == sr && meta.getInt(2) == ch && meta.getLong(3) == fr)
+    assert(r.getSeq[Float](2).length == 4)
+  }
 }

@@ -154,11 +154,13 @@ object Streams {
     * to buckets seen per TTL window instead of ever — what a production
     * deployment with a processing-time trigger wants); the default keeps
     * NoTimeout, which dedups against ALL history. */
-  def nearDupCandidatesMinHash(
+  /** Shared projection for the streaming LSH paths: each doc row becomes
+    * one row per band carrying (id, band, sig) plus any passthrough
+    * columns (e.g. the watermarked event-time column). Signature math is
+    * identical to [[graft.ops.Dedup.minHashWide]] by construction. */
+  private def bandedBuckets(
       docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int = 6, bandSize: Int = 3,
-      stateTtlMs: Option[Long] = None): Dataset[DupCandidate] = {
-    import docs.sparkSession.implicits._
+      numPerms: Int, bandSize: Int, passthrough: Seq[String] = Nil): DataFrame = {
     require(numPerms % bandSize == 0, "numPerms must divide into bands")
     val numBands = numPerms / bandSize
     val toks = array_distinct(split(col(textCol), " "))
@@ -170,9 +172,18 @@ object Streams {
       struct(lit(b).as("band"),
         concat_ws("_", (0 until bandSize).map(o => mh(b * bandSize + o)): _*).as("sig"))
     }
+    val keep = passthrough.map(col)
     docs
-      .select(col(idCol).cast("long").as("id"), explode(array(bands: _*)).as("s"))
-      .select(col("id"), col("s.band").as("band"), col("s.sig").as("sig"))
+      .select(col(idCol).cast("long").as("id") +: explode(array(bands: _*)).as("s") +: keep: _*)
+      .select(col("id") +: col("s.band").as("band") +: col("s.sig").as("sig") +: keep: _*)
+  }
+
+  def nearDupCandidatesMinHash(
+      docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 6, bandSize: Int = 3,
+      stateTtlMs: Option[Long] = None): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    bandedBuckets(docs, idCol, textCol, numPerms, bandSize)
       .as[(Long, Int, String)]
       .groupByKey { case (_, band, sig) => (band, sig) }
       .flatMapGroupsWithState(
@@ -187,6 +198,57 @@ object Streams {
             val canon = state.getOption.getOrElse(ids.head)
             if (!state.exists) state.update(canon)
             stateTtlMs.foreach(state.setTimeoutDuration)
+            ids.iterator.filter(_ != canon).map(i => DupCandidate(i, canon, key._1))
+          }
+      }
+  }
+
+  /** Event-time TTL variant of [[nearDupCandidatesMinHash]]: buckets
+    * whose last-seen EVENT time has fallen `ttlMs` behind the watermark
+    * no longer count as history, so a new doc landing in such a bucket
+    * becomes the bucket's new canonical doc instead of pairing with the
+    * expired one. State is bounded by event-time progress — replaying
+    * old data cannot pin state alive the way a processing-time TTL
+    * allows, and a stalled source doesn't expire state spuriously.
+    *
+    * Mechanics: the watermark (from `withWatermark(tsCol, delay)` applied
+    * here) drives TWO things. (1) Correctness: each invocation compares
+    * the stored last-seen event time against `getCurrentWatermarkMs` and
+    * discards stale canon — this check, not the timeout callback, defines
+    * expiry, because a timed-out key that receives data in the very batch
+    * its timeout would fire gets the data invocation (hasTimedOut=false)
+    * with its old state still attached. (2) Garbage collection:
+    * `EventTimeTimeout` + `setTimeoutTimestamp(lastSeen + ttlMs)` removes
+    * idle buckets' state once the watermark passes, so the store holds
+    * only buckets inside the TTL horizon. */
+  def nearDupCandidatesMinHashEventTime(
+      docs: DataFrame, idCol: String, tsCol: String, textCol: String,
+      numPerms: Int = 6, bandSize: Int = 3,
+      delay: String = "10 minutes",
+      ttlMs: Long = 30 * 60 * 1000L): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    bandedBuckets(
+        docs.withWatermark(tsCol, delay),
+        idCol, textCol, numPerms, bandSize, passthrough = Seq(tsCol))
+      .withColumnRenamed(tsCol, "ts")
+      .as[(Long, Int, String, java.sql.Timestamp)]
+      .groupByKey { case (_, band, sig, _) => (band, sig) }
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toArray
+            val ids = batch.map(_._1).distinct.sorted
+            val maxTs = batch.map(_._4.getTime).max
+            val wm = state.getCurrentWatermarkMs
+            // stale canon = expired history, even if the GC callback
+            // hasn't fired for this key yet
+            val live = state.getOption.filter { case (_, last) => last + ttlMs > wm }
+            val canon = live.map(_._1).getOrElse(ids.head)
+            state.update((canon, math.max(maxTs, live.map(_._2).getOrElse(Long.MinValue))))
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs, wm + 1))
             ids.iterator.filter(_ != canon).map(i => DupCandidate(i, canon, key._1))
           }
       }

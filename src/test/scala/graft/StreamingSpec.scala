@@ -183,4 +183,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall(c => c.id == 3L && c.dup_of == 1L))
     assert(out.map(_.band).distinct.length == 2) // collides on both bands
   }
+
+  test("event-time TTL drops buckets behind the watermark, keeps live ones") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Streams.nearDupCandidatesMinHashEventTime(
+        input.toDF().toDF("ts", "id", "text"), "id", "ts", "text",
+        delay = "0 seconds", ttlMs = 10 * 60 * 1000L) // 10 min TTL
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_et")
+      .start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+    input.addData((t(10, 0), 1L, "alpha beta gamma delta"))
+    q.processAllAvailable()
+    // same token set 5 min later, inside the TTL -> pairs with doc 1
+    input.addData((t(10, 5), 2L, "delta gamma beta alpha"))
+    q.processAllAvailable()
+    // unrelated doc 2h later pushes the watermark far past 10:05 + TTL
+    input.addData((t(12, 0), 50L, "totally unrelated content row"))
+    q.processAllAvailable()
+    // doc 1's bucket is now expired history: doc 3 with the SAME token
+    // set must NOT pair with it, becoming the bucket's new canonical doc
+    input.addData((t(12, 1), 3L, "alpha beta gamma delta"))
+    q.processAllAvailable()
+    // ...and a clone inside doc 3's TTL window still flags, against doc 3
+    input.addData((t(12, 2), 4L, "beta alpha delta gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("neardup_et").as[Streams.DupCandidate].collect()
+    assert(out.map(c => (c.id, c.dup_of)).toSet == Set((2L, 1L), (4L, 3L)),
+      s"got ${out.toSeq}")
+  }
 }

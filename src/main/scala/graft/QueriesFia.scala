@@ -102,7 +102,14 @@ object QueriesFia {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_nsvb_volume" -> (nsvbVolume _))
+    "q_nsvb_volume" -> (nsvbVolume _),
+    // The COMPOSED reference workload (tidy → annualize → NSVB, both
+    // mortality variants) over a generated ~100k-TREE-row synthetic
+    // state — the only gate that times/fingerprints the pipeline as a
+    // whole rather than its operators. Input is deterministic and
+    // engine-internal, so there is no DuckDB oracle (rows-only here);
+    // the value pin is PipelineScaleSpec's order-independent checksum.
+    "q_fia_pipeline" -> ((s, dir) => graft.fia.SyntheticState.pipelineBothVariants(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q_nsvb_volume" -> nsvbVolumeSql)

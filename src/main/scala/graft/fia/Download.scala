@@ -50,12 +50,21 @@ object Download {
       case h: HttpURLConnection =>
         val code = h.getResponseCode
         // Range starting AT the file length is unsatisfiable (RFC 9110
-        // §14.2): a 416 here means the local file is already complete —
-        // return it untouched instead of throwing on getInputStream
-        // (the reference's `curl resume=TRUE` skips complete files the
-        // same way). Also complete: a 206 whose Content-Range total
-        // equals what we already have.
-        if (partial > 0L && code == 416) { h.disconnect(); return dest }
+        // §14.2), so a 416 USUALLY means the local file is already
+        // complete — but a local file LONGER than a changed/truncated
+        // remote gets the same 416. Disambiguate with the remote's true
+        // length (the 416's `Content-Range: bytes */<len>`, else a HEAD):
+        // equal -> complete, return untouched (the reference's
+        // `curl resume=TRUE` skip); a confirmed mismatch -> the partial
+        // is stale, restart from scratch. Unknown length can't confirm a
+        // mismatch, so it is treated as complete.
+        if (partial > 0L && code == 416) {
+          val total = remoteLength(h, url)
+          h.disconnect()
+          if (total < 0L || total == partial) return dest
+          Files.delete(dest)
+          return fetch(url, dest) // no partial now -> no 416 recursion
+        }
         partial > 0L && code == 206
       case _ => false // file:// etc. — full copy
     }
@@ -67,6 +76,28 @@ object Download {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
     } finally { out.close(); in.close() }
     dest
+  }
+
+  /** The remote's full length, for 416 disambiguation: parse the 416
+    * response's `Content-Range: bytes *&#47;<len>` (RFC 9110 §14.4 for the
+    * unsatisfied-range form), falling back to a HEAD request's
+    * Content-Length. -1 when neither is available. */
+  private def remoteLength(h416: HttpURLConnection, url: String): Long = {
+    val cr = h416.getHeaderField("Content-Range")
+    val parsed = Option(cr).flatMap { v =>
+      "bytes\\s+\\*/(\\d+)".r.findFirstMatchIn(v).map(_.group(1).toLong)
+    }
+    parsed.getOrElse {
+      URI.create(url).toURL.openConnection() match {
+        case h: HttpURLConnection =>
+          try {
+            h.setRequestMethod("HEAD")
+            h.setRequestProperty("User-Agent", "graft-fia (Spark FIA pipeline)")
+            if (h.getResponseCode / 100 == 2) h.getContentLengthLong else -1L
+          } catch { case _: Exception => -1L } finally h.disconnect()
+        case _ => -1L
+      }
+    }
   }
 
   /** Extract the 9 `{state}_{table}.csv` members of a state zip into

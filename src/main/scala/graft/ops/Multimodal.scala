@@ -279,10 +279,14 @@ object Multimodal {
       w += 1
     }
     val zhalf = dims - half
+    // ZCR needs a predecessor sample: with n == 1, lo=max(1,..)=1 and
+    // hi=max(lo+1,..)=2 would index past the array (and the exception
+    // escapes decodeAudio's try, failing the whole task). ZCR of a
+    // single sample is 0 — the zero-initialized slots already say so.
     var z = 0
-    while (z < zhalf) {
+    while (z < zhalf && n >= 2) {
       val lo = math.max(1, (z.toLong * n / zhalf).toInt)
-      val hi = math.max(lo + 1, ((z + 1).toLong * n / zhalf).toInt)
+      val hi = math.min(n, math.max(lo + 1, ((z + 1).toLong * n / zhalf).toInt))
       var crossings = 0; var i = lo
       while (i < hi) {
         if ((samples(i) >= 0f) != (samples(i - 1) >= 0f)) crossings += 1

@@ -79,4 +79,79 @@ class DownloadSpec extends AnyFunSuite {
       dst.resolve("blob.bin"))
     assert(java.util.Arrays.equals(Files.readAllBytes(out), payload))
   }
+
+  /** Range-aware local HTTP fixture: serves `payload`, honors
+    * `Range: bytes=N-` with 206, answers an unsatisfiable range with 416 +
+    * `Content-Range: bytes *&#47;len` (RFC 9110 §14.4). Counts GETs. */
+  private def rangeServer(payload: Array[Byte]): (String, () => Int, () => Unit) = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    val gets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      if (ex.getRequestMethod == "HEAD") {
+        ex.getResponseHeaders.add("Content-Length", payload.length.toString)
+        ex.sendResponseHeaders(200, -1)
+      } else {
+        gets.incrementAndGet()
+        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        val from = range.flatMap("bytes=(\\d+)-".r.findFirstMatchIn(_))
+          .map(_.group(1).toLong).getOrElse(0L)
+        if (from >= payload.length) {
+          ex.getResponseHeaders.add("Content-Range", s"bytes */${payload.length}")
+          ex.sendResponseHeaders(416, -1)
+        } else {
+          val body = payload.drop(from.toInt)
+          if (from > 0) {
+            ex.getResponseHeaders.add("Content-Range",
+              s"bytes $from-${payload.length - 1}/${payload.length}")
+            ex.sendResponseHeaders(206, body.length)
+          } else ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+        }
+      }
+      ex.close()
+    })
+    server.start()
+    (s"http://127.0.0.1:${server.getAddress.getPort}/blob.bin",
+      () => gets.get(), () => server.stop(0))
+  }
+
+  test("416 with a matching remote length means complete: file untouched") {
+    val payload = ("y" * 500).getBytes("UTF-8")
+    val (url, gets, stop) = rangeServer(payload)
+    try {
+      val dst = Files.createTempDirectory("fia-dst").resolve("blob.bin")
+      Files.write(dst, payload) // already complete
+      val out = Download.fetch(url, dst)
+      assert(java.util.Arrays.equals(Files.readAllBytes(out), payload))
+      assert(gets() == 1) // the 416 probe only — no re-download
+    } finally stop()
+  }
+
+  test("416 with a SHORTER remote (stale long partial) restarts from scratch") {
+    val payload = ("z" * 300).getBytes("UTF-8")
+    val (url, gets, stop) = rangeServer(payload)
+    try {
+      val dst = Files.createTempDirectory("fia-dst").resolve("blob.bin")
+      // local partial LONGER than the (truncated/changed) remote: the old
+      // code returned this stale file as if complete
+      Files.write(dst, ("stale!" * 100).getBytes("UTF-8"))
+      val out = Download.fetch(url, dst)
+      assert(java.util.Arrays.equals(Files.readAllBytes(out), payload))
+      assert(gets() == 2) // 416 probe + clean re-fetch
+    } finally stop()
+  }
+
+  test("partial file resumes via 206 and lands byte-identical") {
+    val payload = (0 until 1000).map(i => (i % 251).toByte).toArray
+    val (url, gets, stop) = rangeServer(payload)
+    try {
+      val dst = Files.createTempDirectory("fia-dst").resolve("blob.bin")
+      Files.write(dst, payload.take(400)) // half-downloaded
+      val out = Download.fetch(url, dst)
+      assert(java.util.Arrays.equals(Files.readAllBytes(out), payload))
+      assert(gets() == 1)
+    } finally stop()
+  }
 }

@@ -177,6 +177,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)), s"pairs=$pairs")
   }
 
+  test("degenerate clips: 0- and 1-sample inputs produce zero features, no OOB") {
+    // 1 sample: the ZCR window used to index samples(1) out of bounds, and
+    // the exception escaped decodeAudio's try — failing the whole task.
+    for (n <- Seq(0, 1)) {
+      val feats = Multimodal.audioEnvelopeFeatures(new Array[Float](n), dims = 8)
+      assert(feats.length == 8)
+      assert(feats.drop(4).forall(_ == 0f), s"ZCR slots must be 0 for n=$n")
+    }
+    // and through the full decode+feature path with a real 1-sample WAV
+    val wav = wavBytes(Array[Short](12345), 8000f)
+    assert(Multimodal.decodeAudio(wav).exists(_.frames == 1L))
+    import spark.implicits._
+    val df = Seq((1L, wav)).toDF("doc_id", "content")
+    val r = Multimodal.extractAudioFeatures(df, "doc_id", "content", dims = 8).collect()(0)
+    assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+  }
+
   test("non-audio payloads fall back to the deterministic stub") {
     import spark.implicits._
     val junk = "definitely not audio".getBytes("UTF-8")

@@ -69,6 +69,23 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(cands <= brute.size + 5, s"candidates=$cands truePairs=${brute.size}")
   }
 
+  test("simhash banding on the REAL gated corpus: candidates track true pairs") {
+    // The q_simhash_pairs gate runs on the synthetic documents table,
+    // whose 31-token vocabulary makes documents near-duplicates en masse
+    // (a disjoint-vocab fixture can't exhibit this — round-5 advisory).
+    // The scale property to hold HERE is candidates ∝ true pairs: banding
+    // may only inflate the genuinely-similar pair volume by a small
+    // constant, even when that volume is itself large.
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 500).select(col("doc_id").as("id"), col("text"))
+    val truePairs = Dedup.simHashNearDupPairs(real, "id", "text", maxHamming = 3).count()
+    val cands = Dedup.simHashCandidates(real, "id", "text", maxHamming = 3).count()
+    val n = real.count()
+    assert(truePairs > 0, "gate corpus should contain near-dup pairs")
+    assert(cands <= 25L * (truePairs + n),
+      s"candidate volume $cands not ∝ true pairs $truePairs (n=$n) — banding degenerated")
+  }
+
   test("blocked fuzzy matching: same pairs as the nested loop, no nested loop in the plan") {
     import spark.implicits._
     val rows = Seq("martha", "marsha", "martin", "martini", "zelda",

@@ -73,6 +73,12 @@ object KMeans {
     * collects its centroids — O(iters²) corpus scans. The collect moves
     * exactly the k×dims values the next broadcast needs anyway. */
   def fit(corpus: DataFrame, k: Int, iters: Int, idCol: String = "id"): DataFrame = {
+    // each iteration collects k×dims values to the driver (localize) and
+    // broadcasts them back (nearestCell) — k must stay quantizer-sized
+    require(k > 0 && k <= Similarity.MaxCollectedCentroids,
+      s"k-means fit localizes k centroids per iteration; k=$k is outside " +
+      s"(0, ${Similarity.MaxCollectedCentroids}] — a coarse quantizer is at " +
+      s"most a few thousand cells")
     val spark = corpus.sparkSession
     val w = Window.orderBy(col(idCol))
     // the k seed rows collapse to one task — k is small by definition

@@ -125,7 +125,21 @@ object Similarity {
     * on the driver with the identical sequential double fold), so cell
     * assignments are bit-for-bit unchanged. Zero-norm centroids
     * (NaN cosine) are unsupported. */
+  /** Hard cap on driver-collected centroid/"small table" rows. A coarse
+    * quantizer is ≤ a few thousand cells; 64 Ki is far above any sane C
+    * while still bounding the collect at ~tens of MB — a caller passing a
+    * corpus-sized frame gets an actionable error instead of a driver OOM. */
+  val MaxCollectedCentroids = 65536
+
   def nearestCell(df: DataFrame, centroids: DataFrame): DataFrame = {
+    // cheap upper-bound probe BEFORE the collect: limit(cap+1).count()
+    // reads at most cap+1 rows, so an over-sized frame fails fast without
+    // materializing itself on the driver
+    val probe = centroids.limit(MaxCollectedCentroids + 1).count()
+    require(probe <= MaxCollectedCentroids,
+      s"nearestCell collects centroids to the driver for the broadcast argmax; " +
+      s"got > $MaxCollectedCentroids rows — that is a corpus, not a coarse " +
+      s"quantizer. Pass a k-means/sampled centroid table (C <= a few thousand).")
     val rows = centroids.select(col("cid"), col("embedding")).orderBy(col("cid")).collect()
     require(rows.nonEmpty, "centroids must be non-empty")
     val cidType = centroids.schema("cid").dataType
@@ -163,7 +177,8 @@ object Similarity {
     * @return (qid, id, rank) — rank 1..k by cosine desc, id asc */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, probes: Int): DataFrame = {
+      k: Int, probes: Int, saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     // query side keeps the windowed top-n form: queries are small, and
     // probes > 1 needs the n best cells, not just the argmax
     def cells(df: DataFrame, idCol: String, n: Int): DataFrame = {
@@ -178,7 +193,22 @@ object Similarity {
     val corpusCells = nearestCell(corpus.select(col("id"), col("embedding")), centroids)
     val queryCells = cells(queries.select(col("qid"), col("embedding")), "qid", probes)
       .withColumnRenamed("embedding", "q_emb")
-    val scored = corpusCells.join(queryCells, Seq("cell"))
+    // The raw `cell` join key has at most C distinct values, so when the
+    // query side is too big to broadcast the corpus shuffle concentrates a
+    // hot cell onto ONE reducer. Salt it: the corpus side scatters each
+    // row into one of `saltBuckets` sub-keys (hash(id) — uniform within a
+    // cell), the query side replicates each probe row across ALL
+    // sub-keys. Every (corpus, query) cell pair still meets exactly once
+    // — corpus rows carry one salt, query rows carry all salts — so
+    // results are bit-identical; a hot cell now spreads over saltBuckets
+    // reducers. Cost: query-side rows ×saltBuckets (queries × probes is
+    // the small side by construction). When Spark broadcasts the query
+    // side anyway there is no corpus Exchange and the salt is inert.
+    val salted = corpusCells
+      .withColumn("salt", pmod(hash(col("id")), lit(saltBuckets)))
+    val qSalted = queryCells
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    val scored = salted.join(qSalted, Seq("cell", "salt"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"), cosine(col("q_emb"), col("embedding")).as("cos"))
       .distinct() // a corpus vector reached via two probed cells scores once

@@ -65,4 +65,13 @@ class KMeansSpec extends AnyFunSuite {
     assert(fitted.length == 4)
     assert(fitted.forall(_.getSeq[Float](1).length == 64))
   }
+
+  test("fit refuses a corpus-sized k instead of collecting it per iteration") {
+    import spark.implicits._
+    val e = Seq((1L, Array(1f, 0f))).toDF("id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      KMeans.fit(e, k = graft.ops.Similarity.MaxCollectedCentroids + 1, iters = 1)
+    }
+    assert(ex.getMessage.contains("quantizer"))
+  }
 }

@@ -39,6 +39,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("nearestCell refuses a corpus-sized centroid frame instead of OOMing the driver") {
+    import spark.implicits._
+    val corpus = Seq((10L, vec(1, 0))).toDF("id", "embedding")
+    val huge = spark.range(Similarity.MaxCollectedCentroids + 1L)
+      .select($"id".as("cid"), array(lit(1f), lit(0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearestCell(corpus, huge)
+    }
+    assert(e.getMessage.contains("coarse"))
+  }
+
+  test("ivfTopK salted cell join: identical results, salt in the shuffle join keys") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(salt: Int) = Similarity.ivfTopK(
+      e.filter($"vec_id" >= 10 && $"vec_id" < 20).select($"vec_id".as("qid"), $"embedding"),
+      e.select($"vec_id".as("id"), $"embedding"),
+      e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding"),
+      k = 3, probes = 2, saltBuckets = salt)
+    // bit-identical output with and without salting
+    assert(run(8).orderBy("qid", "rank").collect().toSeq ==
+           run(1).orderBy("qid", "rank").collect().toSeq)
+    // with broadcast off (the at-scale shape: query side too big to
+    // broadcast), the corpus shuffle join must key on (cell, salt) — a
+    // hot cell spreads over saltBuckets reducers instead of one
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = run(8).queryExecution.executedPlan.toString
+      val joinLine = plan.linesIterator.find(l =>
+        l.contains("Join") && l.contains("cell")).getOrElse(plan)
+      assert(joinLine.contains("salt"), s"salt missing from join keys:\n$joinLine")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("ivfTopK matches the windowed brute-force assignment on the fixture table") {
     import spark.implicits._
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

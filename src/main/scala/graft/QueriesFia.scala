@@ -109,8 +109,10 @@ object QueriesFia {
     // whole rather than its operators. Input is deterministic and
     // engine-internal, so there is no DuckDB oracle (rows-only here);
     // the value pin is PipelineScaleSpec's order-independent checksum.
-    "q_fia_pipeline" -> ((s, dir) => graft.fia.SyntheticState.pipelineBothVariants(s, dir)))
+    "q_fia_pipeline" -> ((s, dir) => graft.fia.SyntheticState.pipelineBothVariants(s, dir))
+  ) ++ QueriesFiaPipeline.queries
 
   val oracles: Map[String, String] = Map(
-    "q_nsvb_volume" -> nsvbVolumeSql)
+    "q_nsvb_volume" -> nsvbVolumeSql
+  ) ++ QueriesFiaPipeline.oracles
 }

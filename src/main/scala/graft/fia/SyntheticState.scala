@@ -143,4 +143,44 @@ object SyntheticState {
     results("midpt").withColumn("variant", lit("midpt"))
       .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
   }
+
+  /** Where [[materialize]] writes the raw tables. The DuckDB oracle for
+    * the composed pipeline reads the SAME parquet files, so both engines
+    * consume identical bytes — the path is fixed because oracle SQL is a
+    * static string. */
+  val oracleInputDir = "/tmp/graft_fia_oracle_input"
+
+  /** Write the raw synthetic tables for `sfDir`'s tier to
+    * [[oracleInputDir]] (skipped when the tier is already there — a
+    * marker file records nPlots) and return the directory. */
+  def materialize(spark: SparkSession, sfDir: String): String = {
+    val n = nPlotsFor(sfDir)
+    val dir = new java.io.File(oracleInputDir)
+    val marker = new java.io.File(dir, "NPLOTS")
+    val have =
+      if (marker.exists) {
+        val src = scala.io.Source.fromFile(marker); try src.mkString.trim finally src.close()
+      } else ""
+    if (have != n.toString) {
+      if (marker.exists) marker.delete() // stale tier: invalidate first
+      tables(spark, n).foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$oracleInputDir/$name")
+      }
+      dir.mkdirs()
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      try w.print(n) finally w.close()
+    }
+    oracleInputDir
+  }
+
+  /** [[pipelineBothVariants]], but through the parquet round-trip that
+    * the DuckDB oracle also reads. */
+  def pipelineBothVariantsFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = materialize(spark, sfDir)
+    val ts = Seq("PLOT", "PLOTGEOM", "COND", "TREE")
+      .map(n => n -> spark.read.parquet(s"$base/$n")).toMap
+    val results = Pipeline.run(spark, ts)
+    results("midpt").withColumn("variant", lit("midpt"))
+      .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
+  }
 }

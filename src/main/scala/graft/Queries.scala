@@ -47,9 +47,9 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _)
-  ) ++ QueriesAnnualize.queries ++ QueriesCore.queries ++ QueriesAgg.queries ++ QueriesText.queries ++ QueriesVector.queries ++ QueriesEvents.queries ++ QueriesFia.queries ++ QueriesBench.queries ++ QueriesCorpus.queries
+  ) ++ QueriesAnnualize.queries ++ QueriesCore.queries ++ QueriesAgg.queries ++ QueriesText.queries ++ QueriesVector.queries ++ QueriesEvents.queries ++ QueriesFia.queries ++ QueriesBench.queries ++ QueriesCorpus.queries ++ QueriesMedia.queries
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql
-  ) ++ QueriesAnnualize.oracles ++ QueriesCore.oracles ++ QueriesAgg.oracles ++ QueriesText.oracles ++ QueriesVector.oracles ++ QueriesEvents.oracles ++ QueriesFia.oracles ++ QueriesBench.oracles ++ QueriesCorpus.oracles
+  ) ++ QueriesAnnualize.oracles ++ QueriesCore.oracles ++ QueriesAgg.oracles ++ QueriesText.oracles ++ QueriesVector.oracles ++ QueriesEvents.oracles ++ QueriesFia.oracles ++ QueriesBench.oracles ++ QueriesCorpus.oracles ++ QueriesMedia.oracles
 }

@@ -216,4 +216,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(c => (c.id, c.dup_of)).toSet == Set((2L, 1L), (4L, 3L)),
       s"got ${out.toSeq}")
   }
+
+  test("event-time TTL state PLATEAUS under constant input — bounded by horizon, not history") {
+    // The 100 TB streaming concern is state, not throughput: with a
+    // constant rate of NEW buckets per batch and a TTL much shorter than
+    // the stream, stateOperators.numRowsTotal must level off (old
+    // buckets expire as the watermark advances) instead of growing with
+    // history.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Streams.nearDupCandidatesMinHashEventTime(
+        input.toDF().toDF("ts", "id", "text"), "id", "ts", "text",
+        delay = "0 seconds", ttlMs = 10 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_plateau")
+      .start()
+    val nBatches = 6
+    val docsPerBatch = 8
+    val counts = scala.collection.mutable.ArrayBuffer[Long]()
+    for (b <- 0 until nBatches) {
+      // batch-unique vocabularies -> every batch creates fresh buckets;
+      // batches land 1 h apart, far past the 10 min TTL
+      val rows = (0 until docsPerBatch).map { d =>
+        (java.sql.Timestamp.valueOf(f"2026-01-01 ${10 + b}%02d:00:00"),
+          (b * 100 + d).toLong,
+          (0 until 6).map(w => s"b${b}d${d}w$w").mkString(" "))
+      }
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      counts += q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .lastOption.map(_.numRowsTotal).getOrElse(0L)
+    }
+    q.stop()
+    val perBatchBuckets = counts.head // batch 0's fresh-bucket count
+    assert(perBatchBuckets > 0)
+    // history would be nBatches * perBatchBuckets; the horizon holds at
+    // most ~2 batches' worth (current + not-yet-GC'd previous)
+    assert(counts.last <= 2 * perBatchBuckets,
+      s"state grew with history: $counts")
+    // plateau: the tail is flat (same fresh load, same expiry), not rising
+    assert(counts.takeRight(3).distinct.size == 1,
+      s"tail not flat: $counts")
+  }
 }

@@ -413,7 +413,67 @@ object QueriesCorpus {
       |    (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0 ELSE 1.0 END), 6) AS mix_key
       |FROM r""".stripMargin
 
+  // --- token-budget chunking with overlap (chunk 8, overlap 2): the
+  //     standard context-window preprocessing step; a pure narrow scan
+  private def chunkText(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextPrep.chunkByTokens(docs(s, dir), "doc_id", "text",
+      chunkSize = 8, overlap = 2)
+
+  private val chunkTextSql =
+    """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+      |n AS (SELECT id, toks, len(toks) AS n FROM t),
+      |c AS (SELECT id, toks,
+      |        CAST(unnest(generate_series(0, greatest(0, (n - 8 + 5) // 6))) AS INT) AS chunk_idx
+      |      FROM n)
+      |SELECT id, chunk_idx,
+      |  array_to_string(list_slice(toks, chunk_idx * 6 + 1, chunk_idx * 6 + 8), ' ') AS chunk_text,
+      |  CAST(len(list_slice(toks, chunk_idx * 6 + 1, chunk_idx * 6 + 8)) AS INT) AS n_tokens
+      |FROM c""".stripMargin
+
+  // --- PII scrubbing: deterministic fake PII planted per doc_id (email
+  //     on even ids, IPv4 on multiples of 3, phone on multiples of 5),
+  //     then the shared RE2-compatible pattern chain redacts it
+  private def piiDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id".as("id"),
+      concat_ws(" ", $"text",
+        when(pmod($"doc_id", lit(2)) === 0,
+          concat(lit("u"), $"doc_id".cast("string"), lit("@mail.example.com"))),
+        when(pmod($"doc_id", lit(3)) === 0,
+          concat(lit("192.168."), pmod($"doc_id", lit(256)).cast("string"), lit(".7"))),
+        when(pmod($"doc_id", lit(5)) === 0,
+          concat(lit("555-"), lpad(pmod($"doc_id", lit(1000)).cast("string"), 3, "0"),
+            lit("-1234")))).as("text"))
+  }
+
+  private def scrubPii(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextPrep.scrubPii(piiDocs(s, dir), "text")
+      .select(col("id"), col("scrubbed"), col("redactions"))
+
+  private val scrubPiiSql = {
+    // standard-SQL single-quoted strings pass backslashes through
+    // verbatim, so the shared Java/RE2 patterns embed unchanged
+    val repl = graft.ops.TextPrep.piiPatterns.foldLeft("text2") {
+      case (c, (pat, tag)) => s"regexp_replace($c, '$pat', '$tag', 'g')"
+    }
+    val counts = graft.ops.TextPrep.piiPatterns.map { case (_, tag) =>
+      s"(length(scrubbed) - length(regexp_replace(scrubbed, '$tag', '', 'g'))) / ${tag.length}"
+    }.mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT doc_id AS id,
+       |    concat_ws(' ', text,
+       |      CASE WHEN doc_id % 2 = 0 THEN 'u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' END,
+       |      CASE WHEN doc_id % 3 = 0 THEN '192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' END,
+       |      CASE WHEN doc_id % 5 = 0 THEN '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234' END
+       |    ) AS text2
+       |  FROM documents),
+       |s AS (SELECT id, $repl AS scrubbed FROM p)
+       |SELECT id, scrubbed, CAST($counts AS INT) AS redactions FROM s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_text" -> (chunkText _),
+    "q_scrub_pii" -> (scrubPii _),
     "q_domain_mix" -> (domainMix _),
     "q_pack_sequences" -> (packSequences _),
     "q_vocab_oov" -> (vocabOov _),
@@ -432,6 +492,8 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_text" -> chunkTextSql,
+    "q_scrub_pii" -> scrubPiiSql,
     "q_domain_mix" -> domainMixSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_oov" -> vocabOovSql,

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text preparation operators for training-data pipelines: token-budget
+  * chunking and pattern-based PII scrubbing. Both are pure column
+  * expressions (whole-stage codegen, no UDFs, no shuffle) — each is a
+  * single narrow scan at any corpus size.
+  */
+object TextPrep {
+
+  /** Split `textCol` into whitespace tokens and emit overlapping chunks
+    * of `chunkSize` tokens with `overlap` tokens shared between
+    * neighbors (stride = chunkSize − overlap) — the standard
+    * context-window preprocessing for embedding / training pipelines.
+    * The last chunk may be shorter; a document never emits zero chunks.
+    *
+    * Output: (id, chunk_idx, chunk_text, n_tokens), chunk_idx 0-based
+    * in document order.
+    *
+    * Scale shape: split once per row (the token array is bound to a
+    * column BEFORE the per-chunk slicing — see the round-3 HOF-inlining
+    * lesson in docs/PLANS.md), then one `explode` with fan-out
+    * ⌈tokens/stride⌉. No Exchange anywhere: chunking 100 TB is a single
+    * embarrassingly parallel scan.
+    */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(0 <= overlap && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): got $overlap vs $chunkSize")
+    val stride = chunkSize - overlap
+    // number of stride-steps whose chunk still starts inside the doc:
+    // 1 + max(0, ceil((n - chunkSize) / stride)) without float math
+    val n = size(col("__toks"))
+    val numChunks = lit(1) + greatest(lit(0),
+      ((n - chunkSize + stride - 1) / stride).cast(IntegerType))
+    df.select(col(idCol).as("id"), col(textCol))
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), numChunks - 1)))
+      .select(
+        col("id"), col("chunk_idx"),
+        array_join(
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)),
+          " ").as("chunk_text"),
+        size(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .as("n_tokens"))
+  }
+
+  /** PII patterns shared by the scrubber and its oracle: RE2-compatible
+    * (no backrefs / lookarounds), so Java regex and DuckDB evaluate them
+    * identically. Order matters: email first so its digits are not
+    * half-eaten by the phone pattern. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** Redact email / IPv4 / phone-shaped spans from `textCol`, appending
+    * a `redactions` count (how many replacement tags the scrubbed text
+    * contains). Chained `regexp_replace` — codegen'd, no shuffle. A
+    * production pipeline extends [[piiPatterns]]; the operator shape
+    * (scan-local, order-sensitive chain) is the point. */
+  def scrubPii(df: DataFrame, textCol: String,
+      outCol: String = "scrubbed"): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    val redactions = piiPatterns.map { case (_, tag) =>
+      // occurrences of tag = (len(text) - len(remove(text, tag))) / len(tag)
+      // (tags contain no regex metacharacters, so the pattern is literal)
+      (length(col(outCol)) -
+        length(regexp_replace(col(outCol), tag, ""))) / tag.length
+    }.reduce(_ + _)
+    df.withColumn(outCol, scrubbed)
+      .withColumn("redactions", redactions.cast(IntegerType))
+  }
+}

@@ -471,9 +471,37 @@ object QueriesCorpus {
        |SELECT id, scrubbed, CAST($counts AS INT) AS redactions FROM s""".stripMargin
   }
 
+  // --- corpus-level boilerplate removal (CCNet/RefinedWeb shape):
+  //     6-token segments, drop those shared by >1 distinct docs,
+  //     reassemble survivors in document order
+  private def boilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextPrep.removeBoilerplate(docs(s, dir), "doc_id", "text",
+      segTokens = 6, maxDocFreq = 1)
+
+  private val boilerplateSql =
+    """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+      |n AS (SELECT id, toks, len(toks) AS n FROM t),
+      |c AS (SELECT id, toks,
+      |        CAST(unnest(generate_series(0, greatest(0, (n - 1) // 6))) AS INT) AS chunk_idx
+      |      FROM n),
+      |g AS (SELECT id, chunk_idx,
+      |        array_to_string(list_slice(toks, chunk_idx * 6 + 1, chunk_idx * 6 + 6), ' ') AS seg
+      |      FROM c),
+      |f AS (SELECT seg AS fseg
+      |      FROM (SELECT seg, count(DISTINCT id) AS seg_df FROM g GROUP BY 1)
+      |      WHERE seg_df > 1),
+      |m AS (SELECT g.id, g.chunk_idx, g.seg, (fseg IS NOT NULL) AS boiler
+      |      FROM g LEFT JOIN f ON g.seg = f.fseg)
+      |SELECT id,
+      |  coalesce(array_to_string(list(seg ORDER BY chunk_idx) FILTER (WHERE NOT boiler), ' '), '') AS clean_text,
+      |  count(*) FILTER (WHERE NOT boiler) AS kept_segments,
+      |  count(*) FILTER (WHERE boiler) AS removed_segments
+      |FROM m GROUP BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_text" -> (chunkText _),
     "q_scrub_pii" -> (scrubPii _),
+    "q_boilerplate" -> (boilerplate _),
     "q_domain_mix" -> (domainMix _),
     "q_pack_sequences" -> (packSequences _),
     "q_vocab_oov" -> (vocabOov _),
@@ -494,6 +522,7 @@ object QueriesCorpus {
   val oracles: Map[String, String] = Map(
     "q_chunk_text" -> chunkTextSql,
     "q_scrub_pii" -> scrubPiiSql,
+    "q_boilerplate" -> boilerplateSql,
     "q_domain_mix" -> domainMixSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_oov" -> vocabOovSql,

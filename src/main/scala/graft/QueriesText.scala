@@ -665,7 +665,37 @@ object QueriesText {
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN agg ON d.doc_id = agg.id""".stripMargin
 
+  // --- Gopher-style rule filter: failed-rule names (sorted) + pass
+  //     flag, so the gate pins both the filter decision and the
+  //     reject-reasons breakdown
+  private def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val failed = TextAnalysis.ruleFailures($"text")
+    docs(s, dir).select(
+      $"doc_id",
+      size(split($"text", " ")).as("n_tokens"),
+      failed.as("failed_rules"),
+      (size(failed) === 0).as("passes"))
+  }
+
+  private val gopherRulesSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, len(toks) AS n,
+      |        list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mwl,
+      |        len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+      |      FROM t),
+      |r AS (SELECT doc_id, CAST(n AS INT) AS n_tokens,
+      |        list_sort(list_filter([
+      |          CASE WHEN n < 25 THEN 'too_few_tokens' END,
+      |          CASE WHEN n > 90 THEN 'too_many_tokens' END,
+      |          CASE WHEN mwl > 5.0 THEN 'mean_word_len' END,
+      |          CASE WHEN NOT (list_contains(toks, 'the') OR list_contains(toks, 'a')) THEN 'no_stopword' END,
+      |          CASE WHEN ttr < 0.35 THEN 'low_ttr' END], x -> x IS NOT NULL)) AS failed_rules
+      |      FROM s)
+      |SELECT doc_id, n_tokens, failed_rules, len(failed_rules) = 0 AS passes FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_rules" -> (gopherRules _),
     "q_bigram_xent" -> (bigramXent _),
     "q_topk_tokens" -> (topkTokens _),
     "q_topk_heap" -> (topkHeap _),
@@ -691,6 +721,7 @@ object QueriesText {
     "q_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_gopher_rules" -> gopherRulesSql,
     "q_bigram_xent" -> bigramXentSql,
     "q_topk_tokens" -> topkTokensSql,
     "q_topk_heap" -> topkTokensSql,

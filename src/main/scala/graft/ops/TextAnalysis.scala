@@ -39,6 +39,34 @@ object TextAnalysis {
       "mean_tok_len" -> meanTokLen)
   }
 
+  /** Gopher-style rule-based filter: every rule is a named failure
+    * predicate over whitespace tokens; a document passes iff no rule
+    * fires. Returns the failed-rule names as a sorted array so
+    * downstream can both filter (`size(...) = 0`) and histogram WHY
+    * documents were dropped — the reject-reasons breakdown is a
+    * standard curation diagnostic. Pure column expressions; thresholds
+    * follow the published Gopher ranges scaled to this corpus. Mean
+    * word length and type-token ratio are each a single exact-integer
+    * sum followed by one double division, so the threshold comparisons
+    * are engine-exact.
+    */
+  def ruleFailures(text: Column, minTokens: Int = 25, maxTokens: Int = 90,
+      maxMeanWordLen: Double = 5.0, minTtr: Double = 0.35): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    val meanWordLen =
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) /
+        n.cast(DoubleType)
+    val ttr = size(array_distinct(toks)).cast(DoubleType) / n.cast(DoubleType)
+    array_sort(array_compact(array(
+      when(n < minTokens, lit("too_few_tokens")),
+      when(n > maxTokens, lit("too_many_tokens")),
+      when(meanWordLen > maxMeanWordLen, lit("mean_word_len")),
+      when(!(array_contains(toks, "the") || array_contains(toks, "a")),
+        lit("no_stopword")),
+      when(ttr < minTtr, lit("low_ttr")))))
+  }
+
   /** Stopword-scoring language ID over a fixed language set; ties and
     * zero evidence resolve to "und". Counts are integers, so the argmax
     * is engine-exact. */

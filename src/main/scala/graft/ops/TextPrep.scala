@@ -51,6 +51,45 @@ object TextPrep {
           .as("n_tokens"))
   }
 
+  /** CCNet/RefinedWeb-style corpus-level boilerplate removal: segment
+    * every document into fixed `segTokens`-token pieces, count each
+    * distinct segment's document frequency across the corpus, drop
+    * segments appearing in more than `maxDocFreq` distinct documents,
+    * and reassemble the survivors in document order.
+    *
+    * Output: (id, clean_text, kept_segments, removed_segments) — one
+    * row per input document (a fully-boilerplate document keeps an
+    * empty `clean_text` rather than vanishing). A segment repeated
+    * WITHIN one document is not boilerplate (document frequency 1).
+    *
+    * Scale shape: one shuffle to aggregate segment document
+    * frequencies, one equi-join back on the segment string (the
+    * over-threshold set is small by construction — boilerplate is few
+    * distinct strings repeated many times — so AQE collapses this to a
+    * broadcast join), one shuffle to reassemble per document. Every
+    * stage is linear in corpus size; there is no all-pairs stage.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int, maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: got $maxDocFreq")
+    val segs = chunkByTokens(df, idCol, textCol, segTokens, overlap = 0)
+    val frequent = segs.groupBy("chunk_text")
+      .agg(countDistinct("id").as("seg_df"))
+      .filter(col("seg_df") > maxDocFreq)
+      .select(col("chunk_text"), lit(true).as("__boiler"))
+    segs.join(frequent, Seq("chunk_text"), "left")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__boiler").isNull,
+              struct(col("chunk_idx"), col("chunk_text"))))),
+            _.getField("chunk_text")),
+          " ").as("clean_text"),
+        count(when(col("__boiler").isNull, 1)).as("kept_segments"),
+        count(col("__boiler")).as("removed_segments"))
+  }
+
   /** PII patterns shared by the scrubber and its oracle: RE2-compatible
     * (no backrefs / lookarounds), so Java regex and DuckDB evaluate them
     * identically. Order matters: email first so its digits are not

@@ -111,4 +111,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == 1L && math.abs(out(3L)._2.get - 1.098612) < 1e-6) // -ln(1/3)
     assert(out(4L) == ((0L, None))) // no bigrams -> null score
   }
+
+  test("ruleFailures: each rule fires independently; clean doc passes; names sorted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ") + " the"  // 31 distinct toks
+    val df = Seq(
+      (1L, clean),
+      (2L, "the a b"),                                         // too few
+      (3L, ((1 to 91).map(i => s"w$i").mkString(" ") + " the")), // too many
+      (4L, (1 to 30).map(_ => "the").mkString(" ")),           // low ttr (1/30)
+      (5L, (1 to 24).map(i => s"longword$i").mkString(" ") + " the")  // mwl>5, 25 toks
+    ).toDF("id", "text")
+    val out = df.select($"id",
+        TextAnalysis.ruleFailures($"text").as("f"),
+        (size(TextAnalysis.ruleFailures($"text")) === 0).as("p"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((Seq(), true)))
+    assert(out(2L) == ((Seq("too_few_tokens"), false)))
+    assert(out(3L) == ((Seq("too_many_tokens"), false)))
+    assert(out(4L) == ((Seq("low_ttr"), false)))
+    assert(out(5L)._1.contains("mean_word_len") && !out(5L)._2)
+    // multiple failures arrive sorted
+    val multi = df.sparkSession.createDataFrame(Seq(Tuple1("zz zz zz zz")))
+      .toDF("text")
+      .select(TextAnalysis.ruleFailures($"text").as("f"))
+      .collect()(0).getSeq[String](0)
+    // ttr 1/4 < 0.35, 4 toks < 25, no stopword — and the names sort
+    assert(multi == Seq("low_ttr", "no_stopword", "too_few_tokens"))
+  }
 }

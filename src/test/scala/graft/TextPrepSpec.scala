@@ -43,6 +43,30 @@ class TextPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate: cross-doc segments removed, within-doc repeats kept, order preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y x y a b"),         // "x y" repeats only WITHIN doc 1 -> kept
+      (2L, "c d e f"),             // "c d" shared by docs 2,3,4,5 -> removed
+      (3L, "c d g h"),
+      (4L, "c d"),                 // fully boilerplate -> empty clean_text
+      (5L, "c d m n c d p q")      // kept segments non-contiguous -> order check
+    ).toDF("doc_id", "text")
+    val out = TextPrep.removeBoilerplate(df, "doc_id", "text", segTokens = 2, maxDocFreq = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("x y x y a b", 3L, 0L)))
+    assert(out(2L) == (("e f", 1L, 1L)))
+    assert(out(3L) == (("g h", 1L, 1L)))
+    assert(out(4L) == (("", 0L, 1L)))   // doc survives with empty text
+    assert(out(5L) == (("m n p q", 2L, 2L)))
+    assert(out.size == 5)
+    intercept[IllegalArgumentException] {
+      TextPrep.removeBoilerplate(df, "doc_id", "text", segTokens = 2, maxDocFreq = 0)
+    }
+  }
+
   test("scrubbing: each pattern redacts, counts match, clean text untouched") {
     import spark.implicits._
     val df = Seq(

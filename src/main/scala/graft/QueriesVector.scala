@@ -268,7 +268,62 @@ object QueriesVector {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // --- PQ/ADC ANN: 8 subspaces × 8 codes seeded from the 8 lowest
+  //     vec_ids (same deterministic-seed convention as q_ivf_ann); the
+  //     corpus is scanned as codes only, queries score via exact
+  //     asymmetric squared-L2 sums
+  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val corpus = e.select($"vec_id".as("id"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    Similarity.pqTopK(
+      e.filter($"vec_id" >= 30 && $"vec_id" < 35).select($"vec_id".as("qid"), $"embedding"),
+      corpus, cb, k = 5)
+  }
+
+  private val pqAnnSql: String = {
+    // ADC distance: explicit left-assoc chain over subspaces, matching
+    // the engine's reduce(_ + _); each term replays the engine's
+    // (x·x − 2·x·c) + c·c expansion on DOUBLE[] casts
+    val terms = (0 until 8).map { mi =>
+      val qsv = s"CAST(list_slice(q_emb, ${mi * 8 + 1}, ${mi * 8 + 8}) AS DOUBLE[])"
+      val cv = s"CAST(cb3[${mi + 1}][codes[${mi + 1}] + 1] AS DOUBLE[])"
+      s"(list_dot_product($qsv, $qsv) - 2 * list_dot_product($qsv, $cv)) + list_dot_product($cv, $cv)"
+    }.mkString(" + ")
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |cb AS (
+       |  SELECT cid, m, list_slice(embedding, m*8+1, m*8+8) AS cvec
+       |  FROM (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) t),
+       |cb3t AS (
+       |  SELECT list(cvs ORDER BY m) AS cb3
+       |  FROM (SELECT m, list(cvec ORDER BY cid) AS cvs FROM cb GROUP BY m)),
+       |enc AS (
+       |  SELECT id, list(code ORDER BY m) AS codes FROM (
+       |    SELECT c.id, b.m, b.cid AS code,
+       |      row_number() OVER (PARTITION BY c.id, b.m ORDER BY
+       |        (list_dot_product(CAST(list_slice(c.embedding, b.m*8+1, b.m*8+8) AS DOUBLE[]),
+       |                          CAST(list_slice(c.embedding, b.m*8+1, b.m*8+8) AS DOUBLE[]))
+       |         - 2 * list_dot_product(CAST(list_slice(c.embedding, b.m*8+1, b.m*8+8) AS DOUBLE[]),
+       |                                CAST(b.cvec AS DOUBLE[])))
+       |         + list_dot_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])) ASC,
+       |        b.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN cb b)
+       |  WHERE rn = 1 GROUP BY id),
+       |qs AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+       |       WHERE vec_id >= 30 AND vec_id < 35),
+       |scored AS (
+       |  SELECT qs.qid, e.id, $terms AS adc
+       |  FROM enc e CROSS JOIN cb3t JOIN qs ON qs.qid != e.id)
+       |SELECT qid, id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_ann" -> (pqAnn _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_lsh_ann" -> (lshAnn _),
     "q_emb_neardup" -> (embNearDup _),
@@ -277,6 +332,7 @@ object QueriesVector {
     "q_kmeans_step" -> (kmeansStep _))
 
   val oracles: Map[String, String] = Map(
+    "q_pq_ann" -> pqAnnSql,
     "q_cosine_topk" -> cosineTopKSql,
     "q_lsh_ann" -> lshAnnSql,
     "q_emb_neardup" -> embNearDupSql,

@@ -219,6 +219,101 @@ object Similarity {
       .select(col("qid"), col("id"), col("rank"))
   }
 
+  /** Product-quantization codebook: subspace `mi`'s codes are the
+    * `mi`-th `dims/numSub`-dim slices of the `codes` lowest-`idCol`
+    * rows (a deterministic stand-in for per-subspace k-means, exactly
+    * as [[ivfTopK]]'s gate seeds its coarse quantizer; a production fit
+    * composes [[KMeans.fit]] per subspace). Returned as
+    * `cb(subspace)(code)(dim)`; code c is the rank of the seed row in
+    * `idCol` order. */
+  def pqCodebook(src: DataFrame, idCol: String, embCol: String,
+      numSub: Int, codes: Int): Array[Array[Array[Float]]] = {
+    require(codes <= MaxCollectedCentroids,
+      s"pqCodebook collects $codes rows to the driver; cap is $MaxCollectedCentroids")
+    val rows = src.orderBy(col(idCol)).limit(codes).select(col(embCol)).collect()
+    require(rows.length == codes,
+      s"pqCodebook needs $codes seed rows, got ${rows.length}")
+    val dims = rows.head.getSeq[Float](0).length
+    require(dims % numSub == 0,
+      s"dims=$dims must divide evenly into numSub=$numSub subspaces")
+    val sub = dims / numSub
+    Array.tabulate(numSub) { mi =>
+      rows.map(_.getSeq[Float](0).slice(mi * sub, (mi + 1) * sub).toArray)
+    }
+  }
+
+  /** PQ encode: adds a `codes` array<int> column — per subspace, the
+    * code of the nearest codebook entry by squared L2 (smallest code on
+    * ties). Like [[nearestCell]], the codebook folds through the scan
+    * projection as a literal array: the argmin is scan-side, no join,
+    * no shuffle, no UDF. Squared L2 is expanded to
+    * `(x·x − 2·x·c) + c·c` with the code norms precomputed on the
+    * driver by the same sequential fold as [[graft.functions.FloatVectorDot]],
+    * so an oracle replaying `list_dot_product` arithmetic reproduces
+    * the distances bit-for-bit. */
+  def pqEncode(df: DataFrame, embCol: String,
+      cb: Array[Array[Array[Float]]]): DataFrame = {
+    val numSub = cb.length
+    val sub = cb(0)(0).length
+    val codeCols = (0 until numSub).map { mi =>
+      val sv = slice(col(embCol), mi * sub + 1, sub)
+      val codesArr = array(cb(mi).zipWithIndex.map { case (cv, c) =>
+        var n2 = 0.0
+        cv.foreach(f => n2 += f.toDouble * f.toDouble) // FloatVectorDot's fold
+        struct(
+          lit(c).as("code"),
+          array(cv.map(lit(_)): _*).as("cv"),
+          lit(n2).as("n2"))
+      }: _*)
+      val best = aggregate(
+        codesArr,
+        struct(lit(-1).as("code"), lit(Double.PositiveInfinity).as("dist")),
+        (acc, cc) => {
+          val d = (dot(sv, sv) - lit(2.0) * dot(sv, cc.getField("cv"))) +
+            cc.getField("n2")
+          // strict < over code-ascending entries keeps the smallest code
+          when(d < acc.getField("dist"),
+            struct(cc.getField("code").as("code"), d.as("dist"))).otherwise(acc)
+        })
+      best.getField("code")
+    }
+    df.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** PQ ANN via asymmetric distance computation (ADC): the corpus is
+    * PQ-encoded ONCE and thereafter scanned as `numSub` small ints per
+    * vector — at 64-dim float that is a ~32× scan-bandwidth reduction,
+    * which is the entire point of PQ at 100 TB: the re-ranking scan
+    * reads codes, never raw vectors. Queries stay exact (asymmetric):
+    * each candidate's distance is the sum over subspaces of the exact
+    * squared L2 between the query's subvector and the candidate's
+    * reconstructed code vector. Queries are broadcast; the corpus never
+    * shuffles until the per-query top-k reduction. Composes with
+    * [[ivfTopK]] (IVF-PQ) by encoding each cell's members.
+    *
+    * @return (qid, id, rank) — rank 1..k by ADC distance asc, id asc */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      cb: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    val numSub = cb.length
+    val sub = cb(0)(0).length
+    val enc = pqEncode(corpus.select(col("id"), col("embedding")), "embedding", cb)
+      .select(col("id"), col("codes"))
+    val q = broadcast(queries.select(col("qid"), col("embedding").as("q_emb")))
+    val adc = (0 until numSub).map { mi =>
+      val qsv = slice(col("q_emb"), mi * sub + 1, sub)
+      val cbLit = typedLit(cb(mi).map(_.toSeq).toSeq)
+      val cv = element_at(cbLit, element_at(col("codes"), mi + 1) + 1)
+      (dot(qsv, qsv) - lit(2.0) * dot(qsv, cv)) + dot(cv, cv)
+    }.reduce(_ + _)
+    val scored = enc.join(q, col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), adc.as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"))
+  }
+
   /** Bucketed ANN: queries only probe corpus vectors in the same LSH
     * bucket. Trades recall for a ~2^numPlanes candidate reduction; the
     * exactness contract is "exact top-k within the shared bucket". */

@@ -97,4 +97,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(newCells.except(refCells).isEmpty && refCells.except(newCells).isEmpty)
     assert(got.count() > 0)
   }
+
+  test("pqEncode: seeds round-trip to their own codes; argmin ties take smallest code") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, vec(1, 0, 0, 1)),     // seed -> code 0 in both subspaces
+      (1L, vec(0, 1, 1, 0)),     // seed -> code 1 in both subspaces
+      (10L, vec(0.9, 0.1, 1, 0)), // sub0 near seed0, sub1 near seed1
+      (11L, vec(0.5, 0.5, 0.5, 0.5)) // equidistant in both -> codes (0, 0)
+    ).toDF("id", "embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 2, codes = 2)
+    assert(cb.length == 2 && cb(0).length == 2 && cb(0)(0).length == 2)
+    val enc = Similarity.pqEncode(corpus, "embedding", cb)
+      .select($"id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(0L) == Seq(0, 0))
+    assert(enc(1L) == Seq(1, 1))
+    assert(enc(10L) == Seq(0, 1))
+    assert(enc(11L) == Seq(0, 0))
+  }
+
+  test("pqTopK: exact self-match ranks first; corpus scans codes, no corpus Exchange before top-k") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, vec(1, 0, 0, 1)),
+      (1L, vec(0, 1, 1, 0)),
+      (10L, vec(0.95, 0.05, 0.05, 0.95)),
+      (11L, vec(0.05, 0.95, 0.95, 0.05))
+    ).toDF("id", "embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 2, codes = 2)
+    val queries = Seq((100L, vec(1, 0, 0, 1))).toDF("qid", "embedding")
+    val out = Similarity.pqTopK(queries, corpus, cb, k = 4)
+      .orderBy($"rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    // ADC dist to the query's own codes is 0 for ids 0 and 10 (same
+    // codes); id asc breaks the tie
+    assert(out.take(2).toSeq == Seq((0L, 1), (10L, 2)))
+    assert(out.length == 4)
+    // scale shape: the only Exchange is the per-query top-k window;
+    // encoding and ADC scoring ride the scan (broadcast NL join)
+    val plan = Similarity.pqTopK(queries, corpus, cb, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"expected at most the top-k window Exchange(s), got:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "queries should broadcast against the encoded corpus scan")
+  }
 }

@@ -322,8 +322,84 @@ object QueriesVector {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // --- IVF-PQ: coarse cells (centroids = first 8 vectors, probes = 2,
+  //     as q_ivf_ann) restrict candidates; PQ/ADC over the encoded
+  //     corpus ranks them — the production ANN composition, proved
+  //     exact through both stages
+  private def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val corpus = e.select($"vec_id".as("id"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    Similarity.ivfPqTopK(
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30).select($"vec_id".as("qid"), $"embedding"),
+      corpus,
+      e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding"),
+      cb, k = 3, probes = 2)
+  }
+
+  private val ivfPqSql: String = {
+    val terms = (0 until 8).map { mi =>
+      val qsv = s"CAST(list_slice(q_emb, ${mi * 8 + 1}, ${mi * 8 + 8}) AS DOUBLE[])"
+      val cv = s"CAST(cb3[${mi + 1}][codes[${mi + 1}] + 1] AS DOUBLE[])"
+      s"(list_dot_product($qsv, $qsv) - 2 * list_dot_product($qsv, $cv)) + list_dot_product($cv, $cv)"
+    }.mkString(" + ")
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |ct AS (SELECT vec_id AS cid, embedding AS ct_emb FROM embeddings WHERE vec_id < 8),
+       |cb AS (
+       |  SELECT cid, m, list_slice(embedding, m*8+1, m*8+8) AS cvec
+       |  FROM (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) t),
+       |cb3t AS (
+       |  SELECT list(cvs ORDER BY m) AS cb3
+       |  FROM (SELECT m, list(cvec ORDER BY cid) AS cvs FROM cb GROUP BY m)),
+       |enc AS (
+       |  SELECT id, list(code ORDER BY m) AS codes FROM (
+       |    SELECT c.id, b.m, b.cid AS code,
+       |      row_number() OVER (PARTITION BY c.id, b.m ORDER BY
+       |        (list_dot_product(CAST(list_slice(c.embedding, b.m*8+1, b.m*8+8) AS DOUBLE[]),
+       |                          CAST(list_slice(c.embedding, b.m*8+1, b.m*8+8) AS DOUBLE[]))
+       |         - 2 * list_dot_product(CAST(list_slice(c.embedding, b.m*8+1, b.m*8+8) AS DOUBLE[]),
+       |                                CAST(b.cvec AS DOUBLE[])))
+       |         + list_dot_product(CAST(b.cvec AS DOUBLE[]), CAST(b.cvec AS DOUBLE[])) ASC,
+       |        b.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN cb b)
+       |  WHERE rn = 1 GROUP BY id),
+       |corpus_cells AS (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, ct.cid AS cell,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])) /
+       |          (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+       |           sqrt(list_dot_product(CAST(ct.ct_emb AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])))) DESC,
+       |        ct.cid ASC) AS rn
+       |    FROM corpus c CROSS JOIN ct)
+       |  WHERE rn = 1),
+       |query_cells AS (
+       |  SELECT qid, q_emb, cell FROM (
+       |    SELECT q.qid, q.embedding AS q_emb, ct.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])) /
+       |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+       |           sqrt(list_dot_product(CAST(ct.ct_emb AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])))) DESC,
+       |        ct.cid ASC) AS rn
+       |    FROM (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id >= 10 AND vec_id < 30) q
+       |    CROSS JOIN ct)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT DISTINCT qid, id, $terms AS adc
+       |  FROM corpus_cells cc JOIN query_cells USING (cell)
+       |  JOIN enc USING (id) CROSS JOIN cb3t
+       |  WHERE qid != id)
+       |SELECT qid, id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_ann" -> (pqAnn _),
+    "q_ivf_pq" -> (ivfPq _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_lsh_ann" -> (lshAnn _),
     "q_emb_neardup" -> (embNearDup _),
@@ -333,6 +409,7 @@ object QueriesVector {
 
   val oracles: Map[String, String] = Map(
     "q_pq_ann" -> pqAnnSql,
+    "q_ivf_pq" -> ivfPqSql,
     "q_cosine_topk" -> cosineTopKSql,
     "q_lsh_ann" -> lshAnnSql,
     "q_emb_neardup" -> embNearDupSql,

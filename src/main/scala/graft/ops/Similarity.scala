@@ -280,6 +280,22 @@ object Similarity {
     df.withColumn("codes", array(codeCols: _*))
   }
 
+  /** Asymmetric PQ distance: sum over subspaces of the exact squared
+    * L2 between the query's subvector and the candidate's reconstructed
+    * code vector, as a left-assoc expression chain (oracle-replayable
+    * addition order). The codebook rides along as literal arrays. */
+  def adcDistance(qEmb: Column, codes: Column,
+      cb: Array[Array[Array[Float]]]): Column = {
+    val numSub = cb.length
+    val sub = cb(0)(0).length
+    (0 until numSub).map { mi =>
+      val qsv = slice(qEmb, mi * sub + 1, sub)
+      val cbLit = typedLit(cb(mi).map(_.toSeq).toSeq)
+      val cv = element_at(cbLit, element_at(codes, mi + 1) + 1)
+      (dot(qsv, qsv) - lit(2.0) * dot(qsv, cv)) + dot(cv, cv)
+    }.reduce(_ + _)
+  }
+
   /** PQ ANN via asymmetric distance computation (ADC): the corpus is
     * PQ-encoded ONCE and thereafter scanned as `numSub` small ints per
     * vector — at 64-dim float that is a ~32× scan-bandwidth reduction,
@@ -299,17 +315,53 @@ object Similarity {
     val enc = pqEncode(corpus.select(col("id"), col("embedding")), "embedding", cb)
       .select(col("id"), col("codes"))
     val q = broadcast(queries.select(col("qid"), col("embedding").as("q_emb")))
-    val adc = (0 until numSub).map { mi =>
-      val qsv = slice(col("q_emb"), mi * sub + 1, sub)
-      val cbLit = typedLit(cb(mi).map(_.toSeq).toSeq)
-      val cv = element_at(cbLit, element_at(col("codes"), mi + 1) + 1)
-      (dot(qsv, qsv) - lit(2.0) * dot(qsv, cv)) + dot(cv, cv)
-    }.reduce(_ + _)
     val scored = enc.join(q, col("qid") =!= col("id"))
-      .select(col("qid"), col("id"), adc.as("adc"))
+      .select(col("qid"), col("id"),
+        adcDistance(col("q_emb"), col("codes"), cb).as("adc"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id").asc)
     scored
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"))
+  }
+
+  /** IVF-PQ: the production ANN composition. IVF's coarse quantizer
+    * restricts candidates to each query's `probes` nearest cells (the
+    * ~p/C candidate cut of [[ivfTopK]], including its salted cell
+    * join), and within those cells candidates are ranked by PQ/ADC
+    * distance over the encoded corpus — the candidate scan reads codes,
+    * not raw vectors. Both the cell assignment and the PQ encode are
+    * scan-side folds over broadcast-sized literal arrays, so the corpus
+    * sees no Exchange until the candidate join itself.
+    *
+    * @return (qid, id, rank) — rank 1..k by ADC distance asc, id asc */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      cb: Array[Array[Array[Float]]], k: Int, probes: Int,
+      saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val enc = pqEncode(
+      nearestCell(corpus.select(col("id"), col("embedding")), centroids),
+      "embedding", cb)
+      .select(col("id"), col("cell"), col("codes"),
+        pmod(hash(col("id")), lit(saltBuckets)).as("salt"))
+    val ct = centroids.select(col("cid"), col("embedding").as("ct_emb"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(cosine(col("q_emb"), col("ct_emb")).desc, col("cid").asc)
+    val queryCells = queries.select(col("qid"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(ct))
+      .withColumn("cell_rn", row_number().over(w))
+      .filter(col("cell_rn") <= probes)
+      .select(col("qid"), col("q_emb"), col("cid").as("cell"))
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    val scored = enc.join(queryCells, Seq("cell", "salt"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        adcDistance(col("q_emb"), col("codes"), cb).as("adc"))
+      .distinct() // a corpus vector reached via two probed cells scores once
+    val wr = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("rank"))
   }

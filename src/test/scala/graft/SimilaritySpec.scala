@@ -142,4 +142,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       "queries should broadcast against the encoded corpus scan")
   }
+
+  test("ivfPqTopK equals full-PQ ranking restricted to the probed cells; salt is inert") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = e.select($"vec_id".as("id"), $"embedding")
+    val centroids = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    def run(salt: Int) =
+      Similarity.ivfPqTopK(queries, corpus, centroids, cb, k = 3, probes = 2,
+        saltBuckets = salt)
+    val got = run(8).orderBy("qid", "rank").collect().toSeq
+    assert(got == run(1).orderBy("qid", "rank").collect().toSeq)
+
+    // reference: PQ/ADC rank over only the candidates the probed cells
+    // admit, built from the independently-tested pieces
+    val cells = Similarity.nearestCell(corpus, centroids).select($"id", $"cell")
+    val enc = Similarity.pqEncode(corpus, "embedding", cb).select($"id", $"codes")
+    val ct = centroids.select($"cid", $"embedding".as("ct_emb"))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy(Similarity.cosine($"q_emb", $"ct_emb").desc, $"cid".asc)
+    val qCells = queries.withColumnRenamed("embedding", "q_emb")
+      .crossJoin(broadcast(ct))
+      .withColumn("rn", row_number().over(wq)).filter($"rn" <= 2)
+      .select($"qid", $"q_emb", $"cid".as("cell"))
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy($"adc".asc, $"id".asc)
+    val ref = qCells.join(cells, Seq("cell")).join(enc, Seq("id"))
+      .filter($"qid" =!= $"id")
+      .select($"qid", $"id",
+        Similarity.adcDistance($"q_emb", $"codes", cb).as("adc"))
+      .distinct()
+      .withColumn("rank", row_number().over(wr)).filter($"rank" <= 3)
+      .select($"qid", $"id", $"rank")
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got == ref)
+  }
 }

@@ -67,6 +67,23 @@ class TextPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate plan: two aggregate Exchanges + broadcast join-back; chunking stays scan-local") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b e f")).toDF("doc_id", "text")
+    // chunking alone adds NO Exchange — a single narrow scan
+    val chunkPlan = TextPrep.chunkByTokens(df, "doc_id", "text", 2, 0)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), s"chunking must not shuffle:\n$chunkPlan")
+    // boilerplate = segment-df aggregate + per-doc reassembly aggregate;
+    // the join back against the (small) frequent set must broadcast
+    val plan = TextPrep.removeBoilerplate(df, "doc_id", "text", 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"frequent-segment join-back should broadcast:\n$plan")
+    val shuffles = plan.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 3, s"expected the two aggregate shuffles (+AQE), got $shuffles:\n$plan")
+  }
+
   test("scrubbing: each pattern redacts, counts match, clean text untouched") {
     import spark.implicits._
     val df = Seq(

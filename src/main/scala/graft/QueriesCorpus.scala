@@ -433,18 +433,22 @@ object QueriesCorpus {
   // --- PII scrubbing: deterministic fake PII planted per doc_id (email
   //     on even ids, IPv4 on multiples of 3, phone on multiples of 5),
   //     then the shared RE2-compatible pattern chain redacts it
-  private def piiDocs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir).select($"doc_id".as("id"),
-      concat_ws(" ", $"text",
-        when(pmod($"doc_id", lit(2)) === 0,
-          concat(lit("u"), $"doc_id".cast("string"), lit("@mail.example.com"))),
-        when(pmod($"doc_id", lit(3)) === 0,
-          concat(lit("192.168."), pmod($"doc_id", lit(256)).cast("string"), lit(".7"))),
-        when(pmod($"doc_id", lit(5)) === 0,
-          concat(lit("555-"), lpad(pmod($"doc_id", lit(1000)).cast("string"), 3, "0"),
+  /** The deterministic planting transform, reusable on any
+    * (doc_id, text) subset — the composed prep pipeline plants the
+    * identical PII on its rule-gated survivors. */
+  private def plantPii(d: DataFrame): DataFrame =
+    d.select(col("doc_id").as("id"),
+      concat_ws(" ", col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("u"), col("doc_id").cast("string"), lit("@mail.example.com"))),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("192.168."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
             lit("-1234")))).as("text"))
-  }
+
+  private def piiDocs(s: SparkSession, dir: String): DataFrame =
+    plantPii(docs(s, dir))
 
   private def scrubPii(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextPrep.scrubPii(piiDocs(s, dir), "text")
@@ -498,7 +502,59 @@ object QueriesCorpus {
       |  count(*) FILTER (WHERE boiler) AS removed_segments
       |FROM m GROUP BY id""".stripMargin
 
+  // --- composed prep pipeline (rule gate -> PII scrub -> chunk): the
+  //     shard-producing tail of a training-data pipeline. Gopher-style
+  //     rule filter on the raw text, the deterministic PII planting +
+  //     scrub of q_scrub_pii on the survivors, then token-budget
+  //     chunking of the scrubbed text. Every stage is oracle-exact on
+  //     its own (q_gopher_rules, q_scrub_pii, q_chunk_text); this gate
+  //     proves they stay exact THROUGH composition — filter
+  //     cardinality, regex chain order, and chunk arithmetic included.
+  private def prepPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val passed = docs(s, dir)
+      .filter(size(graft.ops.TextAnalysis.ruleFailures($"text")) === 0)
+    val scrubbed = graft.ops.TextPrep.scrubPii(plantPii(passed), "text")
+    graft.ops.TextPrep.chunkByTokens(
+      scrubbed.select($"id", $"scrubbed"), "id", "scrubbed",
+      chunkSize = 8, overlap = 2)
+  }
+
+  private val prepPipelineSql = {
+    val repl = graft.ops.TextPrep.piiPatterns.foldLeft("text2") {
+      case (c, (pat, tag)) => s"regexp_replace($c, '$pat', '$tag', 'g')"
+    }
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, text, toks, len(toks) AS n,
+       |        list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mwl,
+       |        len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+       |      FROM t),
+       |passed AS (
+       |  SELECT doc_id, text FROM s
+       |  WHERE n >= 25 AND n <= 90 AND mwl <= 5.0
+       |    AND (list_contains(toks, 'the') OR list_contains(toks, 'a'))
+       |    AND ttr >= 0.35),
+       |p AS (
+       |  SELECT doc_id AS id,
+       |    concat_ws(' ', text,
+       |      CASE WHEN doc_id % 2 = 0 THEN 'u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' END,
+       |      CASE WHEN doc_id % 3 = 0 THEN '192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' END,
+       |      CASE WHEN doc_id % 5 = 0 THEN '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234' END
+       |    ) AS text2
+       |  FROM passed),
+       |sc AS (SELECT id, string_split($repl, ' ') AS ctoks FROM p),
+       |nn AS (SELECT id, ctoks, len(ctoks) AS n FROM sc),
+       |c AS (SELECT id, ctoks,
+       |        CAST(unnest(generate_series(0, greatest(0, (n - 8 + 5) // 6))) AS INT) AS chunk_idx
+       |      FROM nn)
+       |SELECT id, chunk_idx,
+       |  array_to_string(list_slice(ctoks, chunk_idx * 6 + 1, chunk_idx * 6 + 8), ' ') AS chunk_text,
+       |  CAST(len(list_slice(ctoks, chunk_idx * 6 + 1, chunk_idx * 6 + 8)) AS INT) AS n_tokens
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prep_pipeline" -> (prepPipeline _),
     "q_chunk_text" -> (chunkText _),
     "q_scrub_pii" -> (scrubPii _),
     "q_boilerplate" -> (boilerplate _),
@@ -520,6 +576,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "q_prep_pipeline" -> prepPipelineSql,
     "q_chunk_text" -> chunkTextSql,
     "q_scrub_pii" -> scrubPiiSql,
     "q_boilerplate" -> boilerplateSql,

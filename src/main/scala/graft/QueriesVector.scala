@@ -397,7 +397,57 @@ object QueriesVector {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // --- SemDeDup: coarse cells (centroids = the first 8 vectors, as
+  //     q_ivf_ann) restrict the cosine pair search; pairs at or above
+  //     the quantized threshold merge into duplicate components
+  //     (min-id representative). The oracle replays cell assignment,
+  //     within-cell pair scoring, and the transitive closure — so the
+  //     gate pins the dedup DECISION, not just the pair list.
+  private def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    Similarity.semanticDedup(
+      e.select($"vec_id".as("id"), $"embedding"),
+      e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding"),
+      thresholdQ = 3500L)
+  }
+
+  private val semDedupSql =
+    """WITH RECURSIVE corpus AS (SELECT vec_id AS id, embedding FROM embeddings),
+      |ct AS (SELECT vec_id AS cid, embedding AS ct_emb FROM embeddings WHERE vec_id < 8),
+      |corpus_cells AS (
+      |  SELECT id, embedding, cell FROM (
+      |    SELECT c.id, c.embedding, ct.cid AS cell,
+      |      row_number() OVER (PARTITION BY c.id ORDER BY
+      |        list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])) /
+      |          (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+      |           sqrt(list_dot_product(CAST(ct.ct_emb AS DOUBLE[]), CAST(ct.ct_emb AS DOUBLE[])))) DESC,
+      |        ct.cid ASC) AS rn
+      |    FROM corpus c CROSS JOIN ct)
+      |  WHERE rn = 1),
+      |v AS (
+      |  SELECT id, embedding, cell,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM corpus_cells),
+      |pairs AS (
+      |  SELECT l.id AS i, r.id AS j
+      |  FROM v l JOIN v r ON l.cell = r.cell AND l.id < r.id
+      |  WHERE CAST(floor(
+      |      list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) /
+      |        (l.nrm * r.nrm) * 10000.0) AS BIGINT) >= 3500),
+      |und AS (SELECT i AS a, j AS b FROM pairs
+      |        UNION SELECT j AS a, i AS b FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT a AS node, a AS lab FROM und
+      |  UNION
+      |  SELECT u.a AS node, r.lab FROM und u JOIN reach r ON u.b = r.node),
+      |labs AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node)
+      |SELECT c.id, coalesce(l.lab, c.id) AS rep,
+      |  coalesce(l.lab, c.id) = c.id AS kept
+      |FROM corpus c LEFT JOIN labs l ON c.id = l.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
     "q_ivf_pq" -> (ivfPq _),
     "q_cosine_topk" -> (cosineTopK _),
@@ -408,6 +458,7 @@ object QueriesVector {
     "q_kmeans_step" -> (kmeansStep _))
 
   val oracles: Map[String, String] = Map(
+    "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,
     "q_ivf_pq" -> ivfPqSql,
     "q_cosine_topk" -> cosineTopKSql,

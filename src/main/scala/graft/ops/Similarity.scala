@@ -366,6 +366,51 @@ object Similarity {
       .select(col("qid"), col("id"), col("rank"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with a
+    * coarse quantizer (scan-side nearest-centroid assignment, see
+    * [[nearestCell]]), score cosine similarity only WITHIN each cell,
+    * connect pairs at or above the quantized threshold into duplicate
+    * components, and elect each component's minimum id as the
+    * representative.
+    *
+    * Output: (id, rep, kept) — one row per corpus vector. `rep` is the
+    * component representative (the vector's own id when it has no
+    * above-threshold neighbor); `kept = (rep == id)` is the dedup
+    * decision a curation pipeline filters on. Cosines are quantized to
+    * `floor(cos × 1e4)` before the threshold compare, so the pair set
+    * reproduces exactly across engines.
+    *
+    * Scale shape: clustering-first is the whole point of the SemDeDup
+    * recipe — all-pairs cosine is impossible at corpus scale, so
+    * k-means the corpus into C cells and go pairwise only within a
+    * cell. In production C grows with the corpus (C ≈ n / targetCell),
+    * so the within-cell join's key cardinality far exceeds the reducer
+    * count and per-cell candidate volume stays bounded — no salting
+    * needed, unlike [[ivfTopK]]'s fixed-C probe join. Components come
+    * from [[Graph.connectedComponents]] (edge list materialized once,
+    * so the pair join does not replay per propagation round); the
+    * label attach is one join back on id. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      thresholdQ: Long): DataFrame = {
+    val cells = nearestCell(corpus.select(col("id"), col("embedding")), centroids)
+      .withColumn("nrm", norm(col("embedding")))
+    val l = cells.select(col("id").as("i"), col("embedding").as("e_i"),
+      col("nrm").as("n_i"), col("cell"))
+    val r = cells.select(col("id").as("j"), col("embedding").as("e_j"),
+      col("nrm").as("n_j"), col("cell"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("i") < col("j"))
+      .filter(floor(dot(col("e_i"), col("e_j")) / (col("n_i") * col("n_j")) * 1e4)
+        .cast(LongType) >= thresholdQ)
+      .select(col("i"), col("j"))
+    val labels = Graph.connectedComponents(pairs, "i", "j")
+    corpus.select(col("id"))
+      .join(labels, col("id") === col("node"), "left")
+      .select(col("id"),
+        coalesce(col("lab"), col("id")).as("rep"),
+        (coalesce(col("lab"), col("id")) === col("id")).as("kept"))
+  }
+
   /** Bucketed ANN: queries only probe corpus vectors in the same LSH
     * bucket. Trades recall for a ~2^numPlanes candidate reduction; the
     * exactness contract is "exact top-k within the shared bucket". */

@@ -180,4 +180,40 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("qid", "rank").collect().toSeq
     assert(got == ref)
   }
+
+  test("semanticDedup: within-cell pairs merge transitively; min id is the representative") {
+    import spark.implicits._
+    val t = 0.1
+    val corpus = Seq(
+      // cell 0: a 3-chain — 1~2 (cos .995) and 2~3 (cos .995) clear the
+      // 0.99 threshold, 1~3 (cos .980) does NOT; the component must
+      // still merge all three via transitivity
+      (1L, vec(1.0, 0.0)),
+      (2L, vec(math.cos(t), math.sin(t))),
+      (3L, vec(math.cos(2 * t), math.sin(2 * t))),
+      // cell 1: one tight pair and one loner
+      (4L, vec(0.0, 1.0)),
+      (5L, vec(0.01, 1.0)),
+      (6L, vec(0.7, 0.72))).toDF("id", "embedding")
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0))).toDF("cid", "embedding")
+    val out = Similarity.semanticDedup(corpus, cents, thresholdQ = 9900L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+  }
+
+  test("semanticDedup with no above-threshold pair keeps every vector") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, vec(1.0, 0.0)), (2L, vec(0.8, 0.6)), (3L, vec(0.0, 1.0)))
+      .toDF("id", "embedding")
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0))).toDF("cid", "embedding")
+    // max within-cell cosine is 0.8 — nothing clears 0.99
+    val out = Similarity.semanticDedup(corpus, cents, thresholdQ = 9900L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
+  }
 }

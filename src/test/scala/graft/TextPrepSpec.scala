@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.TextPrep
+import graft.ops.{TextAnalysis, TextPrep}
 
 class TextPrepSpec extends AnyFunSuite {
 
@@ -82,6 +82,19 @@ class TextPrepSpec extends AnyFunSuite {
       s"frequent-segment join-back should broadcast:\n$plan")
     val shuffles = plan.split("Exchange hashpartitioning").length - 1
     assert(shuffles <= 3, s"expected the two aggregate shuffles (+AQE), got $shuffles:\n$plan")
+  }
+
+  test("composed prep pipeline (rule gate -> scrub -> chunk) stays a single narrow stage") {
+    import spark.implicits._
+    val df = Seq((2L, ((1 to 30).map(i => s"w$i").mkString(" ")
+      + " the u2@mail.example.com"))).toDF("doc_id", "text")
+    val passed = df.filter(size(TextAnalysis.ruleFailures($"text")) === 0)
+    val scrubbed = TextPrep.scrubPii(
+      passed.select($"doc_id".as("id"), $"text"), "text")
+    val plan = TextPrep.chunkByTokens(
+        scrubbed.select($"id", $"scrubbed"), "id", "scrubbed", 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"prep pipeline must not shuffle:\n$plan")
   }
 
   test("scrubbing: each pattern redacts, counts match, clean text untouched") {

@@ -406,6 +406,71 @@ object QueriesText {
       |  FROM inter JOIN sizes s1 ON i = s1.id JOIN sizes s2 ON j = s2.id)
       |WHERE jac > 0.8""".stripMargin
 
+  // --- incremental (cross-corpus) dedup: a new batch (doc_id >= 400)
+  //     checked against the standing history (doc_id < 400) by MinHash
+  //     band collision + exact-Jaccard verify. No history×history or
+  //     batch×batch pairing is generated — the incremental-ingest shape.
+  private def incrDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    Dedup.minHashLshPairsAgainst(
+      d.filter($"doc_id" < 400), d.filter($"doc_id" >= 400),
+      "doc_id", "text", numPerms = 6, bandSize = 3, threshold = 0.8,
+      maxBucket = Some(100))
+  }
+
+  private val incrDedupSql =
+    """WITH htoks AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents WHERE doc_id < 400),
+      |btoks AS (
+      |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents WHERE doc_id >= 400),
+      |hmh AS (
+      |  SELECT id, p,
+      |    min(CAST(CAST('0x' || substr(md5(p || ':' || tok), 1, 15) AS UBIGINT) AS BIGINT)) AS mh
+      |  FROM htoks CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) perms
+      |  GROUP BY 1, 2),
+      |bmh AS (
+      |  SELECT id, p,
+      |    min(CAST(CAST('0x' || substr(md5(p || ':' || tok), 1, 15) AS UBIGINT) AS BIGINT)) AS mh
+      |  FROM btoks CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS p) perms
+      |  GROUP BY 1, 2),
+      |hb0 AS (
+      |  SELECT id, CAST(p // 3 AS INT) AS band,
+      |    concat_ws('_',
+      |      max(CASE WHEN p % 3 = 0 THEN mh END),
+      |      max(CASE WHEN p % 3 = 1 THEN mh END),
+      |      max(CASE WHEN p % 3 = 2 THEN mh END)) AS band_sig
+      |  FROM hmh GROUP BY 1, 2),
+      |bb0 AS (
+      |  SELECT id, CAST(p // 3 AS INT) AS band,
+      |    concat_ws('_',
+      |      max(CASE WHEN p % 3 = 0 THEN mh END),
+      |      max(CASE WHEN p % 3 = 1 THEN mh END),
+      |      max(CASE WHEN p % 3 = 2 THEN mh END)) AS band_sig
+      |  FROM bmh GROUP BY 1, 2),
+      |hsz AS (SELECT band, band_sig, count(*) AS bucket_n FROM hb0 GROUP BY 1, 2),
+      |bsz AS (SELECT band, band_sig, count(*) AS bucket_n FROM bb0 GROUP BY 1, 2),
+      |hb AS (SELECT hb0.* FROM hb0 JOIN hsz USING (band, band_sig) WHERE bucket_n <= 100),
+      |bb AS (SELECT bb0.* FROM bb0 JOIN bsz USING (band, band_sig) WHERE bucket_n <= 100),
+      |cand AS (
+      |  SELECT DISTINCT h.id AS hist_id, b.id AS new_id
+      |  FROM hb h JOIN bb b ON h.band = b.band AND h.band_sig = b.band_sig),
+      |sizes_h AS (SELECT id, count(*) AS sz FROM htoks GROUP BY 1),
+      |sizes_b AS (SELECT id, count(*) AS sz FROM btoks GROUP BY 1),
+      |inter AS (
+      |  SELECT c.hist_id, c.new_id, count(*) AS inter
+      |  FROM cand c
+      |  JOIN htoks a ON a.id = c.hist_id
+      |  JOIN btoks b ON b.id = c.new_id AND a.tok = b.tok
+      |  GROUP BY 1, 2)
+      |SELECT hist_id, new_id, jac FROM (
+      |  SELECT hist_id, new_id,
+      |    CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jac
+      |  FROM inter JOIN sizes_h s1 ON hist_id = s1.id JOIN sizes_b s2 ON new_id = s2.id)
+      |WHERE jac > 0.8""".stripMargin
+
   // --- count-min sketch heavy hitters (ops.Sketches.cms*): estimate the
   //     top-25 tokens' counts from a 4x256 counter matrix; the oracle
   //     rebuilds the identical sketch (same md5 row hashes, same integer
@@ -714,6 +779,7 @@ object QueriesText {
     "q_winnow_fp" -> (winnowFp _),
     "q_doc_curate" -> (docCurate _),
     "q_minhash_lsh" -> (minhashLsh _),
+    "q_incr_dedup" -> (incrDedup _),
     "q_dup_clusters" -> (dupClusters _),
     "q_dup_clusters_star" -> (dupClustersStar _),
     "q_cms_heavy" -> (cmsHeavy _),
@@ -740,6 +806,7 @@ object QueriesText {
     "q_winnow_fp" -> winnowFpSql,
     "q_doc_curate" -> docCurateSql,
     "q_minhash_lsh" -> minhashLshSql,
+    "q_incr_dedup" -> incrDedupSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dup_clusters_star" -> dupClustersSql,
     "q_cms_heavy" -> cmsHeavySql,

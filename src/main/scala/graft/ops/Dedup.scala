@@ -173,12 +173,15 @@ object Dedup {
     * consecutive perms per band), bucket-join docs sharing any band
     * signature, then verify candidates with exact token-set Jaccard.
     * Returns (i, j, jac) with i < j and jac > threshold. */
-  def minHashLshPairs(
+  /** (id, band, band_sig) rows for LSH bucketing: banding is a pure
+    * projection off the wide signature row — not another aggregation
+    * shuffle. Degenerate buckets (near-dup-dense corpora) make
+    * candidate joins quadratic AND skewed onto single keys; production
+    * LSH drops or subsamples them — a bucket larger than `maxBucket`
+    * carries almost no pair information anyway. */
+  private def bandSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      numPerms: Int, bandSize: Int, threshold: Double,
-      maxBucket: Option[Int] = None): DataFrame = {
-    // band signatures straight off the wide signature row — the banding
-    // itself is a projection, not another aggregation shuffle
+      numPerms: Int, bandSize: Int, maxBucket: Option[Int]): DataFrame = {
     val numBands = numPerms / bandSize
     val bands0 = minHashWide(df, idCol, textCol, numPerms)
       .select(col("id"), explode(array((0 until numBands).map { b =>
@@ -187,11 +190,7 @@ object Dedup {
             col(s"mh${b * bandSize + o}")): _*).as("band_sig"))
       }: _*)).as("s"))
       .select(col("id"), col("s.band").as("band"), col("s.band_sig").as("band_sig"))
-    // Degenerate buckets (near-dup-dense corpora) make the candidate
-    // self-join quadratic AND skewed onto single keys; production LSH
-    // drops or subsamples them — a bucket larger than maxBucket carries
-    // almost no pair information anyway.
-    val bands = maxBucket match {
+    maxBucket match {
       case Some(cap) =>
         val sizes = bands0.groupBy(col("band"), col("band_sig"))
           .agg(count(lit(1)).as("bucket_n"))
@@ -200,6 +199,13 @@ object Dedup {
           .drop("bucket_n")
       case None => bands0
     }
+  }
+
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, bandSize: Int, threshold: Double,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val bands = bandSignatures(df, idCol, textCol, numPerms, bandSize, maxBucket)
     val l = bands.as("l"); val r = bands.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig") &&
@@ -221,6 +227,49 @@ object Dedup {
         col("inter").cast(DoubleType) / (col("sz_i") + col("sz_j") - col("inter")).cast(DoubleType))
       .filter(col("jac") > threshold)
       .select("i", "j", "jac")
+  }
+
+  /** Cross-corpus (incremental) MinHash-LSH dedup: every `batch`
+    * document that collides with a `history` document in any LSH band,
+    * verified by exact token-set Jaccard. This is the incremental-
+    * ingest shape — a day's crawl checked against the standing index —
+    * and the batch analog of
+    * [[graft.streaming.Streams]]' near-dup-vs-history operator:
+    * within-history and within-batch pairs are NEVER generated, so the
+    * quadratic self-join term disappears and cost is driven by the
+    * (small) batch side. History band signatures are a pure function
+    * of the history corpus; in production they are computed once and
+    * stored with the index, so each ingest pays only the batch-side
+    * signature pass plus the (band, band_sig) equi-join. The
+    * degenerate-bucket cap applies to each side independently.
+    *
+    * @return (hist_id, new_id, jac) with jac > threshold */
+  def minHashLshPairsAgainst(
+      history: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, bandSize: Int, threshold: Double,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val hb = bandSignatures(history, idCol, textCol, numPerms, bandSize, maxBucket)
+    val bb = bandSignatures(batch, idCol, textCol, numPerms, bandSize, maxBucket)
+    val candidates = hb.as("l").join(bb.as("r"),
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
+      .select(col("l.id").as("hist_id"), col("r.id").as("new_id"))
+      .distinct()
+    val ht = tokens(history, idCol, textCol)
+    val bt = tokens(batch, idCol, textCol)
+    val hSizes = ht.groupBy(col("id")).agg(count(lit(1)).as("sz_h"))
+    val bSizes = bt.groupBy(col("id")).agg(count(lit(1)).as("sz_b"))
+    candidates
+      .join(ht.withColumnRenamed("id", "hist_id").withColumnRenamed("tok", "tok_c"), "hist_id")
+      .join(bt.withColumnRenamed("id", "new_id").withColumnRenamed("tok", "tok_c"), Seq("new_id", "tok_c"))
+      .groupBy(col("hist_id"), col("new_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(hSizes.withColumnRenamed("id", "hist_id"), "hist_id")
+      .join(bSizes.withColumnRenamed("id", "new_id"), "new_id")
+      .withColumn("jac",
+        col("inter").cast(DoubleType) /
+          (col("sz_h") + col("sz_b") - col("inter")).cast(DoubleType))
+      .filter(col("jac") > threshold)
+      .select(col("hist_id"), col("new_id"), col("jac"))
   }
 
   /** SimHash near-duplicate pairs, production width: ALL pairs at

@@ -114,4 +114,26 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(deg(58L) == 1 && deg(59L) == 1)
     assert((0 until 58).forall(i => deg(i.toLong) == 0))
   }
+
+  test("cross-corpus dedup reports only history×batch pairs, never within-side ones") {
+    import spark.implicits._
+    // history: two identical docs (a within-history pair that must NOT
+    // appear) + one doc duplicated into the batch
+    val history = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("id", "text")
+    // batch: a near-dup of history doc 3, an exact within-batch pair
+    // (also must NOT appear), and an unrelated doc
+    val batch = Seq(
+      (10L, "epsilon zeta eta theta"),
+      (11L, "iota kappa lambda mu"),
+      (12L, "iota kappa lambda mu"),
+      (13L, "nu xi omicron pi")).toDF("id", "text")
+    val got = Dedup.minHashLshPairsAgainst(history, batch, "id", "text",
+        numPerms = 6, bandSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((3L, 10L, 1.0)),
+      s"expected exactly the history->batch duplicate, got $got")
+  }
 }

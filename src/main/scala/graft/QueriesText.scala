@@ -736,10 +736,13 @@ object QueriesText {
   private def gopherRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val failed = TextAnalysis.ruleFailures($"text")
+    // the operator's native output is the sorted ARRAY; the gate projects
+    // it to a CSV string because the driver's pandas canonicalizer can't
+    // sort ndarray cells (round 6: "unhashable type: 'numpy.ndarray'")
     docs(s, dir).select(
       $"doc_id",
       size(split($"text", " ")).as("n_tokens"),
-      failed.as("failed_rules"),
+      array_join(failed, ",").as("failed_rules"),
       (size(failed) === 0).as("passes"))
   }
 
@@ -757,7 +760,9 @@ object QueriesText {
       |          CASE WHEN NOT (list_contains(toks, 'the') OR list_contains(toks, 'a')) THEN 'no_stopword' END,
       |          CASE WHEN ttr < 0.35 THEN 'low_ttr' END], x -> x IS NOT NULL)) AS failed_rules
       |      FROM s)
-      |SELECT doc_id, n_tokens, failed_rules, len(failed_rules) = 0 AS passes FROM r""".stripMargin
+      |SELECT doc_id, n_tokens,
+      |  coalesce(array_to_string(failed_rules, ','), '') AS failed_rules,
+      |  len(failed_rules) = 0 AS passes FROM r""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules" -> (gopherRules _),

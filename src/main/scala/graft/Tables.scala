@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * All loads are plain parquet scans — schema comes from the files, and
   * Catalyst pushes projections/filters down into the scan. `events.ts`
-  * is stored as INT64 TIMESTAMP(NANOS), which Spark surfaces as a long
-  * (see GraftSession's nanosAsLong flag); we normalize it here to a
-  * microsecond TimestampType column so downstream code sees a timestamp.
+  * has been generated in two physical encodings across testdata
+  * regenerations: INT64 TIMESTAMP(NANOS) (surfaces as a long under
+  * GraftSession's nanosAsLong flag) and TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (surfaces as TIMESTAMP_NTZ). We normalize
+  * both here to a session-TZ TimestampType column so downstream code
+  * always sees the same type regardless of the file encoding.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -21,15 +24,30 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
-  private def normalizeEvents(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    df.schema("ts").dataType match {
+  private[graft] def normalizeEvents(df: DataFrame): DataFrame =
+    normalizeTs(df, "ts")
+
+  /** Normalize a timestamp column to TimestampType across the physical
+    * encodings the testdata has shipped with. Cheap (projection-only)
+    * and idempotent; safe to apply to any of the three types.
+    */
+  private[graft] def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
       case LongType =>
         // nanos since epoch -> microsecond timestamp. Must be integral
         // `div`: `/` on longs is DOUBLE division, and epoch-nanos exceed
         // 2^53, so the quotient would round (±1us on ~half the rows).
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        // MICROS with isAdjustedToUTC=false reads as NTZ; the session TZ
+        // is pinned to UTC (GraftSession), so this cast is value-preserving
+        // and restores the type every downstream unix_micros() expects.
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.$colName has unsupported type $other; expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
 

@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        // A failed query must surface as an explicit RED row in the
+        // driver's correctness artifact, never as silence: the driver's
+        // compare iterates over output dirs PRESENT, so round 6's eight
+        // events failures simply vanished from CORRECTNESS_r06.json.
+        // Write a 1-row parquet whose schema can't match any oracle.
+        try {
+          import spark.implicits._
+          Seq(errors(name)).toDF("_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed too: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +57,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always present (usually "{}") so its absence is itself a signal;
+    // entries name every query that errored and got a marker dir above.
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
     // Fail-loud guard: an empty verify dir or an empty/missing
     // oracle_sql.json must never ship silently as a green round
@@ -72,6 +90,13 @@ object Verify {
         .filter(n => only.forall(_.contains(n)) && !written.contains(n))
       System.err.println(s"[verify] FATAL: ${expected - writtenDirs.length} " +
         s"queries failed to write: ${missing.mkString(",")}")
+      sys.exit(1)
+    }
+    // Errored queries DID write (their _error marker row keeps them
+    // visible as red in the driver's artifact) but the run still fails.
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] FATAL: ${errors.size} queries errored " +
+        s"(marker rows written): ${errors.keys.mkString(",")}")
       sys.exit(1)
     }
   }

@@ -389,16 +389,64 @@ object Similarity {
     * needed, unlike [[ivfTopK]]'s fixed-C probe join. Components come
     * from [[Graph.connectedComponents]] (edge list materialized once,
     * so the pair join does not replay per propagation round); the
-    * label attach is one join back on id. */
-  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
-      thresholdQ: Long): DataFrame = {
+    * label attach is one join back on id.
+    *
+    * Hot-cell bound: a near-duplicate-heavy corpus (the EXPECTED input
+    * to a dedup pass) can concentrate one embedding neighborhood into a
+    * single cell and make its pair join quadratic. A cheap per-cell
+    * count (C rows, one aggregate) probes for this; if every cell is
+    * ≤ `maxCell` the exact path runs with an unchanged plan. Oversize
+    * cells are RE-SPLIT into `ceil(n/maxCell)` subcells keyed by a hash
+    * of the coarsely-quantized embedding (`round(x, 1)` per component),
+    * so near-identical vectors — the pairs dedup exists to find — land
+    * in the same subcell by construction and only borderline cross-
+    * quantum pairs are forfeited (documented approximation, split cells
+    * only). A flood of quantization-identical vectors cannot be split
+    * by ANY content hash; past `4 × maxCell` in one subcell the
+    * operator throws with remediation options rather than run a
+    * quadratic join that would never finish at scale. */
+  /** The pair-search grouping for [[semanticDedup]]: (id, embedding,
+    * nrm, grp) where `grp` is the cell — or, for cells past `maxCell`,
+    * a hash-split subcell. Package-visible so the hot-cell bound is
+    * directly testable. */
+  private[graft] def semanticGroups(
+      corpus: DataFrame, centroids: DataFrame, maxCell: Int): DataFrame = {
+    require(maxCell > 0, "maxCell must be positive")
     val cells = nearestCell(corpus.select(col("id"), col("embedding")), centroids)
       .withColumn("nrm", norm(col("embedding")))
-    val l = cells.select(col("id").as("i"), col("embedding").as("e_i"),
-      col("nrm").as("n_i"), col("cell"))
-    val r = cells.select(col("id").as("j"), col("embedding").as("e_j"),
-      col("nrm").as("n_j"), col("cell"))
-    val pairs = l.join(r, Seq("cell"))
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val hottest = Option(counts.agg(max(col("cell_n"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (hottest <= maxCell) cells.withColumn("grp", col("cell"))
+    else {
+      val split = cells.join(broadcast(counts), Seq("cell"))
+        .withColumn("splits",
+          ceil(col("cell_n").cast(DoubleType) / maxCell).cast(LongType))
+        .withColumn("sub", when(col("splits") <= 1L, lit(0L))
+          .otherwise(pmod(
+            xxhash64(transform(col("embedding"), x => round(x.cast(DoubleType), 1))),
+            col("splits"))))
+        .withColumn("grp", concat_ws("#", col("cell"), col("sub")))
+        .drop("cell_n", "splits", "sub")
+      val worst = Option(split.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      require(worst <= 4L * maxCell,
+        s"semanticDedup: a re-split cell still holds $worst vectors " +
+        s"(> 4×maxCell=${maxCell}) — the cell is a flood of quantization-" +
+        "identical embeddings no content hash can separate. Raise maxCell, " +
+        "fit more centroids, or exact-dedup identical embeddings upstream.")
+      split
+    }
+  }
+
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      thresholdQ: Long, maxCell: Int = 1 << 14): DataFrame = {
+    val keyed = semanticGroups(corpus, centroids, maxCell)
+    val l = keyed.select(col("id").as("i"), col("embedding").as("e_i"),
+      col("nrm").as("n_i"), col("grp"))
+    val r = keyed.select(col("id").as("j"), col("embedding").as("e_j"),
+      col("nrm").as("n_j"), col("grp"))
+    val pairs = l.join(r, Seq("grp"))
       .filter(col("i") < col("j"))
       .filter(floor(dot(col("e_i"), col("e_j")) / (col("n_i") * col("n_j")) * 1e4)
         .cast(LongType) >= thresholdQ)

@@ -17,21 +17,24 @@ import graft.fia.Interp
   */
 object Streams {
 
-  /** Event schema as stored (ns timestamps surface as LongType under
-    * nanosAsLong; converted to a real timestamp here). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Watermarked tumbling-window counts per event type. */
+  /** Watermarked tumbling-window counts per event type.
+    *
+    * `readStream` needs an explicit schema, but hardcoding the physical
+    * `ts` encoding broke when the testdata switched INT64-nanos →
+    * TIMESTAMP_NTZ(micros): nanos read under a micros schema are off by
+    * 1000×. Instead, take the schema from the files themselves (one
+    * cheap footer read, no data scan) and normalize `ts` with the same
+    * type-dispatch the batch path uses ([[graft.Tables.normalizeTs]]),
+    * so both encodings — and plain TIMESTAMP — stream correctly.
+    */
   def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      // integral div, not `/`: long `/` is double division and epoch-nanos
-      // exceed 2^53 (same hazard fixed in graft.Tables.normalizeEvents)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // `[e]vents.parquet` is a glob matching exactly events.parquet: the sf
+    // dirs hold single-FILE tables, and FileStreamSource rejects a literal
+    // file path ("basePath must be a directory") but accepts a glob, whose
+    // base resolves to the parent dir. Works for directory tables too.
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(fileSchema).parquet(s"$dir/[e]vents.parquet"), "ts")
     stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))

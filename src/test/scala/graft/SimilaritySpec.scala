@@ -216,4 +216,64 @@ class SimilaritySpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(out.toSeq == Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
   }
+
+  // one spread-out vector per index; components avoid the .x5 rounding
+  // boundary so a 1e-4 perturbation never changes round(x, 1)
+  private def spreadVec(i: Int): Array[Float] =
+    vec(0.1 * (i % 7) + 0.03, 0.1 * (i % 11) + 0.03, 0.1 * (i % 13) + 0.03, 1.0)
+
+  test("semanticGroups re-splits a hot cell: candidate volume bounded, not quadratic") {
+    import spark.implicits._
+    val n = 240; val maxCell = 40
+    val corpus = (0 until n).map(i => (i.toLong, spreadVec(i))).toDF("id", "embedding")
+    val cents = Seq((0L, vec(0, 0, 0, 1))).toDF("cid", "embedding") // ONE cell: all 240 land in it
+    val sizes = Similarity.semanticGroups(corpus, cents, maxCell)
+      .groupBy("grp").count().collect().map(_.getLong(1))
+    assert(sizes.sum == n)
+    assert(sizes.length >= 2, "hot cell was not split")
+    assert(sizes.max <= 4L * maxCell, s"subcell of ${sizes.max} exceeds the bound")
+    val candidates = sizes.map(s => s * (s - 1) / 2).sum
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(candidates < allPairs / 2,
+      s"split saved too little: $candidates of $allPairs pairs")
+  }
+
+  test("semanticDedup under re-split still collapses quantization-local near-dup pairs") {
+    import spark.implicits._
+    // 120 near-dup PAIRS (2i, 2i+1): the 1e-4 perturbation keeps the
+    // quantized embedding identical, so re-splitting must co-locate them
+    val n = 120
+    val corpus = (0 until n).flatMap { i =>
+      val b = spreadVec(i)
+      Seq((2L * i, b), (2L * i + 1, b.map(x => (x + 1e-4).toFloat)))
+    }.toDF("id", "embedding")
+    val cents = Seq((0L, vec(0, 0, 0, 1))).toDF("cid", "embedding")
+    val out = Similarity.semanticDedup(corpus, cents, thresholdQ = 9990L, maxCell = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until n).foreach { i =>
+      assert(out(2L * i) == out(2L * i + 1),
+        s"near-dup pair ($i) was severed by the re-split")
+    }
+  }
+
+  test("semanticDedup throws on a flood of quantization-identical vectors") {
+    import spark.implicits._
+    val corpus = (0 until 500).map(i => (i.toLong, vec(0.5, 0.5, 0.5, 1.0)))
+      .toDF("id", "embedding")
+    val cents = Seq((0L, vec(0, 0, 0, 1))).toDF("cid", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(corpus, cents, thresholdQ = 9990L, maxCell = 100)
+    }
+    assert(e.getMessage.contains("quantization-identical"))
+  }
+
+  test("semanticDedup cap leaves the gate-scale result untouched (no oversize cell)") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.select($"vec_id".as("id"), $"embedding")
+    val cents = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    def run(cap: Int) = Similarity.semanticDedup(corpus, cents, 3500L, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(run(1 << 14) == run(Int.MaxValue))
+  }
 }

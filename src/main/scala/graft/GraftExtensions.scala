@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, RegExpReplace, Size, StringSplit, Substring}
+import org.apache.spark.sql.types.{BinaryType, LongType}
 import graft.functions.{FloatVectorDot, NormalizeAscii}
 
 /** The engine's `SparkSessionExtensions` entry point (SURVEY §7.3 tier
@@ -34,5 +35,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "norm_text takes exactly 1 argument")
         NormalizeAscii(children.head)
       }))
+    // The composite functions below build catalyst expression trees
+    // directly (a registry builder must return resolvable nodes — a
+    // Column round-trip leaves UnresolvedFunction inside an opaque
+    // ColumnNodeExpression the analyzer won't descend into). Each tree
+    // mirrors its graft.ops Column operator node-for-node, and the
+    // q_sql_functions gate pins SQL-path results against the DuckDB
+    // oracle so the two surfaces cannot drift silently. All are
+    // built-in-composed projections: codegen'd, shuffle-free.
+    def unary(name: String, doc: String)(build: Expression => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, doc, ""),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes exactly 1 argument")
+          build(children.head)
+        }))
+    unary("scrub_pii",
+      "scrub_pii(s) - redact email/IPv4/phone spans to <EMAIL>/<IP>/<PHONE> " +
+        "tags (ordered regexp_replace chain; same patterns as ops.TextPrep)") { e =>
+      // same fold order as ops.TextPrep.scrubPii (email first)
+      graft.ops.TextPrep.piiPatterns.foldLeft(e) {
+        case (acc, (pat, tag)) => RegExpReplace(acc, Literal(pat), Literal(tag))
+      }
+    }
+    unary("token_count",
+      "token_count(s) - whitespace token count (size(split(s, ' ')))") { e =>
+      Size(new StringSplit(e, Literal(" ")))
+    }
+    unary("hash60",
+      "hash60(s) - 60-bit stable content hash (first 15 hex chars of md5 " +
+        "as a long); the dedup/minhash hash of ops.Dedup") { e =>
+      // conv(substring(md5(s), 1, 15), 16, 10) cast long — ops.Dedup.hash60
+      Cast(
+        Conv(
+          Substring(Md5(Cast(e, BinaryType)), Literal(1), Literal(15)),
+          Literal(16), Literal(10)),
+        LongType)
+    }
   }
 }

@@ -129,8 +129,22 @@ object Bench {
     // parsed:null). The file is the durable record; a copy is committed
     // as docs/BENCH_SELF_r{N}.json each round.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Provenance: timestamp + the commit the run measured, so a committed
+    // artifact is self-evidencing (a stale copy can't pass as a re-run).
+    val generatedAt = java.time.Instant.now().toString
+    def gitOut(args: String*): Option[String] = try {
+      val p = new ProcessBuilder(("git" +: args): _*).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Throwable => None }
+    val commit = gitOut("rev-parse", "--short", "HEAD").filter(_.nonEmpty)
+      .map { h =>
+        // "-dirty" = measured with uncommitted changes; the field means
+        // "HEAD when measured", not "the commit containing this file"
+        if (gitOut("status", "--porcelain").exists(_.nonEmpty)) s"$h-dirty" else h
+      }.getOrElse("unknown")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"failed":$nFail,"sf":"$sfDir","generated_at":"$generatedAt","commit":"$commit"}"""
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()

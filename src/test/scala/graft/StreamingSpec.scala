@@ -23,6 +23,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0, "expected closed windows in the memory sink")
   }
 
+  test("windowed counts: streaming complete-mode output EQUALS the batch aggregation") {
+    // The strongest property a streaming op can have: same input, same
+    // answer as batch. Complete mode emits every window, so the memory
+    // sink must match groupBy(window) over the same parquet exactly.
+    val dir = "/root/testdata/sf0.001"
+    val q = Streams.windowedEventCounts(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wincounts_all")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT window.start, event_type, n, max_v FROM wincounts_all")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = Tables.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "6 hours"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(col("value")).as("max_v"))
+      .select(col("window.start"), col("event_type"), col("n"), col("max_v"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch,
+      s"stream/batch diverged: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("incremental annualization recomputes a tree's series on arrival") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -446,7 +446,40 @@ object QueriesVector {
       |  coalesce(l.lab, c.id) = c.id AS kept
       |FROM corpus c LEFT JOIN labs l ON c.id = l.node""".stripMargin
 
+  // --- Johnson-Lindenstrauss random projection (64 -> 16 dims,
+  //     Rademacher ±1 matrix from a fixed seed). The gate milli-
+  //     quantizes the embedding FIRST: sums of integer-valued doubles
+  //     are exact and order-independent, so the projection is
+  //     bit-reproducible in both engines with no rounding tolerance.
+  //     (Production projects the raw floats; rank preservation is the
+  //     JL guarantee either way.)
+  private val rpOut = 16; private val rpIn = 64; private val rpSeed = 42L
+  private def randProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = emb(s, dir).select($"vec_id",
+      transform($"embedding", x => floor(x.cast("double") * 1000)).as("qemb"))
+    Similarity.randomProject(q, "qemb", rpOut, rpIn, rpSeed)
+      .select($"vec_id", posexplode($"proj"))
+      .select($"vec_id", $"pos".cast("int").as("dim"), $"col".cast("long").as("v"))
+  }
+
+  private val randProjectSql = {
+    val flat = Similarity.rademacherMatrix(rpOut, rpIn, rpSeed)
+      .flatten.map(_.toInt).mkString("[", ",", "]")
+    s"""WITH m AS (SELECT $flat AS f),
+       |e AS (SELECT vec_id,
+       |        list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000)) AS q
+       |      FROM embeddings),
+       |d AS (SELECT unnest(range(0, $rpOut)) AS dim),
+       |p AS (SELECT vec_id, dim,
+       |        list_sum(list_transform(range(1, ${rpIn + 1}),
+       |          j -> q[j] * f[dim * $rpIn + j])) AS v
+       |      FROM e CROSS JOIN d CROSS JOIN m)
+       |SELECT vec_id, CAST(dim AS INT) AS dim, CAST(v AS BIGINT) AS v FROM p""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rand_project" -> (randProject _),
     "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
     "q_ivf_pq" -> (ivfPq _),
@@ -458,6 +491,7 @@ object QueriesVector {
     "q_kmeans_step" -> (kmeansStep _))
 
   val oracles: Map[String, String] = Map(
+    "q_rand_project" -> randProjectSql,
     "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,
     "q_ivf_pq" -> ivfPqSql,

@@ -459,6 +459,44 @@ object Similarity {
         (coalesce(col("lab"), col("id")) === col("id")).as("kept"))
   }
 
+  /** Deterministic Rademacher (±1) projection matrix via splitmix64 —
+    * the Johnson-Lindenstrauss guarantee holds for ±1 entries (Achlioptas
+    * 2003), and integer entries make the projection reproducible across
+    * engines bit-for-bit when the input components are integer-valued. */
+  def rademacherMatrix(outDims: Int, inDims: Int, seed: Long): Array[Array[Double]] = {
+    def splitmix64(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(outDims, inDims) { (i, j) =>
+      if ((java.lang.Long.bitCount(splitmix64(seed + i.toLong * inDims + j)) & 1) == 0)
+        1.0 else -1.0
+    }
+  }
+
+  /** Johnson-Lindenstrauss random projection: reduce `embCol`
+    * (array<numeric>, `inDims` components) to `outDims` dimensions with
+    * a seeded Rademacher matrix — the standard pre-ANN step at corpus
+    * scale (project 768-dim embeddings to 64 before IVF/PQ and the
+    * distance ranking survives within (1±ε)).
+    *
+    * Plan shape: the matrix rows are literal arrays folded into the
+    * scan projection ([[dotHof]] per output dim) — a pure narrow
+    * projection, zero Exchange, scan-speed at 100 TB; same shape as
+    * [[nearestCell]]'s scan-side argmax. The conventional 1/sqrt(k)
+    * scale factor is omitted (it is rank-irrelevant downstream and
+    * keeping integer-valued inputs integer-valued keeps sums exact). */
+  def randomProject(df: DataFrame, embCol: String,
+      outDims: Int, inDims: Int, seed: Long): DataFrame = {
+    val mat = rademacherMatrix(outDims, inDims, seed)
+    val proj = array((0 until outDims).map { i =>
+      dotHof(col(embCol), array(mat(i).map(lit(_)): _*))
+    }: _*)
+    df.withColumn("proj", proj)
+  }
+
   /** Bucketed ANN: queries only probe corpus vectors in the same LSH
     * bucket. Trades recall for a ~2^numPlanes candidate reduction; the
     * exactness contract is "exact top-k within the shared bucket". */

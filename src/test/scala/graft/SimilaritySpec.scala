@@ -267,6 +267,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("quantization-identical"))
   }
 
+  test("randomProject: pure scan projection, deterministic, distance-preserving") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 200; val inDims = 64; val outDims = 16
+    val data = (0 until n).map(i =>
+      (i.toLong, Array.fill(inDims)(rnd.nextGaussian().toFloat)))
+    val df = data.toDF("id", "embedding")
+    val out = Similarity.randomProject(df, "embedding", outDims, inDims, seed = 42L)
+    // plan: matrix folds into the scan projection — no Exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    // deterministic: same seed twice -> identical projections
+    val p1 = out.select("id", "proj").collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p2 = Similarity.randomProject(df, "embedding", outDims, inDims, seed = 42L)
+      .select("id", "proj").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p2)
+    assert(p1.values.forall(_.length == outDims))
+    // JL property (Achlioptas 2003): E[||Rx||^2] = k * ||x||^2 for ±1
+    // entries. Check the distance ratio distribution over sample pairs:
+    // median within a loose (1 ± 0.5) band after the 1/k normalization.
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = data.map { case (id, e) => id -> e.map(_.toDouble).toSeq }.toMap
+    val ratios = (0 until 100).map { i =>
+      val (a, b) = (i.toLong, (i + 100).toLong)
+      d2(p1(a), p1(b)) / outDims / d2(orig(a), orig(b))
+    }.sorted
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.5 && median < 1.5,
+      s"JL median distance ratio $median outside (0.5, 1.5)")
+  }
+
   test("semanticDedup cap leaves the gate-scale result untouched (no oversize cell)") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

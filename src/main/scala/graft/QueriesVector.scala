@@ -478,7 +478,54 @@ object QueriesVector {
        |SELECT vec_id, CAST(dim AS INT) AS dim, CAST(v AS BIGINT) AS v FROM p""".stripMargin
   }
 
+  // --- composed: JL projection -> max-inner-product top-5 in the
+  //     REDUCED space (the actual production shape: search runs on
+  //     projected vectors). Same integer-quantization trick, so
+  //     projections AND inner products are integer-exact — the gate
+  //     pins ranks and scores with zero tolerance through the whole
+  //     project->search pipeline.
+  private def projectTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = emb(s, dir).select($"vec_id",
+      transform($"embedding", x => floor(x.cast("double") * 1000)).as("qemb"))
+    val proj = Similarity.randomProject(q, "qemb", rpOut, rpIn, rpSeed)
+      .select($"vec_id", $"proj")
+    val queries = proj.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"proj".as("qp"))
+    val corpus = proj.select($"vec_id".as("id"), $"proj".as("cp"))
+    val scored = corpus.join(broadcast(queries)).filter($"qid" =!= $"id")
+      .withColumn("ip", Similarity.dotHof($"qp", $"cp").cast("long"))
+    val w = Window.partitionBy($"qid").orderBy($"ip".desc, $"id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"qid", $"id", $"rank".cast("int").as("rank"), $"ip")
+  }
+
+  private val projectTopKSql = {
+    val flat = Similarity.rademacherMatrix(rpOut, rpIn, rpSeed)
+      .flatten.map(_.toInt).mkString("[", ",", "]")
+    s"""WITH m AS (SELECT $flat AS f),
+       |e AS (SELECT vec_id,
+       |        list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000)) AS q
+       |      FROM embeddings),
+       |p AS (SELECT vec_id,
+       |        list_transform(range(0, $rpOut), dim ->
+       |          list_sum(list_transform(range(1, ${rpIn + 1}),
+       |            j -> q[j] * f[dim * $rpIn + j]))) AS proj
+       |      FROM e CROSS JOIN m),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS id,
+       |    CAST(list_dot_product(a.proj, b.proj) AS BIGINT) AS ip
+       |  FROM p a JOIN p b ON a.vec_id != b.vec_id
+       |  WHERE a.vec_id < 5)
+       |SELECT qid, id, CAST(rank AS INT) AS rank, ip FROM (
+       |  SELECT qid, id, ip,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ip DESC, id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_project_topk" -> (projectTopK _),
     "q_rand_project" -> (randProject _),
     "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
@@ -491,6 +538,7 @@ object QueriesVector {
     "q_kmeans_step" -> (kmeansStep _))
 
   val oracles: Map[String, String] = Map(
+    "q_project_topk" -> projectTopKSql,
     "q_rand_project" -> randProjectSql,
     "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,

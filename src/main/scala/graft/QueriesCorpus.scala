@@ -582,7 +582,39 @@ object QueriesCorpus {
        |FROM documents""".stripMargin
   }
 
+  // --- parquet footer-stats manifest (ops.Layout.parquetFileStats):
+  //     the data-skipping primitive — per-row-group min/max/null counts
+  //     read from footers only, no data scan. The gate copies the
+  //     orders table to a fixed path (oracle SQL is static text, so
+  //     DuckDB's parquet_metadata() needs a stable location) and pins
+  //     the int64 columns' stats exactly against DuckDB's reading of
+  //     the same footer bytes.
+  private def fileStats(s: SparkSession, dir: String): DataFrame = {
+    val dst = java.nio.file.Paths.get("/tmp/graft_stats_input")
+    java.nio.file.Files.createDirectories(dst)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/orders.parquet"),
+      dst.resolve("orders.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.ops.Layout.parquetFileStats(s, dst.resolve("orders.parquet").toString)
+      .filter(col("column").isin("o_orderkey", "o_custkey"))
+      .select(col("column"), col("row_group").cast("int").as("row_group"),
+        col("min_value").cast("long").as("min_v"),
+        col("max_value").cast("long").as("max_v"),
+        col("num_values"), col("null_count"))
+  }
+
+  private val fileStatsSql =
+    """SELECT path_in_schema AS column, CAST(row_group_id AS INT) AS row_group,
+      |  CAST(stats_min_value AS BIGINT) AS min_v,
+      |  CAST(stats_max_value AS BIGINT) AS max_v,
+      |  CAST(num_values AS BIGINT) AS num_values,
+      |  CAST(stats_null_count AS BIGINT) AS null_count
+      |FROM parquet_metadata('/tmp/graft_stats_input/orders.parquet')
+      |WHERE path_in_schema IN ('o_orderkey', 'o_custkey')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_file_stats" -> (fileStats _),
     "q_sql_functions" -> (sqlFunctions _),
     "q_prep_pipeline" -> (prepPipeline _),
     "q_chunk_text" -> (chunkText _),
@@ -606,6 +638,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,
     "q_prep_pipeline" -> prepPipelineSql,
     "q_chunk_text" -> chunkTextSql,

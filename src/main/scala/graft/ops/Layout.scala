@@ -74,4 +74,52 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite")
       .parquet(path)
+
+  /** Per-row-group, per-column footer statistics as a DataFrame — the
+    * data-skipping MANIFEST for a parquet table: (file, row_group,
+    * column, min_value, max_value, num_values, null_count). This is the
+    * primitive behind lakehouse pruning — a planner (or an ad-hoc
+    * `WHERE`) consults the manifest to decide which row groups a
+    * predicate can skip, the explicit form of what
+    * [[writeRangeLayout]]/[[writeZOrderLayout]] arrange for the engine
+    * to do implicitly. min/max surface as Statistics#minAsString /
+    * maxAsString (type-faithful text; cast numerics back as needed).
+    *
+    * Scale shape: only FOOTERS are read — a few KB per file regardless
+    * of data size — and files are processed in parallel via
+    * mapPartitions over the path list (a 100 TB table's manifest is a
+    * footer read per file, not a data scan). The path LIST (not the
+    * data) is collected driver-side: one string per file, the same
+    * order of driver memory any planner's file index already holds. */
+  def parquetFileStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isFile) Seq(p.toString)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
+    val par = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(par).mapPartitions { paths =>
+      import scala.jdk.CollectionConverters._
+      val conf = new org.apache.hadoop.conf.Configuration()
+      paths.flatMap { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(f), conf))
+        try {
+          reader.getFooter.getBlocks.asScala.zipWithIndex.flatMap { case (bg, gi) =>
+            bg.getColumns.asScala.map { cc =>
+              val st = Option(cc.getStatistics)
+              (f, gi, cc.getPath.toDotString,
+                st.map(_.minAsString).orNull, st.map(_.maxAsString).orNull,
+                cc.getValueCount, st.map(_.getNumNulls).getOrElse(-1L))
+            }
+          }.toList
+        } finally reader.close()
+      }
+    }.toDF("file", "row_group", "column",
+      "min_value", "max_value", "num_values", "null_count")
+  }
 }

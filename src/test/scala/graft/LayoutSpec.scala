@@ -75,4 +75,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(ax < 150 && ay < 150,
       s"z-clustering should bound both dims' per-file ranges (<150 of 199): x=$ax y=$ay")
   }
+
+  test("parquetFileStats manifest matches the data and proves range-layout skipping") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val df = spark.range(20000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    df.repartitionByRange(8, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val manifest = Layout.parquetFileStats(spark, dir)
+      .filter($"column" === "k")
+      .select($"file", $"min_value".cast("long"), $"max_value".cast("long"),
+        $"num_values", $"null_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // footer stats must agree with an actual scan, file by file
+    val actual = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"k").as("mn"), max($"k").as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(manifest.nonEmpty && manifest.length >= 8)
+    manifest.foreach { case (f, mn, mx, n, nulls) =>
+      val key = actual.keys.find(_.endsWith(f.split('/').last)).get
+      assert((mn, mx, n) == actual(key), s"footer stats diverge from data for $f")
+      assert(nulls == 0)
+    }
+    // the manifest PROVES skipping: for a point predicate, the row
+    // groups whose [min,max] exclude it cover nearly all of the table
+    val hit = manifest.count { case (_, mn, mx, _, _) => mn <= 9999 && 9999 <= mx }
+    assert(hit < manifest.length / 2,
+      s"range layout should let a point predicate skip most row groups ($hit of ${manifest.length} hit)")
+  }
 }

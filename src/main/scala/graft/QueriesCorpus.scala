@@ -172,6 +172,54 @@ object QueriesCorpus {
       |    ON ac.u = ab.u AND ac.v = bc.v)
       |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin
 
+  // --- quantized PageRank (ops.Graph.pageRankQuantized) over the same
+  //     symmetrized parts-co-occurrence graph as q_triangles: damping
+  //     0.85, 10 iterations, all arithmetic in integer 1e-9 units with
+  //     integral division — long sums are order-independent, so unlike
+  //     double PageRank the ranks carry a ZERO-tolerance oracle. The
+  //     DuckDB side replays the iterations as 10 generated chained CTEs
+  //     (no recursion needed for a fixed count).
+  private def pageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter(pmod($"l_orderkey", lit(50)) === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p"))
+      .distinct()
+    val half = li.as("a").join(li.as("b"), "ok")
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+    val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+    graft.ops.Graph.pageRankQuantized(edges, "u", "v", iters = 10)
+  }
+
+  private val pageRankSql = {
+    val iterCtes = (1 to 10).map { k =>
+      s"""it$k AS (
+         |  SELECT nd.node, bb.base + (coalesce(s.s, 0) * 85) // 100 AS pr
+         |  FROM nodes nd CROSS JOIN bb
+         |  LEFT JOIN (
+         |    SELECT e.v AS node, sum(p.pr // d.deg) AS s
+         |    FROM e JOIN it${k - 1} p ON e.u = p.node
+         |    JOIN outdeg d ON e.u = d.u
+         |    GROUP BY 1) s ON nd.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |  WHERE l_orderkey % 50 = 0),
+       |half AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+       |e AS (SELECT u, v FROM half UNION SELECT v AS u, u AS v FROM half),
+       |nodes AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+       |nn AS (SELECT count(*) AS n FROM (SELECT DISTINCT node FROM nodes)),
+       |bb AS (SELECT CAST(15000000000 // (100 * n) AS BIGINT) AS base,
+       |              CAST(1000000000 // n AS BIGINT) AS pr0 FROM nn),
+       |outdeg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+       |it0 AS (SELECT node, pr0 AS pr FROM (SELECT DISTINCT node FROM nodes) CROSS JOIN bb),
+       |$iterCtes
+       |SELECT node, CAST(pr AS BIGINT) AS pr FROM it10""".stripMargin
+  }
+
   // --- integer-exact z-score outliers: value has <= 2 decimals, so
   //     v100 = round(value*100) is exact; |x - mean| > 2*stddev_pop
   //     rewrites to (n*x - s)^2 > 4*(n*s2 - s^2) — all integer (decimal
@@ -614,6 +662,7 @@ object QueriesCorpus {
       |WHERE path_in_schema IN ('o_orderkey', 'o_custkey')""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
     "q_sql_functions" -> (sqlFunctions _),
     "q_prep_pipeline" -> (prepPipeline _),
@@ -638,6 +687,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,
     "q_prep_pipeline" -> prepPipelineSql,

@@ -198,4 +198,59 @@ object Graph {
     import spark.implicits._
     Seq((nNodes, nEdges, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
+
+  /** Integer scale for [[pageRankQuantized]]: ranks are micro-units of
+    * 1e-9 (a node's true rank ≈ pr / 1e9). */
+  val PageRankScale: Long = 1000000000L
+
+  /** PageRank with damping 0.85 over a fixed number of iterations, ALL
+    * arithmetic in integer units of 1/[[PageRankScale]] with integral
+    * division — so every iteration is exactly reproducible across
+    * engines and partitionings (long sums are order-independent; the
+    * usual double-valued PageRank is not, which is why it can't carry a
+    * zero-tolerance oracle). Quantization truncates ≤1 unit (1e-9) per
+    * division — far below any ranking-relevant gap after the standard
+    * 10 iterations.
+    *
+    * Per iteration: contributions = one equi-join of edges against the
+    * previous ranks (both sides hash on `src`) + a groupBy(dst) with
+    * map-side partial sums — the textbook scale shape. Dangling-node
+    * mass is dropped, not redistributed (documented choice; the oracle
+    * replays it). `localCheckpoint` per round truncates lineage exactly
+    * as [[connectedComponents]] does.
+    *
+    * @param edges directed (src -> dst); symmetrize first for an
+    *              undirected graph
+    * @return (node, pr) for every node appearing in `edges` */
+  def pageRankQuantized(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (PageRankScale * 15L) / (100L * n)
+    var pr = nodes.withColumn("pr", lit(PageRankScale / n))
+    for (_ <- 1 to iters) {
+      val sums = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(coalesce(s, cast(0 as bigint)) * 85) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
 }

@@ -89,4 +89,26 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().head
     assert(got == ((11L, 12L, 3L))) // 11 nodes, 12 distinct edges, 3 triangles
   }
+
+  test("quantized PageRank: hub dominates a star, mass bounded, deterministic") {
+    import spark.implicits._
+    // undirected star: hub 0 <-> leaves 1..8, plus an isolated-ish pair 100<->101
+    val half = (1L to 8L).map(i => (0L, i)) :+ (100L, 101L)
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val pr = Graph.pageRankQuantized(edges, "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size == 11) // hub + 8 leaves + the detached pair
+    // hub collects all leaf mass: strictly above every leaf and the pair
+    assert((1L to 8L).forall(i => pr(0L) > pr(i)), s"hub not dominant: $pr")
+    assert(pr(0L) > pr(100L))
+    // leaves are symmetric -> identical ranks; so is the detached pair
+    assert((1L to 8L).map(pr).toSet.size == 1)
+    assert(pr(100L) == pr(101L))
+    // integral truncation only loses mass: total <= SCALE
+    assert(pr.values.sum <= Graph.PageRankScale)
+    // exactly reproducible run-to-run (the oracle-exactness property)
+    val pr2 = Graph.pageRankQuantized(edges, "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == pr2)
+  }
 }

@@ -297,7 +297,41 @@ object QueriesEvents {
       |  count(t_purchase) AS n_purchase_after
       |FROM s3""".stripMargin
 
+  // --- bucketed interval join (ops.IntervalJoin): high-value (>=300) trigger
+  //     events open a 2-hour window per event_type; every same-type
+  //     event inside a window joins to it. event_type has ~5 distinct
+  //     values, so a plain equi-join on the key is quasi-cross — the
+  //     time-bucket equi-key is what bounds candidates. The oracle
+  //     replays it as a BETWEEN join; counts/max are exact.
+  private def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select(
+      $"event_id", $"event_type", unix_micros($"ts").as("us"), $"value")
+    val windows = e.filter($"value" >= 300.0)
+      .select($"event_id".as("window_id"), $"event_type",
+        $"us".as("w_start"), ($"us" + 7200000000L).as("w_end"))
+    graft.ops.IntervalJoin.bucketedIntervalJoin(
+        windows, e, Seq("event_type"), "w_start", "w_end", "us",
+        bucketUs = 3600000000L)
+      .groupBy($"window_id", $"event_type")
+      .agg(count(lit(1)).as("n_in_window"), max($"value").as("max_value"))
+  }
+
+  private val intervalJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS us, value FROM events),
+      |w AS (
+      |  SELECT event_id AS window_id, event_type,
+      |    us AS w_start, us + 7200000000 AS w_end
+      |  FROM e WHERE value >= 300.0)
+      |SELECT w.window_id, w.event_type,
+      |  count(*) AS n_in_window, max(e.value) AS max_value
+      |FROM w JOIN e ON e.event_type = w.event_type
+      |  AND e.us >= w.w_start AND e.us < w.w_end
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (intervalJoin _),
     "q_window_fill" -> (windowFill _),
     "q_asof_signup" -> (asOfSignup _),
     "q_asof_next" -> (asOfNext _),
@@ -311,6 +345,7 @@ object QueriesEvents {
     "q_value_deciles" -> (valueDeciles _))
 
   val oracles: Map[String, String] = Map(
+    "q_interval_join" -> intervalJoinSql,
     "q_window_fill" -> windowFillSql,
     "q_asof_signup" -> asOfSignupSql,
     "q_asof_next" -> asOfNextSql,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.IntervalJoin
+
+class IntervalJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  test("bucketed interval join equals the naive range join, no duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // intervals of varied length (some spanning many buckets), 3 keys
+    val intervals = (0 until 60).map { i =>
+      val start = rnd.nextInt(100000).toLong
+      (i.toLong, s"k${i % 3}", start, start + 1 + rnd.nextInt(30000).toLong)
+    }.toDF("iid", "key", "s", "e")
+    val points = (0 until 2000).map { j =>
+      (j.toLong, s"k${j % 3}", rnd.nextInt(130000).toLong)
+    }.toDF("pid", "key", "ts")
+
+    val got = IntervalJoin.bucketedIntervalJoin(
+        intervals, points, Seq("key"), "s", "e", "ts", bucketUs = 5000L)
+      .select($"iid", $"pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val want = intervals.join(points, Seq("key"))
+      .filter($"ts" >= $"s" && $"ts" < $"e")
+      .select($"iid", $"pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    assert(got.length == got.distinct.length, "bucketing produced duplicate pairs")
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+  }
+
+  test("plan is an equi-join on (key, bucket), not a nested loop") {
+    import spark.implicits._
+    val intervals = (0 until 100).map(i => (i.toLong, "k", i * 100L, i * 100L + 500L))
+      .toDF("iid", "key", "s", "e")
+    val points = (0 until 100).map(j => (j.toLong, "k", j * 77L)).toDF("pid", "key", "ts")
+    val plan = IntervalJoin.bucketedIntervalJoin(
+        intervals, points, Seq("key"), "s", "e", "ts", bucketUs = 250L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"interval join fell back to a nested loop:\n$plan")
+    assert(plan.contains("__bucket"),
+      s"expected the bucket column in the join keys:\n$plan")
+  }
+
+  test("empty and degenerate intervals are dropped, boundary semantics [start, end)") {
+    import spark.implicits._
+    val intervals = Seq(
+      (1L, "k", 100L, 200L),  // normal
+      (2L, "k", 300L, 300L),  // empty -> dropped
+      (3L, "k", 400L, 300L)   // reversed -> dropped
+    ).toDF("iid", "key", "s", "e")
+    val points = Seq(
+      (10L, "k", 100L),  // == start: IN
+      (11L, "k", 199L),  // in
+      (12L, "k", 200L),  // == end: OUT
+      (13L, "k", 300L)
+    ).toDF("pid", "key", "ts")
+    val got = IntervalJoin.bucketedIntervalJoin(
+        intervals, points, Seq("key"), "s", "e", "ts", bucketUs = 50L)
+      .select($"iid", $"pid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((1L, 10L), (1L, 11L)))
+  }
+}

@@ -330,7 +330,57 @@ object QueriesEvents {
       |  AND e.us >= w.w_start AND e.us < w.w_end
       |GROUP BY 1, 2""".stripMargin
 
+  // --- keyless interval OVERLAP join (ops.IntervalJoin
+  //     .bucketedOverlapJoin): which user sessions overlap each trigger
+  //     window. There is NO shared equi-key — exactly the case where
+  //     Spark's native plan is a nested loop — so time-bucket
+  //     co-residency is the only candidate cutter; the first-common-
+  //     bucket condition dedups without a distinct pass.
+  private def overlapJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select(
+      $"event_id", $"user_id", unix_micros($"ts").as("us"), $"value")
+    val windows = e.filter($"value" >= 300.0)
+      .select($"event_id".as("window_id"),
+        $"us".as("w_start"), ($"us" + 7200000000L).as("w_end"))
+    val sessions = graft.ops.Sessionize
+      .sessionize(e.select($"event_id", $"user_id", $"us"),
+        Seq("user_id"), $"us", $"event_id", gap = 1800000000L)
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"us").as("s_start"), (max($"us") + 1L).as("s_end"))
+    graft.ops.IntervalJoin.bucketedOverlapJoin(
+        windows, sessions, Seq.empty,
+        "w_start", "w_end", "s_start", "s_end", bucketUs = 3600000000L)
+      .groupBy($"window_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  private val overlapJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events),
+      |w AS (
+      |  SELECT event_id AS window_id, us AS w_start, us + 7200000000 AS w_end
+      |  FROM e WHERE value >= 300.0),
+      |lagged AS (
+      |  SELECT user_id, event_id, us,
+      |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_seq
+      |  FROM lagged),
+      |si AS (
+      |  SELECT user_id, session_seq, min(us) AS s_start, max(us) + 1 AS s_end
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT w.window_id, count(*) AS n_sessions,
+      |  count(DISTINCT s.user_id) AS n_users
+      |FROM w JOIN si s ON w.w_start < s.s_end AND s.s_start < w.w_end
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_overlap_join" -> (overlapJoin _),
     "q_interval_join" -> (intervalJoin _),
     "q_window_fill" -> (windowFill _),
     "q_asof_signup" -> (asOfSignup _),
@@ -345,6 +395,7 @@ object QueriesEvents {
     "q_value_deciles" -> (valueDeciles _))
 
   val oracles: Map[String, String] = Map(
+    "q_overlap_join" -> overlapJoinSql,
     "q_interval_join" -> intervalJoinSql,
     "q_window_fill" -> windowFillSql,
     "q_asof_signup" -> asOfSignupSql,

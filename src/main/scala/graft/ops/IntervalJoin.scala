@@ -47,4 +47,39 @@ object IntervalJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-interval OVERLAP join under the same bucketing scheme.
+    * Both sides explode to their covered buckets; a candidate pair
+    * shares every bucket its overlap spans, so a naive bucket join
+    * emits duplicates. The standard dedup-free trick: keep a pair only
+    * in the FIRST bucket both sides inhabit —
+    * `bucket == max(floor(lStart/b), floor(rStart/b))` — which every
+    * overlapping pair satisfies exactly once, so no distinct pass (and
+    * its extra shuffle) is needed. Overlap is half-open:
+    * `lStart < rEnd && rStart < lEnd`.
+    *
+    * `keys` may be empty — then time co-residency alone bounds
+    * candidates, which is precisely the case (no shared equi-key) that
+    * sends Spark's native plan to a nested loop. */
+  def bucketedOverlapJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val l = left
+      .filter(col(lEnd) > col(lStart))
+      .withColumn("__bucket",
+        explode(sequence(
+          expr(s"$lStart div $bucketUs"), expr(s"($lEnd - 1) div $bucketUs"))))
+    val r = right
+      .filter(col(rEnd) > col(rStart))
+      .withColumn("__bucket",
+        explode(sequence(
+          expr(s"$rStart div $bucketUs"), expr(s"($rEnd - 1) div $bucketUs"))))
+    l.join(r, keys :+ "__bucket")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bucket") ===
+        greatest(expr(s"$lStart div $bucketUs"), expr(s"$rStart div $bucketUs")))
+      .drop("__bucket")
+  }
 }

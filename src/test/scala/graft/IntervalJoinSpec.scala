@@ -46,6 +46,28 @@ class IntervalJoinSpec extends AnyFunSuite {
       s"expected the bucket column in the join keys:\n$plan")
   }
 
+  test("overlap join equals the naive overlap join, keyless, no duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = (0 until 50).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(40000).toLong)
+    }.toDF("lid", "ls", "le")
+    val right = (0 until 80).map { j =>
+      val s = rnd.nextInt(120000).toLong
+      (j.toLong, s, s + 1 + rnd.nextInt(25000).toLong)
+    }.toDF("rid", "rs", "re")
+    val got = IntervalJoin.bucketedOverlapJoin(
+        left, right, Seq.empty, "ls", "le", "rs", "re", bucketUs = 7000L)
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = left.crossJoin(right)
+      .filter($"ls" < $"re" && $"rs" < $"le")
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length,
+      "first-common-bucket dedup failed: duplicate pairs")
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+  }
+
   test("empty and degenerate intervals are dropped, boundary semantics [start, end)") {
     import spark.implicits._
     val intervals = Seq(

@@ -379,7 +379,35 @@ object QueriesEvents {
       |FROM w JOIN si s ON w.w_start < s.s_end AND s.s_start < w.w_end
       |GROUP BY 1""".stripMargin
 
+  // --- TWO-TABLE as-of join (ops.AsOf.joinAsOf, the trades×quotes
+  //     API): non-signup events pick up the user's most recent signup
+  //     value at or before them from a SEPARATE deduped signup table.
+  //     The oracle is DuckDB's native ASOF LEFT JOIN — the union-trick
+  //     window implementation must match the real as-of engine exactly.
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select(
+      $"event_id", $"user_id", $"event_type", $"value", unix_micros($"ts").as("us"))
+    val leftT = e.filter($"event_type" =!= "signup")
+      .select($"event_id", $"user_id", $"us")
+    val rightT = e.filter($"event_type" === "signup")
+      .groupBy($"user_id", $"us").agg(min($"value").as("signup_value"))
+    graft.ops.AsOf.joinAsOf(
+        leftT, rightT, Seq("user_id"), "us", "us", Seq("signup_value"))
+      .select($"event_id", $"user_id", $"signup_value_asof")
+  }
+
+  private val asofJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT event_id, user_id, us FROM e WHERE event_type != 'signup'),
+      |r AS (SELECT user_id, us, min(value) AS signup_value
+      |      FROM e WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id, r.signup_value AS signup_value_asof
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (asofJoin _),
     "q_overlap_join" -> (overlapJoin _),
     "q_interval_join" -> (intervalJoin _),
     "q_window_fill" -> (windowFill _),
@@ -395,6 +423,7 @@ object QueriesEvents {
     "q_value_deciles" -> (valueDeciles _))
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" -> asofJoinSql,
     "q_overlap_join" -> overlapJoinSql,
     "q_interval_join" -> intervalJoinSql,
     "q_window_fill" -> windowFillSql,

@@ -35,6 +35,55 @@ object AsOf {
     df.withColumn(as, last(when(markerCond, value), ignoreNulls = true).over(w))
   }
 
+  /** TWO-TABLE backward as-of join (the trades×quotes shape): each left
+    * row picks up the right row with the greatest `rTimeCol` at or
+    * before its `lTimeCol` within the same keys — DuckDB's
+    * `ASOF LEFT JOIN`, Pandas' `merge_asof`.
+    *
+    * Implemented with the UNION trick, not a range join: tag right
+    * rows source=0 and left rows source=1, union, and run ONE
+    * last-non-null window ordered by (time, source) — right rows sort
+    * before left rows at equal time, so "at or before" is inclusive.
+    * Plan: one hash shuffle on the keys + one sort, regardless of how
+    * many right rows precede each left row. A range join would probe
+    * O(left × right-per-key); this is O((left + right) log) and AQE-
+    * skew-splittable.
+    *
+    * Right rows should be unique per (keys, rTimeCol) — pre-aggregate
+    * duplicates — otherwise which same-timestamp row wins is
+    * order-undefined (true of every as-of engine, incl. DuckDB's).
+    *
+    * @param valueCols right columns to attach; they appear on the
+    *                  output suffixed `_asof`
+    * @return every left row (all its columns), plus the attached
+    *         `<value>_asof` columns (null when no right row precedes) */
+  def joinAsOf(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      lTimeCol: String, rTimeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
+    val lSide = left.select(
+      keyCols.map(col) ++
+        Seq(col(lTimeCol).as("__t"), lit(1).as("__src")) ++
+        leftPayload.map(col) ++
+        valueCols.map(c => lit(null).as(s"__v_$c")): _*)
+    val rSide = right.select(
+      keyCols.map(col) ++
+        Seq(col(rTimeCol).as("__t"), lit(0).as("__src")) ++
+        leftPayload.map(c => lit(null).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = valueCols.foldLeft(lSide.unionByName(rSide)) { (d, c) =>
+      d.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__src") === 1)
+      .select(keyCols.map(col) ++ leftPayload.map(col) ++
+        valueCols.map(c => col(s"__v_$c").as(s"${c}_asof")): _*)
+  }
+
   /** Forward as-of: attach `first value where markerCond` at or AFTER
     * each row as `as`; rows after the last marker get null. Same single
     * shuffle + sort — the frame direction flips, not the plan shape. */

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: empirical time-vs-scale curves for the heaviest
+  * operators (round-7 verdict #2 — "every 100×-scale claim rests on
+  * plan audits; run a 10× probe").
+  *
+  * Builds scaled tiers from sf0.1 by unioning k STRUCTURE-PRESERVING
+  * copies, so the per-copy workload is identical and the ground-truth
+  * scaling law is linear:
+  *   - documents: copy c prefixes every token with `c<c>_` (a bijection
+  *     on the token alphabet — within-copy Jaccard/shingle structure is
+  *     EXACTLY the original's, while cross-copy token sets are disjoint,
+  *     so no spurious cross-copy near-dups inflate the pair count);
+  *   - embeddings: copy c rotates the coordinate axes by c positions —
+  *     an orthogonal transform, so every within-copy cosine/distance is
+  *     bit-comparable to the original's and cross-copy similarity is
+  *     incidental;
+  *   - lineitem (PageRank edges): order/part keys offset per copy →
+  *     k disjoint isomorphic graphs.
+  * Copy 0 is the unmodified original in all three.
+  *
+  * Centroid counts for the cell-partitioned ANN/dedup ops scale with
+  * the tier (the production rule: cells ∝ corpus keeps E[cell] flat;
+  * a FIXED centroid set at growing n is the known O(n²/k) trap).
+  *
+  * Usage: runMain graft.DevScaleProbe [k1 k2 ...]   (default: 1 10)
+  * Output: one JSON line per (op, tier) appended to stdout and
+  * docs/BENCH_SCALE_r08.json.
+  */
+object DevScaleProbe {
+
+  private val srcDir = "/root/testdata/sf0.1"
+
+  private def tierDir(k: Int) = s"/tmp/graft_scale_${k}x"
+
+  /** Union k structure-preserving copies of the three probe tables. */
+  def buildTier(spark: SparkSession, k: Int): String = {
+    val dir = tierDir(k)
+    val marker = new java.io.File(dir, "TIER_OK")
+    if (marker.exists) return dir
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val nDoc = 5000L; val nVec = 2000L
+    val maxOk = 6000000L; val maxPk = 200000L // > sf0.1 maxima
+    val dim = 64
+
+    def docCopy(c: Int): DataFrame = {
+      val t = if (c == 0) col("text")
+      else array_join(transform(split(col("text"), " "),
+        tok => concat(lit(s"c${c}_"), tok)), " ")
+      docs.select((col("doc_id") + lit(c * nDoc)).as("doc_id"), t.as("text"))
+    }
+    def embCopy(c: Int): DataFrame = {
+      val rot = c % dim
+      val e = if (rot == 0) col("embedding")
+      else concat(slice(col("embedding"), rot + 1, dim - rot),
+        slice(col("embedding"), 1, rot))
+      embs.select((col("vec_id") + lit(c * nVec)).as("vec_id"), e.as("embedding"))
+    }
+    def liCopy(c: Int): DataFrame =
+      li.select((col("l_orderkey") + lit(c * maxOk)).as("l_orderkey"),
+        (col("l_partkey") + lit(c * maxPk)).as("l_partkey"))
+
+    (0 until k).map(docCopy).reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (0 until k).map(embCopy).reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (0 until k).map(liCopy).reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val w = new java.io.PrintWriter(marker, "UTF-8"); try w.print(k) finally w.close()
+    dir
+  }
+
+  // ---- the probed workloads (uncapped operator invocations) ----------
+
+  private def minhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minHashLshPairs(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      numPerms = 6, bandSize = 3, threshold = 0.8, maxBucket = Some(100))
+
+  private def incr(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val cut = 1000L * k // 20% history, 80% batch at every tier
+    graft.ops.Dedup.minHashLshPairsAgainst(
+      d.filter(col("doc_id") < cut), d.filter(col("doc_id") >= cut),
+      "doc_id", "text", numPerms = 6, bandSize = 3, threshold = 0.8,
+      maxBucket = Some(100))
+  }
+
+  private def semdedup(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val nCent = 32L * k // cells ∝ corpus: E[cell size] stays flat
+    val stride = 2000L * k / nCent
+    val cents = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    graft.ops.Similarity.semanticDedup(
+      e.select(col("vec_id").as("id"), col("embedding")), cents,
+      thresholdQ = 3500L)
+  }
+
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .filter(pmod(col("l_orderkey"), lit(50)) === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val half = li.as("a").join(li.as("b"), "ok")
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+    val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+    graft.ops.Graph.pageRankQuantized(edges, "u", "v", iters = 10)
+  }
+
+  private def fiaPipeline(s: SparkSession, k: Int): DataFrame = {
+    val results = graft.fia.Pipeline.run(s,
+      graft.fia.SyntheticState.tables(s, 6000 * k))
+    results("midpt").withColumn("variant", lit("midpt"))
+      .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val tiers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = GraftSession.builder(cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // session warmup
+
+    def clearState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    val out = new StringBuilder
+    def probe(op: String, tier: Int, fn: () => DataFrame): Unit = {
+      var best = Double.MaxValue; var rows = 0L
+      for (_ <- 1 to 2) { // min of 2: sheds first-run codegen + one contention burst
+        clearState()
+        val t0 = System.nanoTime()
+        rows = fn().count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      val line = s"""{"op":"$op","tier":"${tier}x","rows_out":$rows,"sec":${math.round(best * 1000) / 1000.0}}"""
+      println(s"[scale] $line")
+      out.append(line).append('\n')
+    }
+
+    for (k <- tiers) {
+      val dir = buildTier(spark, k)
+      probe("minhash_lsh", k, () => minhash(spark, dir))
+      probe("incr_dedup", k, () => incr(spark, dir, k))
+      probe("semantic_dedup", k, () => semdedup(spark, dir, k))
+      probe("pagerank", k, () => pagerank(spark, dir))
+      probe("fia_pipeline", k, () => fiaPipeline(spark, k))
+    }
+    val w = new java.io.PrintWriter("docs/BENCH_SCALE_r08.json", "UTF-8")
+    try w.print(out.toString) finally w.close()
+    spark.stop()
+  }
+}

@@ -49,7 +49,10 @@ object Queries {
     "q1_agg" -> (q1Agg _)
   ) ++ QueriesAnnualize.queries ++ QueriesCore.queries ++ QueriesAgg.queries ++ QueriesText.queries ++ QueriesVector.queries ++ QueriesEvents.queries ++ QueriesFia.queries ++ QueriesBench.queries ++ QueriesCorpus.queries ++ QueriesMedia.queries
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: QueriesCorpus.oracles embeds the q_file_stats staging
+  // path recorded at query run time — dump-time evaluation keeps it in
+  // sync (Verify writes oracle_sql.json after the queries run).
+  def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql
   ) ++ QueriesAnnualize.oracles ++ QueriesCore.oracles ++ QueriesAgg.oracles ++ QueriesText.oracles ++ QueriesVector.oracles ++ QueriesEvents.oracles ++ QueriesFia.oracles ++ QueriesBench.oracles ++ QueriesCorpus.oracles ++ QueriesMedia.oracles
 }

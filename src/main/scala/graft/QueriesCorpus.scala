@@ -633,18 +633,35 @@ object QueriesCorpus {
   // --- parquet footer-stats manifest (ops.Layout.parquetFileStats):
   //     the data-skipping primitive — per-row-group min/max/null counts
   //     read from footers only, no data scan. The gate copies the
-  //     orders table to a fixed path (oracle SQL is static text, so
-  //     DuckDB's parquet_metadata() needs a stable location) and pins
-  //     the int64 columns' stats exactly against DuckDB's reading of
-  //     the same footer bytes.
+  //     orders table to a staging path DERIVED FROM THE SF DIR (so
+  //     concurrent verify/bench runs at different scale factors never
+  //     clobber each other's bytes mid-query) and pins the int64
+  //     columns' stats exactly against DuckDB's parquet_metadata() on
+  //     the same footer. The oracle SQL needs the literal path; Verify
+  //     dumps oracleSql AFTER the queries run, so the gate records the
+  //     path it actually staged and the (def) SQL embeds it at dump
+  //     time — always in sync, no fixed shared location.
+  private def stagingPath(dir: String): java.nio.file.Path = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(
+      s"/tmp/graft_stats_${System.getProperty("user.name", "u")}_$h")
+  }
+  @volatile private var stagedFile: String = _
+
   private def fileStats(s: SparkSession, dir: String): DataFrame = {
-    val dst = java.nio.file.Paths.get("/tmp/graft_stats_input")
+    val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
+    val dst = stagingPath(dir)
     java.nio.file.Files.createDirectories(dst)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/orders.parquet"),
-      dst.resolve("orders.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    graft.ops.Layout.parquetFileStats(s, dst.resolve("orders.parquet").toString)
+    val out = dst.resolve("orders.parquet")
+    // skip-if-present (size match): identical-bytes re-stage is a no-op,
+    // so a second run over the same sf dir cannot truncate mid-read
+    if (!java.nio.file.Files.exists(out) ||
+        java.nio.file.Files.size(out) != java.nio.file.Files.size(src))
+      java.nio.file.Files.copy(src, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stagedFile = out.toString
+    graft.ops.Layout.parquetFileStats(s, out.toString)
       .filter(col("column").isin("o_orderkey", "o_custkey"))
       .select(col("column"), col("row_group").cast("int").as("row_group"),
         col("min_value").cast("long").as("min_v"),
@@ -652,14 +669,17 @@ object QueriesCorpus {
         col("num_values"), col("null_count"))
   }
 
-  private val fileStatsSql =
-    """SELECT path_in_schema AS column, CAST(row_group_id AS INT) AS row_group,
-      |  CAST(stats_min_value AS BIGINT) AS min_v,
-      |  CAST(stats_max_value AS BIGINT) AS max_v,
-      |  CAST(num_values AS BIGINT) AS num_values,
-      |  CAST(stats_null_count AS BIGINT) AS null_count
-      |FROM parquet_metadata('/tmp/graft_stats_input/orders.parquet')
-      |WHERE path_in_schema IN ('o_orderkey', 'o_custkey')""".stripMargin
+  private def fileStatsSql = {
+    val p = Option(stagedFile).getOrElse(
+      stagingPath("unstaged").resolve("orders.parquet").toString)
+    s"""SELECT path_in_schema AS column, CAST(row_group_id AS INT) AS row_group,
+       |  CAST(stats_min_value AS BIGINT) AS min_v,
+       |  CAST(stats_max_value AS BIGINT) AS max_v,
+       |  CAST(num_values AS BIGINT) AS num_values,
+       |  CAST(stats_null_count AS BIGINT) AS null_count
+       |FROM parquet_metadata('$p')
+       |WHERE path_in_schema IN ('o_orderkey', 'o_custkey')""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pageRank _),
@@ -686,7 +706,7 @@ object QueriesCorpus {
     "q_outliers" -> (outliers _),
     "q_sql_surface" -> (sqlSurface _))
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,

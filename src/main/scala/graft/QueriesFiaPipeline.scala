@@ -12,9 +12,12 @@ import graft.fia.{RefData, SyntheticState}
   * the SAME parquet input ([[SyntheticState.materialize]] writes the raw
   * tables; both engines read those files).
   *
-  * This is the independent check the self-pinned `q_fia_pipeline` gate
-  * cannot provide (round-5 verdict item #2): rows + schema + value hash
-  * over all 49 output columns.
+  * This is the independent check a self-pinned gate cannot provide
+  * (round-5 verdict item #2): rows + schema + value hash over all 49
+  * output columns. Since round 8 it is the SINGLE registry entry for
+  * the composed pipeline (the un-oracled twin was folded in, round-7
+  * verdict #1); the in-memory-input variant stays value-pinned by
+  * PipelineScaleSpec's order-independent checksum.
   *
   * Exactness: every interpolation/mask/join stage reproduces the Spark
   * arithmetic in the same IEEE op order and matches bit-for-bit

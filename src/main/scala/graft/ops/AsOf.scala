@@ -61,27 +61,34 @@ object AsOf {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       lTimeCol: String, rTimeCol: String,
       valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
+    // ONE struct per right row (never null for a right row, even when
+    // every value field is SQL NULL) so (a) a matched row's NULL values
+    // stay NULL instead of leaking the previous non-null value forward,
+    // and (b) all attached columns come from the SAME right row — the
+    // semantics DuckDB ASOF JOIN / merge_asof guarantee.
+    val vType = StructType(valueCols.map(c =>
+      right.schema(right.schema.fieldIndex(c))))
     val lSide = left.select(
       keyCols.map(col) ++
         Seq(col(lTimeCol).as("__t"), lit(1).as("__src")) ++
-        leftPayload.map(col) ++
-        valueCols.map(c => lit(null).as(s"__v_$c")): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(vType).as("__vs"): _*)
     val rSide = right.select(
       keyCols.map(col) ++
         Seq(col(rTimeCol).as("__t"), lit(0).as("__src")) ++
-        leftPayload.map(c => lit(null).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        leftPayload.map(c => lit(null).as(c)) :+
+        struct(valueCols.map(col): _*).as("__vs"): _*)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = valueCols.foldLeft(lSide.unionByName(rSide)) { (d, c) =>
-      d.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    attached.filter(col("__src") === 1)
+    lSide.unionByName(rSide)
+      .withColumn("__vs", last(col("__vs"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
       .select(keyCols.map(col) ++ leftPayload.map(col) ++
-        valueCols.map(c => col(s"__v_$c").as(s"${c}_asof")): _*)
+        valueCols.map(c => col("__vs").getField(c).as(s"${c}_asof")): _*)
   }
 
   /** Forward as-of: attach `first value where markerCond` at or AFTER

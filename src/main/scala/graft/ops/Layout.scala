@@ -93,18 +93,34 @@ object Layout {
     * order of driver memory any planner's file index already holds. */
   def parquetFileStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files: Seq[String] =
       if (fs.getFileStatus(p).isFile) Seq(p.toString)
-      else fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString).sorted
+      else {
+        // listFiles(recursive = true): partitioned/nested layouts
+        // (dt=…/part-*.parquet) contribute their leaves too.
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+            buf += s.getPath.toString
+        }
+        buf.toSeq.sorted
+      }
+    require(files.nonEmpty,
+      s"parquetFileStats: no .parquet files under $path — wrong path or non-parquet table")
+    // The session's hadoopConfiguration must travel to the executors:
+    // a bare `new Configuration()` would drop fs.s3a/hdfs settings and
+    // credentials and break any non-local filesystem.
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val par = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(files).repartition(par).mapPartitions { paths =>
       import scala.jdk.CollectionConverters._
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = serConf.value
       paths.flatMap { f =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(f), conf))

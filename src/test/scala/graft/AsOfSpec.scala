@@ -51,6 +51,30 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("joinAsOf: a matched right row's NULL value stays NULL (no leak-forward), " +
+    "and all value cols come from the same right row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", 15L), // after (10, px=100, sz=7)        -> (100, 7)
+      (2L, "a", 25L), // after (20, px=NULL, sz=9)       -> (NULL, 9): px must NOT leak 100
+      (3L, "a", 35L)  // after (30, px=300, sz=NULL)     -> (300, NULL): sz must NOT leak 9
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 10L, Some(100.0), Some(7L)),
+      ("a", 20L, None, Some(9L)),
+      ("a", 30L, Some(300.0), None)
+    ).toDF("k", "qt", "px", "sz")
+    val got = AsOf.joinAsOf(left, right, Seq("k"), "t", "qt", Seq("px", "sz"))
+      .select($"id", $"px_asof", $"sz_asof").collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got == Map(
+      1L -> ((Some(100.0), Some(7L))),
+      2L -> ((None, Some(9L))),
+      3L -> ((Some(300.0), None))))
+  }
+
   test("joinAsOf plans one shuffle on the key — no range join, no nested loop") {
     import spark.implicits._
     val left = (0 until 50).map(i => (i.toLong, s"k${i % 3}", i.toLong)).toDF("id", "k", "t")

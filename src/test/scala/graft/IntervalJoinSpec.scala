@@ -68,6 +68,60 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == want.sorted.toSeq)
   }
 
+  test("a hot bucket triggers AQE skew split — the design claim, executed") {
+    import spark.implicits._
+    // The scale argument for bucketing over a nested loop is that a hot
+    // bucket is an ordinary skewed equi-join key, so AQE can split it at
+    // runtime. Prove it: one bucket holds ~all points, thresholds tuned
+    // so the runtime detector fires, and the FINAL adaptive plan must
+    // carry the skew=true marker — with results identical to the naive
+    // range join.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+
+      // 40k points burst into bucket 0; a trickle elsewhere. 5 intervals
+      // cover the burst window, 50 cover the tail.
+      val points = spark.range(40000)
+        .select($"id".as("pid"), lit("k").as("key"), ($"id" % 1000L).as("ts"))
+        .union(spark.range(40000, 41000)
+          .select($"id".as("pid"), lit("k").as("key"), (($"id" % 100L) * 1000L + 1000L).as("ts")))
+      val intervals = ((0 until 5).map(i => (i.toLong, "k", i * 200L, i * 200L + 200L)) ++
+        (5 until 55).map(i => (i.toLong, "k", 1000L + (i - 5) * 2000L, 1000L + (i - 5) * 2000L + 2000L)))
+        .toDF("iid", "key", "s", "e")
+
+      val joined = IntervalJoin.bucketedIntervalJoin(
+        intervals, points, Seq("key"), "s", "e", "ts", bucketUs = 1000L)
+      // materialize THIS DataFrame's own query execution (count() would
+      // plan a separate one), then read the finalized adaptive plan
+      val n = joined.collect().length.toLong
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), s"plan not finalized:\n$finalPlan")
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot bucket's join as skewed:\n$finalPlan")
+
+      val want = intervals.join(points, Seq("key"))
+        .filter($"ts" >= $"s" && $"ts" < $"e").count()
+      assert(n == want, s"skew-split result diverged: $n vs $want")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("empty and degenerate intervals are dropped, boundary semantics [start, end)") {
     import spark.implicits._
     val intervals = Seq(

@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Composed-pipeline gate at bench scale: the XX fixture (EntrySpec)
   * proves the pipeline's semantics on 66 rows; this pins the SAME
   * composition (tidy → annualize → NSVB, both mortality variants) over
-  * the ~87k-TREE-row synthetic state that `q_fia_pipeline` times in
-  * Bench — row counts, CARBON_AG null split, and an order-independent
+  * the ~87k-TREE-row synthetic state that `q_fia_pipeline_oracle` times
+  * in Bench — row counts, CARBON_AG null split, and an order-independent
   * checksum per variant, so a regression anywhere in the composed path
   * cannot slip through as "still returns rows" at scale. Deliberate
   * semantics changes: re-run `graft.DevEntryPin`, update the pins.

@@ -85,9 +85,12 @@ object DevScaleProbe {
 
   private def incr(s: SparkSession, dir: String, k: Int): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet")
-    val cut = 1000L * k // 20% history, 80% batch at every tier
+    // 20/80 split WITHIN each copy (ids are c*5000 + orig): cross-copy
+    // token sets are disjoint by construction, so a whole-copy history
+    // would make the probe vacuous (0 candidate pairs)
+    val hist = pmod(col("doc_id"), lit(5000L)) < 1000L
     graft.ops.Dedup.minHashLshPairsAgainst(
-      d.filter(col("doc_id") < cut), d.filter(col("doc_id") >= cut),
+      d.filter(hist), d.filter(!hist),
       "doc_id", "text", numPerms = 6, bandSize = 3, threshold = 0.8,
       maxBucket = Some(100))
   }

@@ -397,6 +397,28 @@ object QueriesVector {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // --- Persisted ANN index (round-7 verdict #7): same workload as
+  //     q_ivf_pq, but through AnnIndex write → read → probe. The real
+  //     100 TB workflow builds the index once and probes many times;
+  //     this gate proves the round-trip returns results a DuckDB replay
+  //     of the INLINE fit reproduces — i.e. persistence is lossless.
+  //     The index is rebuilt every run (cheap at gate scale) so a stale
+  //     artifact can never mask a drifted corpus.
+  private def annPersist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val corpus = e.select($"vec_id".as("id"), $"embedding")
+    val cents = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_ann_index_${System.getProperty("user.name", "u")}_$h"
+    graft.ops.AnnIndex.write(corpus, cents, cb, path)
+    graft.ops.AnnIndex.topK(
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30).select($"vec_id".as("qid"), $"embedding"),
+      graft.ops.AnnIndex.read(s, path), k = 3, probes = 2)
+  }
+
   // --- SemDeDup: coarse cells (centroids = the first 8 vectors, as
   //     q_ivf_ann) restrict the cosine pair search; pairs at or above
   //     the quantized threshold merge into duplicate components
@@ -527,6 +549,7 @@ object QueriesVector {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_project_topk" -> (projectTopK _),
     "q_rand_project" -> (randProject _),
+    "q_ann_persist" -> (annPersist _),
     "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
     "q_ivf_pq" -> (ivfPq _),
@@ -540,6 +563,7 @@ object QueriesVector {
   val oracles: Map[String, String] = Map(
     "q_project_topk" -> projectTopKSql,
     "q_rand_project" -> randProjectSql,
+    "q_ann_persist" -> ivfPqSql, // identical output to the inline fit by design
     "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,
     "q_ivf_pq" -> ivfPqSql,

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: build once, probe many times.
+  *
+  * [[Similarity.ivfPqTopK]] recomputes cell assignment and PQ codes on
+  * every invocation — fine for a gate, wrong for the production
+  * workflow, where the expensive pass over the corpus (one scan: cell
+  * argmax + PQ encode) should happen ONCE and every later query batch
+  * should read only the small artifacts. This object gives that index a
+  * durable on-disk form, all parquet:
+  *
+  *   path/centroids.parquet   (cid, embedding)        — coarse quantizer
+  *   path/codebook.parquet    (subspace, code, vec)   — PQ codebook
+  *   path/codes.parquet       (id, cell, codes)       — encoded corpus,
+  *       range-clustered by `cell` so a probe's candidate read skips
+  *       most row groups via footer min/max stats (the
+  *       [[Layout.writeRangeLayout]] idea applied to the index: at 100 TB
+  *       the codes table is the big artifact, and cell-clustering makes
+  *       each probe touch ~probes/C of it)
+  *   path/INDEX_OK            marker: written LAST, so a half-written
+  *       index (crashed build) is never readable
+  *
+  * The probe path ([[topK]]) feeds the reloaded artifacts through
+  * [[Similarity.ivfPqTopKEncoded]] — the same scoring code the inline
+  * fit uses, so a reloaded index returns bit-identical top-k
+  * (AnnIndexSpec asserts equality against [[Similarity.ivfPqTopK]]).
+  */
+object AnnIndex {
+
+  /** In-memory handle to a (re)loaded index. */
+  final case class Index(
+      centroids: DataFrame,
+      codebook: Array[Array[Array[Float]]],
+      encoded: DataFrame)
+
+  /** One corpus scan: assign cells, PQ-encode, write all artifacts. */
+  def write(
+      corpus: DataFrame, centroids: DataFrame,
+      cb: Array[Array[Array[Float]]], path: String,
+      numRangePartitions: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.select(col("cid"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    cb.zipWithIndex.flatMap { case (codes, mi) =>
+      codes.zipWithIndex.map { case (vec, c) => (mi, c, vec.toSeq) }
+    }.toSeq.toDF("subspace", "code", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook.parquet")
+    Similarity.pqEncode(
+        Similarity.nearestCell(
+          corpus.select(col("id"), col("embedding")), centroids),
+        "embedding", cb)
+      .select(col("id"), col("cell"), col("codes"))
+      .repartitionByRange(numRangePartitions, col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+      .write.mode("overwrite").parquet(s"$path/codes.parquet")
+    val marker = new java.io.PrintWriter(s"$path/INDEX_OK", "UTF-8")
+    try marker.print(s"numSub=${cb.length} codes=${cb(0).length}")
+    finally marker.close()
+  }
+
+  /** Load the index artifacts; refuses a directory without the marker
+    * (a crashed build must fail loudly, not probe a partial corpus). */
+  def read(spark: SparkSession, path: String): Index = {
+    require(new java.io.File(s"$path/INDEX_OK").exists(),
+      s"AnnIndex: $path has no INDEX_OK marker — missing or incomplete index")
+    val cbRows = spark.read.parquet(s"$path/codebook.parquet")
+      .select("subspace", "code", "vec")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val numSub = cbRows.map(_._1).max + 1
+    val cb = Array.tabulate(numSub) { mi =>
+      cbRows.filter(_._1 == mi).sortBy(_._2).map(_._3)
+    }
+    Index(
+      spark.read.parquet(s"$path/centroids.parquet"),
+      cb,
+      spark.read.parquet(s"$path/codes.parquet"))
+  }
+
+  /** Probe a (re)loaded index: same contract as
+    * [[Similarity.ivfPqTopK]] — (qid, id, rank 1..k) by ADC asc. */
+  def topK(queries: DataFrame, index: Index, k: Int, probes: Int,
+      saltBuckets: Int = 8): DataFrame =
+    Similarity.ivfPqTopKEncoded(
+      queries, index.encoded, index.centroids, index.codebook,
+      k, probes, saltBuckets)
+}

@@ -338,11 +338,29 @@ object Similarity {
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       cb: Array[Array[Array[Float]]], k: Int, probes: Int,
+      saltBuckets: Int = 8): DataFrame =
+    ivfPqTopKEncoded(
+      queries,
+      pqEncode(
+        nearestCell(corpus.select(col("id"), col("embedding")), centroids),
+        "embedding", cb)
+        .select(col("id"), col("cell"), col("codes")),
+      centroids, cb, k, probes, saltBuckets)
+
+  /** [[ivfPqTopK]] from an ALREADY-ENCODED corpus `(id, cell, codes)` —
+    * the probe path of a persisted index ([[AnnIndex]]): the production
+    * workflow encodes the 100 TB corpus once and serves many query
+    * batches from the codes, never touching raw vectors again. The salt
+    * is a pure function of `id`, so it is recomputed here rather than
+    * persisted. Scoring is the same code path as the inline fit —
+    * top-k from a reloaded index is bit-identical by construction
+    * (AnnIndexSpec executes that claim). */
+  def ivfPqTopKEncoded(
+      queries: DataFrame, encoded: DataFrame, centroids: DataFrame,
+      cb: Array[Array[Array[Float]]], k: Int, probes: Int,
       saltBuckets: Int = 8): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
-    val enc = pqEncode(
-      nearestCell(corpus.select(col("id"), col("embedding")), centroids),
-      "embedding", cb)
+    val enc = encoded
       .select(col("id"), col("cell"), col("codes"),
         pmod(hash(col("id")), lit(saltBuckets)).as("salt"))
     val ct = centroids.select(col("cid"), col("embedding").as("ct_emb"))

@@ -160,8 +160,10 @@ object Streams {
   /** Shared projection for the streaming LSH paths: each doc row becomes
     * one row per band carrying (id, band, sig) plus any passthrough
     * columns (e.g. the watermarked event-time column). Signature math is
-    * identical to [[graft.ops.Dedup.minHashWide]] by construction. */
-  private def bandedBuckets(
+    * identical to [[graft.ops.Dedup.minHashWide]] by construction.
+    * private[graft]: StreamingSpec drives the SAME projection over a
+    * batch frame to assert stream-vs-batch parity. */
+  private[graft] def bandedBuckets(
       docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int, bandSize: Int, passthrough: Seq[String] = Nil): DataFrame = {
     require(numPerms % bandSize == 0, "numPerms must divide into bands")

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{AnnIndex, Similarity}
+
+class AnnIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  private def fixture = {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    (e.select($"vec_id".as("id"), $"embedding"),
+      e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding"),
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30).select($"vec_id".as("qid"), $"embedding"))
+  }
+
+  test("reloaded index returns bit-identical top-k to the inline fit") {
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ann_index").toString
+
+    val inline = Similarity.ivfPqTopK(queries, corpus, cents, cb, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+
+    AnnIndex.write(corpus, cents, cb, dir)
+    val reloaded = AnnIndex.topK(queries, AnnIndex.read(spark, dir), k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+
+    assert(inline.nonEmpty)
+    assert(reloaded == inline, "persist/reload changed the top-k")
+  }
+
+  test("codebook round-trips exactly through parquet") {
+    val (corpus, cents, _) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ann_cb").toString
+    AnnIndex.write(corpus, cents, cb, dir)
+    val got = AnnIndex.read(spark, dir).codebook
+    assert(got.length == cb.length)
+    for (mi <- cb.indices) {
+      assert(got(mi).length == cb(mi).length)
+      for (c <- cb(mi).indices)
+        assert(got(mi)(c).toSeq == cb(mi)(c).toSeq,
+          s"codebook[$mi][$c] drifted through parquet")
+    }
+  }
+
+  test("read() refuses a directory without the completion marker") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_bad").toString
+    val e = intercept[IllegalArgumentException](AnnIndex.read(spark, dir))
+    assert(e.getMessage.contains("INDEX_OK"))
+  }
+
+  test("the persisted codes table is cell-clustered (skippable row groups)") {
+    val (corpus, cents, _) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ann_layout").toString
+    AnnIndex.write(corpus, cents, cb, dir)
+    // footer manifest over the codes table: cell min/max ranges of
+    // distinct files must not all overlap — the clustering that lets a
+    // probe skip most of the table at scale
+    val stats = graft.ops.Layout.parquetFileStats(spark, s"$dir/codes.parquet")
+      .filter(col("column") === "cell")
+      .select(col("file"), col("min_value").cast("long"), col("max_value").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.nonEmpty)
+    if (stats.map(_._1).distinct.length > 1) {
+      val ordered = stats.sortBy(_._2)
+      val disjoint = ordered.sliding(2).forall {
+        case Array((_, _, hi), (_, lo, _)) => lo >= hi
+        case _ => true
+      }
+      assert(disjoint, s"codes files' cell ranges overlap: ${ordered.toSeq}")
+    }
+  }
+}

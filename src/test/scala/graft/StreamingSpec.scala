@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
@@ -210,6 +211,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(c => c.id == 3L && c.dup_of == 1L))
     assert(out.map(_.band).distinct.length == 2) // collides on both bands
+  }
+
+  test("streaming minhash near-dup EQUALS the batch LSH over the same corpus") {
+    // The stream-vs-batch parity check (round-7 verdict #6), on the real
+    // documents table. Two properties:
+    //   (1) single batch: the stream's (id, dup_of, band) pairs are
+    //       EXACTLY the batch bucket pairs (canon = min id per bucket);
+    //   (2) split into two micro-batches: emitted pair sets differ by
+    //       canon choice (first-seen vs global min) but must induce the
+    //       SAME duplicate clusters — the semantics that matter.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docRows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)].collect().toSeq
+
+    def batchPairs: Set[(Long, Long, Int)] =
+      Streams.bandedBuckets(docRows.toDF("id", "text"), "id", "text",
+          numPerms = 6, bandSize = 3)
+        .groupBy("band", "sig")
+        .agg(functions.min($"id").as("canon"),
+          functions.collect_set($"id").as("ids"))
+        .select($"band", $"canon", functions.explode($"ids").as("id"))
+        .filter($"id" =!= $"canon")
+        .select($"id", $"canon", $"band")
+        .as[(Long, Long, Int)].collect().toSet
+
+    def runStream(batches: Seq[Seq[(Long, String)]], name: String): Set[(Long, Long, Int)] = {
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.nearDupCandidatesMinHash(
+          input.toDF().toDF("id", "text"), "id", "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[Streams.DupCandidate].collect()
+        .map(c => (c.id, c.dup_of, c.band)).toSet
+    }
+
+    val expected = batchPairs
+    assert(expected.nonEmpty, "fixture has no near-dup buckets — parity check is vacuous")
+
+    // (1) one micro-batch: first-seen canon == global min -> exact parity
+    val oneShot = runStream(Seq(docRows), "neardup_parity1")
+    assert(oneShot == expected,
+      s"single-batch stream diverged from batch LSH: only-stream=${(oneShot -- expected).take(3)} " +
+        s"only-batch=${(expected -- oneShot).take(3)}")
+
+    // (2) two micro-batches: same clusters (union-find over pair edges)
+    val (a, b) = docRows.splitAt(docRows.length / 2)
+    val twoShot = runStream(Seq(a, b), "neardup_parity2")
+    def clusters(pairs: Set[(Long, Long, Int)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (i, j, _) => parent(find(i)) = find(j) }
+      parent.keys.groupBy(find).values.map(_.toSet).filter(_.size > 1).toSet
+    }
+    assert(clusters(twoShot) == clusters(expected),
+      "two-batch stream induced different duplicate clusters than batch LSH")
   }
 
   test("event-time TTL drops buckets behind the watermark, keeps live ones") {

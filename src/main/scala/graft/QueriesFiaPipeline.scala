@@ -51,6 +51,30 @@ object QueriesFiaPipeline {
       .drop("DRYBIO_AG", "CARBON_AG")
   }
 
+  /** `q_fia_incremental` — CDC maintenance of the composed output
+    * ([[graft.fia.Incremental]]): a deterministic "delivery" (~20% new
+    * plots + ~8% plots gaining a survey) is merged into the
+    * materialized old output (anti-join stale plots + recompute only
+    * dirty raw rows). Because the pipeline is plot-local, the merged
+    * result must equal the FULL recompute bit-for-bit — so the oracle
+    * is the SAME full-pipeline DuckDB SQL as `q_fia_pipeline_oracle`:
+    * the strongest possible check that incremental maintenance loses
+    * nothing and staleness is fully evicted. */
+  def fiaIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.fia.Incremental
+    val base = SyntheticState.materialize(s, dir)
+    val full = Seq("PLOT", "PLOTGEOM", "COND", "TREE")
+      .map(t => t -> s.read.parquet(s"$base/$t")).toMap
+    val oldDir = Incremental.materializeOldOutput(s, dir)
+    val oldOut = s.read.parquet(s"$oldDir/out")
+    val (_, batch) = Incremental.splitDelivery(full)
+    val merged = Incremental.merge(s, oldOut, full, Incremental.dirtyPlotIds(batch))
+    merged
+      .withColumn("drybio_milli", milli(col("DRYBIO_AG")))
+      .withColumn("carbon_milli", milli(col("CARBON_AG")))
+      .drop("DRYBIO_AG", "CARBON_AG")
+  }
+
   // ---- DuckDB side -----------------------------------------------------
   // The SQL mirrors dev/fia_oracle_dev.py (validated stage-by-stage
   // against Spark dumps at sf0.001: tidy, interp, ann, prep, final all
@@ -480,8 +504,10 @@ final AS (SELECT p.*, pr.DRYBIO_AG, pr.CARBON_AG,
        |FROM final""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fia_pipeline_oracle" -> (fiaPipelineOracle _))
+    "q_fia_pipeline_oracle" -> (fiaPipelineOracle _),
+    "q_fia_incremental" -> (fiaIncremental _))
 
   val oracles: Map[String, String] = Map(
-    "q_fia_pipeline_oracle" -> oracleSql)
+    "q_fia_pipeline_oracle" -> oracleSql,
+    "q_fia_incremental" -> oracleSql)
 }

@@ -764,6 +764,60 @@ object QueriesText {
       |  coalesce(array_to_string(failed_rules, ','), '') AS failed_rules,
       |  len(failed_rules) = 0 AS passes FROM r""".stripMargin
 
+  // --- BPE tokenizer training (ops.Bpe): the corpus collapses to
+  //     (word, count) once, then every merge iterates over the VOCAB —
+  //     the Sennrich trainer optimization, which is also the 100 TB
+  //     shape (corpus-sized work happens exactly once). The oracle
+  //     re-learns the same merges in DuckDB: chained MATERIALIZED CTEs,
+  //     one (pairs → argmax → replace) stage per merge, with the same
+  //     (count DESC, pair ASC) tie order and the same literal
+  //     `replace('|x||y|','|xy|')` greedy merge application over the
+  //     wrapped-symbol encoding (see ops.Bpe) — validated against a
+  //     classic driver-side BPE trainer before shipping.
+  private val bpeK = 8
+
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.train(s, docs(s, dir), "text", bpeK)
+
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = graft.ops.Bpe.trainWithVocab(s, docs(s, dir), "text", bpeK)
+    graft.ops.Bpe.vocabSymbols(vocab)
+  }
+
+  private def bpeCtes(k: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """bpe_wc AS MATERIALIZED (SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text),' ')) AS word FROM documents)
+        |  WHERE length(word) > 0 AND regexp_matches(word, '^[a-z]+$') GROUP BY word)""".stripMargin,
+      """bpe_v0 AS MATERIALIZED (SELECT word, n,
+        |  regexp_replace(word, '(.)', '|\1|', 'g') AS s FROM bpe_wc)""".stripMargin)
+    for (r <- 1 to k) {
+      val prev = s"bpe_v${r - 1}"
+      ctes += s"""bpe_p$r AS MATERIALIZED (SELECT pr, CAST(sum(n) AS BIGINT) AS cnt FROM (
+                 |  SELECT n, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pr
+                 |  FROM (SELECT n, list_filter(string_split(s, '|'), x -> x <> '') AS l FROM $prev)) GROUP BY pr)""".stripMargin
+      ctes += s"bpe_b$r AS MATERIALIZED (SELECT $r AS rank, pr, cnt FROM bpe_p$r ORDER BY cnt DESC, pr ASC LIMIT 1)"
+      ctes += s"""bpe_v$r AS MATERIALIZED (SELECT word, n,
+                 |  replace(s, '|' || replace((SELECT pr FROM bpe_b$r), ' ', '||') || '|',
+                 |             '|' || replace((SELECT pr FROM bpe_b$r), ' ', '') || '|') AS s FROM $prev)""".stripMargin
+    }
+    ctes.mkString(",\n")
+  }
+
+  private def bpeMergesSql: String = {
+    val union = (1 to bpeK).map(r =>
+      s"SELECT rank, split_part(pr, ' ', 1) AS lft, split_part(pr, ' ', 2) AS rgt, cnt FROM bpe_b$r")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(bpeK)}\nSELECT CAST(rank AS INT) AS rank, lft, rgt, cnt FROM ($union) ORDER BY rank"
+  }
+
+  private def bpeVocabSql: String =
+    s"""WITH ${bpeCtes(bpeK)}
+       |SELECT sym, CAST(sum(n) AS BIGINT) AS total FROM (
+       |  SELECT n, unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS sym
+       |  FROM bpe_v$bpeK)
+       |GROUP BY sym""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules" -> (gopherRules _),
     "q_bigram_xent" -> (bigramXent _),
@@ -789,7 +843,9 @@ object QueriesText {
     "q_dup_clusters_star" -> (dupClustersStar _),
     "q_cms_heavy" -> (cmsHeavy _),
     "q_simhash_pairs" -> (simhashPairs _),
-    "q_simhash" -> (simhash _))
+    "q_simhash" -> (simhash _),
+    "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_vocab" -> (bpeVocab _))
 
   val oracles: Map[String, String] = Map(
     "q_gopher_rules" -> gopherRulesSql,
@@ -816,5 +872,7 @@ object QueriesText {
     "q_dup_clusters_star" -> dupClustersSql,
     "q_cms_heavy" -> cmsHeavySql,
     "q_simhash_pairs" -> simhashPairsSql,
-    "q_simhash" -> simhashSql)
+    "q_simhash" -> simhashSql,
+    "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_vocab" -> bpeVocabSql)
 }

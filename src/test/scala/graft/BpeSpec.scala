@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer semantics on a hand-computable corpus (the classic
+  * Sennrich example shape) + encoding round-trip + exhaustion stop. */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  import graft.ops.Bpe
+
+  private def corpus(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("merges follow max-count with (count DESC, pair ASC) tie order") {
+    // words: low x5, lower x2, newest x6, widest x3
+    val docs = corpus(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    val merges = Bpe.train(spark, docs, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // hand-derived: es(9), est(9), e-st? no: after es, (e,s)->es, pairs:
+    // n-e 6, e-w 6, w-es 6(newest) ... recompute: newest = n e w e s t,
+    // widest = w i d e s t; (e,s) appears in both → 9; then (es,t) → 9.
+    assert(merges(0)._2 == "e" && merges(0)._3 == "s" && merges(0)._4 == 9L)
+    assert(merges(1)._2 == "es" && merges(1)._3 == "t" && merges(1)._4 == 9L)
+    // low x5 + lower x2: (l,o) = 7, (o,w) = 7 — tie breaks pair-ASC
+    // against the newest-side pairs of equal count
+    val counts = merges.map(_._4)
+    assert(counts.sorted.reverse.sameElements(counts), "counts must be non-increasing")
+  }
+
+  test("greedy merge application: overlapping runs merge left-to-right") {
+    // 'aaaa' with merge (a,a): greedy pairs → [aa, aa], NOT [a, aa, a]
+    val docs = corpus(1L -> "aaaa aaaa aaaa")
+    val m = Bpe.train(spark, docs, "text", 1).collect()(0)
+    assert(m.getString(1) == "a" && m.getString(2) == "a")
+    val enc = Bpe.encodeWords(
+      corpus(1L -> "ignored").select(lit("aaaa").as("w")), "w",
+      Seq(("a", "a")))
+      .select(col("tokens")).collect()(0).getSeq[String](0)
+    assert(enc == Seq("aa", "aa"))
+  }
+
+  test("training stops when no pairs remain (single-char vocab)") {
+    val docs = corpus(1L -> "a b c a b")
+    val merges = Bpe.train(spark, docs, "text", 10).collect()
+    assert(merges.isEmpty, s"no adjacent pairs exist, got ${merges.length} merges")
+  }
+
+  test("encodeWords with the learned merges reproduces the trainer's vocab state") {
+    val docs = corpus(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    val (mergesDf, vocab) = Bpe.trainWithVocab(spark, docs, "text", 6)
+    val merges = mergesDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val reEncoded = Bpe.encodeWords(vocab.select(col("word"), col("n")), "word", merges)
+      .select(col("word"), concat(lit("|"),
+        concat_ws("||", col("tokens")), lit("|")).as("s2"))
+    val drift = vocab.join(reEncoded, "word")
+      .filter(col("s") =!= col("s2")).count()
+    assert(drift == 0, "encode(word, merges) must equal the trainer's final state")
+  }
+}

@@ -681,7 +681,91 @@ object QueriesCorpus {
        |WHERE path_in_schema IN ('o_orderkey', 'o_custkey')""".stripMargin
   }
 
+  // --- bucketed co-located join (ops.Layout.writeBucketed): both fact
+  //     tables land hash-bucketed on the join key, so the join consumes
+  //     the on-disk layout as its distribution — no Exchange on either
+  //     side (plan-asserted in LayoutSpec). The gate stages the
+  //     bucketed tables per sf dir (skip-if-registered within the
+  //     session; overwrite-safe across sessions) and aggregates the
+  //     joined result; the oracle joins the ORIGINAL parquet, so the
+  //     bucketing layer must be value-invisible.
+  private def bktBase(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"/tmp/graft_bkt_${System.getProperty("user.name", "u")}_$h"
+  }
+
+  private val bktRegistered = scala.collection.mutable.Set.empty[String]
+
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val base = bktBase(dir)
+    val h = base.substring(base.lastIndexOf('_') + 1)
+    val (to, tc) = (s"graft_bkt_orders_$h", s"graft_bkt_customer_$h")
+    bktRegistered.synchronized {
+      if (!bktRegistered.contains(base) || !s.catalog.tableExists(to)) {
+        graft.ops.Layout.writeBucketed(
+          Tables.orders(s, dir), to, s"$base/orders",
+          "o_custkey", 8, Some("o_orderkey"))
+        graft.ops.Layout.writeBucketed(
+          Tables.customer(s, dir), tc, s"$base/customer",
+          "c_custkey", 8)
+        bktRegistered += base
+      }
+    }
+    (to, tc)
+  }
+
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (to, tc) = ensureBucketed(s, dir)
+    val o = s.table(to); val c = s.table(tc)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(c("c_mktsegment").as("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Queries.dsum(o("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // --- small-file compaction (ops.Layout.compactSmallFiles): a 64-file
+  //     shatter of lineitem is compacted back to ~targetBytes outputs
+  //     with a shuffle-free coalesce; the gate aggregates the COMPACTED
+  //     copy while the oracle aggregates the original table — compaction
+  //     must be value-invisible. The shatter is staged once per sf dir
+  //     (marker-guarded); the compaction itself runs every time because
+  //     it IS the operator under test.
+  private def compact(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_compact"
+    val in = s"$base/shatter"; val out = s"$base/compacted"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (!marker.exists) {
+      Tables.lineitem(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(in)
+      new java.io.File(base).mkdirs()
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      try w.print(dir) finally w.close()
+    }
+    val (nIn, nOut, bytes) =
+      graft.ops.Layout.compactSmallFiles(s, in, out, targetBytes = 8L << 20)
+    require(nIn == 64 && nOut < nIn,
+      s"compaction must shrink the file count: $nIn -> $nOut ($bytes bytes)")
+    s.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  private val compactSql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (bucketedJoin _),
+    "q_compact" -> (compact _),
     "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
     "q_sql_functions" -> (sqlFunctions _),
@@ -707,6 +791,8 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   def oracles: Map[String, String] = Map(
+    "q_bucketed_join" -> bucketedJoinSql,
+    "q_compact" -> compactSql,
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,

@@ -75,6 +75,77 @@ object Layout {
       .write.mode("overwrite")
       .parquet(path)
 
+  /** Write `df` as a BUCKETED table: rows are hash-partitioned into
+    * `numBuckets` files by `bucketCol` and sorted inside each bucket.
+    * Bucketing is the strongest co-location lever Spark has: a join or
+    * aggregation keyed on the bucket column consumes the table's
+    * layout as its required distribution, so the Exchange (and with
+    * sorted buckets, the Sort) disappears from the plan entirely —
+    * the 100 TB fact⋈fact join becomes a per-bucket merge with ZERO
+    * network movement, decided at PLAN time, not runtime.
+    *
+    * The `repartition(numBuckets, bucketCol)` before the write makes
+    * exactly ONE file per bucket, which is what lets the reader treat
+    * each bucket as pre-sorted (many files per bucket would re-sort).
+    * Bucketed tables live in the session catalog (`saveAsTable` with
+    * an explicit external `path`), because bucket metadata is catalog
+    * state — a bare parquet directory cannot carry it. */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.repartition(numBuckets, col(bucketCol))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w.sortBy(bucketCol))(s => w.sortBy(bucketCol, s))
+      .saveAsTable(table)
+  }
+
+  /** Compact a directory of small parquet files into ≈`targetBytes`
+    * outputs — the other half of layout hygiene at scale: a 100 TB
+    * table accreted from streaming micro-batches or incremental
+    * merges degenerates into millions of KB-sized files whose
+    * per-file open/footer/seek overhead dominates scan time.
+    *
+    * `coalesce` (not `repartition`): compaction must not SHUFFLE the
+    * table it is tidying — coalesce unions input splits into fewer
+    * tasks with zero network movement. The trade-off is bin-packing
+    * by file count rather than perfectly even bytes; for compaction
+    * the cheap pass is the right one (the files being merged are
+    * small and numerous, which is the premise).
+    *
+    * @return (input file count, output file count, total input bytes) */
+  def compactSmallFiles(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): (Int, Int, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var nIn = 0; var total = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+        nIn += 1; total += s.getLen
+      }
+    }
+    require(nIn > 0, s"compactSmallFiles: no .parquet files under $inPath")
+    // coalesce cannot EXCEED the reader's partition count (file splits
+    // may already combine below the target), so the request is a cap;
+    // the returned count is what actually landed on disk.
+    val nReq = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nReq)
+      .write.mode("overwrite").parquet(outPath)
+    val oit = fs.listFiles(new HPath(outPath), true)
+    var nOut = 0
+    while (oit.hasNext) {
+      val s = oit.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) nOut += 1
+    }
+    (nIn, nOut, total)
+  }
+
   /** Per-row-group, per-column footer statistics as a DataFrame — the
     * data-skipping MANIFEST for a parquet table: (file, row_group,
     * column, min_value, max_value, num_values, null_count). This is the

@@ -47,4 +47,35 @@ class BucketingSpec extends AnyFunSuite {
       s"join should read bucketed layout without shuffling:\n$plan")
     assert(joined.collect().nonEmpty)
   }
+
+  test("Layout.writeBucketed: one file per bucket, Exchange-free join, exact values") {
+    val dir = "/root/testdata/sf0.001"
+    val base = "/tmp/graft_bktspec"
+    graft.ops.Layout.writeBucketed(
+      Tables.orders(spark, dir), "bspec_o", s"$base/o",
+      "o_custkey", 8, Some("o_orderkey"))
+    graft.ops.Layout.writeBucketed(
+      Tables.customer(spark, dir), "bspec_c", s"$base/c",
+      "c_custkey", 8)
+
+    // exactly one data file per bucket — the pre-write repartition's job
+    for (p <- Seq(s"$base/o", s"$base/c")) {
+      val files = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length == 8, s"$p: expected 8 bucket files, got ${files.length}")
+    }
+
+    val o = spark.table("bspec_o"); val c = spark.table("bspec_c")
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinSection = plan.split("SortMergeJoin|BroadcastHashJoin").last
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$plan")
+
+    // the layout is value-invisible: same join count as plain parquet
+    val expect = Tables.orders(spark, dir).join(
+      Tables.customer(spark, dir),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(joined.count() == expect)
+  }
 }

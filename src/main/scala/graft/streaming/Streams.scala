@@ -275,4 +275,73 @@ object Streams {
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       }
       .start()
+
+  /** Streaming CDC sink: each micro-batch MERGEs into a copy-on-write
+    * table via [[graft.ops.Upsert.upsertByKey]] — the lakehouse commit
+    * loop as a streaming sink. Every batch writes a NEW snapshot
+    * directory `v<id>` (manifest-pruned rewrite + byte-copied
+    * untouched files against the previous snapshot) and then swaps the
+    * `CURRENT` pointer; readers resolve [[currentSnapshot]] and never
+    * observe a half-written table. A batch replayed after a failure
+    * re-runs with the same id, rebuilding `v<id>` from `v<id-1>` and
+    * re-swapping — idempotent, the same exactly-once-to-storage
+    * argument as [[sinkBatchesIdempotent]] plus snapshot isolation.
+    *
+    * Within each batch, duplicate keys keep the LAST row per key in
+    * event-time order (`orderCol`), the usual CDC convention. */
+  def upsertSink(
+      df: DataFrame, tableDir: String, checkpointDir: String,
+      keyCol: String, orderCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        // last row per key within the batch (CDC upsert convention)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+        val perKey = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // previous snapshot = LARGEST version BELOW this batch id —
+        // NOT the CURRENT pointer: a replayed batch runs after its own
+        // swap already happened, and resolving CURRENT would feed
+        // v<id> into its own rebuild (input deleted as output)
+        val prev = {
+          val vs = Option(new java.io.File(tableDir).listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+            .map(_.getName.drop(1).toLong).filter(_ < id)
+          if (vs.isEmpty) None else Some(s"$tableDir/v${vs.max}")
+        }
+        val next = s"$tableDir/v$id"
+        prev match {
+          case Some(p) =>
+            graft.ops.Upsert.upsertByKey(spark, p, next, perKey, keyCol)
+          case None =>
+            perKey.write.mode("overwrite").parquet(next)
+        }
+        // atomic pointer swap: write-then-rename so a reader sees the
+        // old CURRENT or the new one, never a partial file
+        val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+        val cur = new java.io.File(s"$tableDir/CURRENT")
+        val wtr = new java.io.PrintWriter(tmp, "UTF-8")
+        try wtr.print(s"v$id") finally wtr.close()
+        java.nio.file.Files.move(tmp.toPath, cur.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      .start()
+
+  /** Resolve the CURRENT snapshot path of an [[upsertSink]] table. */
+  def currentSnapshot(tableDir: String): Option[String] = {
+    val cur = new java.io.File(s"$tableDir/CURRENT")
+    if (!cur.exists) None
+    else {
+      val src = scala.io.Source.fromFile(cur)
+      val v = try src.mkString.trim finally src.close()
+      Some(s"$tableDir/$v")
+    }
+  }
 }

@@ -352,4 +352,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.takeRight(3).distinct.size == 1,
       s"tail not flat: $counts")
   }
+
+  test("streaming upsert sink: snapshots accumulate CDC state exactly") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("cowtbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cowckpt").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.upsertSink(
+      input.toDF().toDF("k", "seq", "v"), tbl, ckpt,
+      keyCol = "k", orderCol = "seq")
+    // batch 0: keys 1..4; key 2 arrives twice — last (seq) wins
+    input.addData((1L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "b2"),
+      (3L, 4L, "c"), (4L, 5L, "d"))
+    q.processAllAvailable()
+    val s0 = Streams.currentSnapshot(tbl).get
+    assert(spark.read.parquet(s0).count() == 4)
+    assert(spark.read.parquet(s0).filter($"k" === 2L)
+      .select("v").as[String].collect().toSeq == Seq("b2"))
+    // batch 1: update key 3, insert key 9
+    input.addData((3L, 6L, "c9"), (9L, 7L, "z"))
+    q.processAllAvailable()
+    q.stop()
+    val s1 = Streams.currentSnapshot(tbl).get
+    assert(s1 != s0, "pointer must advance to the new snapshot")
+    val cur = spark.read.parquet(s1)
+    assert(cur.count() == 5)
+    assert(cur.filter($"k" === 3L).select("v").as[String].head() == "c9")
+    assert(cur.filter($"k" === 9L).select("v").as[String].head() == "z")
+    // snapshot isolation: the OLD snapshot still reads its own state
+    assert(spark.read.parquet(s0).filter($"k" === 3L)
+      .select("v").as[String].head() == "c")
+    // equals the batch upsert of the full CDC log (last seq per key)
+    val log = Seq((1L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "b2"), (3L, 4L, "c"),
+      (4L, 5L, "d"), (3L, 6L, "c9"), (9L, 7L, "z")).toDF("k", "seq", "v")
+    val expect = log.withColumn("__rn",
+        org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"k").orderBy($"seq".desc)))
+      .filter($"__rn" === 1).drop("__rn")
+    assert(cur.exceptAll(expect).isEmpty && expect.exceptAll(cur).isEmpty)
+  }
 }

@@ -90,4 +90,58 @@ object Upsert {
     rewritten.write.mode("append").parquet(outPath)
     (untouched.size, touched.size, nUp)
   }
+
+  // -------------------------------------------------------------------
+  // Snapshot utilities for versioned COW tables (the directory layout
+  // graft.streaming.Streams.upsertSink maintains: v<id> snapshot dirs
+  // plus a CURRENT pointer file).
+  // -------------------------------------------------------------------
+
+  /** List snapshot versions of a versioned COW table, ascending. */
+  def snapshotVersions(tableDir: String): Seq[Long] =
+    Option(new java.io.File(tableDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted.toSeq
+
+  /** Time travel: read the table AS OF `version` (a past snapshot is a
+    * complete table — copy-on-write never mutates shipped files). */
+  def readSnapshot(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    val d = new java.io.File(s"$tableDir/v$version")
+    require(d.isDirectory,
+      s"snapshot v$version not found under $tableDir " +
+        s"(have: ${snapshotVersions(tableDir).mkString(",")}) — vacuumed or never written")
+    spark.read.parquet(d.toString)
+  }
+
+  /** Retention: delete all but the newest `keep` snapshots (never the
+    * one CURRENT points to). Old snapshots are what time travel reads;
+    * vacuum is the explicit decision to give that up for space —
+    * at 100 TB the byte-copied files make snapshots cheap (shared
+    * content is re-copied per snapshot here; a production layout
+    * would hard-link or manifest-reference instead, noted in the
+    * Scaladoc as the follow-on), but unbounded history still grows
+    * linearly with commit count.
+    *
+    * @return versions deleted */
+  def vacuum(tableDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least one snapshot")
+    val versions = snapshotVersions(tableDir)
+    val current = {
+      val cur = new java.io.File(s"$tableDir/CURRENT")
+      if (!cur.exists) None
+      else {
+        val src = scala.io.Source.fromFile(cur)
+        val v = try src.mkString.trim finally src.close()
+        Some(v.drop(1).toLong)
+      }
+    }
+    val drop = versions.dropRight(keep).filterNot(current.contains)
+    drop.foreach { v =>
+      val d = new java.io.File(s"$tableDir/v$v")
+      d.listFiles().foreach(_.delete())
+      d.delete()
+    }
+    drop
+  }
 }

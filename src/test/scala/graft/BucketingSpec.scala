@@ -67,9 +67,19 @@ class BucketingSpec extends AnyFunSuite {
 
     val o = spark.table("bspec_o"); val c = spark.table("bspec_c")
     val joined = o.join(c, o("o_custkey") === c("c_custkey"))
-    val plan = joined.queryExecution.executedPlan.toString
-    val joinSection = plan.split("SortMergeJoin|BroadcastHashJoin").last
-    assert(!joinSection.contains("Exchange hashpartitioning"),
+    // force the sort-merge path: at spec scale AQE would broadcast the
+    // small side, which makes "no Exchange" true for the wrong reason —
+    // the claim under test is that the BUCKET LAYOUT satisfies the
+    // join's required distribution on BOTH sides
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    assert(plan.contains("SortMergeJoin"),
+      s"expected the sort-merge path with broadcast disabled:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join must not shuffle either side:\n$plan")
 
     // the layout is value-invisible: same join count as plain parquet

@@ -57,6 +57,32 @@ class UpsertSpec extends AnyFunSuite {
     assert(got.filter($"k" === 150).collect()(0).getLong(1) == -1L)
   }
 
+  test("snapshot versions, time travel, and vacuum retention") {
+    import spark.implicits._
+    val tbl = s"$base/versions"
+    // build three snapshots by hand in the upsertSink layout
+    for (v <- Seq(0L, 1L, 2L)) {
+      spark.range(10).select($"id".as("k"), lit(v).as("v"))
+        .write.mode("overwrite").parquet(s"$tbl/v$v")
+    }
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v2") finally w.close()
+
+    import graft.ops.Upsert
+    assert(Upsert.snapshotVersions(tbl) == Seq(0L, 1L, 2L))
+    // time travel reads the old state
+    assert(Upsert.readSnapshot(spark, tbl, 0L)
+      .select("v").as[Long].head() == 0L)
+    // vacuum keeps the newest 1 (and CURRENT), drops the rest
+    assert(Upsert.vacuum(tbl, keep = 1) == Seq(0L, 1L))
+    assert(Upsert.snapshotVersions(tbl) == Seq(2L))
+    intercept[IllegalArgumentException] {
+      Upsert.readSnapshot(spark, tbl, 0L)
+    }
+    // the surviving snapshot still reads
+    assert(Upsert.readSnapshot(spark, tbl, 2L).count() == 10)
+  }
+
   test("all-new-key batch touches zero files (pure append)") {
     import spark.implicits._
     val tbl = s"$base/t2"; val out = s"$base/o2"

@@ -125,8 +125,30 @@ object DevScaleProbe {
       .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
   }
 
+  /** Fixed-size delivery against a k×-sized range-clustered table: the
+    * file-granular COW upsert's commit cost should be ~FLAT in table
+    * size (manifest footers + 1 touched file + hard links for the
+    * rest), which is the property that distinguishes it from a
+    * rewrite-the-partition MERGE. */
+  private def upsertCommit(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val tbl = s"$dir/upsert_table"
+    if (!new java.io.File(s"$dir/UPSERT_TBL_OK").exists) {
+      s.range(200000L * k).select($"id".as("k"), pmod($"id", lit(97L)).as("v"))
+        .repartitionByRange(16 * k, $"k").sortWithinPartitions($"k")
+        .write.mode("overwrite").parquet(tbl)
+      val w = new java.io.PrintWriter(s"$dir/UPSERT_TBL_OK", "UTF-8")
+      try w.print(k) finally w.close()
+    }
+    val updates = s.range(5000L).select($"id".as("k"), lit(-1L).as("v"))
+    val (nCopied, nRewritten, _) = graft.ops.Upsert.upsertByKey(
+      s, tbl, s"$dir/upsert_out", updates, "k")
+    Seq((nCopied.toLong, nRewritten.toLong)).toDF("copied", "rewritten")
+  }
+
   def main(args: Array[String]): Unit = {
     val tiers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    val onlyOps = sys.env.get("SPARK_GRAFT_PROBE_OPS").map(_.split(",").toSet)
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
     val spark = GraftSession.builder(cpus)
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -141,6 +163,7 @@ object DevScaleProbe {
 
     val out = new StringBuilder
     def probe(op: String, tier: Int, fn: () => DataFrame): Unit = {
+      if (!onlyOps.forall(_.contains(op))) return
       var best = Double.MaxValue; var rows = 0L
       for (_ <- 1 to 2) { // min of 2: sheds first-run codegen + one contention burst
         clearState()
@@ -167,18 +190,29 @@ object DevScaleProbe {
       // dirty plots, recompute only the delivery's raw rows. At 1× the
       // fixed driver-side plan analysis floors both variants; the gap
       // at 10× is the operator's value.
-      val full = graft.fia.SyntheticState.tables(spark, 6000 * k)
-      val (old, batch) = graft.fia.Incremental.splitDelivery(full)
-      val oldOutPath = s"$dir/fia_oldout"
-      if (!new java.io.File(s"$dir/FIA_OLDOUT_OK").exists) {
-        graft.fia.Incremental.bothVariants(spark, old)
-          .write.mode("overwrite").parquet(oldOutPath)
-        val w2 = new java.io.PrintWriter(s"$dir/FIA_OLDOUT_OK", "UTF-8")
-        try w2.print(k) finally w2.close()
+      if (onlyOps.forall(_.contains("fia_incremental"))) {
+        val full = graft.fia.SyntheticState.tables(spark, 6000 * k)
+        val (old, batch) = graft.fia.Incremental.splitDelivery(full)
+        val oldOutPath = s"$dir/fia_oldout"
+        if (!new java.io.File(s"$dir/FIA_OLDOUT_OK").exists) {
+          graft.fia.Incremental.bothVariants(spark, old)
+            .write.mode("overwrite").parquet(oldOutPath)
+          val w2 = new java.io.PrintWriter(s"$dir/FIA_OLDOUT_OK", "UTF-8")
+          try w2.print(k) finally w2.close()
+        }
+        probe("fia_incremental", k, () =>
+          graft.fia.Incremental.merge(spark, spark.read.parquet(oldOutPath),
+            full, graft.fia.Incremental.dirtyPlotIds(batch)))
       }
-      probe("fia_incremental", k, () =>
-        graft.fia.Incremental.merge(spark, spark.read.parquet(oldOutPath),
-          full, graft.fia.Incremental.dirtyPlotIds(batch)))
+      probe("upsert_commit", k, () => upsertCommit(spark, dir, k))
+    }
+    // a FILTERED run (SPARK_GRAFT_PROBE_OPS) appends — it must not
+    // clobber the full probe record with a partial one
+    if (onlyOps.isDefined) {
+      val fw = new java.io.FileWriter("docs/BENCH_SCALE_r08.json", true)
+      try fw.write(out.toString) finally fw.close()
+      spark.stop()
+      return
     }
     val w = new java.io.PrintWriter("docs/BENCH_SCALE_r08.json", "UTF-8")
     try w.print(out.toString) finally w.close()

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * this engine's own primitives: [[Layout.parquetFileStats]] supplies
   * the per-file key min/max manifest, and only files whose key range
   * intersects the update batch are decoded and rewritten; every other
-  * file is COPIED byte-for-byte (no decode, no re-encode, no shuffle).
+  * file is HARD-LINKED (local fs; an O(1) metadata op — the stand-in
+  * for a production format's manifest reference) or byte-copied (no
+  * decode, no re-encode, no shuffle either way).
   *
   * At 100 TB the difference is the whole point: a MERGE that touches
   * 0.1% of keys on a key-clustered table ([[Layout.writeRangeLayout]])
@@ -68,12 +70,27 @@ object Upsert {
     if (ofs.exists(out)) ofs.delete(out, true)
     ofs.mkdirs(out)
 
-    // byte-copy the untouched files (the copy-on-write fast path)
+    // Untouched files: HARD-LINK when both ends are the local
+    // filesystem (an O(1) metadata op per file — the local-fs stand-in
+    // for the manifest-reference a production table format uses, which
+    // is what keeps commit cost ∝ touched files, not table size), else
+    // byte-copy. Safe because this layout never mutates a shipped
+    // parquet file — snapshots share immutable content.
+    val localLink = fs.getScheme == "file" && ofs.getScheme == "file"
     untouched.foreach { f =>
       val src = new HPath(f)
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, src, ofs, new HPath(out, src.getName),
-        false, spark.sparkContext.hadoopConfiguration)
+      val dst = new HPath(out, src.getName)
+      val linked = localLink && {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch { case _: Exception => false } // cross-device etc → copy
+      }
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, src, ofs, dst, false, spark.sparkContext.hadoopConfiguration)
     }
 
     // decode ONLY the touched files; evict updated keys; append updates
@@ -116,12 +133,11 @@ object Upsert {
 
   /** Retention: delete all but the newest `keep` snapshots (never the
     * one CURRENT points to). Old snapshots are what time travel reads;
-    * vacuum is the explicit decision to give that up for space —
-    * at 100 TB the byte-copied files make snapshots cheap (shared
-    * content is re-copied per snapshot here; a production layout
-    * would hard-link or manifest-reference instead, noted in the
-    * Scaladoc as the follow-on), but unbounded history still grows
-    * linearly with commit count.
+    * vacuum is the explicit decision to give that up for space.
+    * Deleting a snapshot whose files are hard-linked into newer
+    * snapshots only UNLINKS them — the shared inodes survive in every
+    * other snapshot, which is what makes link-based COW safe to
+    * vacuum in any order.
     *
     * @return versions deleted */
   def vacuum(tableDir: String, keep: Int): Seq[Long] = {

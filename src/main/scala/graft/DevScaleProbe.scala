@@ -146,6 +146,19 @@ object DevScaleProbe {
     Seq((nCopied.toLong, nRewritten.toLong)).toDF("copied", "rewritten")
   }
 
+  /** Same delivery, but committed FROM a prior snapshot that already
+    * carries the manifest sidecar — the steady-state commit of a
+    * snapshot chain: zero footer reads for unchanged files. The first
+    * commit (which builds the sidecar from footers) is staged untimed. */
+  private def upsertCommitCached(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    // caller stages the manifested snapshot at upsert_out (untimed)
+    val updates = s.range(5000L, 10000L).select($"id".as("k"), lit(-2L).as("v"))
+    val (nCopied, nRewritten, _) = graft.ops.Upsert.upsertByKey(
+      s, s"$dir/upsert_out", s"$dir/upsert_out2", updates, "k")
+    Seq((nCopied.toLong, nRewritten.toLong)).toDF("copied", "rewritten")
+  }
+
   def main(args: Array[String]): Unit = {
     val tiers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
     val onlyOps = sys.env.get("SPARK_GRAFT_PROBE_OPS").map(_.split(",").toSet)
@@ -205,6 +218,10 @@ object DevScaleProbe {
             full, graft.fia.Incremental.dirtyPlotIds(batch)))
       }
       probe("upsert_commit", k, () => upsertCommit(spark, dir, k))
+      if (onlyOps.forall(_.contains("upsert_commit_cached"))) {
+        upsertCommit(spark, dir, k) // stage the manifested snapshot untimed
+        probe("upsert_commit_cached", k, () => upsertCommitCached(spark, dir, k))
+      }
     }
     // a FILTERED run (SPARK_GRAFT_PROBE_OPS) appends — it must not
     // clobber the full probe record with a partial one

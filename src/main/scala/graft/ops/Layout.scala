@@ -162,27 +162,43 @@ object Layout {
     * footer read per file, not a data scan). The path LIST (not the
     * data) is collected driver-side: one string per file, the same
     * order of driver memory any planner's file index already holds. */
-  def parquetFileStats(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
+  /** Leaf `.parquet` files under `path`, honoring the Spark/Hive
+    * hidden convention: any path SEGMENT starting with `_` or `.`
+    * (e.g. a `_manifest` sidecar dir) is metadata, not data. */
+  private[ops] def listDataFiles(
+      spark: SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files: Seq[String] =
-      if (fs.getFileStatus(p).isFile) Seq(p.toString)
-      else {
-        // listFiles(recursive = true): partitioned/nested layouts
-        // (dt=…/part-*.parquet) contribute their leaves too.
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val s = it.next()
-          if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-            buf += s.getPath.toString
-        }
-        buf.toSeq.sorted
+    if (fs.getFileStatus(p).isFile) Seq(p.toString)
+    else {
+      val rootDepth = p.toUri.getPath.split('/').length
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        val segs = s.getPath.toUri.getPath.split('/').drop(rootDepth)
+        val hidden = segs.exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        if (s.isFile && !hidden && s.getPath.getName.endsWith(".parquet"))
+          buf += s.getPath.toString
       }
+      buf.toSeq.sorted
+    }
+  }
+
+  def parquetFileStats(spark: SparkSession, path: String): DataFrame = {
+    val files = listDataFiles(spark, path)
     require(files.nonEmpty,
       s"parquetFileStats: no .parquet files under $path — wrong path or non-parquet table")
+    parquetFileStatsFor(spark, files)
+  }
+
+  /** [[parquetFileStats]] over an explicit file list — the incremental
+    * path: a caller holding a cached manifest only needs footer reads
+    * for the files it just wrote. */
+  def parquetFileStatsFor(spark: SparkSession, files: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{Path => HPath}
     // The session's hadoopConfiguration must travel to the executors:
     // a bare `new Configuration()` would drop fs.s3a/hdfs settings and
     // credentials and break any non-local filesystem.

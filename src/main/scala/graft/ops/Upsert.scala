@@ -27,19 +27,48 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Sidecar dir holding the cached per-file key-bounds manifest of a
+    * snapshot. Underscore-prefixed, so Spark's data reads skip it. */
+  private def manifestDir(snapshot: String) = s"$snapshot/_manifest"
+
+  /** Per-file (file, key, mn, mx) bounds for `keyCol`, where `file` is
+    * the BASENAME (unique within a snapshot; basenames survive the
+    * link/copy into the next snapshot unchanged and are scheme-proof —
+    * full paths from a cached manifest vs a live listing can differ in
+    * `file:` prefixing and would silently mis-classify every file).
+    * Source: the cached sidecar when one exists FOR THIS KEY, else
+    * aggregated from the parquet footers. The sidecar is what keeps a
+    * commit's cost ∝ touched files instead of ∝ table file count — the
+    * same role a table format's checkpoint/manifest plays. */
+  private def keyBounds(
+      spark: SparkSession, tablePath: String, keyCol: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val md = new HPath(manifestDir(tablePath))
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cached =
+      if (fs.exists(new HPath(md, "_SUCCESS")))
+        Some(spark.read.parquet(md.toString).filter(col("key") === keyCol))
+      else None
+    cached.filter(_.limit(1).count() > 0).getOrElse {
+      Layout.parquetFileStats(spark, tablePath)
+        .filter(col("column") === keyCol)
+        .groupBy(substring_index(col("file"), "/", -1).as("file"))
+        .agg(min(col("min_value").cast("long")).as("mn"),
+          max(col("max_value").cast("long")).as("mx"))
+        .withColumn("key", lit(keyCol))
+        .select("file", "key", "mn", "mx")
+    }
+  }
+
   /** @return (filesCopied, filesRewritten, updateRows) */
   def upsertByKey(
       spark: SparkSession, tablePath: String, outPath: String,
       updates: DataFrame, keyCol: String): (Int, Int, Long) = {
     import org.apache.hadoop.fs.{Path => HPath}
 
-    // per-FILE key bounds from the footer manifest (row-group stats
-    // aggregated up; no data pages read)
-    val manifest = Layout.parquetFileStats(spark, tablePath)
-      .filter(col("column") === keyCol)
-      .groupBy(col("file"))
-      .agg(min(col("min_value").cast("long")).as("mn"),
-        max(col("max_value").cast("long")).as("mx"))
+    // per-FILE key bounds: cached sidecar manifest, or footer stats
+    // (row-group stats aggregated up; no data pages read either way)
+    val manifest = keyBounds(spark, tablePath, keyCol)
 
     // a file is TOUCHED iff some update key falls inside its bounds —
     // manifest is small (one row per file), so it broadcasts against
@@ -50,20 +79,11 @@ object Upsert {
       .select(col("file")).collect().map(_.getString(0)).toSet
 
     val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = {
-      val it = fs.listFiles(new HPath(tablePath), true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-          buf += s.getPath.toString
-      }
-      buf.toSeq
-    }
+    val all = Layout.listDataFiles(spark, tablePath)
     require(all.nonEmpty, s"upsertByKey: no .parquet files under $tablePath")
-    // both listings come from the same FileSystem API, so the path
-    // strings are directly comparable
-    val untouched = all.filterNot(touched.contains)
+    // classification is by BASENAME (what the manifest stores)
+    val untouched = all.filterNot(f => touched.contains(new HPath(f).getName))
+    val touchedPaths = all.filter(f => touched.contains(new HPath(f).getName))
 
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -96,15 +116,47 @@ object Upsert {
     // decode ONLY the touched files; evict updated keys; append updates
     val nUp = updates.count()
     val rewritten =
-      if (touched.isEmpty) updates
+      if (touchedPaths.isEmpty) updates
       else {
-        val touchedRows = spark.read.parquet(touched.toSeq: _*)
+        val touchedRows = spark.read.parquet(touchedPaths: _*)
         touchedRows
           .join(broadcast(upKeys),
             touchedRows(keyCol).cast("long") === col("__k"), "left_anti")
           .unionByName(updates)
       }
-    rewritten.write.mode("append").parquet(outPath)
+    // one output file per touched input file (1 for a pure append) —
+    // without the coalesce, the rewrite lands one part file per
+    // partition of the update union and every commit SHATTERS the
+    // snapshot a little more (4 files became 9 in one commit when this
+    // was missing), growing the manifest and defeating the layout
+    rewritten.coalesce(math.max(1, touched.size))
+      .write.mode("append").parquet(outPath)
+
+    // Commit the NEW snapshot's manifest sidecar: bounds for the linked
+    // files CARRY OVER (path remapped — their bytes didn't change), and
+    // only the freshly written part files get footer reads. This is the
+    // incremental loop: after the first commit, no footer of an
+    // unchanged file is ever read again.
+    val untouchedNames = untouched.map(f => new HPath(f).getName).toSet
+    // filter by the TOUCHED set (small by design) rather than the
+    // untouched list, which is table-sized; manifest rows are already
+    // basenames, so linked files carry over verbatim
+    val carried =
+      if (touched.isEmpty) manifest
+      else manifest.filter(!col("file").isin(touched.toSeq: _*))
+    val freshFiles = Layout.listDataFiles(spark, outPath)
+      .filterNot(f => untouchedNames.contains(new HPath(f).getName))
+    val fresh =
+      if (freshFiles.isEmpty) carried.limit(0)
+      else Layout.parquetFileStatsFor(spark, freshFiles)
+        .filter(col("column") === keyCol)
+        .groupBy(substring_index(col("file"), "/", -1).as("file"))
+        .agg(min(col("min_value").cast("long")).as("mn"),
+          max(col("max_value").cast("long")).as("mx"))
+        .withColumn("key", lit(keyCol))
+        .select("file", "key", "mn", "mx")
+    carried.unionByName(fresh)
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
     (untouched.size, touched.size, nUp)
   }
 

@@ -83,6 +83,50 @@ class UpsertSpec extends AnyFunSuite {
     assert(Upsert.readSnapshot(spark, tbl, 2L).count() == 10)
   }
 
+  test("manifest sidecar: committed, invisible to data reads, carried across commits") {
+    import spark.implicits._
+    val tbl = s"$base/m0"; val o1 = s"$base/m1"; val o2 = s"$base/m2"
+    spark.range(4000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(tbl)
+
+    val up1 = spark.range(100, 200).select($"id".as("k"), lit(-1L).as("v"))
+    graft.ops.Upsert.upsertByKey(spark, tbl, o1, up1, "k")
+    // sidecar exists and is hidden from data reads
+    assert(new java.io.File(s"$o1/_manifest").isDirectory)
+    assert(spark.read.parquet(o1).count() == 4000)
+    // every data file of o1 has a manifest row with correct bounds
+    val m1 = spark.read.parquet(s"$o1/_manifest")
+    val mRows = m1.collect().map(r =>
+      r.getAs[String]("file").split('/').last ->
+        (r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    val dataFiles = new java.io.File(o1).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(mRows.keySet == dataFiles, s"manifest/file mismatch: ${mRows.keySet} vs $dataFiles")
+    val actual = spark.read.parquet(o1)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"k").as("mn"), max($"k").as("mx")).collect()
+      .map(r => r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2))).toMap
+    mRows.foreach { case (f, b) => assert(actual(f) == b, s"bounds drift for $f") }
+
+    // second commit CHAINED from the first snapshot (reads the cached
+    // manifest, no footer pass over unchanged files) stays exact
+    val up2 = spark.range(3000, 3100).select($"id".as("k"), lit(-2L).as("v"))
+    val (c2, r2, _) = graft.ops.Upsert.upsertByKey(spark, o1, o2, up2, "k")
+    assert(c2 + r2 == 4 && r2 <= 2)
+    val naive = spark.range(4000).select($"id".as("k"), $"id".as("v"))
+      .join(up1.select($"k"), Seq("k"), "left_anti").unionByName(up1)
+      .join(up2.select($"k"), Seq("k"), "left_anti").unionByName(up2)
+    val got = spark.read.parquet(o2)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // and o2's manifest again covers exactly its data files
+    val m2files = spark.read.parquet(s"$o2/_manifest")
+      .select("file").as[String].collect().map(_.split('/').last).toSet
+    val o2files = new java.io.File(o2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(m2files == o2files)
+  }
+
   test("all-new-key batch touches zero files (pure append)") {
     import spark.implicits._
     val tbl = s"$base/t2"; val out = s"$base/o2"

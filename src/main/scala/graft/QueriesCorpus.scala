@@ -823,9 +823,44 @@ object QueriesCorpus {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY o_orderstatus""".stripMargin
 
+  // --- bloom-manifest point-lookup pruning (ops.Layout.bloomManifest /
+  //     readBloomPruned): the staged copy is UNCLUSTERED (round-robin),
+  //     so min/max stats prune nothing — the per-file bloom still skips
+  //     most files for a point-key set. Probe keys are every 1009th
+  //     orderkey (deterministic, oracle-expressible); the gate returns
+  //     the looked-up rows, which must equal the plain SQL point lookup
+  //     regardless of which files the bloom read (false positives read
+  //     bytes, never change answers).
+  private def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_bloom"
+    val tbl = s"$base/table"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (!marker.exists) {
+      Tables.orders(s, dir).repartition(16)
+        .write.mode("overwrite").parquet(tbl)
+      new java.io.File(base).mkdirs()
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      try w.print(dir) finally w.close()
+    }
+    val keys = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 1009 === 0)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    val manifest = graft.ops.Layout.bloomManifest(s, tbl, "o_orderkey")
+    val (data, nFiles, nHit) = graft.ops.Layout.readBloomPruned(
+      s, manifest, "o_orderkey", keys)
+    require(nFiles == 16 && nHit <= nFiles,
+      s"bloom prune shape unexpected: $nHit of $nFiles files")
+    data.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  private val bloomPruneSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 1009 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (bucketedJoin _),
     "q_compact" -> (compact _),
+    "q_bloom_prune" -> (bloomPrune _),
     "q_upsert" -> (upsert _),
     "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
@@ -854,6 +889,7 @@ object QueriesCorpus {
   def oracles: Map[String, String] = Map(
     "q_bucketed_join" -> bucketedJoinSql,
     "q_compact" -> compactSql,
+    "q_bloom_prune" -> bloomPruneSql,
     "q_upsert" -> upsertSql,
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,

@@ -146,6 +146,88 @@ object Layout {
     (nIn, nOut, total)
   }
 
+  /** Per-FILE Bloom filter over a key column — the data-skipping index
+    * for POINT lookups on columns the layout is NOT clustered by:
+    * row-group min/max (and the upsert manifest built from it) prune
+    * nothing when every file spans the whole key domain, but a Bloom
+    * bit-set per file still answers "definitely not here" for a key.
+    * This is the role of Delta's Bloom index / Iceberg's bloom column
+    * metrics, built from this engine's own pieces.
+    *
+    * Shape: ONE aggregation pass over (file, key) — `input_file_name`
+    * keys the groupBy, each key sets `numHashes` bits derived from two
+    * independent md5-based 60-bit hashes (Kirsch-Mitzenmacher double
+    * hashing: bit_i = h1 + i*h2 mod m), and the per-file OR of bit
+    * arrays is a `max` aggregate over positional flags — partial
+    * aggregation applies, the shuffle carries one m-bit array per
+    * (file, partition).
+    *
+    * @param bitsPerFile m — sized for the expected keys/file and the
+    *   target false-positive rate (m ≈ 1.44 · n · log2(1/p)) */
+  def bloomManifest(
+      spark: SparkSession, path: String, keyCol: String,
+      bitsPerFile: Int = 1 << 14, numHashes: Int = 5): DataFrame = {
+    val df = spark.read.parquet(path)
+    val words = bitsPerFile / 64
+    val h1 = Dedup.hash60(col(keyCol).cast("string"))
+    val h2 = Dedup.hash60(concat(lit("b2:"), col(keyCol).cast("string")))
+    // bit positions for this key: h1 + i*h2 mod m
+    val bits = sequence(lit(0), lit(numHashes - 1)).cast("array<long>")
+    val positions = transform(bits,
+      i => pmod(h1 + i * pmod(h2, lit(bitsPerFile.toLong)), lit(bitsPerFile.toLong)))
+    // word-indexed flag array: arr[w] has bit (p % 64) set for each p
+    // (SQL-text lambdas: the Scala shiftleft() overload only takes a
+    // literal Int shift, the SQL function form takes a column)
+    val flagWords = (0 until words).map { w =>
+      expr(s"aggregate(filter(__pos, p -> (p div 64) = $w), 0L, " +
+        s"(acc, p) -> acc | shiftleft(1L, cast(p % 64 AS INT))) AS w$w")
+    }
+    df.select(input_file_name().as("file"), positions.as("__pos"))
+      .select(col("file") +: flagWords: _*)
+      .groupBy("file")
+      .agg(
+        expr(s"array(${(0 until words).map(w => s"bit_or(w$w)").mkString(",")})")
+          .as("bloom"))
+  }
+
+  /** Read only the files whose Bloom filter MAY contain one of `keys`
+    * (plus the exact residual filter — Bloom false positives read a
+    * file for nothing but never corrupt the answer).
+    *
+    * @param manifest output of [[bloomManifest]] (collected driver-side:
+    *   one m-bit array per file, the same order of memory as any file
+    *   index) */
+  def readBloomPruned(
+      spark: SparkSession, manifest: DataFrame, keyCol: String,
+      keys: Seq[Long], bitsPerFile: Int = 1 << 14, numHashes: Int = 5)
+      : (DataFrame, Int, Int) = {
+    import spark.implicits._
+    val rows = manifest.collect().map { r =>
+      r.getString(0) -> r.getSeq[Long](1).toArray
+    }
+    // same double-hash as the builder, computed via a 1-row Spark plan
+    // so the md5 arithmetic is bit-identical to the aggregation side
+    val probe = spark.createDataset(keys).toDF("k")
+      .select(col("k"),
+        Dedup.hash60(col("k").cast("string")).as("h1"),
+        Dedup.hash60(concat(lit("b2:"), col("k").cast("string"))).as("h2"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def mayContain(bloom: Array[Long], h1: Long, h2: Long): Boolean =
+      (0 until numHashes).forall { i =>
+        val p = java.lang.Math.floorMod(
+          h1 + i * java.lang.Math.floorMod(h2, bitsPerFile.toLong), bitsPerFile.toLong)
+        (bloom((p / 64).toInt) & (1L << (p % 64))) != 0
+      }
+    val hit = rows.collect {
+      case (f, bloom) if probe.exists { case (h1, h2) => mayContain(bloom, h1, h2) } => f
+    }
+    val data =
+      if (hit.isEmpty)
+        spark.read.parquet(rows.head._1).limit(0) // empty, correct schema
+      else spark.read.parquet(hit.toIndexedSeq: _*)
+    (data.filter(col(keyCol).isin(keys: _*)), rows.length, hit.length)
+  }
+
   /** Per-row-group, per-column footer statistics as a DataFrame — the
     * data-skipping MANIFEST for a parquet table: (file, row_group,
     * column, min_value, max_value, num_values, null_count). This is the

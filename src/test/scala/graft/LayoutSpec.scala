@@ -131,4 +131,43 @@ class LayoutSpec extends AnyFunSuite {
   private def bytes0(dir: String): Long =
     new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+
+  test("bloom manifest prunes point lookups where min/max cannot") {
+    import spark.implicits._
+    val dir = "/tmp/graft_bloomspec"
+    // UNCLUSTERED layout: round-robin keys — every file spans the whole
+    // key domain, so min/max bounds prune nothing for any point key
+    spark.range(64000).select($"id".as("k"), ($"id" * 7).as("v"))
+      .repartition(16) // round-robin
+      .write.mode("overwrite").parquet(dir)
+
+    val manifest = graft.ops.Layout.bloomManifest(spark, dir, "k")
+    assert(manifest.count() == 16)
+
+    // min/max CANNOT skip: every file's [mn, mx] contains the probe key
+    val bounds = graft.ops.Layout.parquetFileStats(spark, dir)
+      .filter($"column" === "k")
+      .groupBy($"file")
+      .agg(min($"min_value".cast("long")).as("mn"),
+        max($"max_value".cast("long")).as("mx"))
+      .collect()
+    val probeKey = 31337L
+    assert(bounds.forall(r => r.getLong(1) <= probeKey && probeKey <= r.getLong(2)),
+      "fixture broken: min/max should be useless on a round-robin layout")
+
+    // bloom prunes to a small fraction of files and the answer is exact
+    val (data, nFiles, nHit) = graft.ops.Layout.readBloomPruned(
+      spark, manifest, "k", Seq(probeKey))
+    assert(nFiles == 16)
+    assert(nHit < 8, s"bloom should prune most of 16 files, read $nHit")
+    val got = data.collect()
+    assert(got.length == 1 && got(0).getLong(0) == probeKey &&
+      got(0).getLong(1) == probeKey * 7)
+
+    // an absent key reads at most a false-positive file or two, finds nothing
+    val (miss, _, missHit) = graft.ops.Layout.readBloomPruned(
+      spark, manifest, "k", Seq(999999999L))
+    assert(missHit <= 2, s"absent key should prune nearly everything, read $missHit")
+    assert(miss.count() == 0)
+  }
 }

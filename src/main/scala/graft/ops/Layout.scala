@@ -175,19 +175,23 @@ object Layout {
     val bits = sequence(lit(0), lit(numHashes - 1)).cast("array<long>")
     val positions = transform(bits,
       i => pmod(h1 + i * pmod(h2, lit(bitsPerFile.toLong)), lit(bitsPerFile.toLong)))
-    // word-indexed flag array: arr[w] has bit (p % 64) set for each p
-    // (SQL-text lambdas: the Scala shiftleft() overload only takes a
-    // literal Int shift, the SQL function form takes a column)
-    val flagWords = (0 until words).map { w =>
-      expr(s"aggregate(filter(__pos, p -> (p div 64) = $w), 0L, " +
-        s"(acc, p) -> acc | shiftleft(1L, cast(p % 64 AS INT))) AS w$w")
-    }
-    df.select(input_file_name().as("file"), positions.as("__pos"))
-      .select(col("file") +: flagWords: _*)
+    // (file, word, bit) rows → two-stage partial aggregation. NOT one
+    // lambda-aggregate per word per row: an earlier shape evaluated
+    // `words` higher-order aggregates for every input row and cost 3.6 s
+    // on a 1.5M-row table; this shape is numHashes exploded rows per
+    // input row, partial-aggregated to ≤ files×words tiny pairs.
+    val perWord = df
+      .select(input_file_name().as("file"), explode(positions).as("p"))
+      .select(col("file"), shiftright(col("p"), 6).cast("int").as("w"),
+        expr("shiftleft(1L, cast(p % 64 AS INT))").as("bit"))
+      .groupBy(col("file"), col("w"))
+      .agg(expr("bit_or(bit)").as("bits"))
+    perWord
       .groupBy("file")
-      .agg(
-        expr(s"array(${(0 until words).map(w => s"bit_or(w$w)").mkString(",")})")
-          .as("bloom"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("m"))
+      .select(col("file"),
+        expr(s"transform(sequence(0, ${words - 1}), " +
+          "i -> coalesce(element_at(m, cast(i AS INT)), 0L))").as("bloom"))
   }
 
   /** Read only the files whose Bloom filter MAY contain one of `keys`

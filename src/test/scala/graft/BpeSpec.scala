@@ -51,6 +51,12 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.isEmpty, s"no adjacent pairs exist, got ${merges.length} merges")
   }
 
+  test("empty and non-alphabetic corpora train zero merges") {
+    assert(Bpe.train(spark, corpus(), "text", 5).collect().isEmpty)
+    assert(Bpe.train(spark, corpus(1L -> "123 456 !!"), "text", 5)
+      .collect().isEmpty)
+  }
+
   test("encodeWords with the learned merges reproduces the trainer's vocab state") {
     val docs = corpus(
       1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),

@@ -127,6 +127,19 @@ class UpsertSpec extends AnyFunSuite {
     assert(m2files == o2files)
   }
 
+  test("empty update batch commits a pure-link no-op snapshot") {
+    import spark.implicits._
+    val tbl = s"$base/e1"; val out = s"$base/e1out"
+    spark.range(1000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(tbl)
+    val empty = spark.range(0).select($"id".as("k"), $"id".as("v"))
+    val (nCopied, nRewritten, nUp) =
+      graft.ops.Upsert.upsertByKey(spark, tbl, out, empty, "k")
+    assert(nCopied == 4 && nRewritten == 0 && nUp == 0)
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
   test("all-new-key batch touches zero files (pure append)") {
     import spark.implicits._
     val tbl = s"$base/t2"; val out = s"$base/o2"

@@ -857,10 +857,59 @@ object QueriesCorpus {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders WHERE o_orderkey % 1009 = 0""".stripMargin
 
+  // --- change data feed (ops.Upsert.changeDataFeed): the row-level
+  //     diff between two COW snapshots, computed from changed files
+  //     only (shared hard-linked files cancel). The chain is the SAME
+  //     deterministic delivery as q_upsert, laid out as v0 → v1, so the
+  //     feed is SQL-expressible: inserts = the update batch exactly
+  //     (after images), deletes = the old versions of the updated keys
+  //     (the appended 500 have no before image).
+  private def cdf(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_cdf"
+    val v0 = s"$base/chain/v0"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (!marker.exists) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(v0)
+      new java.io.File(base).mkdirs()
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      try w.print(dir) finally w.close()
+    }
+    val orders = s.read.parquet(v0)
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val updates = orders.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(
+        orders.orderBy(col("o_orderkey").desc).limit(500)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("o_orderstatus", lit("N")))
+    graft.ops.Upsert.upsertByKey(s, v0, s"$base/chain/v1", updates, "o_orderkey")
+    graft.ops.Upsert.changeDataFeed(s, s"$base/chain", 0L, 1L)
+      .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"))
+  }
+
+  private val cdfSql =
+    """WITH mx AS (SELECT max(o_orderkey) / 8 AS cut FROM orders),
+      |ins AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'insert' AS _change_type
+      |  FROM orders WHERE o_orderkey <= (SELECT cut FROM mx)
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice,
+      |           'insert' AS _change_type
+      |    FROM orders ORDER BY o_orderkey DESC LIMIT 500)),
+      |del AS (
+      |  SELECT o_orderkey, o_totalprice, 'delete' AS _change_type
+      |  FROM orders WHERE o_orderkey <= (SELECT cut FROM mx))
+      |SELECT * FROM ins UNION ALL SELECT * FROM del""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_join" -> (bucketedJoin _),
     "q_compact" -> (compact _),
     "q_bloom_prune" -> (bloomPrune _),
+    "q_cdf" -> (cdf _),
     "q_upsert" -> (upsert _),
     "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
@@ -890,6 +939,7 @@ object QueriesCorpus {
     "q_bucketed_join" -> bucketedJoinSql,
     "q_compact" -> compactSql,
     "q_bloom_prune" -> bloomPruneSql,
+    "q_cdf" -> cdfSql,
     "q_upsert" -> upsertSql,
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,

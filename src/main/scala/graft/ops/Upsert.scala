@@ -183,6 +183,44 @@ object Upsert {
     spark.read.parquet(d.toString)
   }
 
+  /** Change data feed between two snapshots of a versioned COW table —
+    * row-level before/after images computed from ONLY the files the
+    * commits actually changed. Because commits link unchanged files
+    * verbatim (same basename, same bytes), any file present in both
+    * snapshots contributes identical rows to both sides and can be
+    * skipped outright; the diff reduces to
+    * `rows(to-only files) exceptAll rows(from-only files)` (after
+    * images / inserts) and the reverse (before images / deletes). An
+    * updated key surfaces as one `delete` + one `insert`, an appended
+    * key as `insert` only — Delta's CDF contract, derived here from
+    * the layout instead of a transaction log.
+    *
+    * Cost ∝ changed files across the interval, not table size — the
+    * property that makes incremental downstream consumers (a streaming
+    * reader, a derived aggregate) cheap against a 100 TB table. */
+  def changeDataFeed(
+      spark: SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    def files(v: Long): Map[String, String] = {
+      val d = new java.io.File(s"$tableDir/v$v")
+      require(d.isDirectory, s"snapshot v$v not found under $tableDir")
+      Layout.listDataFiles(spark, d.toString)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName -> f).toMap
+    }
+    val from = files(fromVersion); val to = files(toVersion)
+    val fromOnly = (from.keySet -- to.keySet).toSeq.sorted.map(from)
+    val toOnly = (to.keySet -- from.keySet).toSeq.sorted.map(to)
+    def rows(fs: Seq[String], anySnapshot: String): DataFrame =
+      if (fs.isEmpty)
+        spark.read.parquet(s"$tableDir/v$anySnapshot").limit(0)
+      else spark.read.parquet(fs: _*)
+    val before = rows(fromOnly, fromVersion.toString)
+    val after = rows(toOnly, toVersion.toString)
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** Retention: delete all but the newest `keep` snapshots (never the
     * one CURRENT points to). Old snapshots are what time travel reads;
     * vacuum is the explicit decision to give that up for space.

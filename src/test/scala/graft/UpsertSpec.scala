@@ -127,6 +127,46 @@ class UpsertSpec extends AnyFunSuite {
     assert(m2files == o2files)
   }
 
+  test("change data feed: exact before/after images from changed files only") {
+    import spark.implicits._
+    val tbl = s"$base/cdf"
+    // v0: 4 range-clustered files over keys 0..3999
+    spark.range(4000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    // v1: update keys 100..149 (one low file), append keys 50000..50009
+    val up1 = spark.range(100, 150).select($"id".as("k"), lit(-1L).as("v"))
+      .unionByName(spark.range(10).select(($"id" + 50000).as("k"), lit(-9L).as("v")))
+    graft.ops.Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v1", up1, "k")
+    // v2: pure append
+    val up2 = spark.range(5).select(($"id" + 60000).as("k"), lit(-8L).as("v"))
+    graft.ops.Upsert.upsertByKey(spark, s"$tbl/v1", s"$tbl/v2", up2, "k")
+
+    import graft.ops.Upsert
+    val cdf01 = Upsert.changeDataFeed(spark, tbl, 0L, 1L).cache()
+    try {
+      // after images: 50 updated + 10 appended; before images: the 50 old rows
+      assert(cdf01.filter($"_change_type" === "insert").count() == 60)
+      assert(cdf01.filter($"_change_type" === "delete").count() == 50)
+      assert(cdf01.filter($"_change_type" === "insert" && $"k" === 120L)
+        .select("v").as[Long].head() == -1L)
+      assert(cdf01.filter($"_change_type" === "delete" && $"k" === 120L)
+        .select("v").as[Long].head() == 120L)
+      // untouched keys never appear in the feed
+      assert(cdf01.filter($"k" === 3000L).count() == 0)
+    } finally cdf01.unpersist()
+
+    val cdf12 = Upsert.changeDataFeed(spark, tbl, 1L, 2L)
+    assert(cdf12.filter($"_change_type" === "delete").count() == 0,
+      "append-only commit must emit inserts only")
+    assert(cdf12.filter($"_change_type" === "insert").count() == 5)
+
+    // spanning feed composes across the interval
+    val cdf02 = Upsert.changeDataFeed(spark, tbl, 0L, 2L)
+    assert(cdf02.filter($"_change_type" === "insert").count() == 65)
+    assert(cdf02.filter($"_change_type" === "delete").count() == 50)
+  }
+
   test("empty update batch commits a pure-link no-op snapshot") {
     import spark.implicits._
     val tbl = s"$base/e1"; val out = s"$base/e1out"

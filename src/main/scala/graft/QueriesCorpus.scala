@@ -697,6 +697,34 @@ object QueriesCorpus {
 
   private val bktRegistered = scala.collection.mutable.Set.empty[String]
 
+  /** Staging guard for gates that copy/transform a testdata table into
+    * /tmp: the marker embeds the SOURCE parquet's byte size, so a
+    * driver testdata regeneration (same path, new bytes — the exact
+    * failure class of round 6) invalidates the staged copy instead of
+    * silently serving stale data against a fresh oracle. Returns true
+    * when staging must (re)run; the caller writes the marker via
+    * [[writeStageMarker]] AFTER a successful stage. */
+  private def needsStaging(marker: java.io.File, dir: String, srcTable: String): Boolean = {
+    val want = stageToken(dir, srcTable)
+    val have =
+      if (marker.exists) {
+        val s = scala.io.Source.fromFile(marker)
+        try s.mkString.trim finally s.close()
+      } else ""
+    have != want
+  }
+
+  private def stageToken(dir: String, srcTable: String): String = {
+    val p = java.nio.file.Paths.get(s"$dir/$srcTable.parquet")
+    s"$dir:$srcTable:${java.nio.file.Files.size(p)}"
+  }
+
+  private def writeStageMarker(marker: java.io.File, dir: String, srcTable: String): Unit = {
+    marker.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(marker, "UTF-8")
+    try w.print(stageToken(dir, srcTable)) finally w.close()
+  }
+
   private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
     val base = bktBase(dir)
     val h = base.substring(base.lastIndexOf('_') + 1)
@@ -741,12 +769,10 @@ object QueriesCorpus {
     val base = bktBase(dir) + "_compact"
     val in = s"$base/shatter"; val out = s"$base/compacted"
     val marker = new java.io.File(s"$base/STAGED")
-    if (!marker.exists) {
+    if (needsStaging(marker, dir, "lineitem")) {
       Tables.lineitem(s, dir).repartition(64)
         .write.mode("overwrite").parquet(in)
-      new java.io.File(base).mkdirs()
-      val w = new java.io.PrintWriter(marker, "UTF-8")
-      try w.print(dir) finally w.close()
+      writeStageMarker(marker, dir, "lineitem")
     }
     val (nIn, nOut, bytes) =
       graft.ops.Layout.compactSmallFiles(s, in, out, targetBytes = 8L << 20)
@@ -779,14 +805,12 @@ object QueriesCorpus {
     val base = bktBase(dir) + "_upsert"
     val tbl = s"$base/table"; val out = s"$base/out"
     val marker = new java.io.File(s"$base/STAGED")
-    if (!marker.exists) {
+    if (needsStaging(marker, dir, "orders")) {
       Tables.orders(s, dir)
         .repartitionByRange(16, col("o_orderkey"))
         .sortWithinPartitions(col("o_orderkey"))
         .write.mode("overwrite").parquet(tbl)
-      new java.io.File(base).mkdirs()
-      val w = new java.io.PrintWriter(marker, "UTF-8")
-      try w.print(dir) finally w.close()
+      writeStageMarker(marker, dir, "orders")
     }
     val orders = s.read.parquet(tbl)
     val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
@@ -835,12 +859,10 @@ object QueriesCorpus {
     val base = bktBase(dir) + "_bloom"
     val tbl = s"$base/table"
     val marker = new java.io.File(s"$base/STAGED")
-    if (!marker.exists) {
+    if (needsStaging(marker, dir, "orders")) {
       Tables.orders(s, dir).repartition(16)
         .write.mode("overwrite").parquet(tbl)
-      new java.io.File(base).mkdirs()
-      val w = new java.io.PrintWriter(marker, "UTF-8")
-      try w.print(dir) finally w.close()
+      writeStageMarker(marker, dir, "orders")
     }
     val keys = Tables.orders(s, dir)
       .filter(col("o_orderkey") % 1009 === 0)
@@ -868,14 +890,12 @@ object QueriesCorpus {
     val base = bktBase(dir) + "_cdf"
     val v0 = s"$base/chain/v0"
     val marker = new java.io.File(s"$base/STAGED")
-    if (!marker.exists) {
+    if (needsStaging(marker, dir, "orders")) {
       Tables.orders(s, dir)
         .repartitionByRange(16, col("o_orderkey"))
         .sortWithinPartitions(col("o_orderkey"))
         .write.mode("overwrite").parquet(v0)
-      new java.io.File(base).mkdirs()
-      val w = new java.io.PrintWriter(marker, "UTF-8")
-      try w.print(dir) finally w.close()
+      writeStageMarker(marker, dir, "orders")
     }
     val orders = s.read.parquet(v0)
     val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8

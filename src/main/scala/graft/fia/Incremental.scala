@@ -156,7 +156,11 @@ object Incremental {
     val n = SyntheticState.nPlotsFor(sfDir)
     val dir = new java.io.File(oldOutputDir)
     val marker = new java.io.File(dir, "NPLOTS")
-    val want = s"$n:$splitTag"
+    // invalidated by tier, split-definition, or generator change; a
+    // PIPELINE semantics change also stales this dir — bump splitTag
+    // alongside such changes (the oracle turns red either way, but a
+    // fresh materialization keeps the red pointing at the real cause)
+    val want = s"$n:$splitTag:${SyntheticState.genVersion}"
     val have =
       if (marker.exists) {
         val src = scala.io.Source.fromFile(marker)

@@ -153,22 +153,30 @@ object SyntheticState {
   /** Write the raw synthetic tables for `sfDir`'s tier to
     * [[oracleInputDir]] (skipped when the tier is already there — a
     * marker file records nPlots) and return the directory. */
+  /** Generator version. MUST be bumped whenever [[tables]]' output
+    * changes for a given nPlots: the marker embeds it, so a code change
+    * invalidates any previously materialized input instead of leaving
+    * the oracle reading bytes from the old generator (the same
+    * staleness class as a driver testdata regeneration). */
+  val genVersion = "g1"
+
   def materialize(spark: SparkSession, sfDir: String): String = {
     val n = nPlotsFor(sfDir)
     val dir = new java.io.File(oracleInputDir)
     val marker = new java.io.File(dir, "NPLOTS")
+    val want = s"$n:$genVersion"
     val have =
       if (marker.exists) {
         val src = scala.io.Source.fromFile(marker); try src.mkString.trim finally src.close()
       } else ""
-    if (have != n.toString) {
-      if (marker.exists) marker.delete() // stale tier: invalidate first
+    if (have != want) {
+      if (marker.exists) marker.delete() // stale tier/generator: invalidate first
       tables(spark, n).foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$oracleInputDir/$name")
       }
       dir.mkdirs()
       val w = new java.io.PrintWriter(marker, "UTF-8")
-      try w.print(n) finally w.close()
+      try w.print(want) finally w.close()
     }
     oracleInputDir
   }

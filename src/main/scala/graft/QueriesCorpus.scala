@@ -925,7 +925,27 @@ object QueriesCorpus {
       |  FROM orders WHERE o_orderkey <= (SELECT cut FROM mx))
       |SELECT * FROM ins UNION ALL SELECT * FROM del""".stripMargin
 
+  // --- one-pass multi-column profile (ops.Quality.profileNumeric): the
+  //     ingest schema-health report — exact distinct counts combine in
+  //     ONE scan via Catalyst's Expand; oracle recomputes each column's
+  //     stats independently in DuckDB.
+  private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+
+  private def profile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.profileNumeric(Tables.lineitem(s, dir), profileCols)
+
+  private def profileSql: String =
+    profileCols.map { c =>
+      s"""SELECT '$c' AS column, count($c) AS n_values,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+         |  CAST(sum(CAST($c AS DECIMAL(28,4))) AS DOUBLE) AS sum_v
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (profile _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_compact" -> (compact _),
     "q_bloom_prune" -> (bloomPrune _),
@@ -956,6 +976,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   def oracles: Map[String, String] = Map(
+    "q_profile" -> profileSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_compact" -> compactSql,
     "q_bloom_prune" -> bloomPruneSql,

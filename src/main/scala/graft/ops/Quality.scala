@@ -37,4 +37,34 @@ object Quality {
     val obs = Observation(name)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** One-PASS exact profile of several numeric columns — the ingest
+    * gate's schema-health report: per column, row count, null count,
+    * EXACT distinct count, min, max, and a decimal-exact sum. All
+    * columns profile in a single aggregation over one scan (the
+    * multi-`count(DISTINCT …)` combination plans through Catalyst's
+    * Expand — one pass over the data fanned to one stream per distinct
+    * aggregate, partial-aggregated; a naive per-column loop would scan
+    * the table N times). Output is long-format (one row per column) so
+    * downstream checks are data, not schema. */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nul_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"),
+        sum(col(c).cast("decimal(28,4)")).cast("double").as(s"__sm_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__nn_$c").as("n_values"), col(s"__nul_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"), col(s"__mn_$c").as("min_v"),
+        col(s"__mx_$c").as("max_v"), col(s"__sm_$c").as("sum_v"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -26,4 +26,21 @@ class QualitySpec extends AnyFunSuite {
     // null text is not < 5 chars (length(null) = null), so only "ok"
     assert(m("n_short_text") == 1L)
   }
+
+  test("profileNumeric: exact stats for all columns from ONE scan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(10.0)), (3L, None), (4L, Some(-2.5)))
+      .toDF("id", "x")
+    val prof = Quality.profileNumeric(df, Seq("id", "x"))
+    // one table scan total — multi-distinct combines via Expand
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand-based multi-distinct:\n$plan")
+    assert("LocalTableScan|Scan ".r.findAllIn(plan).length <= 2,
+      s"profile must not scan per column:\n$plan")
+    val rows = prof.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(rows("id") == ((4L, 0L, 4L, 1.0, 4.0, 10.0)))
+    assert(rows("x") == ((3L, 1L, 2L, -2.5, 10.0, 17.5)))
+  }
 }

@@ -334,6 +334,34 @@ object Streams {
       }
       .start()
 
+  /** Streaming approximate-distinct per event-time window, as the
+    * engine-exact HLL register table ([[graft.ops.Sketches]]): the
+    * register update `max(rho)` is a MERGEABLE aggregate, so Structured
+    * Streaming maintains it incrementally with state bounded by
+    * windows × 64 registers — a streaming `COUNT(DISTINCT)` would hold
+    * every distinct value in state forever. Registers stream out;
+    * [[graft.ops.Sketches.hllSummary]] turns any snapshot of them into
+    * estimates, and because the register math is identical to the
+    * batch path, stream-vs-batch register parity is bit-exact
+    * (spec-asserted). */
+  def approxDistinctRegistersByWindow(
+      events: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String, watermarkDelay: Option[String] = None): DataFrame = {
+    import graft.ops.{Dedup, Sketches}
+    val src = watermarkDelay.fold(events)(d => events.withWatermark(tsCol, d))
+    val h = Dedup.hash60(col(valueCol))
+    src
+      .select(window(col(tsCol), windowDuration).as("w"),
+        pmod(h, lit(Sketches.M.toLong)).as("bucket"),
+        shiftright(h, Sketches.P).as("suffix"))
+      .select(col("w"), col("bucket"),
+        when(col("suffix") === 0L, lit(55))
+          .otherwise(instr(lpad(bin(col("suffix")), 54, "0"), "1"))
+          .as("rho"))
+      .groupBy(col("w"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+  }
+
   /** Resolve the CURRENT snapshot path of an [[upsertSink]] table. */
   def currentSnapshot(tableDir: String): Option[String] = {
     val cur = new java.io.File(s"$tableDir/CURRENT")

@@ -353,6 +353,34 @@ class StreamingSpec extends AnyFunSuite {
       s"tail not flat: $counts")
   }
 
+  test("streaming windowed approx-distinct registers EQUAL the batch HLL bit-for-bit") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val stream = Streams.approxDistinctRegistersByWindow(
+      input.toDF().toDF("ts", "user"), "ts", "user", "10 minutes")
+    val q = stream.writeStream.format("memory").queryName("hllwin")
+      .outputMode("complete").start()
+    // two micro-batches, duplicate users within and across batches
+    input.addData((ts(1), "a"), (ts(2), "b"), (ts(3), "a"), (ts(12), "c"))
+    q.processAllAvailable()
+    input.addData((ts(4), "d"), (ts(13), "c"), (ts(14), "a"))
+    q.processAllAvailable()
+    val got = spark.table("hllwin")
+      .select($"w.start".cast("long").as("w0"), $"bucket", $"m_j")
+    // batch reference over the SAME rows
+    val all = Seq((ts(1), "a"), (ts(2), "b"), (ts(3), "a"), (ts(12), "c"),
+      (ts(4), "d"), (ts(13), "c"), (ts(14), "a")).toDF("ts", "user")
+    val batch = graft.ops.Sketches.hllRegistersBy(
+      all.select(functions.window($"ts", "10 minutes").as("w"), $"user")
+        .select($"w.start".cast("long").as("grp"), $"user"), "grp", "user")
+      .select($"grp".as("w0"), $"bucket", $"m_j")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streaming registers must equal the batch sketch exactly")
+    q.stop()
+  }
+
   test("streaming upsert sink: snapshots accumulate CDC state exactly") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

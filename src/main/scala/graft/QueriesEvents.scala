@@ -406,7 +406,51 @@ object QueriesEvents {
       |SELECT l.event_id, l.user_id, r.signup_value AS signup_value_asof
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin
 
+  // --- as-of join with TOLERANCE (merge_asof's staleness bound): same
+  //     trades×signups shape as q_asof_join, but a signup older than 7
+  //     days no longer attaches. DuckDB's native ASOF cannot express
+  //     tolerance, so the oracle replays the union-trick window SQL
+  //     with the same (time, src) order and the staleness CASE —
+  //     an independent formulation, not the operator's own code path.
+  private val asofTolUs = 7L * 24 * 3600 * 1000000 // 7 days in micros
+  private def asofTol(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select(
+      $"event_id", $"user_id", $"event_type", $"value", unix_micros($"ts").as("us"))
+    val leftT = e.filter($"event_type" =!= "signup")
+      .select($"event_id", $"user_id", $"us")
+    val rightT = e.filter($"event_type" === "signup")
+      .groupBy($"user_id", $"us").agg(min($"value").as("signup_value"))
+    graft.ops.AsOf.joinAsOf(
+        leftT, rightT, Seq("user_id"), "us", "us", Seq("signup_value"),
+        tolerance = Some(lit(asofTolUs)))
+      .select($"event_id", $"user_id", $"signup_value_asof")
+  }
+
+  private def asofTolSql =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT event_id, user_id, us FROM e WHERE event_type != 'signup'),
+       |r AS (SELECT user_id, us, min(value) AS signup_value
+       |      FROM e WHERE event_type = 'signup' GROUP BY 1, 2),
+       |u AS (
+       |  SELECT user_id, us, 1 AS src, event_id,
+       |         CAST(NULL AS DOUBLE) AS sv, CAST(NULL AS BIGINT) AS rus FROM l
+       |  UNION ALL
+       |  SELECT user_id, us, 0 AS src, NULL, signup_value, us FROM r),
+       |w AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN src = 0 THEN rus END IGNORE NULLS) OVER win AS m_us,
+       |    last_value(CASE WHEN src = 0 THEN sv END IGNORE NULLS) OVER win AS m_sv
+       |  FROM u
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY us, src
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_id, user_id,
+       |  CASE WHEN us - m_us <= $asofTolUs THEN m_sv END AS signup_value_asof
+       |FROM w WHERE src = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_tol" -> (asofTol _),
     "q_asof_join" -> (asofJoin _),
     "q_overlap_join" -> (overlapJoin _),
     "q_interval_join" -> (intervalJoin _),
@@ -423,6 +467,7 @@ object QueriesEvents {
     "q_value_deciles" -> (valueDeciles _))
 
   val oracles: Map[String, String] = Map(
+    "q_asof_tol" -> asofTolSql,
     "q_asof_join" -> asofJoinSql,
     "q_overlap_join" -> overlapJoinSql,
     "q_interval_join" -> intervalJoinSql,

@@ -55,21 +55,30 @@ object AsOf {
     *
     * @param valueCols right columns to attach; they appear on the
     *                  output suffixed `_asof`
+    * @param tolerance optional maximum staleness: a matched right row
+    *                  only attaches when `lTime - rTime <= tolerance`
+    *                  (merge_asof's `tolerance`); older matches yield
+    *                  nulls. Expressed as a Column so numeric epochs
+    *                  take a numeric literal and timestamps an INTERVAL
     * @return every left row (all its columns), plus the attached
     *         `<value>_asof` columns (null when no right row precedes) */
   def joinAsOf(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       lTimeCol: String, rTimeCol: String,
-      valueCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.StructType
+      valueCols: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
     // ONE struct per right row (never null for a right row, even when
     // every value field is SQL NULL) so (a) a matched row's NULL values
     // stay NULL instead of leaking the previous non-null value forward,
     // and (b) all attached columns come from the SAME right row — the
-    // semantics DuckDB ASOF JOIN / merge_asof guarantee.
+    // semantics DuckDB ASOF JOIN / merge_asof guarantee. The struct
+    // also carries the matched right TIME (`__rt`) so the tolerance
+    // check compares against the row that actually matched.
     val vType = StructType(valueCols.map(c =>
-      right.schema(right.schema.fieldIndex(c))))
+      right.schema(right.schema.fieldIndex(c))) :+
+      StructField("__rt", right.schema(right.schema.fieldIndex(rTimeCol)).dataType))
     val lSide = left.select(
       keyCols.map(col) ++
         Seq(col(lTimeCol).as("__t"), lit(1).as("__src")) ++
@@ -79,16 +88,19 @@ object AsOf {
       keyCols.map(col) ++
         Seq(col(rTimeCol).as("__t"), lit(0).as("__src")) ++
         leftPayload.map(c => lit(null).as(c)) :+
-        struct(valueCols.map(col): _*).as("__vs"): _*)
+        struct(valueCols.map(col) :+ col(rTimeCol).as("__rt"): _*).as("__vs"): _*)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inTol = tolerance.fold(lit(true))(tol =>
+      col("__t") - col("__vs").getField("__rt") <= tol)
     lSide.unionByName(rSide)
       .withColumn("__vs", last(col("__vs"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
       .select(keyCols.map(col) ++ leftPayload.map(col) ++
-        valueCols.map(c => col("__vs").getField(c).as(s"${c}_asof")): _*)
+        valueCols.map(c =>
+          when(inTol, col("__vs").getField(c)).as(s"${c}_asof")): _*)
   }
 
   /** Forward as-of: attach `first value where markerCond` at or AFTER

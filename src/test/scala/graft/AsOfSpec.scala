@@ -75,6 +75,26 @@ class AsOfSpec extends AnyFunSuite {
       3L -> ((Some(300.0), None))))
   }
 
+  test("joinAsOf tolerance: stale matches yield null, fresh ones attach") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", 15L), // match at 10, staleness 5  <= 10 -> attaches
+      (2L, "a", 25L), // match at 10, staleness 15 > 10  -> null
+      (3L, "a", 5L)   // no match at all                 -> null
+    ).toDF("id", "k", "t")
+    val right = Seq(("a", 10L, 100.0)).toDF("k", "qt", "px")
+    val got = AsOf.joinAsOf(left, right, Seq("k"), "t", "qt", Seq("px"),
+        tolerance = Some(org.apache.spark.sql.functions.lit(10L)))
+      .select($"id", $"px_asof").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> Some(100.0), 2L -> None, 3L -> None))
+    // and without tolerance the stale match still attaches (unchanged default)
+    val noTol = AsOf.joinAsOf(left, right, Seq("k"), "t", "qt", Seq("px"))
+      .filter($"id" === 2L).select($"px_asof").collect()(0).getDouble(0)
+    assert(noTol == 100.0)
+  }
+
   test("joinAsOf plans one shuffle on the key — no range join, no nested loop") {
     import spark.implicits._
     val left = (0 until 50).map(i => (i.toLong, s"k${i % 3}", i.toLong)).toDF("id", "k", "t")

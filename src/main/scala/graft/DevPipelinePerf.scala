@@ -23,7 +23,9 @@ object DevPipelinePerf {
       r
     }
 
-    val tabs = SyntheticState.tables(spark, SyntheticState.nPlotsFor(sfDir))
+    val tabs = SyntheticState.tables(spark,
+      sys.env.get("SPARK_GRAFT_NPLOTS").map(_.toInt)
+        .getOrElse(SyntheticState.nPlotsFor(sfDir)))
 
     for (round <- 1 to 2) {
       println(s"--- round $round ---")

@@ -163,8 +163,13 @@ object DevScaleProbe {
     val tiers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
     val onlyOps = sys.env.get("SPARK_GRAFT_PROBE_OPS").map(_.split(",").toSet)
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    // SPARK_GRAFT_SHUFFLE: scale-diagnosis override — the driver
+    // contract pins 32, but "does the curve straighten when partitions
+    // scale with the data" is exactly the question a super-linear tier
+    // raises (shuffle.partitions ∝ data is the production rule)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus.toString)
     val spark = GraftSession.builder(cpus)
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // session warmup

@@ -784,6 +784,42 @@ object QueriesText {
     graft.ops.Bpe.vocabSymbols(vocab)
   }
 
+  // held-out words ABSENT from the corpus: encoding them exercises the
+  // learned merges on unseen input, which q_bpe_vocab (the corpus's own
+  // final state) cannot
+  private val bpeHeldOut = Seq(
+    "zebra", "querying", "stream", "tokenizer", "minhash",
+    "aardvark", "xylem", "throughput")
+
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = graft.ops.Bpe.train(s, docs(s, dir), "text", bpeK)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ops.Bpe.encodeWords(bpeHeldOut.toDF("word"), "word", merges)
+      .select($"word", concat_ws("|", $"tokens").as("enc"),
+        size($"tokens").as("n_tokens"))
+  }
+
+  private def bpeEncodeSql: String = {
+    val values = bpeHeldOut.map(w => s"('$w')").mkString(", ")
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""bpe_e0 AS (SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS s
+         |  FROM (VALUES $values) AS t(word))""".stripMargin)
+    for (r <- 1 to bpeK) {
+      ctes += s"""bpe_e$r AS (SELECT word,
+                 |  replace(s, '|' || replace((SELECT pr FROM bpe_b$r), ' ', '||') || '|',
+                 |             '|' || replace((SELECT pr FROM bpe_b$r), ' ', '') || '|') AS s
+                 |  FROM bpe_e${r - 1})""".stripMargin
+    }
+    s"""WITH ${bpeCtes(bpeK)},
+       |${ctes.mkString(",\n")}
+       |SELECT word,
+       |  array_to_string(list_filter(string_split(s, '|'), x -> x <> ''), '|') AS enc,
+       |  CAST(len(list_filter(string_split(s, '|'), x -> x <> '')) AS INT) AS n_tokens
+       |FROM bpe_e$bpeK""".stripMargin
+  }
+
   private def bpeCtes(k: Int): String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       """bpe_wc AS MATERIALIZED (SELECT word, count(*) AS n FROM (
@@ -845,7 +881,8 @@ object QueriesText {
     "q_simhash_pairs" -> (simhashPairs _),
     "q_simhash" -> (simhash _),
     "q_bpe_merges" -> (bpeMerges _),
-    "q_bpe_vocab" -> (bpeVocab _))
+    "q_bpe_vocab" -> (bpeVocab _),
+    "q_bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map(
     "q_gopher_rules" -> gopherRulesSql,
@@ -874,5 +911,6 @@ object QueriesText {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_simhash" -> simhashSql,
     "q_bpe_merges" -> bpeMergesSql,
-    "q_bpe_vocab" -> bpeVocabSql)
+    "q_bpe_vocab" -> bpeVocabSql,
+    "q_bpe_encode" -> bpeEncodeSql)
 }

@@ -944,7 +944,30 @@ object QueriesCorpus {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  // --- temperature-0.5 mixture weights (Mixing.temperatureWeightsSqrt,
+  //     the GPT-3/PaLM nᵢ^τ rule at τ = 1/2): √ is IEEE-correctly-
+  //     rounded in every engine, and the normalization is all-integer
+  //     after micro-quantization, so the mixture table hashes exactly.
+  private def tempMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixing.temperatureWeightsSqrt(
+      docs(s, dir), "source", size(split(col("text"), " ")))
+
+  private val tempMixSql =
+    """WITH c AS (
+      |  SELECT source AS domain,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |q AS (SELECT domain, n_tokens,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+      |      FROM c),
+      |z AS (SELECT sum(sq) AS z, sum(n_tokens) AS nz FROM q)
+      |SELECT domain, n_tokens,
+      |  CAST((sq * 1000000) // z AS BIGINT) AS weight_q,
+      |  CAST((((sq * 1000000) // z) * nz) // n_tokens AS BIGINT) AS boost_q
+      |FROM q, z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temp_mix" -> (tempMix _),
     "q_profile" -> (profile _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_compact" -> (compact _),
@@ -976,6 +999,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   def oracles: Map[String, String] = Map(
+    "q_temp_mix" -> tempMixSql,
     "q_profile" -> profileSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_compact" -> compactSql,

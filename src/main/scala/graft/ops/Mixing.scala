@@ -51,4 +51,43 @@ object Mixing {
       .withColumn("mix_key", round((col("src_rank") - lit(0.5)) / w, 6))
       .select(col("id"), col("source"), col("src_rank"), col("mix_key"))
   }
+
+  /** Temperature-based mixture weights (the GPT-3 / PaLM / mT5 rule):
+    * domain i samples with probability ∝ nᵢ^τ — τ = 1 is proportional,
+    * τ → 0 uniform; τ ∈ (0, 1) upweights small domains so low-resource
+    * sources are not drowned by the head. This implementation fixes
+    * τ = 1/2, i.e. weight ∝ √nᵢ: `sqrt` is an IEEE-754
+    * correctly-rounded operation in every conforming engine (unlike
+    * `pow(x, τ)` for general τ, whose last ulp is libm-private), so
+    * the mixture table is cross-engine EXACT and the gate can hash it.
+    *
+    * One aggregation over the corpus (token counts per domain; partial
+    * aggregation) + arithmetic over the tiny domain table. Weights are
+    * micro-quantized (×1e6, floor) for the same exactness reason the
+    * engine quantizes cosine scores.
+    *
+    * @return (domain, n_tokens, weight_q, boost_q) where weight_q is
+    *         the mixture probability in micro-units and boost_q the
+    *         over/under-sampling factor vs proportional, also in
+    *         micro-units */
+  def temperatureWeightsSqrt(
+      docs: DataFrame, domainCol: String, tokenCountCol: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val counts = docs
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokenCountCol.cast("long")).as("n_tokens"))
+    // quantize √n to integer micro-units FIRST: the normalizing sum is
+    // then a LONG sum (order-independent, exact) instead of a double
+    // sum whose accumulation order would differ across engines. √ and
+    // one multiply are single IEEE ops — bit-identical everywhere.
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("__sq", floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      .withColumn("__z", sum(col("__sq")).over(wAll))
+      .withColumn("__nz", sum(col("n_tokens")).over(wAll))
+      // integer floor-divisions from here on: exact in any engine
+      .withColumn("weight_q", expr("(__sq * 1000000L) div __z"))
+      .withColumn("boost_q", expr("(weight_q * __nz) div n_tokens"))
+      .select(col("domain"), col("n_tokens"), col("weight_q"), col("boost_q"))
+  }
 }

@@ -966,7 +966,42 @@ object QueriesCorpus {
       |  CAST((((sq * 1000000) // z) * nz) // n_tokens AS BIGINT) AS boost_q
       |FROM q, z""".stripMargin
 
+  // --- composed: the LEARNED temperature weights drive the
+  //     deterministic low-discrepancy training order (Mixing.mixKeys) —
+  //     the end-to-end mixture pipeline: count → reweight → interleave.
+  //     The tiny weight table collects driver-side (one row per domain,
+  //     what any mixture recipe holds); the oracle recomputes both
+  //     stages in SQL.
+  private def tempMixOrder(s: SparkSession, dir: String): DataFrame = {
+    val weights = graft.ops.Mixing.temperatureWeightsSqrt(
+        docs(s, dir), "source", size(split(col("text"), " ")))
+      .select(col("domain"), col("weight_q")).collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+    graft.ops.Mixing.mixKeys(docs(s, dir), "doc_id", "source", weights)
+  }
+
+  private val tempMixOrderSql =
+    """WITH c AS (
+      |  SELECT source AS domain,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |q AS (SELECT domain,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+      |      FROM c),
+      |z AS (SELECT sum(sq) AS z FROM q),
+      |w AS (SELECT domain,
+      |        CAST(CAST((sq * 1000000) // z AS BIGINT) AS DOUBLE) / 1e6 AS wt
+      |      FROM q, z),
+      |r AS (SELECT doc_id AS id, source,
+      |        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+      |          AS src_rank
+      |      FROM documents)
+      |SELECT r.id, r.source, r.src_rank,
+      |  round((r.src_rank - 0.5) / w.wt, 6) AS mix_key
+      |FROM r JOIN w ON r.source = w.domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temp_mix_order" -> (tempMixOrder _),
     "q_temp_mix" -> (tempMix _),
     "q_profile" -> (profile _),
     "q_bucketed_join" -> (bucketedJoin _),
@@ -999,6 +1034,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   def oracles: Map[String, String] = Map(
+    "q_temp_mix_order" -> tempMixOrderSql,
     "q_temp_mix" -> tempMixSql,
     "q_profile" -> profileSql,
     "q_bucketed_join" -> bucketedJoinSql,

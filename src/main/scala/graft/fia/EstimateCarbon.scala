@@ -28,26 +28,29 @@ object EstimateCarbon {
       .select(col("SFTWD_HRDWD"), col("DENSITY_PROP").as("CULL_DECAY_RATIO"))
     val deadRatio = RefData.carbonRatioDead(spark)
 
+    // ONE withColumns wave: every derivation reads only join outputs /
+    // unmodified inputs (no column reads another wave member), and each
+    // withColumn call re-analyzes the whole post-kernel plan — batched,
+    // the analyzer walks it once instead of ten times per variant
     dataMortyr
       .join(broadcast(refSp), Seq("SPCD"), "left")
       .join(broadcast(cullRatio), Seq("SFTWD_HRDWD"), "left")
       .join(broadcast(decay), Seq("DECAYCD", "SFTWD_HRDWD"), "left")
       .join(broadcast(deadRatio), Seq("DECAYCD", "SFTWD_HRDWD"), "left")
-      .withColumn("CULL_DECAY_RATIO",
-        ifElse(col("STATUSCD") === 1, col("CULL_DECAY_RATIO"), lit(1.0)))
-      .withColumn("STANDING_DEAD_CD",
-        ifElse(col("STATUSCD") === 1, lit(0), col("STANDING_DEAD_CD")))
-      .withColumn("DECAYCD",
-        ifElse(col("STATUSCD") === 1, lit(0), col("DECAYCD")))
-      .withColumn("DECAY_WD", ifElse(col("STATUSCD") === 1, lit(1.0), col("DENSITY_PROP")))
-      .withColumn("DECAY_BK", ifElse(col("STATUSCD") === 1, lit(1.0), col("BARK_LOSS_PROP")))
-      .withColumn("DECAY_BR", ifElse(col("STATUSCD") === 1, lit(1.0), col("BRANCH_LOSS_PROP")))
-      .withColumn("C_FRAC",
-        ifElse(col("STATUSCD") === 1,
-          col("CARBON_RATIO_LIVE") * 100, col("CARBON_RATIO") * 100))
-      .withColumn("PROVINCE", Division.province(col("ECOSUBCD")))
-      .withColumn("DIVISION", Division.division(col("ECOSUBCD")))
-      .withColumn("CULL", when(col("CULL").isNull, lit(0.0)).otherwise(col("CULL")))
+      .withColumns(Map(
+        "CULL_DECAY_RATIO" ->
+          ifElse(col("STATUSCD") === 1, col("CULL_DECAY_RATIO"), lit(1.0)),
+        "STANDING_DEAD_CD" ->
+          ifElse(col("STATUSCD") === 1, lit(0), col("STANDING_DEAD_CD")),
+        "DECAYCD" -> ifElse(col("STATUSCD") === 1, lit(0), col("DECAYCD")),
+        "DECAY_WD" -> ifElse(col("STATUSCD") === 1, lit(1.0), col("DENSITY_PROP")),
+        "DECAY_BK" -> ifElse(col("STATUSCD") === 1, lit(1.0), col("BARK_LOSS_PROP")),
+        "DECAY_BR" -> ifElse(col("STATUSCD") === 1, lit(1.0), col("BRANCH_LOSS_PROP")),
+        "C_FRAC" -> ifElse(col("STATUSCD") === 1,
+          col("CARBON_RATIO_LIVE") * 100, col("CARBON_RATIO") * 100),
+        "PROVINCE" -> Division.province(col("ECOSUBCD")),
+        "DIVISION" -> Division.division(col("ECOSUBCD")),
+        "CULL" -> when(col("CULL").isNull, lit(0.0)).otherwise(col("CULL"))))
   }
 
   /** `estimate_carbon()` — crown-ratio join + prerequisites +
@@ -58,29 +61,32 @@ object EstimateCarbon {
       .select(col("Province").as("PROVINCE"), col("SFTWD_HRDWD"), col("CRmn"))
     val (missSft, missHwd) = RefData.crPropDefaults
 
+    // three dependency WAVES (not one): SPCD reads the wave-1 STDORGCD
+    // rewrite, and SPCD_DIVISION reads the wave-2 SPCD string — within
+    // a wave every expression evaluates against the wave's INPUT
     val fiadb0 = dataPrepped
       .filter(col("JENKINS_SPGRPCD") < 10 && col("HT").isNotNull)
       .join(broadcast(medCr), Seq("SFTWD_HRDWD", "PROVINCE"), "left")
-      .withColumn("CRmn",
-        when(col("CRmn").isNull && col("SFTWD_HRDWD") === "S", lit(missSft))
+      .withColumns(Map(
+        "CRmn" -> when(col("CRmn").isNull && col("SFTWD_HRDWD") === "S", lit(missSft))
           .when(col("CRmn").isNull && col("SFTWD_HRDWD") === "H", lit(missHwd))
-          .otherwise(col("CRmn")))
-      .withColumn("BROKEN_TOP", !(col("HT") === col("ACTUALHT")))
-      .withColumn("CR",
-        when(col("CR").isNull && col("STATUSCD") === 1, lit(0.0)).otherwise(col("CR")))
-      .withColumn("STDORGCD", when(col("STDORGCD").isNull, lit(0)).otherwise(col("STDORGCD")))
+          .otherwise(col("CRmn")),
+        "BROKEN_TOP" -> !(col("HT") === col("ACTUALHT")),
+        "CR" -> when(col("CR").isNull && col("STATUSCD") === 1, lit(0.0))
+          .otherwise(col("CR")),
+        "STDORGCD" -> when(col("STDORGCD").isNull, lit(0)).otherwise(col("STDORGCD")),
+        "CULL" -> when(col("CULL").isNull, lit(0.0)).otherwise(col("CULL")),
+        "DBH" -> col("DIA"),
+        "THT" -> col("HT")))
       // planted loblolly/slash -> separate coefficient rows ("1_131");
       // SPCD becomes a string from here on (SURVEY §7.4.9)
       .withColumn("SPCD",
         when(col("SPCD").isin(111, 131) && col("STDORGCD") === 1,
           concat(lit("1_"), col("SPCD").cast(StringType)))
           .otherwise(col("SPCD").cast(StringType)))
-      .withColumn("CULL", when(col("CULL").isNull, lit(0.0)).otherwise(col("CULL")))
       // R paste() renders NA as the string "NA"
       .withColumn("SPCD_DIVISION",
         concat(col("SPCD"), lit(" "), coalesce(col("DIVISION"), lit("NA"))))
-      .withColumn("DBH", col("DIA"))
-      .withColumn("THT", col("HT"))
 
     val predicted = Nsvb.predict(spark, fiadb0)
       .select(col("plot_ID").as("plot_ID_p"), col("tree_ID").as("tree_ID_p"),

@@ -109,23 +109,24 @@ object FiaAnnualize {
         coalesce(col("RECONCILECD").isin(5, 6, 9), lit(false))) ||
         (col("COND_STATUS_CD") =!= 1)
 
-    var out = df
+    // masking in dependency WAVES (each withColumn re-analyzes the
+    // whole post-kernel plan, so batch what is independent): DECAYCD
+    // reads the REWRITTEN STANDING_DEAD_CD, and the non-sampled wave
+    // reads the fallen wave's outputs — 12 analyzer passes become 4
+    df
       // STANDING_DEAD_CD only for dead trees (null STATUSCD -> null)
       .withColumn("STANDING_DEAD_CD",
         when(col("STATUSCD") === 2, col("STANDING_DEAD_CD")))
-      // DECAYCD only for standing dead
+      // DECAYCD only for standing dead (post-rewrite value)
       .withColumn("DECAYCD",
         when(col("STANDING_DEAD_CD") === 1, col("DECAYCD")))
-    // fallen trees: no measurements (null condition keeps value,
-    // mirroring if_else(cond, NA, x, missing = x))
-    for (c0 <- measured)
-      out = out.withColumn(c0,
-        when(col("STANDING_DEAD_CD") === 0, lit(null)).otherwise(col(c0)))
-    // non-sampled conditions: no measurements
-    for (c0 <- measured)
-      out = out.withColumn(c0,
-        when(nonSampled, lit(null)).otherwise(col(c0)))
-    out
+      // fallen trees: no measurements (null condition keeps value,
+      // mirroring if_else(cond, NA, x, missing = x))
+      .withColumns(Map(measured.map(c0 => c0 ->
+        when(col("STANDING_DEAD_CD") === 0, lit(null)).otherwise(col(c0))): _*))
+      // non-sampled conditions: no measurements
+      .withColumns(Map(measured.map(c0 => c0 ->
+        when(nonSampled, lit(null)).otherwise(col(c0))): _*))
   }
 
   /** `fia_annualize()` (`R/fia_annualize.R:29-34`). */

@@ -60,10 +60,16 @@ object Upsert {
     }
   }
 
-  /** @return (filesCopied, filesRewritten, updateRows) */
+  /** @param allowSchemaEvolution when true, an update batch may carry
+    *   NEW columns (they land on the rewritten/appended rows; rows in
+    *   byte-copied files surface them as null — read the snapshot via
+    *   [[readSnapshot]], which merges schemas across files). Off by
+    *   default: silent schema drift in a delivery is usually a bug.
+    * @return (filesCopied, filesRewritten, updateRows) */
   def upsertByKey(
       spark: SparkSession, tablePath: String, outPath: String,
-      updates: DataFrame, keyCol: String): (Int, Int, Long) = {
+      updates: DataFrame, keyCol: String,
+      allowSchemaEvolution: Boolean = false): (Int, Int, Long) = {
     import org.apache.hadoop.fs.{Path => HPath}
 
     // per-FILE key bounds: cached sidecar manifest, or footer stats
@@ -122,7 +128,7 @@ object Upsert {
         touchedRows
           .join(broadcast(upKeys),
             touchedRows(keyCol).cast("long") === col("__k"), "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = allowSchemaEvolution)
       }
     // one output file per touched input file (1 for a pure append) —
     // without the coalesce, the rewrite lands one part file per
@@ -174,13 +180,16 @@ object Upsert {
       .map(_.getName.drop(1).toLong).sorted.toSeq
 
   /** Time travel: read the table AS OF `version` (a past snapshot is a
-    * complete table — copy-on-write never mutates shipped files). */
+    * complete table — copy-on-write never mutates shipped files).
+    * `mergeSchema` is on: after a schema-evolving commit, a snapshot
+    * mixes old-schema (linked) and new-schema (rewritten) files, and a
+    * bare read would pick one file's schema arbitrarily. */
   def readSnapshot(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
     val d = new java.io.File(s"$tableDir/v$version")
     require(d.isDirectory,
       s"snapshot v$version not found under $tableDir " +
         s"(have: ${snapshotVersions(tableDir).mkString(",")}) — vacuumed or never written")
-    spark.read.parquet(d.toString)
+    spark.read.option("mergeSchema", "true").parquet(d.toString)
   }
 
   /** Change data feed between two snapshots of a versioned COW table —
@@ -193,7 +202,11 @@ object Upsert {
     * images / inserts) and the reverse (before images / deletes). An
     * updated key surfaces as one `delete` + one `insert`, an appended
     * key as `insert` only — Delta's CDF contract, derived here from
-    * the layout instead of a transaction log.
+    * the layout instead of a transaction log. The interval's snapshots
+    * must share a schema (exceptAll is positional); across a
+    * schema-evolving commit, feed consumers should align the older
+    * snapshot first (select + null-fill) or split the interval at the
+    * evolution point.
     *
     * Cost ∝ changed files across the interval, not table size — the
     * property that makes incremental downstream consumers (a streaming

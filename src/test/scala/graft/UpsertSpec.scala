@@ -180,6 +180,32 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
+  test("schema evolution: new update column lands; old rows surface null; off by default") {
+    import spark.implicits._
+    val tbl = s"$base/evo"; val out = s"$base/evoout"
+    spark.range(2000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(tbl)
+    val updates = spark.range(100, 150)
+      .select($"id".as("k"), lit(-1L).as("v"), lit("fr").as("lang"))
+
+    // strict mode refuses the drifted schema
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.ops.Upsert.upsertByKey(spark, tbl, s"$base/evofail", updates, "k")
+    }
+
+    val (nCopied, nRewritten, _) = graft.ops.Upsert.upsertByKey(
+      spark, tbl, out, updates, "k", allowSchemaEvolution = true)
+    assert(nCopied >= 2 && nRewritten >= 1)
+    // snapshot read merges old- and new-schema files
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.columns.toSet == Set("k", "v", "lang"))
+    assert(got.count() == 2000)
+    assert(got.filter($"k" === 120L).select("lang").as[String].head() == "fr")
+    assert(got.filter($"k" === 1500L).select("lang").collect()(0).isNullAt(0),
+      "byte-copied rows must surface the new column as null")
+  }
+
   test("all-new-key batch touches zero files (pure append)") {
     import spark.implicits._
     val tbl = s"$base/t2"; val out = s"$base/o2"

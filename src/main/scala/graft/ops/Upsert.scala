@@ -3,14 +3,15 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Copy-on-write upsert at FILE granularity — the core maintenance
-  * loop of a lakehouse table (Delta/Iceberg `MERGE INTO`), built from
-  * this engine's own primitives: [[Layout.parquetFileStats]] supplies
-  * the per-file key min/max manifest, and only files whose key range
-  * intersects the update batch are decoded and rewritten; every other
-  * file is HARD-LINKED (local fs; an O(1) metadata op — the stand-in
-  * for a production format's manifest reference) or byte-copied (no
-  * decode, no re-encode, no shuffle either way).
+/** Copy-on-write MERGE verbs at FILE granularity — the core
+  * maintenance loop of a lakehouse table (Delta/Iceberg `MERGE INTO` /
+  * `DELETE`), built from this engine's own primitives:
+  * [[Layout.parquetFileStats]] supplies the per-file key min/max
+  * manifest, and only files whose key range intersects the
+  * update/delete key set are decoded and rewritten; every other file
+  * is HARD-LINKED (local fs; an O(1) metadata op — the stand-in for a
+  * production format's manifest reference) or byte-copied (no decode,
+  * no re-encode, no shuffle either way).
   *
   * At 100 TB the difference is the whole point: a MERGE that touches
   * 0.1% of keys on a key-clustered table ([[Layout.writeRangeLayout]])
@@ -21,9 +22,9 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `keyCol` is unique per row in both table and updates
   * (primary-key upsert). An update whose key exists replaces that row;
-  * a new key is appended. Output lands at `outPath` (copy-on-write —
-  * the input table is immutable history, the caller swaps pointers,
-  * which is how lakehouse commits work).
+  * a new key is appended; a deleted key vanishes. Output lands at
+  * `outPath` (copy-on-write — the input table is immutable history,
+  * the caller swaps pointers, which is how lakehouse commits work).
   */
 object Upsert {
 
@@ -60,33 +61,38 @@ object Upsert {
     }
   }
 
-  /** @param allowSchemaEvolution when true, an update batch may carry
-    *   NEW columns (they land on the rewritten/appended rows; rows in
-    *   byte-copied files surface them as null — read the snapshot via
-    *   [[readSnapshot]], which merges schemas across files). Off by
-    *   default: silent schema drift in a delivery is usually a bug.
-    * @return (filesCopied, filesRewritten, updateRows) */
-  def upsertByKey(
+  /** The shared commit engine behind [[upsertByKey]] and
+    * [[deleteByKey]]: prune by manifest, link/copy untouched files,
+    * rewrite touched files minus `evictKeys`, append `append` (if
+    * any), and commit the new snapshot's manifest sidecar with carried
+    * rows for linked files + fresh footer stats for written ones.
+    *
+    * @param evictKeys single-column frame of `keyCol` values to remove
+    *                  from touched files
+    * @param append    rows to add after eviction (the upsert payload);
+    *                  None for a pure delete
+    * @return (filesCopied, filesRewritten) */
+  private def commit(
       spark: SparkSession, tablePath: String, outPath: String,
-      updates: DataFrame, keyCol: String,
-      allowSchemaEvolution: Boolean = false): (Int, Int, Long) = {
+      evictKeys: DataFrame, append: Option[DataFrame], keyCol: String,
+      allowSchemaEvolution: Boolean): (Int, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
 
     // per-FILE key bounds: cached sidecar manifest, or footer stats
     // (row-group stats aggregated up; no data pages read either way)
     val manifest = keyBounds(spark, tablePath, keyCol)
 
-    // a file is TOUCHED iff some update key falls inside its bounds —
+    // a file is TOUCHED iff some evict key falls inside its bounds —
     // manifest is small (one row per file), so it broadcasts against
-    // the distinct update keys
-    val upKeys = updates.select(col(keyCol).cast("long").as("__k")).distinct()
+    // the distinct keys
+    val upKeys = evictKeys.select(col(keyCol).cast("long").as("__k")).distinct()
     val touched = broadcast(manifest)
       .join(upKeys, col("__k").between(col("mn"), col("mx")), "left_semi")
       .select(col("file")).collect().map(_.getString(0)).toSet
 
     val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = Layout.listDataFiles(spark, tablePath)
-    require(all.nonEmpty, s"upsertByKey: no .parquet files under $tablePath")
+    require(all.nonEmpty, s"Upsert.commit: no .parquet files under $tablePath")
     // classification is by BASENAME (what the manifest stores)
     val untouched = all.filterNot(f => touched.contains(new HPath(f).getName))
     val touchedPaths = all.filter(f => touched.contains(new HPath(f).getName))
@@ -119,28 +125,33 @@ object Upsert {
           fs, src, ofs, dst, false, spark.sparkContext.hadoopConfiguration)
     }
 
-    // decode ONLY the touched files; evict updated keys; append updates
-    val nUp = updates.count()
-    val rewritten =
-      if (touchedPaths.isEmpty) updates
+    // decode ONLY the touched files; evict keys; append the payload
+    val survivors =
+      if (touchedPaths.isEmpty) None
       else {
         val touchedRows = spark.read.parquet(touchedPaths: _*)
-        touchedRows
-          .join(broadcast(upKeys),
-            touchedRows(keyCol).cast("long") === col("__k"), "left_anti")
-          .unionByName(updates, allowMissingColumns = allowSchemaEvolution)
+        Some(touchedRows.join(broadcast(upKeys),
+          touchedRows(keyCol).cast("long") === col("__k"), "left_anti"))
       }
+    val rewritten = (survivors, append) match {
+      case (Some(s), Some(a)) =>
+        Some(s.unionByName(a, allowMissingColumns = allowSchemaEvolution))
+      case (Some(s), None) => Some(s)
+      case (None, Some(a)) => Some(a)
+      case (None, None) => None
+    }
     // one output file per touched input file (1 for a pure append) —
     // without the coalesce, the rewrite lands one part file per
     // partition of the update union and every commit SHATTERS the
     // snapshot a little more (4 files became 9 in one commit when this
     // was missing), growing the manifest and defeating the layout
-    rewritten.coalesce(math.max(1, touched.size))
-      .write.mode("append").parquet(outPath)
+    rewritten.foreach(
+      _.coalesce(math.max(1, touched.size))
+        .write.mode("append").parquet(outPath))
 
     // Commit the NEW snapshot's manifest sidecar: bounds for the linked
-    // files CARRY OVER (path remapped — their bytes didn't change), and
-    // only the freshly written part files get footer reads. This is the
+    // files CARRY OVER (their bytes didn't change), and only the
+    // freshly written part files get footer reads. This is the
     // incremental loop: after the first commit, no footer of an
     // unchanged file is ever read again.
     val untouchedNames = untouched.map(f => new HPath(f).getName).toSet
@@ -163,7 +174,40 @@ object Upsert {
         .select("file", "key", "mn", "mx")
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
-    (untouched.size, touched.size, nUp)
+    (untouched.size, touched.size)
+  }
+
+  /** @param allowSchemaEvolution when true, an update batch may carry
+    *   NEW columns (they land on the rewritten/appended rows; rows in
+    *   byte-copied files surface them as null — read the snapshot via
+    *   [[readSnapshot]], which merges schemas across files). Off by
+    *   default: silent schema drift in a delivery is usually a bug.
+    * @return (filesCopied, filesRewritten, updateRows) */
+  def upsertByKey(
+      spark: SparkSession, tablePath: String, outPath: String,
+      updates: DataFrame, keyCol: String,
+      allowSchemaEvolution: Boolean = false): (Int, Int, Long) = {
+    val nUp = updates.count()
+    val (c, r) = commit(spark, tablePath, outPath,
+      evictKeys = updates.select(col(keyCol)), append = Some(updates),
+      keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution)
+    (c, r, nUp)
+  }
+
+  /** Copy-on-write DELETE — the other MERGE verb, same engine: only
+    * files whose key range intersects the delete set decode and
+    * rewrite (minus the deleted keys); everything else
+    * hard-links/copies, and the manifest sidecar carries over.
+    *
+    * @return (filesCopied, filesRewritten, keysRequested) */
+  def deleteByKey(
+      spark: SparkSession, tablePath: String, outPath: String,
+      keys: DataFrame, keyCol: String): (Int, Int, Long) = {
+    val n = keys.count()
+    val (c, r) = commit(spark, tablePath, outPath,
+      evictKeys = keys.select(col(keyCol)), append = None,
+      keyCol = keyCol, allowSchemaEvolution = false)
+    (c, r, n)
   }
 
   // -------------------------------------------------------------------

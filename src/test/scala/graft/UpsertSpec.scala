@@ -180,6 +180,24 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
+  test("deleteByKey: pruned rewrite removes keys; untouched files link") {
+    import spark.implicits._
+    val tbl = s"$base/del"; val out = s"$base/delout"
+    spark.range(4000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(tbl)
+    val keys = spark.range(100, 200).select($"id".as("k"))
+    val (nCopied, nRewritten, nReq) =
+      graft.ops.Upsert.deleteByKey(spark, tbl, out, keys, "k")
+    assert(nReq == 100 && nRewritten >= 1 && nCopied == 4 - nRewritten)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3900)
+    assert(got.filter($"k".between(100, 199)).count() == 0)
+    assert(got.filter($"k" === 99L).count() == 1 && got.filter($"k" === 200L).count() == 1)
+    // the manifest sidecar committed for the new snapshot too
+    assert(new java.io.File(s"$out/_manifest").isDirectory)
+  }
+
   test("schema evolution: new update column lands; old rows surface null; off by default") {
     import spark.implicits._
     val tbl = s"$base/evo"; val out = s"$base/evoout"

@@ -1000,7 +1000,44 @@ object QueriesCorpus {
       |  round((r.src_rank - 0.5) / w.wt, 6) AS mix_key
       |FROM r JOIN w ON r.source = w.domain""".stripMargin
 
+  // --- copy-on-write DELETE (ops.Upsert.deleteByKey): same staged
+  //     range-clustered table as q_upsert; a contiguous key slice is
+  //     deleted (low files rewrite minus the keys, the rest hard-link)
+  //     and the surviving aggregate must equal plain SQL over the
+  //     original minus the slice.
+  private def delete(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_delete"
+    val tbl = s"$base/table"; val out = s"$base/out"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      writeStageMarker(marker, dir, "orders")
+    }
+    val orders = s.read.parquet(tbl)
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val keys = orders.filter(col("o_orderkey") <= cut).select(col("o_orderkey"))
+    val (nCopied, nRewritten, _) =
+      graft.ops.Upsert.deleteByKey(s, tbl, out, keys, "o_orderkey")
+    require(nRewritten > 0 && nCopied > 0,
+      s"delete must split copy/rewrite: copied=$nCopied rewritten=$nRewritten")
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val deleteSql =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey > (SELECT max(o_orderkey) / 8 FROM orders)
+      |GROUP BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delete" -> (delete _),
     "q_temp_mix_order" -> (tempMixOrder _),
     "q_temp_mix" -> (tempMix _),
     "q_profile" -> (profile _),
@@ -1034,6 +1071,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   def oracles: Map[String, String] = Map(
+    "q_delete" -> deleteSql,
     "q_temp_mix_order" -> tempMixOrderSql,
     "q_temp_mix" -> tempMixSql,
     "q_profile" -> profileSql,

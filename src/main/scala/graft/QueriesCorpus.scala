@@ -1036,7 +1036,35 @@ object QueriesCorpus {
       |WHERE o_orderkey > (SELECT max(o_orderkey) / 8 FROM orders)
       |GROUP BY o_orderstatus""".stripMargin
 
+  // --- OPTIMIZE (Layout.optimizeTable): re-clusters an accreted
+  //     round-robin copy into disjoint key ranges (one shuffle — the
+  //     maintenance pass that revives pruning); data must be
+  //     value-invisible, so the oracle aggregates the original table.
+  private def optimize(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_optimize"
+    val in = s"$base/in"; val out = s"$base/out"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir).repartition(16)
+        .write.mode("overwrite").parquet(in)
+      writeStageMarker(marker, dir, "orders")
+    }
+    val (nIn, nOut, _) = graft.ops.Layout.optimizeTable(
+      s, in, out, "o_orderkey", targetBytes = 4L << 20)
+    require(nIn == 16 && nOut >= 1, s"optimize shape unexpected: $nIn -> $nOut")
+    s.read.parquet(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val optimizeSql =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_optimize" -> (optimize _),
     "q_delete" -> (delete _),
     "q_temp_mix_order" -> (tempMixOrder _),
     "q_temp_mix" -> (tempMix _),
@@ -1071,6 +1099,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   def oracles: Map[String, String] = Map(
+    "q_optimize" -> optimizeSql,
     "q_delete" -> deleteSql,
     "q_temp_mix_order" -> tempMixOrderSql,
     "q_temp_mix" -> tempMixSql,

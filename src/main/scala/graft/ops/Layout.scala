@@ -146,6 +146,39 @@ object Layout {
     (nIn, nOut, total)
   }
 
+  /** OPTIMIZE: compaction WITH re-clustering — the Delta
+    * `OPTIMIZE … ZORDER BY` shape. [[compactSmallFiles]] merges files
+    * but preserves whatever row order accretion left behind; a table
+    * built by many upsert/append commits ends up with OVERLAPPING
+    * per-file key ranges, so min/max pruning (and the upsert manifest)
+    * degrades to reading everything. This pass re-range-partitions and
+    * sorts, landing ≈`targetBytes` files with DISJOINT key ranges —
+    * pruning restored. One shuffle, by design: re-clustering IS a
+    * data movement; run it at maintenance cadence, not per commit.
+    *
+    * @return (input files, output files, total input bytes) */
+  def optimizeTable(
+      spark: SparkSession, inPath: String, outPath: String,
+      sortCol: String, targetBytes: Long): (Int, Int, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val files = listDataFiles(spark, inPath)
+    require(files.nonEmpty, s"optimizeTable: no .parquet files under $inPath")
+    val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartitionByRange(nOut, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(outPath)
+    var written = 0
+    val it = fs.listFiles(new HPath(outPath), true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) written += 1
+    }
+    (files.size, written, total)
+  }
+
   /** Per-FILE Bloom filter over a key column — the data-skipping index
     * for POINT lookups on columns the layout is NOT clustered by:
     * row-group min/max (and the upsert manifest built from it) prune

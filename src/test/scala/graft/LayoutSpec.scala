@@ -132,6 +132,32 @@ class LayoutSpec extends AnyFunSuite {
     new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
 
+  test("optimizeTable restores disjoint per-file key ranges (pruning revived)") {
+    import spark.implicits._
+    val in = "/tmp/graft_optspec/in"; val out = "/tmp/graft_optspec/out"
+    // accreted table: round-robin keys — every file spans the key domain
+    spark.range(40000).select($"id".as("k"), ($"id" * 3).as("v"))
+      .repartition(16).write.mode("overwrite").parquet(in)
+    def ranges(p: String) = graft.ops.Layout.parquetFileStats(spark, p)
+      .filter($"column" === "k")
+      .groupBy($"file")
+      .agg(min($"min_value".cast("long")).as("mn"),
+        max($"max_value".cast("long")).as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def overlaps(rs: Array[(Long, Long)]) =
+      rs.sliding(2).count { case Array((_, amx), (bmn, _)) => bmn <= amx; case _ => false }
+    assert(overlaps(ranges(in)) > 0, "fixture broken: accreted ranges should overlap")
+
+    val (nIn, nOut, _) = graft.ops.Layout.optimizeTable(
+      spark, in, out, "k", targetBytes = 128 << 10)
+    assert(nIn == 16 && nOut >= 2)
+    val rOut = ranges(out)
+    assert(overlaps(rOut) == 0, s"optimized ranges must be disjoint: ${rOut.toSeq}")
+    // value-invisible
+    val a = spark.read.parquet(in); val b = spark.read.parquet(out)
+    assert(b.count() == 40000 && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("bloom manifest prunes point lookups where min/max cannot") {
     import spark.implicits._
     val dir = "/tmp/graft_bloomspec"

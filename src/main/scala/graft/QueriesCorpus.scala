@@ -1063,7 +1063,39 @@ object QueriesCorpus {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  // --- dynamic partition pruning: the fact is directory-partitioned by
+  //     nation key; the dim-side filter is only known at RUNTIME (it
+  //     comes through a join), so static pruning can't help — Spark
+  //     plans a dynamicpruning subquery that evaluates the dim first
+  //     and prunes fact partitions before scanning them (spec-asserted
+  //     in LayoutSpec; the gate pins values against the plain join).
+  private def dpp(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_dpp"
+    val tbl = s"$base/table"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "customer")) {
+      Tables.customer(s, dir)
+        .write.mode("overwrite").partitionBy("c_nationkey").parquet(tbl)
+      writeStageMarker(marker, dir, "customer")
+    }
+    val fact = s.read.parquet(tbl)
+    val dim = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_3", "NATION_5"))
+    fact.join(dim, fact("c_nationkey") === dim("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        Queries.dsum(col("c_acctbal"), 2).as("sum_bal"))
+  }
+
+  private val dppSql =
+    """SELECT n_name, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5')
+      |GROUP BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp" -> (dpp _),
     "q_optimize" -> (optimize _),
     "q_delete" -> (delete _),
     "q_temp_mix_order" -> (tempMixOrder _),
@@ -1099,6 +1131,7 @@ object QueriesCorpus {
     "q_sql_surface" -> (sqlSurface _))
 
   def oracles: Map[String, String] = Map(
+    "q_dpp" -> dppSql,
     "q_optimize" -> optimizeSql,
     "q_delete" -> deleteSql,
     "q_temp_mix_order" -> tempMixOrderSql,

@@ -158,6 +158,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(b.count() == 40000 && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("dynamic partition pruning triggers when the filter arrives via a join") {
+    import spark.implicits._
+    val tbl = "/tmp/graft_dppspec/fact"
+    spark.range(20000).select($"id".as("v"), ($"id" % 20).as("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    // DPP plans only when the dim side carries a SELECTIVE predicate
+    // beyond the join itself — and the predicate must survive to the
+    // optimized plan, so the dim is a parquet scan (a filtered
+    // LocalRelation constant-folds the Filter away before DPP runs)
+    val dimPath = "/tmp/graft_dppspec/dim"
+    Seq((3L, "a"), (7L, "b"), (9L, "zz")).toDF("pk", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"name" =!= "zz")
+    val fact = spark.read.parquet(tbl)
+    val joined = fact.join(dim, fact("part") === dim("pk"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // static pruning is impossible (no literal partition predicate);
+    // the runtime subquery must appear under PartitionFilters
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in PartitionFilters:\n$plan")
+    assert(joined.count() == 2000)
+  }
+
   test("bloom manifest prunes point lookups where min/max cannot") {
     import spark.implicits._
     val dir = "/tmp/graft_bloomspec"

@@ -854,6 +854,39 @@ object QueriesText {
        |  FROM bpe_v$bpeK)
        |GROUP BY sym""".stripMargin
 
+  // --- persisted MinHash dedup index (ops.Dedup.writeMinHashIndex /
+  //     probeMinHashIndex): the production incremental-dedup shape —
+  //     index the standing corpus ONCE, probe every delivery. The gate
+  //     stages the history index per sf dir (marker embeds the source
+  //     parquet size, invalidated by testdata regeneration) and probes
+  //     the SAME batch split as q_incr_dedup, so the oracle is
+  //     identical by construction (the index is the persisted history
+  //     side of the same computation).
+  private def dedupIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val base = s"/tmp/graft_dedupidx_${System.getProperty("user.name", "u")}_$h"
+    val marker = new java.io.File(s"$base/STAGED")
+    val token = s"$dir:${java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))}"
+    val have =
+      if (marker.exists) {
+        val src = scala.io.Source.fromFile(marker)
+        try src.mkString.trim finally src.close()
+      } else ""
+    if (have != token) {
+      Dedup.writeMinHashIndex(
+        docs(s, dir).filter($"doc_id" < 400), "doc_id", "text",
+        numPerms = 6, bandSize = 3, maxBucket = Some(100), s"$base/index")
+      new java.io.File(base).mkdirs()
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      try w.print(token) finally w.close()
+    }
+    Dedup.probeMinHashIndex(s, s"$base/index",
+      docs(s, dir).filter($"doc_id" >= 400), "doc_id", "text", threshold = 0.8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules" -> (gopherRules _),
     "q_bigram_xent" -> (bigramXent _),
@@ -882,7 +915,8 @@ object QueriesText {
     "q_simhash" -> (simhash _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_vocab" -> (bpeVocab _),
-    "q_bpe_encode" -> (bpeEncode _))
+    "q_bpe_encode" -> (bpeEncode _),
+    "q_dedup_index" -> (dedupIndex _))
 
   val oracles: Map[String, String] = Map(
     "q_gopher_rules" -> gopherRulesSql,
@@ -912,5 +946,8 @@ object QueriesText {
     "q_simhash" -> simhashSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_vocab" -> bpeVocabSql,
-    "q_bpe_encode" -> bpeEncodeSql)
+    "q_bpe_encode" -> bpeEncodeSql,
+    // identical output to the inline incremental dedup by construction —
+    // the index is the PERSISTED history side of the same computation
+    "q_dedup_index" -> incrDedupSql)
 }

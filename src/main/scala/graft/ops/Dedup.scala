@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -429,5 +429,69 @@ object Dedup {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist"), col("rows_a"), col("rows_b"))
+  }
+
+  // -------------------------------------------------------------------
+  // Persisted MinHash dedup index: the standing-corpus side of
+  // [[minHashLshPairsAgainst]] as a durable artifact — the production
+  // shape of incremental dedup is "index the corpus ONCE, probe every
+  // delivery", exactly what [[AnnIndex]] does for ANN. The index holds
+  // the history's band signatures AND its distinct token sets (the
+  // exact-Jaccard verify needs them), plus a params marker so a probe
+  // with mismatched banding fails loudly instead of silently finding
+  // nothing.
+  // -------------------------------------------------------------------
+
+  /** Build and persist the dedup index for a history corpus. */
+  def writeMinHashIndex(
+      history: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, bandSize: Int, maxBucket: Option[Int],
+      path: String): Unit = {
+    bandSignatures(history, idCol, textCol, numPerms, bandSize, maxBucket)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    tokens(history, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/tokens")
+    val w = new java.io.PrintWriter(s"$path/PARAMS", "UTF-8")
+    try w.print(s"$numPerms:$bandSize:${maxBucket.getOrElse(-1)}")
+    finally w.close()
+  }
+
+  /** Probe a persisted index with a new batch: identical semantics to
+    * [[minHashLshPairsAgainst]] with the index's corpus as `history` —
+    * band-bucket join for candidates, exact token-set Jaccard verify —
+    * but the history side is two parquet scans instead of a
+    * recomputation. Banding params come FROM the index (probing with
+    * different banding would silently miss every candidate). */
+  def probeMinHashIndex(
+      spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val src = scala.io.Source.fromFile(s"$path/PARAMS")
+    val Array(numPerms, bandSize, cap) =
+      try src.mkString.trim.split(':') finally src.close()
+    val maxBucket = if (cap.toInt < 0) None else Some(cap.toInt)
+    val hb = spark.read.parquet(s"$path/bands")
+    val ht = spark.read.parquet(s"$path/tokens")
+    val bb = bandSignatures(batch, idCol, textCol,
+      numPerms.toInt, bandSize.toInt, maxBucket)
+    val candidates = hb.as("l").join(bb.as("r"),
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
+      .select(col("l.id").as("hist_id"), col("r.id").as("new_id"))
+      .distinct()
+    val bt = tokens(batch, idCol, textCol)
+    val hSizes = ht.groupBy(col("id")).agg(count(lit(1)).as("sz_h"))
+    val bSizes = bt.groupBy(col("id")).agg(count(lit(1)).as("sz_b"))
+    candidates
+      .join(ht.withColumnRenamed("id", "hist_id").withColumnRenamed("tok", "tok_c"), "hist_id")
+      .join(bt.withColumnRenamed("id", "new_id").withColumnRenamed("tok", "tok_c"), Seq("new_id", "tok_c"))
+      .groupBy(col("hist_id"), col("new_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(hSizes.withColumnRenamed("id", "hist_id"), "hist_id")
+      .join(bSizes.withColumnRenamed("id", "new_id"), "new_id")
+      .withColumn("jac",
+        col("inter").cast(DoubleType) /
+          (col("sz_h") + col("sz_b") - col("inter")).cast(DoubleType))
+      .filter(col("jac") > threshold)
+      .select(col("hist_id"), col("new_id"), col("jac"))
   }
 }

@@ -210,6 +210,26 @@ object Upsert {
     (c, r, n)
   }
 
+  /** Apply a full CDC batch — upserts AND deletes — as ONE commit:
+    * every key in the batch is evicted from the touched files, and
+    * only the non-delete rows append back. `opCol` marks deletes with
+    * `"d"` (Debezium's op code); anything else upserts. The column is
+    * dropped from the stored rows.
+    *
+    * @return (filesCopied, filesRewritten, upsertRows, deleteRows) */
+  def applyCdcBatch(
+      spark: SparkSession, tablePath: String, outPath: String,
+      batch: DataFrame, keyCol: String, opCol: String,
+      allowSchemaEvolution: Boolean = false): (Int, Int, Long, Long) = {
+    val upserts = batch.filter(col(opCol) =!= "d").drop(opCol)
+    val nUp = upserts.count()
+    val nDel = batch.filter(col(opCol) === "d").count()
+    val (c, r) = commit(spark, tablePath, outPath,
+      evictKeys = batch.select(col(keyCol)), append = Some(upserts),
+      keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution)
+    (c, r, nUp, nDel)
+  }
+
   // -------------------------------------------------------------------
   // Snapshot utilities for versioned COW tables (the directory layout
   // graft.streaming.Streams.upsertSink maintains: v<id> snapshot dirs

@@ -288,10 +288,15 @@ object Streams {
     * argument as [[sinkBatchesIdempotent]] plus snapshot isolation.
     *
     * Within each batch, duplicate keys keep the LAST row per key in
-    * event-time order (`orderCol`), the usual CDC convention. */
+    * event-time order (`orderCol`), the usual CDC convention.
+    *
+    * @param opCol optional CDC op column: rows whose value is `"d"`
+    *   (Debezium's delete code) DELETE their key; all other rows
+    *   upsert. Last-per-key still applies first, so a delete followed
+    *   by a re-insert within one batch lands as the re-insert. */
   def upsertSink(
       df: DataFrame, tableDir: String, checkpointDir: String,
-      keyCol: String, orderCol: String)
+      keyCol: String, orderCol: String, opCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -315,10 +320,15 @@ object Streams {
           if (vs.isEmpty) None else Some(s"$tableDir/v${vs.max}")
         }
         val next = s"$tableDir/v$id"
-        prev match {
-          case Some(p) =>
+        (prev, opCol) match {
+          case (Some(p), Some(op)) =>
+            graft.ops.Upsert.applyCdcBatch(spark, p, next, perKey, keyCol, op)
+          case (Some(p), None) =>
             graft.ops.Upsert.upsertByKey(spark, p, next, perKey, keyCol)
-          case None =>
+          case (None, Some(op)) =>
+            perKey.filter(col(op) =!= "d").drop(op)
+              .write.mode("overwrite").parquet(next)
+          case (None, None) =>
             perKey.write.mode("overwrite").parquet(next)
         }
         // atomic pointer swap: write-then-rename so a reader sees the

@@ -381,6 +381,31 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming CDC sink with deletes: upsert/delete ops land in one commit each") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("cdctbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdcckpt").toString
+    val input = MemoryStream[(Long, Long, String, String)]
+    val q = Streams.upsertSink(
+      input.toDF().toDF("k", "seq", "v", "op"), tbl, ckpt,
+      keyCol = "k", orderCol = "seq", opCol = Some("op"))
+    // batch 0: three inserts
+    input.addData((1L, 1L, "a", "c"), (2L, 2L, "b", "c"), (3L, 3L, "c", "c"))
+    q.processAllAvailable()
+    // batch 1: delete key 2, update key 3, insert key 9; key 1 deleted
+    // then re-inserted in the SAME batch (last-per-key wins)
+    input.addData((2L, 4L, null, "d"), (3L, 5L, "c2", "u"),
+      (9L, 6L, "z", "c"), (1L, 7L, null, "d"), (1L, 8L, "a2", "c"))
+    q.processAllAvailable()
+    q.stop()
+    val cur = spark.read.parquet(Streams.currentSnapshot(tbl).get)
+    val state = cur.select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a2", 3L -> "c2", 9L -> "z"),
+      s"CDC state wrong: $state")
+    assert(!cur.columns.contains("op"), "op column must not be stored")
+  }
+
   test("streaming upsert sink: snapshots accumulate CDC state exactly") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -68,6 +68,8 @@ object AsOf {
       valueCols: Seq[String],
       tolerance: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
+    require(!valueCols.contains("__rt"),
+      "joinAsOf: '__rt' is reserved for the carried match time")
     val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
     // ONE struct per right row (never null for a right row, even when
     // every value field is SQL NULL) so (a) a matched row's NULL values

@@ -57,6 +57,18 @@ class BpeSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("re-root cadence is value-invisible (exercises the plan-cut branch)") {
+    val docs = corpus(
+      1L -> (Seq.fill(4)("lower") ++ Seq.fill(3)("newest") ++
+        Seq.fill(2)("widest") ++ Seq.fill(5)("lowest")).mkString(" "))
+    val (defA, _) = Bpe.trainWithVocab(spark, docs, "text", numMerges = 6)
+    val (defB, _) = Bpe.trainWithVocab(spark, docs, "text", numMerges = 6,
+      rerootEvery = 2) // forces the persist+re-root path three times
+    val a = defA.orderBy("rank").collect().map(_.toSeq).toSeq
+    val b = defB.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(a == b, s"re-root cadence changed the merges:\n$a\nvs\n$b")
+  }
+
   test("encodeWords with the learned merges reproduces the trainer's vocab state") {
     val docs = corpus(
       1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),

@@ -136,4 +136,29 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got == Seq((3L, 10L, 1.0)),
       s"expected exactly the history->batch duplicate, got $got")
   }
+
+  test("persisted index probe equals the inline computation bit-for-bit") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val hist = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "one two three four"),
+      (3L, "red green blue yellow")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "red green blue yellow"), (11L, "totally unrelated words here"),
+      (12L, "one two three four five")).toDF("doc_id", "text")
+    val idx = "/tmp/graft_dedupidx_spec"
+    Dedup.writeMinHashIndex(hist, "doc_id", "text",
+      numPerms = 6, bandSize = 3, maxBucket = Some(100), idx)
+    val probed = Dedup.probeMinHashIndex(spark, idx, batch, "doc_id", "text", 0.7)
+    val inline = Dedup.minHashLshPairsAgainst(hist, batch, "doc_id", "text",
+      numPerms = 6, bandSize = 3, threshold = 0.7, maxBucket = Some(100))
+    assert(probed.exceptAll(inline).isEmpty && inline.exceptAll(probed).isEmpty,
+      "index probe must equal inline incremental dedup")
+    assert(probed.count() >= 2, "fixture must produce matches (exact + superset)")
+    // probing params come FROM the index — a missing marker fails loudly
+    intercept[java.io.FileNotFoundException] {
+      Dedup.probeMinHashIndex(spark, "/tmp/graft_dedupidx_nope", batch,
+        "doc_id", "text", 0.7)
+    }
+  }
 }

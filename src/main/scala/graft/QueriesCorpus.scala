@@ -729,14 +729,22 @@ object QueriesCorpus {
     val base = bktBase(dir)
     val h = base.substring(base.lastIndexOf('_') + 1)
     val (to, tc) = (s"graft_bkt_orders_$h", s"graft_bkt_customer_$h")
+    // same byte-size staleness token as every other staged gate: a
+    // testdata regeneration (same path, new bytes) must rewrite the
+    // bucketed tables, not serve a stale layout against a fresh oracle
+    val marker = new java.io.File(s"$base/_stage_marker")
+    def stale = needsStaging(marker, dir, "orders") ||
+      needsStaging(new java.io.File(s"$base/_stage_marker_c"), dir, "customer")
     bktRegistered.synchronized {
-      if (!bktRegistered.contains(base) || !s.catalog.tableExists(to)) {
+      if (!bktRegistered.contains(base) || !s.catalog.tableExists(to) || stale) {
         graft.ops.Layout.writeBucketed(
           Tables.orders(s, dir), to, s"$base/orders",
           "o_custkey", 8, Some("o_orderkey"))
         graft.ops.Layout.writeBucketed(
           Tables.customer(s, dir), tc, s"$base/customer",
           "c_custkey", 8)
+        writeStageMarker(marker, dir, "orders")
+        writeStageMarker(new java.io.File(s"$base/_stage_marker_c"), dir, "customer")
         bktRegistered += base
       }
     }

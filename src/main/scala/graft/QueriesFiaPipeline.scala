@@ -52,8 +52,9 @@ object QueriesFiaPipeline {
   }
 
   /** `q_fia_incremental` — CDC maintenance of the composed output
-    * ([[graft.fia.Incremental]]): a deterministic "delivery" (~20% new
-    * plots + ~8% plots gaining a survey) is merged into the
+    * ([[graft.fia.Incremental]]): a deterministic "delivery" (~4% new
+    * plots + ~5% plots gaining a survey — `Incremental.splitDelivery`'s
+    * pmod 25/20 predicates, splitTag `v2:new25:upd20`) is merged into the
     * materialized old output (anti-join stale plots + recompute only
     * dirty raw rows). Because the pipeline is plot-local, the merged
     * result must equal the FULL recompute bit-for-bit — so the oracle

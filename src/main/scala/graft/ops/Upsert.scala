@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
 /** Copy-on-write MERGE verbs at FILE granularity — the core
   * maintenance loop of a lakehouse table (Delta/Iceberg `MERGE INTO` /
@@ -37,29 +38,56 @@ object Upsert {
     * link/copy into the next snapshot unchanged and are scheme-proof —
     * full paths from a cached manifest vs a live listing can differ in
     * `file:` prefixing and would silently mis-classify every file).
-    * Source: the cached sidecar when one exists FOR THIS KEY, else
-    * aggregated from the parquet footers. The sidecar is what keeps a
-    * commit's cost ∝ touched files instead of ∝ table file count — the
-    * same role a table format's checkpoint/manifest plays. */
+    * Bounds are STORED as type-faithful text (what the footer stats
+    * already are) and compared after casting back to the key's native
+    * type, so integral AND string keys prune correctly — a long-only
+    * manifest silently classified every file of a string-keyed table
+    * as untouched. Source: the cached sidecar when one exists FOR THIS
+    * KEY, else aggregated from the parquet footers. The sidecar is
+    * what keeps a commit's cost ∝ touched files instead of ∝ table
+    * file count — the same role a table format's checkpoint/manifest
+    * plays. */
   private def keyBounds(
-      spark: SparkSession, tablePath: String, keyCol: String): DataFrame = {
+      spark: SparkSession, tablePath: String, keyCol: String,
+      keyType: DataType): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val md = new HPath(manifestDir(tablePath))
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cached =
       if (fs.exists(new HPath(md, "_SUCCESS")))
-        Some(spark.read.parquet(md.toString).filter(col("key") === keyCol))
+        Some(spark.read.parquet(md.toString).filter(col("key") === keyCol)
+          // pre-r9 sidecars stored long bounds; normalize to text
+          .withColumn("mn", col("mn").cast("string"))
+          .withColumn("mx", col("mx").cast("string")))
       else None
     cached.filter(_.limit(1).count() > 0).getOrElse {
       Layout.parquetFileStats(spark, tablePath)
         .filter(col("column") === keyCol)
         .groupBy(substring_index(col("file"), "/", -1).as("file"))
-        .agg(min(col("min_value").cast("long")).as("mn"),
-          max(col("max_value").cast("long")).as("mx"))
+        // aggregate per-row-group stats in the key's NATIVE type (text
+        // min of "9" vs "10" would invert numeric bounds), store text
+        .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
+          max(col("max_value").cast(keyType)).cast("string").as("mx"))
         .withColumn("key", lit(keyCol))
         .select("file", "key", "mn", "mx")
     }
   }
+
+  /** The key types the manifest can prune on: integral (footer stats
+    * round-trip through text exactly) and string (parquet string stats
+    * ARE the values; lexicographic min/max is the string ordering).
+    * Anything else — float text round-trips, date/timestamp stat
+    * encodings — fails loudly instead of silently classifying zero
+    * files as touched and appending duplicate keys. */
+  private val integralTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  private def requireSupportedKey(dt: DataType, keyCol: String, side: String): Unit =
+    require(integralTypes.contains(dt) || dt == StringType,
+      s"Upsert: key column '$keyCol' ($side) has type ${dt.simpleString}; " +
+        "only integral or string keys are supported — manifest pruning " +
+        "compares footer min/max in the key's native type and other " +
+        "types don't round-trip through footer-stat text")
 
   /** The shared commit engine behind [[upsertByKey]] and
     * [[deleteByKey]]: prune by manifest, link/copy untouched files,
@@ -78,22 +106,50 @@ object Upsert {
       allowSchemaEvolution: Boolean): (Int, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
 
+    // Key type: taken from the TABLE (its footer stats are what the
+    // manifest prunes on); the update side must agree in kind. Both
+    // must be integral or string — see requireSupportedKey.
+    val keyType = spark.read.parquet(tablePath).schema(keyCol).dataType
+    requireSupportedKey(keyType, keyCol, "table")
+    requireSupportedKey(evictKeys.schema(keyCol).dataType, keyCol, "updates")
+    require((keyType == StringType) ==
+        (evictKeys.schema(keyCol).dataType == StringType),
+      s"Upsert: key column '$keyCol' is ${keyType.simpleString} in the table " +
+        s"but ${evictKeys.schema(keyCol).dataType.simpleString} in the update " +
+        "batch — implicit casts here would corrupt pruning; align the types")
+
     // per-FILE key bounds: cached sidecar manifest, or footer stats
     // (row-group stats aggregated up; no data pages read either way)
-    val manifest = keyBounds(spark, tablePath, keyCol)
+    val manifest = keyBounds(spark, tablePath, keyCol, keyType)
 
     // a file is TOUCHED iff some evict key falls inside its bounds —
     // manifest is small (one row per file), so it broadcasts against
-    // the distinct keys
-    val upKeys = evictKeys.select(col(keyCol).cast("long").as("__k")).distinct()
+    // the distinct keys; bounds compare in the key's NATIVE type
+    val upKeys = evictKeys.select(col(keyCol).cast(keyType).as("__k")).distinct()
     val touched = broadcast(manifest)
-      .join(upKeys, col("__k").between(col("mn"), col("mx")), "left_semi")
+      .join(upKeys,
+        col("__k").between(col("mn").cast(keyType), col("mx").cast(keyType)),
+        "left_semi")
       .select(col("file")).collect().map(_.getString(0)).toSet
 
     val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = Layout.listDataFiles(spark, tablePath)
     require(all.nonEmpty, s"Upsert.commit: no .parquet files under $tablePath")
-    // classification is by BASENAME (what the manifest stores)
+    // classification is by BASENAME (what the manifest stores) — which
+    // requires basenames to be unique. A Hive-partitioned layout
+    // (dt=…/part-*.parquet) reuses part-NNNNN basenames across
+    // partition dirs; silently merging those manifest rows would
+    // misclassify files and collide on link/copy, so refuse it.
+    locally {
+      val dups = all.groupBy(f => new HPath(f).getName).collect {
+        case (name, paths) if paths.size > 1 => name
+      }
+      require(dups.isEmpty,
+        s"Upsert.commit: duplicate file basenames under $tablePath " +
+          s"(e.g. ${dups.take(3).mkString(", ")}) — partitioned layouts " +
+          "aren't supported by the basename-keyed manifest; compact to a " +
+          "flat snapshot first (Layout.compactSmallFiles/optimizeTable)")
+    }
     val untouched = all.filterNot(f => touched.contains(new HPath(f).getName))
     val touchedPaths = all.filter(f => touched.contains(new HPath(f).getName))
 
@@ -131,7 +187,7 @@ object Upsert {
       else {
         val touchedRows = spark.read.parquet(touchedPaths: _*)
         Some(touchedRows.join(broadcast(upKeys),
-          touchedRows(keyCol).cast("long") === col("__k"), "left_anti"))
+          touchedRows(keyCol).cast(keyType) === col("__k"), "left_anti"))
       }
     val rewritten = (survivors, append) match {
       case (Some(s), Some(a)) =>
@@ -168,8 +224,8 @@ object Upsert {
       else Layout.parquetFileStatsFor(spark, freshFiles)
         .filter(col("column") === keyCol)
         .groupBy(substring_index(col("file"), "/", -1).as("file"))
-        .agg(min(col("min_value").cast("long")).as("mn"),
-          max(col("max_value").cast("long")).as("mx"))
+        .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
+          max(col("max_value").cast(keyType)).cast("string").as("mx"))
         .withColumn("key", lit(keyCol))
         .select("file", "key", "mn", "mx")
     carried.unionByName(fresh)
@@ -320,11 +376,15 @@ object Upsert {
       }
     }
     val drop = versions.dropRight(keep).filterNot(current.contains)
-    drop.foreach { v =>
+    // Snapshots written by `commit` contain a `_manifest/` SUBDIRECTORY,
+    // so the delete must be recursive — a flat file loop silently left
+    // the version directory behind (still listed by snapshotVersions,
+    // readSnapshot then returned a broken read). Only versions whose
+    // directory is verifiably GONE are reported deleted.
+    drop.filter { v =>
       val d = new java.io.File(s"$tableDir/v$v")
-      d.listFiles().foreach(_.delete())
-      d.delete()
+      org.apache.hadoop.fs.FileUtil.fullyDelete(d)
+      !d.exists
     }
-    drop
   }
 }

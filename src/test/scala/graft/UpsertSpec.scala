@@ -97,9 +97,10 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(o1).count() == 4000)
     // every data file of o1 has a manifest row with correct bounds
     val m1 = spark.read.parquet(s"$o1/_manifest")
+    // bounds are stored as type-faithful text (native-type comparable)
     val mRows = m1.collect().map(r =>
       r.getAs[String]("file").split('/').last ->
-        (r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+        (r.getAs[String]("mn").toLong, r.getAs[String]("mx").toLong)).toMap
     val dataFiles = new java.io.File(o1).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(mRows.keySet == dataFiles, s"manifest/file mismatch: ${mRows.keySet} vs $dataFiles")
@@ -222,6 +223,90 @@ class UpsertSpec extends AnyFunSuite {
     assert(got.filter($"k" === 120L).select("lang").as[String].head() == "fr")
     assert(got.filter($"k" === 1500L).select("lang").collect()(0).isNullAt(0),
       "byte-copied rows must surface the new column as null")
+  }
+
+  test("vacuum on a COMMIT-built chain removes the _manifest subdir too") {
+    import spark.implicits._
+    val tbl = s"$base/vchain"
+    // v0 by plain write; v1/v2 by real commits, so each snapshot
+    // carries a `_manifest/` subdirectory — the shape the old flat
+    // delete loop silently failed on (zombie version dirs)
+    spark.range(2000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v1",
+      spark.range(10, 20).select($"id".as("k"), lit(-1L).as("v")), "k")
+    Upsert.upsertByKey(spark, s"$tbl/v1", s"$tbl/v2",
+      spark.range(30, 40).select($"id".as("k"), lit(-2L).as("v")), "k")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v2") finally w.close()
+    assert(new java.io.File(s"$tbl/v1/_manifest").isDirectory)
+
+    assert(Upsert.vacuum(tbl, keep = 1) == Seq(0L, 1L))
+    // the version dirs are GONE — not zombies holding _manifest
+    assert(!new java.io.File(s"$tbl/v0").exists)
+    assert(!new java.io.File(s"$tbl/v1").exists)
+    assert(Upsert.snapshotVersions(tbl) == Seq(2L))
+    assert(Upsert.readSnapshot(spark, tbl, 2L).count() == 2000)
+  }
+
+  test("string-keyed upsert prunes and merges exactly") {
+    import spark.implicits._
+    val tbl = s"$base/skey"; val out = s"$base/skeyout"
+    // zero-padded doc ids: lexicographic order == numeric order, so
+    // range clustering gives each file a tight string key range
+    val docs = spark.range(4000)
+      .select(format_string("doc_%06d", $"id").as("doc_id"),
+        ($"id" * 7).as("v"))
+    docs.repartitionByRange(4, $"doc_id").sortWithinPartitions($"doc_id")
+      .write.mode("overwrite").parquet(tbl)
+
+    val updates = spark.range(100, 200)
+      .select(format_string("doc_%06d", $"id").as("doc_id"), lit(-1L).as("v"))
+      .unionByName(spark.range(5)
+        .select(format_string("new_%06d", $"id").as("doc_id"), lit(-2L).as("v")))
+
+    val (nCopied, nRewritten, nUp) =
+      Upsert.upsertByKey(spark, tbl, out, updates, "doc_id")
+    assert(nUp == 105)
+    assert(nRewritten >= 1 && nRewritten <= 2,
+      s"contiguous string-key slice must touch 1-2 of 4 files, got $nRewritten")
+    assert(nCopied == 4 - nRewritten)
+
+    val naive = spark.read.parquet(tbl)
+      .join(updates.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(updates)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4005)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    assert(got.filter($"doc_id" === "doc_000150").select("v").as[Long].head() == -1L)
+  }
+
+  test("non-integral, non-string key fails loudly (no silent append)") {
+    import spark.implicits._
+    val tbl = s"$base/dkey"; val out = s"$base/dkeyout"
+    spark.range(100).select(($"id" * 1.5).as("k"), $"id".as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tbl)
+    val up = spark.range(5).select(($"id" * 1.5).as("k"), lit(-1L).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertByKey(spark, tbl, out, up, "k")
+    }
+    assert(e.getMessage.contains("integral or string"))
+  }
+
+  test("partitioned layout with colliding basenames is refused") {
+    import spark.implicits._
+    val tbl = s"$base/part"; val out = s"$base/partout"
+    // dynamic-partition write reuses part-00000 basenames per dt dir
+    spark.range(100)
+      .select(($"id" % 2).as("dt"), $"id".as("k"), $"id".as("v"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("dt").parquet(tbl)
+    val up = spark.range(5).select($"id".as("k"), lit(-1L).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertByKey(spark, tbl, out, up, "k")
+    }
+    assert(e.getMessage.contains("basename"))
   }
 
   test("all-new-key batch touches zero files (pure append)") {

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.DevScaleProbe [k1 k2 ...]   (default: 1 10)
   * Output: one JSON line per (op, tier) appended to stdout and
-  * docs/BENCH_SCALE_r08.json.
+  * docs/BENCH_SCALE_r09.json.
   */
 object DevScaleProbe {
 
@@ -119,8 +119,12 @@ object DevScaleProbe {
   }
 
   private def fiaPipeline(s: SparkSession, k: Int): DataFrame = {
-    val results = graft.fia.Pipeline.run(s,
-      graft.fia.SyntheticState.tables(s, 6000 * k))
+    // the production scale path: bucket count ∝ data so per-bucket sort
+    // stays in memory (the round-8 super-linear tier was exactly the
+    // whole-table re-sorts this stage removes)
+    val results = graft.fia.Pipeline.runBucketed(s,
+      graft.fia.SyntheticState.tables(s, 6000 * k),
+      s"/tmp/graft_scale_pipeline_stage_$k", buckets = 16 * k)
     results("midpt").withColumn("variant", lit("midpt"))
       .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
   }
@@ -231,12 +235,12 @@ object DevScaleProbe {
     // a FILTERED run (SPARK_GRAFT_PROBE_OPS) appends — it must not
     // clobber the full probe record with a partial one
     if (onlyOps.isDefined) {
-      val fw = new java.io.FileWriter("docs/BENCH_SCALE_r08.json", true)
+      val fw = new java.io.FileWriter("docs/BENCH_SCALE_r09.json", true)
       try fw.write(out.toString) finally fw.close()
       spark.stop()
       return
     }
-    val w = new java.io.PrintWriter("docs/BENCH_SCALE_r08.json", "UTF-8")
+    val w = new java.io.PrintWriter("docs/BENCH_SCALE_r09.json", "UTF-8")
     try w.print(out.toString) finally w.close()
     spark.stop()
   }

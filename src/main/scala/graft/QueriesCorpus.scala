@@ -887,6 +887,59 @@ object QueriesCorpus {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders WHERE o_orderkey % 1009 = 0""".stripMargin
 
+  // --- incremental Bloom maintenance (Layout.writeBloomSidecar +
+  //     Upsert commit carry): build the point-lookup index ONCE on v0,
+  //     commit a delivery, probe the v1 snapshot through the CARRIED
+  //     sidecar — linked files kept their filter words, only the files
+  //     the commit wrote got an aggregation pass (poison-pill-proven in
+  //     UpsertSpec; this gate pins that the carried index still answers
+  //     point lookups exactly, across untouched, rewritten, and
+  //     appended files).
+  private def bloomCarry(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_bloomcarry"
+    val v0 = s"$base/chain/v0"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(v0)
+      graft.ops.Layout.writeBloomSidecar(s, v0, "o_orderkey")
+      writeStageMarker(marker, dir, "orders")
+    }
+    val orders = s.read.parquet(v0)
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val updates = orders.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(
+        orders.orderBy(col("o_orderkey").desc).limit(500)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+    val v1 = s"$base/chain/v1"
+    graft.ops.Upsert.upsertByKey(s, v0, v1, updates, "o_orderkey")
+    // deterministic probe keys spanning all three file classes
+    val keys = s.read.parquet(v1)
+      .filter(col("o_orderkey") % 1009 === 0)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    val (data, nFiles, nHit) = graft.ops.Layout.readBloomPrunedFromSidecar(
+      s, v1, "o_orderkey", keys)
+    require(nHit <= nFiles, s"bloom carry shape unexpected: $nHit of $nFiles")
+    data.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  private val bloomCarrySql =
+    """WITH mx AS (SELECT max(o_orderkey) / 8 AS cut FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey <= (SELECT cut FROM mx)
+      |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_totalprice
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 500)
+      |)
+      |SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM merged WHERE o_orderkey % 1009 = 0""".stripMargin
+
   // --- change data feed (ops.Upsert.changeDataFeed): the row-level
   //     diff between two COW snapshots, computed from changed files
   //     only (shared hard-linked files cancel). The chain is the SAME
@@ -1112,6 +1165,7 @@ object QueriesCorpus {
     "q_bucketed_join" -> (bucketedJoin _),
     "q_compact" -> (compact _),
     "q_bloom_prune" -> (bloomPrune _),
+    "q_bloom_carry" -> (bloomCarry _),
     "q_cdf" -> (cdf _),
     "q_upsert" -> (upsert _),
     "q_pagerank" -> (pageRank _),
@@ -1148,6 +1202,7 @@ object QueriesCorpus {
     "q_bucketed_join" -> bucketedJoinSql,
     "q_compact" -> compactSql,
     "q_bloom_prune" -> bloomPruneSql,
+    "q_bloom_carry" -> bloomCarrySql,
     "q_cdf" -> cdfSql,
     "q_upsert" -> upsertSql,
     "q_pagerank" -> pageRankSql,

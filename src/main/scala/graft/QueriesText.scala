@@ -779,6 +779,11 @@ object QueriesText {
   private def bpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.train(s, docs(s, dir), "text", bpeK)
 
+  // the driver-side training envelope must learn the SAME merges as the
+  // distributed loop — same DuckDB training-replay oracle
+  private def bpeLocal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.trainLocalWithVocab(s, docs(s, dir), "text", bpeK)._1
+
   private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     val (_, vocab) = graft.ops.Bpe.trainWithVocab(s, docs(s, dir), "text", bpeK)
     graft.ops.Bpe.vocabSymbols(vocab)
@@ -914,6 +919,7 @@ object QueriesText {
     "q_simhash_pairs" -> (simhashPairs _),
     "q_simhash" -> (simhash _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_local" -> (bpeLocal _),
     "q_bpe_vocab" -> (bpeVocab _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_dedup_index" -> (dedupIndex _))
@@ -945,6 +951,8 @@ object QueriesText {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_simhash" -> simhashSql,
     "q_bpe_merges" -> bpeMergesSql,
+    // the local trainer replays the same training, so the same oracle
+    "q_bpe_local" -> bpeMergesSql,
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,
     // identical output to the inline incremental dedup by construction —

@@ -38,6 +38,49 @@ object Pipeline {
       "mortyr" -> Ids.splitCompositeIds(EstimateCarbon.fiaEstimate(spark, mortyr)))
   }
 
+  /** The scale path ([[run]] with a BUCKETED stage): persist the
+    * kernel output as a tree_ID-bucketed, (tree_ID, YEAR)-sorted table
+    * between the kernel and the mortality variants, then branch both
+    * variants off the bucketed scan.
+    *
+    * Why: the mortyr variant's window chain (whole-partition
+    * MORTYR_eff/first_dead aggregates + the ordered fill-up) and the
+    * NSVB re-attach self-join all require hashpartitioning(tree_ID) and
+    * a (tree_ID[, YEAR]) sort. Branched from an in-memory cache, EACH
+    * consumer re-shuffles and re-sorts the wide annual table — at 30×
+    * bench data those sorts spill and the full recompute went
+    * super-linear (PLANS.md round-8: 17.6× time for 30× data; knobs
+    * moved it ±20%). The bucketed layout pays the shuffle+sort ONCE at
+    * write; every downstream window/join consumes the layout from disk
+    * with NO Exchange and pre-sorted buckets (plan-proven in
+    * BucketingSpec, time-proven in BENCH_SCALE_r09).
+    *
+    * `buckets` is a LAYOUT decision ∝ table size (rows per bucket
+    * should fit an executor's sort buffer — the same rule as
+    * spark.sql.files.maxPartitionBytes); at 100 TB this table is the
+    * lakehouse artifact downstream consumers share, not a temp file.
+    * Values are identical to [[run]] — PipelineScaleSpec asserts
+    * checksum equality and the composed DuckDB oracle pins the output.
+    */
+  def runBucketed(
+      spark: SparkSession, tables: Map[String, DataFrame],
+      stageDir: String, buckets: Int = 0): Map[String, DataFrame] = {
+    val tidy = Tidy.fiaTidy(tables)
+    val interpolated = FiaAnnualize.expandInterpolate(spark, tidy)
+    val n =
+      if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tbl = s"graft_pipeline_annual_${math.abs(stageDir.hashCode)}"
+    graft.ops.Layout.writeBucketed(
+      interpolated, tbl, stageDir, "tree_ID", n, Some("YEAR"))
+    val annual = spark.table(tbl)
+    Map(
+      "midpt" -> Ids.splitCompositeIds(EstimateCarbon.fiaEstimate(
+        spark, FiaAnnualize.adjustMortality(annual, useMortyr = false))),
+      "mortyr" -> Ids.splitCompositeIds(EstimateCarbon.fiaEstimate(
+        spark, FiaAnnualize.adjustMortality(annual, useMortyr = true))))
+  }
+
   def writeParquet(results: Map[String, DataFrame], outDir: String): Unit =
     results.foreach { case (variant, df) =>
       df.write.mode("overwrite")

@@ -182,12 +182,16 @@ object SyntheticState {
   }
 
   /** [[pipelineBothVariants]], but through the parquet round-trip that
-    * the DuckDB oracle also reads. */
+    * the DuckDB oracle also reads — via the PRODUCTION scale path
+    * ([[Pipeline.runBucketed]]): the oracle pins the bucketed-stage
+    * plan, while PipelineScaleSpec pins the in-memory [[Pipeline.run]]
+    * variant against the same checksums. The stage is rewritten on
+    * every call (overwrite), so it can never serve a stale tier. */
   def pipelineBothVariantsFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
     val base = materialize(spark, sfDir)
     val ts = Seq("PLOT", "PLOTGEOM", "COND", "TREE")
       .map(n => n -> spark.read.parquet(s"$base/$n")).toMap
-    val results = Pipeline.run(spark, ts)
+    val results = Pipeline.runBucketed(spark, ts, s"$base/annual_stage")
     results("midpt").withColumn("variant", lit("midpt"))
       .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
   }

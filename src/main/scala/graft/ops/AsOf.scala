@@ -107,7 +107,12 @@ object AsOf {
 
   /** Forward as-of: attach `first value where markerCond` at or AFTER
     * each row as `as`; rows after the last marker get null. Same single
-    * shuffle + sort — the frame direction flips, not the plan shape. */
+    * shuffle + sort — the ORDER flips (not the frame): a running
+    * unbounded-preceding frame over the reversed order is O(n) per
+    * partition, where the direct unbounded-following frame re-scans to
+    * partition end per row — O(n²) on a hot key (see
+    * [[graft.ops.Fills.fillUp]]). Requires orderCols unique per
+    * partition row (an event-time axis, as in every as-of use). */
   def attachNextMarker(
       df: DataFrame,
       keyCols: Seq[String],
@@ -117,8 +122,8 @@ object AsOf {
       as: String): DataFrame = {
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    df.withColumn(as, first(when(markerCond, value), ignoreNulls = true).over(w))
+      .orderBy(orderCols.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, last(when(markerCond, value), ignoreNulls = true).over(w))
   }
 }

@@ -111,6 +111,95 @@ object Bpe {
       numMerges: Int): DataFrame =
     trainWithVocab(spark, docs, textCol, numMerges)._1
 
+  /** Driver-side merge loop over the collapsed (word, n) table — the
+    * production ENVELOPE for realistic vocabularies:
+    * [[trainWithVocab]] schedules 3 Spark jobs per merge, so a
+    * 50k-merge vocab is ~150k driver-coordinated jobs — hours of pure
+    * scheduling latency while each job does milliseconds of vocab-sized
+    * work. The corpus-sized pass ([[wordCounts]]) stays distributed;
+    * when the DISTINCT-WORD table fits a capped collect (the standard
+    * case — even web corpora hold ~10^7 distinct alphabetic words), the
+    * merge loop runs in driver memory with an inverted pair→words index
+    * and INCREMENTAL pair-count maintenance: each merge touches only
+    * the words containing the merged pair — the classic fast-trainer
+    * shape. Merge selection, tie-break (count DESC, `"lft rgt"` ASC —
+    * words are ASCII by [[wordCounts]]' filter, so JVM and engine
+    * string orders agree), and greedy left-to-right application are
+    * EXACTLY [[trainWithVocab]]'s; BpeSpec asserts merge-list and
+    * final-vocab equality, and the same DuckDB training replay oracles
+    * both (`q_bpe_merges` / `q_bpe_local`). Throughput at the recorded
+    * envelope: see PLANS.md round-9 (1k merges).
+    *
+    * @param maxWords refuse loudly rather than silently OOM the driver
+    *   when the vocab exceeds the cap; fall back to [[trainWithVocab]],
+    *   which has no bound. */
+  def trainLocalWithVocab(
+      spark: SparkSession, docs: DataFrame, textCol: String,
+      numMerges: Int, maxWords: Int = 20000000): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    import scala.collection.mutable
+    val probe = wordCounts(docs, textCol).limit(maxWords + 1).collect()
+    require(probe.length <= maxWords,
+      s"trainLocalWithVocab: more than $maxWords distinct words — " +
+        "raise maxWords or use trainWithVocab (distributed merge loop)")
+    val entries = probe.map(r => (r.getString(0), r.getLong(1)))
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      entries.map(e => mutable.ArrayBuffer(e._1.map(_.toString): _*))
+    val counts = entries.map(_._2)
+
+    def pairsOf(s: mutable.ArrayBuffer[String]): IndexedSeq[String] =
+      (0 until s.length - 1).map(i => s(i) + " " + s(i + 1))
+
+    val pairCnt = mutable.HashMap.empty[String, Long]
+    val pairWords = mutable.HashMap.empty[String, mutable.Set[Int]]
+    for (i <- syms.indices; p <- pairsOf(syms(i))) {
+      pairCnt.update(p, pairCnt.getOrElse(p, 0L) + counts(i))
+      pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    while (r <= numMerges && pairCnt.nonEmpty) {
+      var bestP: String = null; var bestC = Long.MinValue
+      for ((p, c) <- pairCnt)
+        if (c > bestC || (c == bestC && p < bestP)) { bestP = p; bestC = c }
+      val Array(lft, rgt) = bestP.split(' ')
+      merges += ((r, lft, rgt, bestC))
+      val affected = pairWords.getOrElse(bestP, mutable.Set.empty).toArray
+      for (i <- affected) {
+        val s = syms(i); val n = counts(i)
+        val before = pairsOf(s)
+        // greedy left-to-right non-overlapping — replace() semantics
+        val out = mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < s.length) {
+          if (j + 1 < s.length && s(j) == lft && s(j + 1) == rgt) {
+            out += lft + rgt; j += 2
+          } else { out += s(j); j += 1 }
+        }
+        syms(i) = out
+        val after = pairsOf(out)
+        // apply the pair-multiset diff to the global counts + index
+        for (p <- before) {
+          val c = pairCnt(p) - n
+          if (c == 0L) pairCnt.remove(p) else pairCnt.update(p, c)
+        }
+        for (p <- after)
+          pairCnt.update(p, pairCnt.getOrElse(p, 0L) + n)
+        val bset = before.toSet; val aset = after.toSet
+        for (p <- bset.diff(aset)) pairWords.get(p).foreach(_ -= i)
+        for (p <- aset.diff(bset))
+          pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+      r += 1
+    }
+    val mergesDf = merges.toSeq.toDF("rank", "lft", "rgt", "cnt")
+    val vocabDf = entries.indices
+      .map(i => (entries(i)._1, counts(i), syms(i).mkString("|", "||", "|")))
+      .toDF("word", "n", "s")
+    (mergesDf, vocabDf)
+  }
+
   /** Final symbol inventory after training: each vocab word's symbols,
     * weighted by word count — the learned subword distribution. */
   def vocabSymbols(vocab: DataFrame): DataFrame =

@@ -199,8 +199,20 @@ object Layout {
     *   target false-positive rate (m ≈ 1.44 · n · log2(1/p)) */
   def bloomManifest(
       spark: SparkSession, path: String, keyCol: String,
-      bitsPerFile: Int = 1 << 14, numHashes: Int = 5): DataFrame = {
-    val df = spark.read.parquet(path)
+      bitsPerFile: Int = 1 << 14, numHashes: Int = 5): DataFrame =
+    bloomOf(spark.read.parquet(path), keyCol, bitsPerFile, numHashes)
+
+  /** [[bloomManifest]] over an explicit file list — the incremental
+    * path: a COW commit carrying a Bloom sidecar only needs fresh
+    * filters for the files it just wrote. */
+  def bloomManifestFor(
+      spark: SparkSession, files: Seq[String], keyCol: String,
+      bitsPerFile: Int, numHashes: Int): DataFrame =
+    bloomOf(spark.read.parquet(files: _*), keyCol, bitsPerFile, numHashes)
+
+  private def bloomOf(
+      df: DataFrame, keyCol: String,
+      bitsPerFile: Int, numHashes: Int): DataFrame = {
     val words = bitsPerFile / 64
     val h1 = Dedup.hash60(col(keyCol).cast("string"))
     val h2 = Dedup.hash60(concat(lit("b2:"), col(keyCol).cast("string")))
@@ -263,6 +275,55 @@ object Layout {
         spark.read.parquet(rows.head._1).limit(0) // empty, correct schema
       else spark.read.parquet(hit.toIndexedSeq: _*)
     (data.filter(col(keyCol).isin(keys: _*)), rows.length, hit.length)
+  }
+
+  /** Sidecar dir holding a snapshot's per-file Bloom filters. */
+  private[graft] def bloomSidecarDir(tablePath: String) = s"$tablePath/_bloom"
+
+  /** Materialize [[bloomManifest]] as a `_bloom` sidecar of the table,
+    * keyed by file BASENAME (same convention as the upsert `_manifest`:
+    * basenames survive the link/copy into the next snapshot, full paths
+    * don't) with the filter parameters stored alongside, so a probe
+    * can't silently hash with mismatched bits/numHashes.
+    * [[graft.ops.Upsert]] commits CARRY this sidecar forward — linked
+    * files keep their filter words verbatim, only freshly written files
+    * get an aggregation pass — so a point-lookup index on a 100 TB
+    * table costs one build, then ∝ touched files per commit. */
+  def writeBloomSidecar(
+      spark: SparkSession, tablePath: String, keyCol: String,
+      bitsPerFile: Int = 1 << 14, numHashes: Int = 5): Unit =
+    bloomManifest(spark, tablePath, keyCol, bitsPerFile, numHashes)
+      .select(substring_index(col("file"), "/", -1).as("file"),
+        lit(keyCol).as("key"), lit(bitsPerFile).as("bits"),
+        lit(numHashes).as("hashes"), col("bloom"))
+      .coalesce(1).write.mode("overwrite").parquet(bloomSidecarDir(tablePath))
+
+  /** [[readBloomPruned]] driven by the table's `_bloom` sidecar. Every
+    * data file must have a filter row — a drifted sidecar fails loudly
+    * instead of silently skipping a file the filter never saw. */
+  def readBloomPrunedFromSidecar(
+      spark: SparkSession, tablePath: String, keyCol: String,
+      keys: Seq[Long]): (DataFrame, Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val sc = spark.read.parquet(bloomSidecarDir(tablePath))
+      .filter(col("key") === keyCol)
+      .select("file", "bits", "hashes", "bloom").collect()
+    require(sc.nonEmpty,
+      s"no Bloom sidecar rows for key '$keyCol' under $tablePath — " +
+        "build one with writeBloomSidecar")
+    val bits = sc.head.getInt(1); val hashes = sc.head.getInt(2)
+    val byName = listDataFiles(spark, tablePath)
+      .map(f => new HPath(f).getName -> f).toMap
+    val scNames = sc.map(_.getString(0)).toSet
+    require(byName.keySet == scNames,
+      s"Bloom sidecar drift under $tablePath: files without filters " +
+        s"${byName.keySet.diff(scNames).take(3)} / stale filter rows " +
+        s"${scNames.diff(byName.keySet).take(3)} — rebuild the sidecar")
+    import spark.implicits._
+    val manifest = spark.createDataset(
+      sc.toIndexedSeq.map(r => (byName(r.getString(0)), r.getSeq[Long](3))))
+      .toDF("file", "bloom")
+    readBloomPruned(spark, manifest, keyCol, keys, bits, hashes)
   }
 
   /** Per-row-group, per-column footer statistics as a DataFrame — the

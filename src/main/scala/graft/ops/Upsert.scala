@@ -230,6 +230,36 @@ object Upsert {
         .select("file", "key", "mn", "mx")
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
+
+    // Bloom sidecar carry (Layout.writeBloomSidecar): when the source
+    // snapshot ships per-file Bloom filters FOR THIS KEY, maintain them
+    // the same way as the bounds manifest — linked files keep their
+    // filter words verbatim (their bytes didn't change), only freshly
+    // written files get an aggregation pass, with the filter params
+    // read from the carried sidecar so probe and build can't diverge.
+    // Other keys' filters are NOT carried: a fresh file without a
+    // filter row would silently false-negative, and the probe's
+    // completeness require would trip — absent sidecar = rebuild.
+    val bloomIn = new HPath(Layout.bloomSidecarDir(tablePath))
+    if (fs.exists(new HPath(bloomIn, "_SUCCESS"))) {
+      val prevB = spark.read.parquet(bloomIn.toString)
+        .filter(col("key") === keyCol)
+      if (prevB.limit(1).count() > 0) {
+        val p = prevB.select("bits", "hashes").head()
+        val (bBits, bHashes) = (p.getInt(0), p.getInt(1))
+        val carriedB =
+          if (touched.isEmpty) prevB
+          else prevB.filter(!col("file").isin(touched.toSeq: _*))
+        val freshB =
+          if (freshFiles.isEmpty) carriedB.limit(0)
+          else Layout.bloomManifestFor(spark, freshFiles, keyCol, bBits, bHashes)
+            .select(substring_index(col("file"), "/", -1).as("file"),
+              lit(keyCol).as("key"), lit(bBits).as("bits"),
+              lit(bHashes).as("hashes"), col("bloom"))
+        carriedB.unionByName(freshB).coalesce(1)
+          .write.mode("overwrite").parquet(Layout.bloomSidecarDir(outPath))
+      }
+    }
     (untouched.size, touched.size)
   }
 
@@ -322,11 +352,13 @@ object Upsert {
     * images / inserts) and the reverse (before images / deletes). An
     * updated key surfaces as one `delete` + one `insert`, an appended
     * key as `insert` only — Delta's CDF contract, derived here from
-    * the layout instead of a transaction log. The interval's snapshots
-    * must share a schema (exceptAll is positional); across a
-    * schema-evolving commit, feed consumers should align the older
-    * snapshot first (select + null-fill) or split the interval at the
-    * evolution point.
+    * the layout instead of a transaction log. Across a SCHEMA-EVOLVING
+    * commit the two sides are aligned automatically (the older side
+    * null-fills columns it predates — `unionByName` semantics applied
+    * to the diff, same as [[readSnapshot]]'s mergeSchema), so an
+    * evolved interval feeds consumers the current schema with nulls
+    * for pre-evolution images. Column additions only — a type-changing
+    * rewrite is a new table, not an evolution.
     *
     * Cost ∝ changed files across the interval, not table size — the
     * property that makes incremental downstream consumers (a streaming
@@ -343,15 +375,59 @@ object Upsert {
     val from = files(fromVersion); val to = files(toVersion)
     val fromOnly = (from.keySet -- to.keySet).toSeq.sorted.map(from)
     val toOnly = (to.keySet -- from.keySet).toSeq.sorted.map(to)
+    // mergeSchema: one SIDE can already mix schemas (an interval
+    // spanning the evolution point has pre- and post-evolution fresh
+    // files in its to-only set)
     def rows(fs: Seq[String], anySnapshot: String): DataFrame =
       if (fs.isEmpty)
-        spark.read.parquet(s"$tableDir/v$anySnapshot").limit(0)
-      else spark.read.parquet(fs: _*)
-    val before = rows(fromOnly, fromVersion.toString)
-    val after = rows(toOnly, toVersion.toString)
+        spark.read.option("mergeSchema", "true")
+          .parquet(s"$tableDir/v$anySnapshot").limit(0)
+      else spark.read.option("mergeSchema", "true").parquet(fs: _*)
+    val before0 = rows(fromOnly, fromVersion.toString)
+    val after0 = rows(toOnly, toVersion.toString)
+    // align the two sides (exceptAll is positional): every column from
+    // either side, in a stable order, null-filled where absent
+    val types = (before0.schema ++ after0.schema)
+      .map(f => f.name -> f.dataType).toMap
+    val allCols = (before0.columns ++ after0.columns).distinct
+    def align(df: DataFrame): DataFrame =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(types(c)).as(c)): _*)
+    val before = align(before0)
+    val after = align(after0)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(
         before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Materialize the change feed of commit `toVersion` as parquet under
+    * `_cdf/v<toVersion>` — the WRITE-side half of a streaming change
+    * data feed (how production formats ship CDF: Delta's
+    * `_change_data` directory). The version dirs under `_cdf` form an
+    * append-only file set that a standard Structured Streaming file
+    * source subscribes to ([[graft.streaming.Streams.cdfStream]]), so
+    * the versioned COW table becomes a streamable input with zero
+    * custom source code. Cost ∝ changed files ([[changeDataFeed]]'s
+    * property); the first snapshot's feed is the full snapshot as
+    * inserts. The `from` side is the latest EXISTING version below
+    * `toVersion` (vacuum/replay-safe). A replayed commit rewrites its
+    * feed dir (new file names) — downstream delivery is therefore
+    * at-least-once; consumers key idempotence off `_commit_version`.
+    *
+    * @return the feed directory written */
+  def materializeCdf(
+      spark: SparkSession, tableDir: String, toVersion: Long): String = {
+    val out = s"$tableDir/_cdf/v$toVersion"
+    val prior = snapshotVersions(tableDir).filter(_ < toVersion)
+    val feed =
+      if (prior.isEmpty)
+        readSnapshot(spark, tableDir, toVersion)
+          .withColumn("_change_type", lit("insert"))
+      else changeDataFeed(spark, tableDir, prior.max, toVersion)
+    feed.withColumn("_commit_version", lit(toVersion))
+      .write.mode("overwrite").parquet(out)
+    out
   }
 
   /** Retention: delete all but the newest `keep` snapshots (never the

@@ -331,6 +331,11 @@ object Streams {
           case (None, None) =>
             perKey.write.mode("overwrite").parquet(next)
         }
+        // materialize this commit's change feed BEFORE the pointer
+        // swap (a reader following CURRENT always finds the feed
+        // complete) — the write-side half of the CDC loop; cdfStream
+        // is the subscription side
+        graft.ops.Upsert.materializeCdf(spark, tableDir, id)
         // atomic pointer swap: write-then-rename so a reader sees the
         // old CURRENT or the new one, never a partial file
         val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
@@ -343,6 +348,29 @@ object Streams {
         ()
       }
       .start()
+
+  /** Subscribe to a versioned COW table's change data feed as a STREAM
+    * — the READ-side half of the CDC loop ([[upsertSink]] writes the
+    * table and materializes each commit's feed under `_cdf/v<id>`;
+    * batch chains call [[graft.ops.Upsert.materializeCdf]] directly).
+    * This is a standard file-source subscription over the feed's
+    * version dirs — new commits surface as new files at the next
+    * trigger, offsets/exactly-once bookkeeping ride the file source's
+    * own checkpoint — the same consumption shape as Delta CDF.
+    *
+    * Rows are the change images: table columns + `_change_type`
+    * (insert/delete; an update is delete+insert) + `_commit_version`.
+    * A downstream aggregate maintained from the feed equals a
+    * recompute from the latest snapshot (StreamingSpec). Replayed
+    * commits rewrite their feed dir, so delivery is at-least-once —
+    * consumers key idempotence off `_commit_version`. */
+  def cdfStream(spark: SparkSession, tableDir: String): DataFrame = {
+    val glob = s"$tableDir/_cdf/v*"
+    // file streams need an explicit schema; at least one materialized
+    // feed version must exist (the table's first commit writes it)
+    val schema = spark.read.parquet(glob).schema
+    spark.readStream.schema(schema).parquet(glob)
+  }
 
   /** Streaming approximate-distinct per event-time window, as the
     * engine-exact HLL register table ([[graft.ops.Sketches]]): the

@@ -45,6 +45,29 @@ class BpeSpec extends AnyFunSuite {
     assert(enc == Seq("aa", "aa"))
   }
 
+  test("trainLocalWithVocab equals trainWithVocab: merges AND final vocab") {
+    val docs = corpus(
+      1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      2L -> (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "),
+      3L -> "the quick brown fox jumps over the lazy dog the end",
+      4L -> (Seq.fill(4)("aaaa") ++ Seq.fill(3)("abab")).mkString(" "))
+    val (mDist, vDist) = Bpe.trainWithVocab(spark, docs, "text", 12)
+    val (mLoc, vLoc) = Bpe.trainLocalWithVocab(spark, docs, "text", 12)
+    val a = mDist.orderBy("rank").collect().map(_.toSeq).toSeq
+    val b = mLoc.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(a == b, s"merge lists diverge:\n dist=$a\n loc =$b")
+    assert(vDist.exceptAll(vLoc).isEmpty && vLoc.exceptAll(vDist).isEmpty,
+      "final vocab symbol strings diverge")
+  }
+
+  test("trainLocalWithVocab refuses a vocab beyond maxWords (no silent OOM)") {
+    val docs = corpus(1L -> "one two three four five")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocalWithVocab(spark, docs, "text", 2, maxWords = 3)
+    }
+    assert(e.getMessage.contains("distinct words"))
+  }
+
   test("training stops when no pairs remain (single-char vocab)") {
     val docs = corpus(1L -> "a b c a b")
     val merges = Bpe.train(spark, docs, "text", 10).collect()

@@ -48,6 +48,29 @@ class PipelineScaleSpec extends AnyFunSuite {
     assert(pins("midpt")._3 != pins("mortyr")._3)
   }
 
+  test("bucketed-stage path (runBucketed) is value-identical to the in-memory path") {
+    // same pins as the in-memory test above (graft.DevEntryPin): the
+    // layout must be value-invisible — only the PLAN changes
+    val results = graft.fia.Pipeline.runBucketed(spark,
+      graft.fia.SyntheticState.tables(spark, 6000),
+      "/tmp/graft_pipeline_stage_spec", buckets = 8)
+    val pins = Map(
+      "midpt" -> (261619L, 52670L, -8551959680462182238L),
+      "mortyr" -> (261619L, 52670L, -2999349178173450929L))
+    for ((variant, (rows, nullCarbon, checksum)) <- pins) {
+      val vdf = results(variant).cache()
+      try {
+        assert(vdf.count() == rows, s"$variant rows (bucketed)")
+        assert(vdf.filter(col("CARBON_AG").isNull).count() == nullCarbon,
+          s"$variant null split (bucketed)")
+        val got = vdf.select(xxhash64(
+            col("tree_ID"), col("YEAR"), round(col("CARBON_AG"), 6)).as("h"))
+          .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+        assert(got == checksum, s"$variant bucketed checksum drifted: $got")
+      } finally vdf.unpersist()
+    }
+  }
+
   test("annualize kernel adds exactly ONE shuffle over tidy (PLANS.md claim)") {
     def shuffles(df: org.apache.spark.sql.DataFrame): Int =
       "Exchange (hash|range)partitioning".r

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{Dataset, Row}
 import org.apache.spark.sql.functions
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
 import graft.streaming.Streams.{AnnualRow, Survey}
@@ -445,5 +446,58 @@ class StreamingSpec extends AnyFunSuite {
             .partitionBy($"k").orderBy($"seq".desc)))
       .filter($"__rn" === 1).drop("__rn")
     assert(cur.exceptAll(expect).isEmpty && expect.exceptAll(cur).isEmpty)
+  }
+
+  test("CDF stream: downstream aggregate maintained from the feed equals snapshot recompute") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("cdftbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdfckpt").toString
+    val input = MemoryStream[(Long, Long, Long, String)] // k, seq, amount, grp
+    val q = Streams.upsertSink(
+      input.toDF().toDF("k", "seq", "amount", "grp"), tbl, ckpt,
+      keyCol = "k", orderCol = "seq")
+    // three commits: inserts, an update (delete+insert in the feed),
+    // and a mixed batch
+    input.addData((1L, 1L, 10L, "a"), (2L, 2L, 20L, "b"), (3L, 3L, 30L, "a"))
+    q.processAllAvailable()
+    input.addData((2L, 4L, 25L, "b"), (4L, 5L, 40L, "a"))
+    q.processAllAvailable()
+    input.addData((1L, 6L, 11L, "a"), (5L, 7L, 50L, "b"))
+    q.processAllAvailable()
+    q.stop()
+
+    // every commit materialized its feed version
+    val feedDirs = new java.io.File(s"$tbl/_cdf").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(feedDirs.length == 3, s"expected 3 feed versions, got ${feedDirs.toSeq}")
+
+    // subscribe from scratch and maintain a per-group sum from the
+    // change images alone: +amount on insert, -amount on delete
+    val feed = Streams.cdfStream(spark, tbl)
+    val sink = java.nio.file.Files.createTempDirectory("cdfsink").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("cdfckpt2").toString
+    val fq = feed
+      .withColumn("delta",
+        when($"_change_type" === "insert", $"amount").otherwise(-$"amount"))
+      .writeStream
+      .option("checkpointLocation", ckpt2)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.write.mode("append").parquet(sink); ()
+      }
+      .start()
+    fq.processAllAvailable()
+    fq.stop()
+
+    val maintained = spark.read.parquet(sink)
+      .groupBy("grp").agg(sum("delta").as("total"))
+    val recomputed = spark.read.parquet(Streams.currentSnapshot(tbl).get)
+      .groupBy("grp").agg(sum("amount").as("total"))
+    assert(maintained.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(maintained).isEmpty,
+      "feed-maintained aggregate must equal the snapshot recompute")
+    // and the feed carries commit provenance
+    assert(spark.read.parquet(s"$tbl/_cdf/v*")
+      .select("_commit_version").distinct().count() == 3)
   }
 }

@@ -168,6 +168,33 @@ class UpsertSpec extends AnyFunSuite {
     assert(cdf02.filter($"_change_type" === "delete").count() == 50)
   }
 
+  test("change data feed aligns schemas across an evolving commit") {
+    import spark.implicits._
+    val tbl = s"$base/cdfevo"
+    spark.range(2000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    // v1 adds a column (schema evolution) while updating keys 100..149
+    val up = spark.range(100, 150)
+      .select($"id".as("k"), lit(-1L).as("v"), lit("fr").as("lang"))
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v1", up, "k",
+      allowSchemaEvolution = true)
+
+    val feed = Upsert.changeDataFeed(spark, tbl, 0L, 1L).cache()
+    try {
+      assert(feed.columns.toSet == Set("k", "v", "lang", "_change_type"),
+        s"feed must surface the evolved schema: ${feed.columns.toSeq}")
+      // before images predate `lang` → null-filled
+      assert(feed.filter($"_change_type" === "delete").count() == 50)
+      assert(feed.filter($"_change_type" === "delete" && $"lang".isNotNull)
+        .count() == 0, "pre-evolution images must null-fill new columns")
+      // after images carry the new column
+      assert(feed.filter($"_change_type" === "insert" && $"k" === 120L)
+        .select("lang").as[String].head() == "fr")
+      assert(feed.filter($"_change_type" === "insert").count() == 50)
+    } finally feed.unpersist()
+  }
+
   test("empty update batch commits a pure-link no-op snapshot") {
     import spark.implicits._
     val tbl = s"$base/e1"; val out = s"$base/e1out"
@@ -307,6 +334,57 @@ class UpsertSpec extends AnyFunSuite {
       Upsert.upsertByKey(spark, tbl, out, up, "k")
     }
     assert(e.getMessage.contains("basename"))
+  }
+
+  test("Bloom sidecar carries across commits: linked files keep filter words VERBATIM") {
+    import spark.implicits._
+    import graft.ops.Layout
+    val tbl = s"$base/bloom0"; val out = s"$base/bloom1"
+    spark.range(4000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(tbl)
+    Layout.writeBloomSidecar(spark, tbl, "k", bitsPerFile = 1 << 12)
+
+    // POISON PILL: flip one filter word of a file the commit will NOT
+    // touch. If the carry recomputed filters instead of carrying bytes,
+    // the sentinel would be healed — its survival PROVES no data pass
+    // over untouched files.
+    val sc0 = spark.read.parquet(s"$tbl/_bloom")
+    val files0 = sc0.select("file").as[String].collect().sorted
+    val poisonFile = files0.last // keys 100..199 land in the FIRST file
+    // all-ones only ADDS bits (a strict superset of the real filter),
+    // so the damaged filter can widen reads but never false-negative
+    val poisoned = sc0.withColumn("bloom",
+      when($"file" === poisonFile,
+        concat(array(lit(-1L)), slice($"bloom", 2, 63)))
+        .otherwise($"bloom"))
+    poisoned.coalesce(1).write.mode("overwrite").parquet(s"$tbl/_bloom_tmp")
+    // swap in the poisoned sidecar
+    val d = new java.io.File(s"$tbl/_bloom")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(d)
+    new java.io.File(s"$tbl/_bloom_tmp").renameTo(d)
+
+    val up = spark.range(100, 200).select($"id".as("k"), lit(-1L).as("v"))
+    val (nCopied, nRewritten, _) = Upsert.upsertByKey(spark, tbl, out, up, "k")
+    assert(nRewritten >= 1 && nCopied >= 2)
+
+    val sc1 = spark.read.parquet(s"$out/_bloom")
+    // completeness: every data file of the new snapshot has a filter
+    val dataFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(sc1.select("file").as[String].collect().toSet == dataFiles)
+    // the poison survived the carry bit-for-bit
+    assert(sc1.filter($"file" === poisonFile)
+      .select(element_at($"bloom", 1)).as[Long].head() == -1L,
+      "carry must preserve untouched files' filter words verbatim")
+
+    // and the carried sidecar still answers point lookups correctly
+    // (probe keys in fresh AND linked files)
+    val (rows, nFiles, nHit) =
+      Layout.readBloomPrunedFromSidecar(spark, out, "k", Seq(150L, 3500L))
+    assert(nFiles == dataFiles.size && nHit <= nFiles)
+    val got = rows.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((150L, -1L), (3500L, 3500L)))
   }
 
   test("all-new-key batch touches zero files (pure append)") {

@@ -887,6 +887,76 @@ object QueriesCorpus {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders WHERE o_orderkey % 1009 = 0""".stripMargin
 
+  // --- URL canonicalization + keep-best dedup (TextPrep.canonicalizeUrl):
+  //     the CommonCrawl-style pre-filter — URLs differing only in
+  //     scheme/www/fragment/tracking-params/param-order/trailing-slash
+  //     are one document; keep the longest text per canonical key. The
+  //     URL column is synthesized deterministically from (doc_id,
+  //     source) with all the noise classes planted, identically in both
+  //     engines, so the oracle replays canonicalization end to end.
+  private def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // noise classes CYCLE within a (source, path) group — testdata's
+    // source is doc_id%20, so www (%3) and the suffix ((id div 20)%4)
+    // must not be functions of doc_id%20 or no two URLs would ever
+    // canonicalize equal: suffixes {utm-noised, re-ordered} merge to
+    // one key, {trailing-slash, fragment} to another
+    val sfx = expr("(doc_id DIV 20) % 4")
+    val url = concat(
+      lit("https://"),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".example.com/p/"),
+      (col("doc_id") % 5).cast(StringType),
+      when(sfx === 0, lit("?utm_source=feed&x=1&b=2"))
+        .when(sfx === 1, lit("?b=2&x=1"))
+        .when(sfx === 2, lit("/"))
+        .otherwise(lit("#frag")))
+    val canon = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.ops.TextPrep.canonicalizeUrl(url).as("canon_url"))
+    val w = Window.partitionBy(col("canon_url"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    canon
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("canon_url"))))
+      .filter(col("__rn") === 1)
+      .select(col("canon_url"), col("doc_id"), col("n_dups"))
+  }
+
+  private val urlDedupSql =
+    """WITH u AS (
+      |  SELECT doc_id, n_chars,
+      |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |    source || '.example.com/p/' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    CASE (doc_id // 20) % 4 WHEN 0 THEN '?utm_source=feed&x=1&b=2'
+      |                            WHEN 1 THEN '?b=2&x=1'
+      |                            WHEN 2 THEN '/' ELSE '#frag' END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_chars, base ||
+      |    CASE WHEN length(joined) > 0 THEN '?' || joined ELSE '' END AS canon_url
+      |  FROM (
+      |    SELECT doc_id, n_chars,
+      |      regexp_replace(regexp_replace(u3, '\?.*$', ''), '/+$', '') AS base,
+      |      array_to_string(list_sort(list_filter(
+      |        string_split(CASE WHEN strpos(u3, '?') > 0
+      |                          THEN regexp_replace(u3, '^[^?]*\?', '')
+      |                          ELSE '' END, '&'),
+      |        p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+      |             AND p <> '')), '&') AS joined
+      |    FROM (
+      |      SELECT doc_id, n_chars,
+      |        regexp_replace(regexp_replace(regexp_replace(
+      |          lower(trim(url)), '^https?://', ''), '^www\.', ''), '#.*$', '') AS u3
+      |      FROM u)))
+      |SELECT canon_url, doc_id, n_dups FROM (
+      |  SELECT canon_url, doc_id,
+      |    row_number() OVER (PARTITION BY canon_url
+      |                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dups
+      |  FROM c)
+      |WHERE rn = 1""".stripMargin
+
   // --- incremental Bloom maintenance (Layout.writeBloomSidecar +
   //     Upsert commit carry): build the point-lookup index ONCE on v0,
   //     commit a delivery, probe the v1 snapshot through the CARRIED
@@ -1166,6 +1236,7 @@ object QueriesCorpus {
     "q_compact" -> (compact _),
     "q_bloom_prune" -> (bloomPrune _),
     "q_bloom_carry" -> (bloomCarry _),
+    "q_url_dedup" -> (urlDedup _),
     "q_cdf" -> (cdf _),
     "q_upsert" -> (upsert _),
     "q_pagerank" -> (pageRank _),
@@ -1203,6 +1274,7 @@ object QueriesCorpus {
     "q_compact" -> compactSql,
     "q_bloom_prune" -> bloomPruneSql,
     "q_bloom_carry" -> bloomCarrySql,
+    "q_url_dedup" -> urlDedupSql,
     "q_cdf" -> cdfSql,
     "q_upsert" -> upsertSql,
     "q_pagerank" -> pageRankSql,

@@ -784,6 +784,44 @@ object QueriesText {
   private def bpeLocal(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.trainLocalWithVocab(s, docs(s, dir), "text", bpeK)._1
 
+  // corpus-scale TOKENIZATION under the learned BPE — the production
+  // shape: encode each DISTINCT word once (vocab-sized projection,
+  // no shuffle), broadcast-join the per-word token count back to the
+  // occurrences, per-doc sum. The corpus is never re-tokenized per
+  // occurrence; cost = one corpus scan + a vocab-sized encode. The
+  // oracle replays the training CTEs and derives each word's token
+  // count from the final vocab's wrapped symbol string.
+  private def bpeCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = graft.ops.Bpe.train(s, d, "text", bpeK)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = d.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0 && col("word").rlike("^[a-z]+$"))
+    val encoded = graft.ops.Bpe.encodeWords(
+      words.select("word").distinct(), "word", merges)
+      .select(col("word"), size(col("tokens")).as("n_tok"))
+    words.join(broadcast(encoded), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n_tok").as("bpe_tokens"), count(lit(1)).as("n_words"))
+  }
+
+  private def bpeCorpusSql: String =
+    s"""WITH ${bpeCtes(bpeK)},
+       |doc_words AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 AND regexp_matches(word, '^[a-z]+$$')),
+       |tok AS (SELECT word,
+       |  (length(s) - length(replace(s, '|', ''))) // 2 AS n_tok
+       |  FROM bpe_v$bpeK)
+       |SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_words
+       |FROM doc_words JOIN tok USING (word)
+       |GROUP BY doc_id""".stripMargin
+
   private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     val (_, vocab) = graft.ops.Bpe.trainWithVocab(s, docs(s, dir), "text", bpeK)
     graft.ops.Bpe.vocabSymbols(vocab)
@@ -920,6 +958,7 @@ object QueriesText {
     "q_simhash" -> (simhash _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_local" -> (bpeLocal _),
+    "q_bpe_corpus" -> (bpeCorpus _),
     "q_bpe_vocab" -> (bpeVocab _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_dedup_index" -> (dedupIndex _))
@@ -953,6 +992,7 @@ object QueriesText {
     "q_bpe_merges" -> bpeMergesSql,
     // the local trainer replays the same training, so the same oracle
     "q_bpe_local" -> bpeMergesSql,
+    "q_bpe_corpus" -> bpeCorpusSql,
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,
     // identical output to the inline incremental dedup by construction —

@@ -118,4 +118,26 @@ object TextPrep {
     df.withColumn(outCol, scrubbed)
       .withColumn("redactions", redactions.cast(IntegerType))
   }
+
+  /** Canonicalize a URL into its dedup identity — the standard
+    * web-corpus pre-filter (CommonCrawl-style URL dedup keys on this):
+    * scheme, `www.`, fragments, tracking parameters (`utm_*`, fbclid,
+    * gclid, ref), trailing slashes, and query-parameter ORDER are
+    * presentation noise, not document identity. Pure codegen'd column
+    * expressions (regex + array sort over the split query) — runs at
+    * scan speed, no shuffle; the dedup itself is then an ordinary
+    * keep-best groupBy on the canonical key. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noScheme = regexp_replace(lower(trim(url)), "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val base = regexp_replace(regexp_replace(noFrag, "\\?.*$", ""), "/+$", "")
+    val query = when(instr(noFrag, "?") > 0,
+      regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise(lit(""))
+    val params = array_sort(filter(split(query, "&"),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") && p =!= ""))
+    val joined = array_join(params, "&")
+    concat(base,
+      when(length(joined) > 0, concat(lit("?"), joined)).otherwise(lit("")))
+  }
 }

@@ -419,6 +419,32 @@ object QueriesVector {
       graft.ops.AnnIndex.read(s, path), k = 3, probes = 2)
   }
 
+  // --- incremental index maintenance (AnnIndex.append): build the
+  //     index on the standing corpus, APPEND a delivery encoded with
+  //     the existing (immutable) centroids + codebook — one delta-sized
+  //     pass, no corpus rescan — then probe. pqCodebook seeds from the
+  //     first 8 ids, which the base split contains, so the appended
+  //     index's artifacts are EXACTLY the full-corpus build's and the
+  //     probe answers the same inline-fit oracle (ivfPqSql).
+  private def annAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val base = e.filter($"vec_id" < 8 || $"vec_id" % 5 =!= 3)
+      .select($"vec_id".as("id"), $"embedding")
+    val delta = e.filter($"vec_id" >= 8 && $"vec_id" % 5 === 3)
+      .select($"vec_id".as("id"), $"embedding")
+    val cents = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val cb = Similarity.pqCodebook(base, "id", "embedding", numSub = 8, codes = 8)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_ann_append_${System.getProperty("user.name", "u")}_$h"
+    graft.ops.AnnIndex.write(base, cents, cb, path)
+    graft.ops.AnnIndex.append(delta, path)
+    graft.ops.AnnIndex.topK(
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30).select($"vec_id".as("qid"), $"embedding"),
+      graft.ops.AnnIndex.read(s, path), k = 3, probes = 2)
+  }
+
   // --- SemDeDup: coarse cells (centroids = the first 8 vectors, as
   //     q_ivf_ann) restrict the cosine pair search; pairs at or above
   //     the quantized threshold merge into duplicate components
@@ -550,6 +576,7 @@ object QueriesVector {
     "q_project_topk" -> (projectTopK _),
     "q_rand_project" -> (randProject _),
     "q_ann_persist" -> (annPersist _),
+    "q_ann_append" -> (annAppend _),
     "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
     "q_ivf_pq" -> (ivfPq _),
@@ -564,6 +591,7 @@ object QueriesVector {
     "q_project_topk" -> projectTopKSql,
     "q_rand_project" -> randProjectSql,
     "q_ann_persist" -> ivfPqSql, // identical output to the inline fit by design
+    "q_ann_append" -> ivfPqSql, // appended index == full rebuild, same artifacts
     "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,
     "q_ivf_pq" -> ivfPqSql,

@@ -63,6 +63,34 @@ object AnnIndex {
     finally marker.close()
   }
 
+  /** Append a delta batch to a persisted index: encode the NEW vectors
+    * with the index's EXISTING centroids and codebook (one delta-sized
+    * pass — the standing corpus is never rescanned) and land them as
+    * additional cell-clustered files in the codes table. This is the
+    * lakehouse maintenance shape applied to the ANN index:
+    * centroids/codebook are immutable artifacts (IVF's standard
+    * contract — refitting them is a REBUILD, not an append), the codes
+    * table is the growing one, and each append's own files are
+    * cell-clustered so probes keep skipping row groups; accumulated
+    * small appends re-cluster with [[Layout.optimizeTable]] like any
+    * other table. A probe after append is bit-identical to a probe of
+    * an index rebuilt over the full corpus with the same artifacts
+    * (AnnIndexSpec + `q_ann_append` vs the inline-fit oracle). */
+  def append(delta: DataFrame, path: String,
+      numRangePartitions: Int = 1): Unit = {
+    require(new java.io.File(s"$path/INDEX_OK").exists(),
+      s"AnnIndex.append: $path has no INDEX_OK marker — build the index first")
+    val idx = read(delta.sparkSession, path)
+    Similarity.pqEncode(
+        Similarity.nearestCell(
+          delta.select(col("id"), col("embedding")), idx.centroids),
+        "embedding", idx.codebook)
+      .select(col("id"), col("cell"), col("codes"))
+      .repartitionByRange(numRangePartitions, col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+      .write.mode("append").parquet(s"$path/codes.parquet")
+  }
+
   /** Load the index artifacts; refuses a directory without the marker
     * (a crashed build must fail loudly, not probe a partial corpus). */
   def read(spark: SparkSession, path: String): Index = {

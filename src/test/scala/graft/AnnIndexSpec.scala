@@ -47,6 +47,35 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("append: delta encoded with existing artifacts == full rebuild, bit-identical probe") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    // base keeps the first 8 ids (the codebook seeds), delta is a
+    // deterministic slice of the rest
+    val base = corpus.filter($"id" < 8 || $"id" % 5 =!= 3)
+    val delta = corpus.filter($"id" >= 8 && $"id" % 5 === 3)
+    assert(delta.count() > 0)
+    val cb = Similarity.pqCodebook(base, "id", "embedding", numSub = 8, codes = 8)
+
+    val full = java.nio.file.Files.createTempDirectory("ann_full").toString
+    AnnIndex.write(corpus, cents, cb, full)
+    val expect = AnnIndex.topK(queries, AnnIndex.read(spark, full), k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+
+    val inc = java.nio.file.Files.createTempDirectory("ann_inc").toString
+    AnnIndex.write(base, cents, cb, inc)
+    AnnIndex.append(delta, inc)
+    val got = AnnIndex.topK(queries, AnnIndex.read(spark, inc), k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+
+    assert(expect.nonEmpty && got == expect,
+      "appended index must answer probes exactly like the full rebuild")
+    // append refuses an unbuilt index dir
+    val bad = java.nio.file.Files.createTempDirectory("ann_nope").toString
+    val e = intercept[IllegalArgumentException](AnnIndex.append(delta, bad))
+    assert(e.getMessage.contains("INDEX_OK"))
+  }
+
   test("read() refuses a directory without the completion marker") {
     val dir = java.nio.file.Files.createTempDirectory("ann_bad").toString
     val e = intercept[IllegalArgumentException](AnnIndex.read(spark, dir))

@@ -15,6 +15,10 @@ import graft.functions.{FloatVectorDot, NormalizeAscii}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // plan-level safety net: suffix window frames (O(n²) per
+    // partition in Spark's evaluator) rewrite to running frames over
+    // the reversed order — see graft.plans.RewriteSuffixWindowFrames
+    ext.injectOptimizerRule(_ => graft.plans.RewriteSuffixWindowFrames)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(

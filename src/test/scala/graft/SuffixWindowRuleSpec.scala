@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.plans.RewriteSuffixWindowFrames: the naive suffix-frame shape
+  * (`ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING`) — quadratic
+  * per partition in Spark's evaluator — must plan as a RUNNING frame
+  * over the reversed order, with identical values. */
+class SuffixWindowRuleSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      ("a", 1, Option.empty[Int]), ("a", 2, Some(20)), ("a", 3, None),
+      ("a", 4, Some(40)), ("b", 1, None), ("b", 2, None), ("b", 3, Some(9)))
+      .toDF("k", "t", "v")
+  }
+
+  test("first(ignoreNulls) over a suffix frame plans as a running frame, values exact") {
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val out = fixture.withColumn("f", first(col("v"), ignoreNulls = true).over(w))
+
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("unboundedfollowing$"),
+      s"suffix frame survived optimization:\n$optimized")
+    assert(optimized.contains("unboundedpreceding$"),
+      s"expected the running-frame rewrite:\n$optimized")
+
+    // fill-up semantics, hand-computed
+    val got = out.orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    assert(got.toSeq == Seq(
+      ("a", 1, Some(20)), ("a", 2, Some(20)), ("a", 3, Some(40)),
+      ("a", 4, Some(40)), ("b", 1, Some(9)), ("b", 2, Some(9)),
+      ("b", 3, Some(9))))
+  }
+
+  test("order-insensitive aggregates over a suffix frame rewrite too (min over suffix)") {
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val out = fixture.withColumn("m", min(col("v")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("unboundedfollowing$"), optimized)
+    val got = out.orderBy("k", "t")
+      .select("k", "t", "m", "n").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", 1, 20, 4L), ("a", 2, 20, 3L), ("a", 3, 40, 2L), ("a", 4, 40, 1L),
+      ("b", 1, 9, 3L), ("b", 2, 9, 2L), ("b", 3, 9, 1L)))
+  }
+
+  test("a node with a non-rewritable expression is left as written") {
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // collect_list over a suffix frame is ORDER-SENSITIVE: reversing
+    // the sort would reverse the list — must NOT rewrite
+    val out = fixture.withColumn("l", collect_list(col("v")).over(w))
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("unboundedfollowing$"),
+      s"order-sensitive aggregate must keep its frame:\n$optimized")
+    val got = out.filter(col("k") === "a" && col("t") === 1)
+      .select("l").collect()(0).getSeq[Int](0)
+    assert(got == Seq(20, 40), "suffix collect_list order preserved")
+  }
+
+  test("SQL-text queries get the rewrite as well") {
+    fixture.createOrReplaceTempView("sfx_t")
+    val out = spark.sql(
+      """SELECT k, t, first(v, true) OVER (
+        |  PARTITION BY k ORDER BY t
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        |FROM sfx_t""".stripMargin)
+    assert(!out.queryExecution.optimizedPlan.toString.contains("unboundedfollowing$"))
+    assert(out.filter(col("k") === "b" && col("t") === 1)
+      .select("f").collect()(0).getInt(0) == 9)
+  }
+}

@@ -784,6 +784,67 @@ object QueriesText {
   private def bpeLocal(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.trainLocalWithVocab(s, docs(s, dir), "text", bpeK)._1
 
+  // hashed linear classifier inference (TextAnalysis.hashedLinearScore)
+  // — the CCNet/LLaMA-style quality filter as one scan + one
+  // partial-aggregated shuffle; logits in integer micro-units so the
+  // label decision replays exactly
+  private def linearScore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.hashedLinearScore(
+      docs(s, dir), "doc_id", "text", buckets = 1L << 20, biasMicro = 2500L)
+
+  private val linearScoreSql =
+    """SELECT doc_id,
+      |  CAST(sum(w) + 2500 AS BIGINT) AS score_micro,
+      |  CAST(count(*) AS BIGINT) AS n_toks,
+      |  CAST(CASE WHEN sum(w) + 2500 >= 0 THEN 1 ELSE 0 END AS INTEGER) AS label
+      |FROM (
+      |  SELECT doc_id,
+      |    (CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT)
+      |      % 1048576) % 2001 - 1000 AS w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE length(tok) > 0)
+      |GROUP BY doc_id""".stripMargin
+
+  // EXACT-SUBSTRING dedup (Dedup.removeDuplicateSpans, the ExactSubstr
+  // method): every 8-token window occurring more than once in the
+  // corpus marks its span; covered tokens are removed and the doc
+  // reassembles. The oracle replays the full cover computation —
+  // n-gram hashes, global dup counts, covered-index union, ordered
+  // reassembly — so the REMOVAL DECISION is pinned, not just counts.
+  private val substrN = 8
+
+  private def substrDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text", substrN)
+
+  private def substrDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |grams AS (
+       |  SELECT doc_id, p AS pos,
+       |    CAST(CAST('0x' || substr(md5(array_to_string(l[p+1:p+$substrN], ' ')), 1, 15) AS UBIGINT) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, l, unnest(range(0, len(l) - $substrN + 1)) AS p
+       |        FROM toks WHERE len(l) >= $substrN)),
+       |duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, idx FROM (
+       |    SELECT g.doc_id, unnest(range(g.pos, g.pos + $substrN)) AS idx
+       |    FROM grams g JOIN duph USING (h))),
+       |tokens AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS idx, l[CAST(i AS INT) + 1] AS tok
+       |  FROM (SELECT doc_id, l, unnest(range(0, len(l))) AS i FROM toks)),
+       |kept AS (
+       |  SELECT t.doc_id, t.idx, t.tok FROM tokens t
+       |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+       |                    WHERE c.doc_id = t.doc_id AND c.idx = t.idx)),
+       |reb AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS dedup_text,
+       |    CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(r.dedup_text, '') AS dedup_text,
+       |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_toks
+       |FROM documents d LEFT JOIN reb r USING (doc_id)""".stripMargin
+
   // corpus-scale TOKENIZATION under the learned BPE — the production
   // shape: encode each DISTINCT word once (vocab-sized projection,
   // no shuffle), broadcast-join the per-word token count back to the
@@ -959,6 +1020,8 @@ object QueriesText {
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_local" -> (bpeLocal _),
     "q_bpe_corpus" -> (bpeCorpus _),
+    "q_substr_dedup" -> (substrDedup _),
+    "q_linear_score" -> (linearScore _),
     "q_bpe_vocab" -> (bpeVocab _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_dedup_index" -> (dedupIndex _))
@@ -993,6 +1056,8 @@ object QueriesText {
     // the local trainer replays the same training, so the same oracle
     "q_bpe_local" -> bpeMergesSql,
     "q_bpe_corpus" -> bpeCorpusSql,
+    "q_substr_dedup" -> substrDedupSql,
+    "q_linear_score" -> linearScoreSql,
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,
     // identical output to the inline incremental dedup by construction —

@@ -494,4 +494,60 @@ object Dedup {
       .filter(col("jac") > threshold)
       .select(col("hist_id"), col("new_id"), col("jac"))
   }
+
+  /** EXACT-SUBSTRING dedup (the ExactSubstr method of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * remove every token span covered by an `n`-token window that
+    * occurs MORE THAN ONCE in the corpus — catching the verbatim
+    * boilerplate/quotation duplication that document-level near-dup
+    * (MinHash/SimHash) cannot, because the containing documents are
+    * otherwise different.
+    *
+    * The reference method builds a suffix array over the concatenated
+    * corpus on one machine; the distributed re-expression uses that
+    * duplicated spans of length ≥ n are exactly UNIONS of duplicated
+    * n-grams: (1) one projection explodes each doc's n-gram start
+    * positions keyed by the 60-bit content hash, (2) one
+    * partial-aggregated shuffle finds hashes with global occurrence
+    * count > 1, (3) those occurrences mark their n covered token
+    * indexes, (4) surviving tokens reassemble in order (fully-covered
+    * docs come back as empty text, their removal decision intact).
+    * Cost: corpus-token-sized explode + two shuffles (gram count,
+    * cover distinct) + the reassembly groupBy — every stage
+    * partial-aggregates or joins on a hash key, nothing is pairwise.
+    * The token array is materialized ONCE before the n-gram lambda
+    * slices it (the HOF re-evaluation rule, PLANS.md round-3).
+    *
+    * @return (id, dedup_text, n_kept, n_toks) */
+  def removeDuplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span window must be at least 2 tokens, got $n")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val grams = toks
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__toks) - $n),
+           |  p -> struct(p AS pos, array_join(slice(__toks, p + 1, $n), ' ') AS g))"""
+          .stripMargin)).as("occ"))
+      .select(col(idCol), col("occ.pos").as("pos"), hash60(col("occ.g")).as("h"))
+    val dupH = grams.groupBy("h").count().filter(col("count") > 1).select("h")
+    val covered = grams.join(dupH, Seq("h"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("idx"))
+      .distinct()
+    val tokens = toks.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("idx", "tok")))
+    val rebuilt = tokens.join(covered, Seq(idCol, "idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok")), " ").as("dedup_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol), size(split(col(textCol), " ")).as("n_toks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_toks"))
+  }
 }

@@ -236,4 +236,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"),
         round(col("score"), 6).as("tfidf"), col("rk"))
   }
+
+  /** fastText-style hashed linear classifier INFERENCE — the standard
+    * web-corpus quality-classifier shape (CCNet/LLaMA-style filtering):
+    * each token hashes into one of `buckets` feature slots, the slot's
+    * weight accumulates, the per-doc logit decides keep/drop. Inference
+    * is a scan-side projection + ONE partial-aggregated shuffle — at
+    * 100 TB the classifier costs the same as a token count.
+    *
+    * Weights here derive deterministically from the bucket id
+    * ((bucket % 2001) − 1000 micro-units) so the gate replays
+    * cross-engine; a production model replaces that expression with
+    * `element_at(<broadcast weight array>, bucket + 1)` — same plan
+    * shape. The logit stays in INTEGER micro-units end to end (exact
+    * long sums — float accumulation order and exp() ULP differences
+    * between engines can never flip a label).
+    *
+    * @return (id, score_micro, n_toks, label) — label = logit ≥ 0 */
+  def hashedLinearScore(
+      df: DataFrame, idCol: String, textCol: String,
+      buckets: Long = 1L << 20, biasMicro: Long = 0L): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol),
+        (pmod(Dedup.hash60(col("tok")), lit(buckets)) % 2001 - 1000).as("w"))
+      .groupBy(col(idCol))
+      .agg((sum(col("w")) + biasMicro).as("score_micro"),
+        count(lit(1)).as("n_toks"))
+      .withColumn("label", (col("score_micro") >= 0).cast(IntegerType))
 }

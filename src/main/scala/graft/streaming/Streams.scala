@@ -296,7 +296,8 @@ object Streams {
     *   by a re-insert within one batch lands as the re-insert. */
   def upsertSink(
       df: DataFrame, tableDir: String, checkpointDir: String,
-      keyCol: String, orderCol: String, opCol: Option[String] = None)
+      keyCol: String, orderCol: String, opCol: Option[String] = None,
+      dropCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -308,6 +309,9 @@ object Streams {
         val perKey = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
+          // bookkeeping columns (e.g. mirrorFromCdf's synthesized
+          // ordering) resolve last-per-key but must not be STORED
+          .drop(dropCols: _*)
         // previous snapshot = LARGEST version BELOW this batch id —
         // NOT the CURRENT pointer: a replayed batch runs after its own
         // swap already happened, and resolving CURRENT would feed
@@ -370,6 +374,33 @@ object Streams {
     // feed version must exist (the table's first commit writes it)
     val schema = spark.read.parquet(glob).schema
     spark.readStream.schema(schema).parquet(glob)
+  }
+
+  /** Maintain a DERIVED COW table purely from another table's change
+    * feed — incremental materialized-view maintenance, the full CDC
+    * loop closed: [[upsertSink]] writes the source and its feed,
+    * [[cdfStream]] subscribes, and this sink applies each feed batch
+    * as a CDC commit on the mirror (cost ∝ changes, the source is
+    * never rescanned). Change images translate directly: a delete
+    * image deletes its key, an insert image upserts; an UPDATE arrives
+    * as delete(old)+insert(new) for the same key, resolved by ordering
+    * inserts above deletes within a commit (`2·version + isInsert`).
+    * The mirror materializes its own `_cdf` in turn, so derived tables
+    * chain. After draining, the mirror's CURRENT equals the source's
+    * CURRENT exactly (StreamingSpec). */
+  def mirrorFromCdf(
+      spark: SparkSession, srcTableDir: String, dstTableDir: String,
+      checkpointDir: String, keyCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val feed = cdfStream(spark, srcTableDir)
+      .withColumn("__op",
+        when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
+      .withColumn("__ord",
+        col("_commit_version") * 2 +
+          when(col("_change_type") === "insert", 1).otherwise(0))
+      .drop("_change_type", "_commit_version")
+    upsertSink(feed, dstTableDir, checkpointDir, keyCol,
+      orderCol = "__ord", opCol = Some("__op"), dropCols = Seq("__ord"))
   }
 
   /** Streaming approximate-distinct per event-time window, as the

@@ -137,6 +137,29 @@ class DedupScaleSpec extends AnyFunSuite {
       s"expected exactly the history->batch duplicate, got $got")
   }
 
+  test("exact-substring dedup removes duplicated spans, keeps unique context") {
+    import spark.implicits._
+    // docs 1 and 2 share a verbatim 4-token run ("the quick brown fox")
+    // embedded in otherwise-different text; doc 3 is untouched; doc 4
+    // is a full copy of the shared run only (vanishes entirely); doc 5
+    // repeats a 4-gram WITHIN itself (self-duplication also counts)
+    val docs = Seq(
+      (1L, "alpha beta the quick brown fox gamma delta"),
+      (2L, "one two three the quick brown fox four"),
+      (3L, "totally unique words here nothing shared"),
+      (4L, "the quick brown fox"),
+      (5L, "x1 a b c d x2 a b c d x3")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out(0) == ((1L, "alpha beta gamma delta", 4L, 8)))
+    assert(out(1) == ((2L, "one two three four", 4L, 8)))
+    assert(out(2) == ((3L, "totally unique words here nothing shared", 6L, 6)))
+    assert(out(3) == ((4L, "", 0L, 4)), "fully-covered doc returns empty, not missing")
+    assert(out(4) == ((5L, "x1 x2 x3", 3L, 11)),
+      "within-doc repetition is duplication too")
+  }
+
   test("persisted index probe equals the inline computation bit-for-bit") {
     import spark.implicits._
     import graft.ops.Dedup

@@ -448,6 +448,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(cur.exceptAll(expect).isEmpty && expect.exceptAll(cur).isEmpty)
   }
 
+  test("CDC mirror: derived table maintained from the feed equals the source snapshot") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val src = java.nio.file.Files.createTempDirectory("mirsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mirsrcck").toString
+    val input = MemoryStream[(Long, Long, String, String)] // k, seq, v, op
+    val q = Streams.upsertSink(
+      input.toDF().toDF("k", "seq", "v", "op"), src, ckpt,
+      keyCol = "k", orderCol = "seq", opCol = Some("op"))
+    input.addData((1L, 1L, "a", "c"), (2L, 2L, "b", "c"), (3L, 3L, "c", "c"))
+    q.processAllAvailable()
+    input.addData((2L, 4L, "b2", "u"), (4L, 5L, "d", "c"))
+    q.processAllAvailable()
+    input.addData((3L, 6L, null, "d"), (5L, 7L, "e", "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    val dst = java.nio.file.Files.createTempDirectory("mirdst").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("mirdstck").toString
+    val mq = Streams.mirrorFromCdf(spark, src, dst, ckpt2, keyCol = "k")
+    mq.processAllAvailable()
+    mq.stop()
+
+    val srcCur = spark.read.parquet(Streams.currentSnapshot(src).get)
+    val dstCur = spark.read.parquet(Streams.currentSnapshot(dst).get)
+    assert(dstCur.columns.sorted.toSeq == srcCur.columns.sorted.toSeq,
+      s"mirror schema drift: ${dstCur.columns.toSeq} vs ${srcCur.columns.toSeq}")
+    val d1 = dstCur.exceptAll(srcCur.select(dstCur.columns.map(col): _*))
+    val d2 = srcCur.select(dstCur.columns.map(col): _*).exceptAll(dstCur)
+    assert(d1.isEmpty && d2.isEmpty,
+      s"mirror diverged: dst=${dstCur.collect().toSeq} src=${srcCur.collect().toSeq}")
+    // the deleted key is gone, the update applied
+    assert(dstCur.filter($"k" === 3L).count() == 0)
+    assert(dstCur.filter($"k" === 2L).select("v").as[String].head() == "b2")
+    // and the mirror materialized its own feed (derived tables chain)
+    assert(new java.io.File(s"$dst/_cdf").isDirectory)
+  }
+
   test("CDF stream: downstream aggregate maintained from the feed equals snapshot recompute") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

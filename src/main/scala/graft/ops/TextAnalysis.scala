@@ -255,13 +255,25 @@ object TextAnalysis {
     * @return (id, score_micro, n_toks, label) — label = logit ≥ 0 */
   def hashedLinearScore(
       df: DataFrame, idCol: String, textCol: String,
-      buckets: Long = 1L << 20, biasMicro: Long = 0L): DataFrame =
+      buckets: Long = 1L << 20, biasMicro: Long = 0L,
+      weightsMicro: Option[Array[Long]] = None): DataFrame = {
+    weightsMicro.foreach(w => require(w.length == buckets,
+      s"weight table has ${w.length} slots for $buckets buckets"))
+    val bucket = pmod(Dedup.hash60(col("tok")), lit(buckets))
+    // trained-model path: the weight table folds into the scan
+    // projection as a literal array (a broadcast-sized artifact, like
+    // the PQ codebook); the derived-weight default keeps the gate
+    // replayable without shipping weights into the oracle
+    val weight = weightsMicro match {
+      case Some(w) => element_at(lit(w), (bucket + 1).cast(IntegerType))
+      case None => bucket % 2001 - 1000
+    }
     df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col(idCol),
-        (pmod(Dedup.hash60(col("tok")), lit(buckets)) % 2001 - 1000).as("w"))
+      .select(col(idCol), weight.as("w"))
       .groupBy(col(idCol))
       .agg((sum(col("w")) + biasMicro).as("score_micro"),
         count(lit(1)).as("n_toks"))
       .withColumn("label", (col("score_micro") >= 0).cast(IntegerType))
+  }
 }

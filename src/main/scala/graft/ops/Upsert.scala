@@ -106,10 +106,16 @@ object Upsert {
       allowSchemaEvolution: Boolean): (Int, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
 
+    val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = Layout.listDataFiles(spark, tablePath)
+    require(all.nonEmpty, s"Upsert.commit: no .parquet files under $tablePath")
+
     // Key type: taken from the TABLE (its footer stats are what the
-    // manifest prunes on); the update side must agree in kind. Both
-    // must be integral or string — see requireSupportedKey.
-    val keyType = spark.read.parquet(tablePath).schema(keyCol).dataType
+    // manifest prunes on — ONE file's footer, not a directory-wide
+    // schema merge; the key column is invariant across the snapshot);
+    // the update side must agree in kind. Both must be integral or
+    // string — see requireSupportedKey.
+    val keyType = spark.read.parquet(all.head).schema(keyCol).dataType
     requireSupportedKey(keyType, keyCol, "table")
     requireSupportedKey(evictKeys.schema(keyCol).dataType, keyCol, "updates")
     require((keyType == StringType) ==
@@ -131,10 +137,6 @@ object Upsert {
         col("__k").between(col("mn").cast(keyType), col("mx").cast(keyType)),
         "left_semi")
       .select(col("file")).collect().map(_.getString(0)).toSet
-
-    val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = Layout.listDataFiles(spark, tablePath)
-    require(all.nonEmpty, s"Upsert.commit: no .parquet files under $tablePath")
     // classification is by BASENAME (what the manifest stores) — which
     // requires basenames to be unique. A Hive-partitioned layout
     // (dt=…/part-*.parquet) reuses part-NNNNN basenames across

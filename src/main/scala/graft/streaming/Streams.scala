@@ -123,6 +123,27 @@ object Streams {
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
   }
 
+  /** [[correlateStreams]]' LEFT-OUTER form — the "did NOT convert"
+    * query, which an inner join cannot answer: every left event emits,
+    * matched within the time bound or NULL-padded once the watermark
+    * proves no match can still arrive. The interval condition on BOTH
+    * sides is what lets the state store evict: without the time bound
+    * an outer stream-stream join would buffer the left side forever
+    * waiting for its null verdict. Null-padded rows surface only after
+    * the watermark passes `left ts + within` — late output by design,
+    * the price of a correct negative. */
+  def correlateStreamsLeftOuter(
+      left: DataFrame, right: DataFrame, userCol: String, tsCol: String,
+      within: String = "1 hour", delay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, delay).as("l")
+    val r = right.withWatermark(tsCol, delay).as("r")
+    l.join(r,
+      col(s"l.$userCol") === col(s"r.$userCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"),
+      "leftOuter")
+  }
+
   /** Streaming exact dedup for a document stream: keep the first row per
     * normalized-content fingerprint, with state bounded by the event-time
     * watermark (`dropDuplicatesWithinWatermark` — duplicate state for a

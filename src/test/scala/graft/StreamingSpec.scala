@@ -168,6 +168,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(1L), s"only user 1 is inside the window, got $rows")
   }
 
+  test("left-outer stream-stream join: non-converters emit null-padded after watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val q = Streams.correlateStreamsLeftOuter(
+        clicks.toDF().toDF("ts", "user_id"),
+        buys.toDF().toDF("ts", "user_id"),
+        "user_id", "ts", within = "1 hour", delay = "30 minutes")
+      .select(col("l.user_id"), col("r.ts").as("buy_ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lo_correlated")
+      .start()
+    // user 1 converts in-window; user 2's buy is 3h late (outside);
+    // user 4 never buys
+    clicks.addData((t(10, 0), 1L), (t(10, 0), 2L), (t(10, 0), 4L))
+    buys.addData((t(10, 30), 1L), (t(13, 0), 2L))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past click+within so the state store
+    // can emit its null verdicts for users 2 and 4
+    clicks.addData((t(18, 0), 99L))
+    buys.addData((t(18, 0), 98L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lo_correlated")
+      .select($"user_id", $"buy_ts".isNull.as("noBuy"))
+      .as[(Long, Boolean)].collect().toSet
+    assert(rows.contains((1L, false)), s"converter must match: $rows")
+    assert(rows.contains((2L, true)) && rows.contains((4L, true)),
+      s"non-converters must emit null-padded: $rows")
+  }
+
   test("foreachBatch sink writes per-batch dirs and replays idempotently") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

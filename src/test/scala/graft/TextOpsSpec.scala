@@ -7,6 +7,35 @@ class TextOpsSpec extends AnyFunSuite {
 
   private lazy val spark = GraftSession.local(4)
 
+  test("hashedLinearScore: trained-weight path equals hand-computed logits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val buckets = 64L
+    // a tiny "trained model": slot weights derived but EXPLICIT
+    val weights = Array.tabulate(64)(i => (i * 31 % 2001 - 1000).toLong)
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("id", "text")
+    val got = TextAnalysis.hashedLinearScore(
+      docs, "id", "text", buckets, biasMicro = 7L, Some(weights))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // hand-compute: bucket = hash60(tok) % 64, weight from the table
+    def h(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    val s1 = weights(h("alpha")) * 2 + weights(h("beta")) + 7
+    val s2 = weights(h("gamma")) + 7
+    assert(got(0) == ((1L, s1, 3L, if (s1 >= 0) 1 else 0)))
+    assert(got(1) == ((2L, s2, 1L, if (s2 >= 0) 1 else 0)))
+    // weight-table size must match the bucket count
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.hashedLinearScore(docs, "id", "text", 128L,
+        weightsMicro = Some(weights))
+    }
+    assert(e.getMessage.contains("slots"))
+  }
+
   test("ngramTokens: shingles preserve order; short docs yield no grams") {
     import spark.implicits._
     val df = Seq((1, "a b c"), (2, "c b a"), (3, "solo"), (4, "x x x"))

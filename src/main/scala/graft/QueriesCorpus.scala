@@ -887,6 +887,39 @@ object QueriesCorpus {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders WHERE o_orderkey % 1009 = 0""".stripMargin
 
+  // --- merge-on-read delete (Upsert.deleteByKeyDV / readWithDeletes):
+  //     the deletion-vector trade — a delete that rewrites NO data file
+  //     (the deleted key set lands as a `_dv` sidecar, byte-identity of
+  //     every data file is spec-proven in UpsertSpec) and reads
+  //     subtract the DV as a broadcast anti-join. Two accumulated DV
+  //     commits, then the merge-on-read result is oracled against the
+  //     plain filtered table.
+  private def dvDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_dv"
+    val v0 = s"$base/chain/v0"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(v0)
+      writeStageMarker(marker, dir, "orders")
+    }
+    val orders = s.read.parquet(v0)
+    graft.ops.Upsert.deleteByKeyDV(s, v0, s"$base/chain/v1",
+      orders.filter(col("o_orderkey") % 997 === 0).select("o_orderkey"),
+      "o_orderkey")
+    graft.ops.Upsert.deleteByKeyDV(s, s"$base/chain/v1", s"$base/chain/v2",
+      orders.filter(col("o_orderkey") % 499 === 0).select("o_orderkey"),
+      "o_orderkey")
+    graft.ops.Upsert.readWithDeletes(s, s"$base/chain/v2")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  private val dvDeleteSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 997 <> 0 AND o_orderkey % 499 <> 0""".stripMargin
+
   // --- URL canonicalization + keep-best dedup (TextPrep.canonicalizeUrl):
   //     the CommonCrawl-style pre-filter — URLs differing only in
   //     scheme/www/fragment/tracking-params/param-order/trailing-slash
@@ -1237,6 +1270,7 @@ object QueriesCorpus {
     "q_bloom_prune" -> (bloomPrune _),
     "q_bloom_carry" -> (bloomCarry _),
     "q_url_dedup" -> (urlDedup _),
+    "q_dv_delete" -> (dvDelete _),
     "q_cdf" -> (cdf _),
     "q_upsert" -> (upsert _),
     "q_pagerank" -> (pageRank _),
@@ -1275,6 +1309,7 @@ object QueriesCorpus {
     "q_bloom_prune" -> bloomPruneSql,
     "q_bloom_carry" -> bloomCarrySql,
     "q_url_dedup" -> urlDedupSql,
+    "q_dv_delete" -> dvDeleteSql,
     "q_cdf" -> cdfSql,
     "q_upsert" -> upsertSql,
     "q_pagerank" -> pageRankSql,

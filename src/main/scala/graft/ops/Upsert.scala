@@ -89,6 +89,162 @@ object Upsert {
         "compares footer min/max in the key's native type and other " +
         "types don't round-trip through footer-stat text")
 
+  /** Hard-link (same local filesystem; O(1) metadata each) or
+    * byte-copy `files` into `outDir`, keeping basenames. Shared by the
+    * COW commit's untouched-file pass, [[cloneSnapshot]], and the
+    * deletion-vector delete. */
+  private def linkOrCopyAll(
+      spark: SparkSession, files: Seq[String], outDir: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    if (files.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new HPath(files.head).getFileSystem(conf)
+    val out = new HPath(outDir)
+    val ofs = out.getFileSystem(conf)
+    if (!ofs.exists(out)) ofs.mkdirs(out)
+    val localLink = fs.getScheme == "file" && ofs.getScheme == "file"
+    files.foreach { f =>
+      val src = new HPath(f)
+      val dst = new HPath(out, src.getName)
+      val linked = localLink && {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch { case _: Exception => false } // cross-device etc → copy
+      }
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, ofs, dst, false, conf)
+    }
+  }
+
+  /** Every file (data + sidecar payloads) under a sidecar dir of the
+    * snapshot, for verbatim carry. */
+  private def sidecarFiles(
+      spark: SparkSession, snapshot: String, name: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val d = new HPath(s"$snapshot/$name")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else {
+      val it = fs.listFiles(d, false)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile) buf += s.getPath.toString
+      }
+      buf.toSeq
+    }
+  }
+
+  /** SHALLOW CLONE (Delta `CLONE` semantics): a new, independent table
+    * whose data files are hard links into the source snapshot — O(1)
+    * metadata per file, zero data bytes moved — with the `_manifest`
+    * and `_bloom` sidecars carried verbatim (the files they describe
+    * are byte-identical by construction). The clone diverges freely
+    * from the source afterwards: COW commits on either side never
+    * mutate shared bytes, so neither table can corrupt the other.
+    *
+    * @return number of data files cloned */
+  def cloneSnapshot(
+      spark: SparkSession, tablePath: String, outPath: String): Int = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val all = Layout.listDataFiles(spark, tablePath)
+    require(all.nonEmpty, s"cloneSnapshot: no .parquet files under $tablePath")
+    val out = new HPath(outPath)
+    val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (ofs.exists(out)) ofs.delete(out, true)
+    linkOrCopyAll(spark, all, outPath)
+    for (sc <- Seq("_manifest", "_bloom", "_dv")) {
+      val fs = sidecarFiles(spark, tablePath, sc)
+      if (fs.nonEmpty) linkOrCopyAll(spark, fs, s"$outPath/$sc")
+    }
+    all.size
+  }
+
+  // -------------------------------------------------------------------
+  // MERGE-ON-READ deletes (deletion vectors): the other half of the
+  // write-amplification trade every modern format offers (Delta
+  // deletion vectors / Iceberg merge-on-read). COW delete cost is ∝
+  // touched file BYTES; a DV delete never rewrites a data file — the
+  // deleted key set lands as a `_dv` sidecar and reads subtract it.
+  // Read cost grows with the DV, so [[compactDeletes]] folds the DV
+  // back into a clean COW rewrite when it gets heavy.
+  // -------------------------------------------------------------------
+
+  private def dvDir(snapshot: String) = s"$snapshot/_dv"
+
+  /** Soft-delete `keys` WITHOUT rewriting any data file: the output
+    * snapshot links every data file and carries the sidecars; the
+    * union of the previous DV (if any) and this batch's keys lands as
+    * `_dv` (one column, named `keyCol`, native type — readers discover
+    * the key from the sidecar schema). Commit cost ∝ delete batch, not
+    * table. Read the table through [[readWithDeletes]].
+    *
+    * @return (data files linked, total DV keys after the commit) */
+  def deleteByKeyDV(
+      spark: SparkSession, tablePath: String, outPath: String,
+      keys: DataFrame, keyCol: String): (Int, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val all = Layout.listDataFiles(spark, tablePath)
+    require(all.nonEmpty, s"deleteByKeyDV: no .parquet files under $tablePath")
+    val out = new HPath(outPath)
+    val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (ofs.exists(out)) ofs.delete(out, true)
+    linkOrCopyAll(spark, all, outPath)
+    for (sc <- Seq("_manifest", "_bloom")) {
+      val fs = sidecarFiles(spark, tablePath, sc)
+      if (fs.nonEmpty) linkOrCopyAll(spark, fs, s"$outPath/$sc")
+    }
+    val prevDv = new HPath(dvDir(tablePath))
+    val pfs = prevDv.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = keys.select(col(keyCol))
+    val merged =
+      if (pfs.exists(new HPath(prevDv, "_SUCCESS")))
+        spark.read.parquet(prevDv.toString).select(col(keyCol))
+          .unionByName(batch).distinct()
+      else batch.distinct()
+    val n = merged.count()
+    merged.coalesce(1).write.mode("overwrite").parquet(dvDir(outPath))
+    (all.size, n)
+  }
+
+  /** Read a snapshot MINUS its deletion vector (merge-on-read): the
+    * DV broadcasts into an anti-join against the key column it names.
+    * A snapshot without a `_dv` sidecar reads as-is. */
+  def readWithDeletes(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val data = spark.read.option("mergeSchema", "true").parquet(tablePath)
+    val dv = new HPath(dvDir(tablePath))
+    val fs = dv.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(dv, "_SUCCESS"))) data
+    else {
+      val keys = spark.read.parquet(dv.toString)
+      val keyCol = keys.schema.fieldNames.head
+      data.join(broadcast(keys), Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Fold an accumulated deletion vector back into a clean COW
+    * rewrite: the standard maintenance step once merge-on-read cost
+    * outweighs write amplification. Exactly [[deleteByKey]] driven by
+    * the DV — manifest-pruned, only key-range-intersecting files
+    * decode — and the output snapshot carries NO `_dv`.
+    *
+    * @return (filesCopied, filesRewritten, dvKeysFolded) */
+  def compactDeletes(
+      spark: SparkSession, tablePath: String, outPath: String): (Int, Int, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dv = new HPath(dvDir(tablePath))
+    val fs = dv.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new HPath(dv, "_SUCCESS")),
+      s"compactDeletes: no deletion vector under $tablePath")
+    val keys = spark.read.parquet(dv.toString)
+    val keyCol = keys.schema.fieldNames.head
+    deleteByKey(spark, tablePath, outPath, keys, keyCol)
+  }
+
   /** The shared commit engine behind [[upsertByKey]] and
     * [[deleteByKey]]: prune by manifest, link/copy untouched files,
     * rewrite touched files minus `evictKeys`, append `append` (if
@@ -166,22 +322,7 @@ object Upsert {
     // is what keeps commit cost ∝ touched files, not table size), else
     // byte-copy. Safe because this layout never mutates a shipped
     // parquet file — snapshots share immutable content.
-    val localLink = fs.getScheme == "file" && ofs.getScheme == "file"
-    untouched.foreach { f =>
-      val src = new HPath(f)
-      val dst = new HPath(out, src.getName)
-      val linked = localLink && {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(src.toUri.getPath))
-          true
-        } catch { case _: Exception => false } // cross-device etc → copy
-      }
-      if (!linked)
-        org.apache.hadoop.fs.FileUtil.copy(
-          fs, src, ofs, dst, false, spark.sparkContext.hadoopConfiguration)
-    }
+    linkOrCopyAll(spark, untouched, outPath)
 
     // decode ONLY the touched files; evict keys; append the payload
     val survivors =

@@ -387,6 +387,72 @@ class UpsertSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((150L, -1L), (3500L, 3500L)))
   }
 
+  test("deletion vectors: soft delete rewrites NOTHING; read subtracts; compaction folds") {
+    import spark.implicits._
+    val v0 = s"$base/dv/v0"; val v1 = s"$base/dv/v1"
+    val v2 = s"$base/dv/v2"; val v3 = s"$base/dv/v3"
+    spark.range(4000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(v0)
+
+    val (nFiles, nDv) = Upsert.deleteByKeyDV(spark, v0, v1,
+      spark.range(100, 200).select($"id".as("k")), "k")
+    assert(nFiles == 4 && nDv == 100)
+    // NO data file was rewritten — every v1 file is byte-identical to v0
+    val srcByName = new java.io.File(v0).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> md5(f)).toMap
+    for (f <- new java.io.File(v1).listFiles()
+        if f.getName.endsWith(".parquet"))
+      assert(srcByName(f.getName) == md5(f), s"${f.getName} was rewritten")
+
+    // merge-on-read equals the COW delete
+    val cow = s"$base/dv/cow"
+    Upsert.deleteByKey(spark, v0, cow,
+      spark.range(100, 200).select($"id".as("k")), "k")
+    val mor = Upsert.readWithDeletes(spark, v1)
+    val hard = spark.read.parquet(cow)
+    assert(mor.exceptAll(hard).isEmpty && hard.exceptAll(mor).isEmpty)
+
+    // a second DV delete ACCUMULATES (union of both batches)
+    val (_, nDv2) = Upsert.deleteByKeyDV(spark, v1, v2,
+      spark.range(150, 300).select($"id".as("k")), "k")
+    assert(nDv2 == 200, s"expected union of overlapping batches, got $nDv2")
+    assert(Upsert.readWithDeletes(spark, v2).count() == 3800)
+
+    // compaction folds the DV into a clean COW rewrite, no _dv left
+    val (c, r, folded) = Upsert.compactDeletes(spark, v2, v3)
+    assert(folded == 200 && r >= 1 && c == 4 - r)
+    assert(!new java.io.File(s"$v3/_dv").exists)
+    val clean = spark.read.parquet(v3)
+    assert(clean.count() == 3800 && clean.filter($"k" === 150L).count() == 0)
+    val mor2 = Upsert.readWithDeletes(spark, v2)
+    assert(clean.exceptAll(mor2).isEmpty && mor2.exceptAll(clean).isEmpty)
+  }
+
+  test("shallow clone: zero data bytes moved, sidecars carried, clone diverges safely") {
+    import spark.implicits._
+    val tbl = s"$base/clone0"; val cl = s"$base/clone1"; val next = s"$base/clone2"
+    spark.range(2000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(tbl)
+    // give the source a manifest sidecar via a commit
+    val staged = s"$base/clone0m"
+    Upsert.upsertByKey(spark, tbl, staged,
+      spark.range(1).select($"id".as("k"), lit(7L).as("v")), "k")
+
+    val n = Upsert.cloneSnapshot(spark, staged, cl)
+    assert(n == 4)
+    assert(new java.io.File(s"$cl/_manifest").isDirectory, "sidecar must carry")
+    val a = spark.read.parquet(staged); val b = spark.read.parquet(cl)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // clone diverges: a commit on the clone leaves the source intact
+    Upsert.upsertByKey(spark, cl, next,
+      spark.range(10).select($"id".as("k"), lit(-1L).as("v")), "k")
+    assert(spark.read.parquet(staged).filter($"v" === -1L).count() == 0)
+    assert(spark.read.parquet(next).filter($"v" === -1L).count() == 10)
+  }
+
   test("all-new-key batch touches zero files (pure append)") {
     import spark.implicits._
     val tbl = s"$base/t2"; val out = s"$base/o2"

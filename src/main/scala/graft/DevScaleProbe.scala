@@ -129,12 +129,7 @@ object DevScaleProbe {
       .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
   }
 
-  /** Fixed-size delivery against a k×-sized range-clustered table: the
-    * file-granular COW upsert's commit cost should be ~FLAT in table
-    * size (manifest footers + 1 touched file + hard links for the
-    * rest), which is the property that distinguishes it from a
-    * rewrite-the-partition MERGE. */
-  private def upsertCommit(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def ensureUpsertTable(s: SparkSession, dir: String, k: Int): String = {
     import s.implicits._
     val tbl = s"$dir/upsert_table"
     if (!new java.io.File(s"$dir/UPSERT_TBL_OK").exists) {
@@ -144,11 +139,49 @@ object DevScaleProbe {
       val w = new java.io.PrintWriter(s"$dir/UPSERT_TBL_OK", "UTF-8")
       try w.print(k) finally w.close()
     }
+    tbl
+  }
+
+  /** Fixed-size delivery against a k×-sized range-clustered table: the
+    * file-granular COW upsert's commit cost should be ~FLAT in table
+    * size (manifest footers + 1 touched file + hard links for the
+    * rest), which is the property that distinguishes it from a
+    * rewrite-the-partition MERGE. */
+  private def upsertCommit(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val tbl = ensureUpsertTable(s, dir, k)
     val updates = s.range(5000L).select($"id".as("k"), lit(-1L).as("v"))
     val (nCopied, nRewritten, _) = graft.ops.Upsert.upsertByKey(
       s, tbl, s"$dir/upsert_out", updates, "k")
     Seq((nCopied.toLong, nRewritten.toLong)).toDF("copied", "rewritten")
   }
+
+  /** Fixed-size MERGE-ON-READ delete against the k×-sized table: a DV
+    * commit never decodes or rewrites a data file, so its cost should
+    * track file COUNT (links) + the delta write only. */
+  private def dvDelete(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val tbl = ensureUpsertTable(s, dir, k)
+    val keys = s.range(5000L).select(($"id" * 7L).as("k"))
+    val (nFiles, nDv) = graft.ops.Upsert.deleteByKeyDV(
+      s, tbl, s"$dir/dv_out", keys, "k")
+    Seq((nFiles.toLong, nDv)).toDF("files", "dv_keys")
+  }
+
+  /** Exact-substring dedup over the k×-sized documents tier: copies
+    * are token-bijections, so per-copy duplicated-span structure is
+    * identical and the ground-truth scaling law is linear. The probe
+    * AGGREGATES the output — a bare count() lets the optimizer
+    * eliminate the final unique-key left join and skip the work. */
+  private def substrDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.removeDuplicateSpans(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 8)
+      .agg(sum(length(col("dedup_text"))).as("chars"),
+        sum(col("n_kept")).as("kept"), sum(col("n_toks")).as("toks"))
+      // the probe harness counts; a bare count over a global aggregate
+      // folds to a literal (OptimizeOneRowPlan) and measures NOTHING —
+      // the data-dependent filter forces evaluation
+      .filter(col("kept") >= 0)
 
   /** Same delivery, but committed FROM a prior snapshot that already
     * carries the manifest sidecar — the steady-state commit of a
@@ -227,6 +260,8 @@ object DevScaleProbe {
             full, graft.fia.Incremental.dirtyPlotIds(batch)))
       }
       probe("upsert_commit", k, () => upsertCommit(spark, dir, k))
+      probe("dv_delete", k, () => dvDelete(spark, dir, k))
+      probe("substr_dedup", k, () => substrDedup(spark, dir))
       if (onlyOps.forall(_.contains("upsert_commit_cached"))) {
         upsertCommit(spark, dir, k) // stage the manifested snapshot untimed
         probe("upsert_commit_cached", k, () => upsertCommitCached(spark, dir, k))

@@ -93,9 +93,19 @@ object EstimateCarbon {
         col("YEAR").as("YEAR_p"),
         col("BIOMASS").as("DRYBIO_AG"), col("CARBON").as("CARBON_AG"))
 
+    // Plain === on tree_ID, NOT <=> (the reference's NA-matching J13):
+    // `predicted` descends from the `HT IS NOT NULL` filter above,
+    // which excludes every empty-plot (null-tree_ID) row, so the two
+    // operators are value-identical here — a null left key matches
+    // nothing either way. The difference is the PLAN: Catalyst
+    // canonicalizes null-safe join keys as (coalesce(k,''), isnull(k)),
+    // which a tree_ID-bucketed layout cannot satisfy, forcing both
+    // sides of this corpus-sized self-join through an Exchange; raw
+    // tree_ID keys let the bucketed distribution carry through with
+    // in-partition sorts only (plan-audited in PLANS.md round-9).
     dataPrepped.join(predicted,
       dataPrepped("plot_ID") === predicted("plot_ID_p") &&
-        dataPrepped("tree_ID") <=> predicted("tree_ID_p") &&
+        dataPrepped("tree_ID") === predicted("tree_ID_p") &&
         dataPrepped("YEAR") === predicted("YEAR_p"),
       "left")
       .drop("plot_ID_p", "tree_ID_p", "YEAR_p")

@@ -54,18 +54,39 @@ object EstimateCarbon {
   }
 
   /** `estimate_carbon()` — crown-ratio join + prerequisites +
-    * predictCRM2 + re-attach. */
+    * predictCRM2, evaluated IN PLACE with the model-domain guard
+    * masking the outputs. The reference (and rounds 1–9a here) FILTERED
+    * to the model domain, ran predictCRM2, and LEFT-JOINED the
+    * predictions back (J13) — a corpus-sized self-join that was the
+    * estimate stage's only shuffle-bearing operator. Every predictCRM2
+    * expression null-propagates and the Brent UDF is boxed-null-safe,
+    * so out-of-domain rows (woodland JENKINS ≥ 10, missing height,
+    * empty plots) flow through the DAG harmlessly and
+    * `when(guard, …)` nulls their outputs — exactly the rows the join
+    * path left unmatched. Same values (composed DuckDB oracle + pinned
+    * checksums); the estimate stage is now pure projections + broadcast
+    * joins, so the bucketed layout's distribution survives from scan to
+    * sink with zero Exchange (PLANS.md round-9). */
   def estimateCarbon(spark: SparkSession, dataPrepped: DataFrame): DataFrame = {
     val medCr = RefData.medianCrProp(spark)
       .withColumn("SFTWD_HRDWD", when(col("hwd_yn") === "N", lit("S")).otherwise(lit("H")))
       .select(col("Province").as("PROVINCE"), col("SFTWD_HRDWD"), col("CRmn"))
     val (missSft, missHwd) = RefData.crPropDefaults
 
+    val guard = col("JENKINS_SPGRPCD") < 10 && col("HT").isNotNull
+
+    // The model-PREREQUISITE rewrites below (species relabeling,
+    // CR/CULL/STDORGCD fills) are model-internal and must not leak
+    // into the returned rows — the join path never touched them.
+    // Stash the originals, restore on output.
+    val stash = Seq("SPCD", "CR", "STDORGCD", "CULL")
+    val stashed = stash.foldLeft(dataPrepped)((d, c0) =>
+      d.withColumn(s"__orig_$c0", col(c0)))
+
     // three dependency WAVES (not one): SPCD reads the wave-1 STDORGCD
     // rewrite, and SPCD_DIVISION reads the wave-2 SPCD string — within
     // a wave every expression evaluates against the wave's INPUT
-    val fiadb0 = dataPrepped
-      .filter(col("JENKINS_SPGRPCD") < 10 && col("HT").isNotNull)
+    val fiadb0 = stashed
       .join(broadcast(medCr), Seq("SFTWD_HRDWD", "PROVINCE"), "left")
       .withColumns(Map(
         "CRmn" -> when(col("CRmn").isNull && col("SFTWD_HRDWD") === "S", lit(missSft))
@@ -89,26 +110,13 @@ object EstimateCarbon {
         concat(col("SPCD"), lit(" "), coalesce(col("DIVISION"), lit("NA"))))
 
     val predicted = Nsvb.predict(spark, fiadb0)
-      .select(col("plot_ID").as("plot_ID_p"), col("tree_ID").as("tree_ID_p"),
-        col("YEAR").as("YEAR_p"),
-        col("BIOMASS").as("DRYBIO_AG"), col("CARBON").as("CARBON_AG"))
-
-    // Plain === on tree_ID, NOT <=> (the reference's NA-matching J13):
-    // `predicted` descends from the `HT IS NOT NULL` filter above,
-    // which excludes every empty-plot (null-tree_ID) row, so the two
-    // operators are value-identical here — a null left key matches
-    // nothing either way. The difference is the PLAN: Catalyst
-    // canonicalizes null-safe join keys as (coalesce(k,''), isnull(k)),
-    // which a tree_ID-bucketed layout cannot satisfy, forcing both
-    // sides of this corpus-sized self-join through an Exchange; raw
-    // tree_ID keys let the bucketed distribution carry through with
-    // in-partition sorts only (plan-audited in PLANS.md round-9).
-    dataPrepped.join(predicted,
-      dataPrepped("plot_ID") === predicted("plot_ID_p") &&
-        dataPrepped("tree_ID") === predicted("tree_ID_p") &&
-        dataPrepped("YEAR") === predicted("YEAR_p"),
-      "left")
-      .drop("plot_ID_p", "tree_ID_p", "YEAR_p")
+    val restored = dataPrepped.columns.toSeq.map {
+      case c0 if stash.contains(c0) => col(s"__orig_$c0").as(c0)
+      case c0 => col(c0)
+    }
+    predicted.select(restored ++ Seq(
+      when(guard, col("BIOMASS")).as("DRYBIO_AG"),
+      when(guard, col("CARBON")).as("CARBON_AG")): _*)
   }
 
   /** `fia_estimate()` (`R/fia_estimate.R:20-24`). */

@@ -175,6 +175,14 @@ object Upsert {
 
   private def dvDir(snapshot: String) = s"$snapshot/_dv"
 
+  /** Past this many accumulated DV keys the sidecar stops being a
+    * sane broadcast/read-subtraction structure regardless of plan
+    * choice — the caller is carrying a delete workload that should
+    * have been folded long ago. The write path refuses at this point
+    * with the remedy named, instead of building a table whose every
+    * read degrades. ~128M longs ≈ 1 GiB of broadcast-side state. */
+  val MaxDvKeys: Long = 128L * 1000 * 1000
+
   /** Soft-delete `keys` WITHOUT rewriting any data file: the output
     * snapshot links every data file and carries the sidecars; the
     * union of the previous DV (if any) and this batch's keys lands as
@@ -182,10 +190,18 @@ object Upsert {
     * the key from the sidecar schema). Commit cost ∝ delete batch, not
     * table. Read the table through [[readWithDeletes]].
     *
+    * The DV write is SHARDED (~`rowsPerDvFile` keys per parquet file)
+    * — a single-file DV funnels the whole accumulated key set through
+    * one task at every commit and caps at one machine's memory; shards
+    * keep the union/distinct and the write parallel at any DV size.
+    * Accumulation past [[MaxDvKeys]] refuses with the remedy named
+    * ([[compactDeletes]]) rather than degrade every subsequent read.
+    *
     * @return (data files linked, total DV keys after the commit) */
   def deleteByKeyDV(
       spark: SparkSession, tablePath: String, outPath: String,
-      keys: DataFrame, keyCol: String): (Int, Long) = {
+      keys: DataFrame, keyCol: String,
+      rowsPerDvFile: Long = 4L * 1000 * 1000): (Int, Long) = {
     import org.apache.hadoop.fs.{Path => HPath}
     val all = Layout.listDataFiles(spark, tablePath)
     require(all.nonEmpty, s"deleteByKeyDV: no .parquet files under $tablePath")
@@ -206,14 +222,35 @@ object Upsert {
           .unionByName(batch).distinct()
       else batch.distinct()
     val n = merged.count()
-    merged.coalesce(1).write.mode("overwrite").parquet(dvDir(outPath))
+    require(n <= MaxDvKeys,
+      s"deleteByKeyDV: accumulated deletion vector would hold $n keys " +
+        s"(cap $MaxDvKeys) — fold it into a COW rewrite first " +
+        "(Upsert.compactDeletes), then resume merge-on-read deletes")
+    val parts = math.max(1L, (n + rowsPerDvFile - 1) / rowsPerDvFile).toInt
+    val sized =
+      if (parts <= merged.rdd.getNumPartitions) merged.coalesce(parts)
+      else merged.repartition(parts)
+    sized.write.mode("overwrite").parquet(dvDir(outPath))
     (all.size, n)
   }
 
-  /** Read a snapshot MINUS its deletion vector (merge-on-read): the
-    * DV broadcasts into an anti-join against the key column it names.
+  /** Below this many DV sidecar BYTES the read path subtracts the DV
+    * as a broadcast anti-join (hash lookup per row, no shuffle of the
+    * data side); above it, a shuffle anti-join — slower per row but
+    * bounded by executor memory, not driver/broadcast limits. Byte
+    * size is read from the sidecar's file statuses — a metadata call,
+    * no job. 64 MiB ≈ 8M long keys. */
+  val DvBroadcastMaxBytes: Long = 64L << 20
+
+  /** Read a snapshot MINUS its deletion vector (merge-on-read): an
+    * anti-join against the key column the DV names — broadcast while
+    * the sidecar is small ([[DvBroadcastMaxBytes]]), shuffle past it
+    * (an unconditional broadcast of an unbounded accumulated key set
+    * is a driver OOM waiting for the table that deletes the most).
     * A snapshot without a `_dv` sidecar reads as-is. */
-  def readWithDeletes(spark: SparkSession, tablePath: String): DataFrame = {
+  def readWithDeletes(
+      spark: SparkSession, tablePath: String,
+      broadcastMaxBytes: Long = DvBroadcastMaxBytes): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val data = spark.read.option("mergeSchema", "true").parquet(tablePath)
     val dv = new HPath(dvDir(tablePath))
@@ -222,7 +259,9 @@ object Upsert {
     else {
       val keys = spark.read.parquet(dv.toString)
       val keyCol = keys.schema.fieldNames.head
-      data.join(broadcast(keys), Seq(keyCol), "left_anti")
+      val dvBytes = fs.listStatus(dv).filter(_.isFile).map(_.getLen).sum
+      val dvSide = if (dvBytes <= broadcastMaxBytes) broadcast(keys) else keys
+      data.join(dvSide, Seq(keyCol), "left_anti")
     }
   }
 
@@ -245,26 +284,73 @@ object Upsert {
     deleteByKey(spark, tablePath, outPath, keys, keyCol)
   }
 
+  /** Past this many keys in one commit batch the evict anti-join stops
+    * broadcasting and falls back to a shuffle anti-join — a MERGE fed
+    * a hundred-million-key batch must not OOM the driver building a
+    * broadcast relation. The count comes free from the public verbs
+    * (they count their batch for the return value anyway). */
+  val CommitBroadcastMaxKeys: Long = 4L * 1000 * 1000
+
   /** The shared commit engine behind [[upsertByKey]] and
     * [[deleteByKey]]: prune by manifest, link/copy untouched files,
     * rewrite touched files minus `evictKeys`, append `append` (if
     * any), and commit the new snapshot's manifest sidecar with carried
     * rows for linked files + fresh footer stats for written ones.
     *
+    * A snapshot carrying a `_dv` deletion-vector sidecar FOLDS it here:
+    * the DV keys join the evict set, so DV-deleted rows stay deleted
+    * across the commit and the output snapshot is DV-free (a plain
+    * carry would re-mask freshly upserted keys; dropping it — the
+    * round-9 defect — resurrected every soft-deleted row). A key in
+    * both the DV and the update batch comes back as the update: evict
+    * runs before append, which is MERGE semantics — an explicit upsert
+    * of a deleted key is a deliberate resurrection. A DV naming a
+    * DIFFERENT column than this commit's key cannot be folded (pruning
+    * and eviction are single-key) and refuses with the remedy named.
+    *
     * @param evictKeys single-column frame of `keyCol` values to remove
     *                  from touched files
     * @param append    rows to add after eviction (the upsert payload);
     *                  None for a pure delete
+    * @param nKeysHint caller-known size of `evictKeys` (pre-distinct
+    *                  upper bound is fine) — drives the broadcast /
+    *                  shuffle anti-join decision without an extra job
     * @return (filesCopied, filesRewritten) */
   private def commit(
       spark: SparkSession, tablePath: String, outPath: String,
       evictKeys: DataFrame, append: Option[DataFrame], keyCol: String,
-      allowSchemaEvolution: Boolean): (Int, Int) = {
+      allowSchemaEvolution: Boolean, nKeysHint: Long): (Int, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
 
     val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = Layout.listDataFiles(spark, tablePath)
     require(all.nonEmpty, s"Upsert.commit: no .parquet files under $tablePath")
+
+    // ---- deletion-vector fold (see scaladoc above) ----
+    val dvP = new HPath(dvDir(tablePath))
+    val dvFs = dvP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvKeys: Option[DataFrame] =
+      if (!dvFs.exists(new HPath(dvP, "_SUCCESS"))) None
+      else {
+        val dvDf = spark.read.parquet(dvP.toString)
+        val dvCol = dvDf.schema.fieldNames.head
+        require(dvCol == keyCol,
+          s"Upsert.commit: snapshot $tablePath carries a deletion vector " +
+            s"on '$dvCol' but this commit merges on '$keyCol' — a " +
+            "single-key commit can't fold a foreign-key DV; run " +
+            "Upsert.compactDeletes on the snapshot first")
+        Some(dvDf.select(col(dvCol)))
+      }
+    val dvBytes =
+      if (dvKeys.isEmpty) 0L
+      else dvFs.listStatus(dvP).filter(_.isFile).map(_.getLen).sum
+    val evictAll = dvKeys match {
+      case Some(d) => evictKeys.select(col(keyCol)).unionByName(d)
+      case None => evictKeys
+    }
+    // DV key count estimated at 8 bytes/key from the sidecar size — an
+    // estimate is all the broadcast decision needs
+    val wantBroadcast = nKeysHint + dvBytes / 8 <= CommitBroadcastMaxKeys
 
     // Key type: taken from the TABLE (its footer stats are what the
     // manifest prunes on — ONE file's footer, not a directory-wide
@@ -273,11 +359,11 @@ object Upsert {
     // string — see requireSupportedKey.
     val keyType = spark.read.parquet(all.head).schema(keyCol).dataType
     requireSupportedKey(keyType, keyCol, "table")
-    requireSupportedKey(evictKeys.schema(keyCol).dataType, keyCol, "updates")
+    requireSupportedKey(evictAll.schema(keyCol).dataType, keyCol, "updates")
     require((keyType == StringType) ==
-        (evictKeys.schema(keyCol).dataType == StringType),
+        (evictAll.schema(keyCol).dataType == StringType),
       s"Upsert: key column '$keyCol' is ${keyType.simpleString} in the table " +
-        s"but ${evictKeys.schema(keyCol).dataType.simpleString} in the update " +
+        s"but ${evictAll.schema(keyCol).dataType.simpleString} in the update " +
         "batch — implicit casts here would corrupt pruning; align the types")
 
     // per-FILE key bounds: cached sidecar manifest, or footer stats
@@ -287,7 +373,7 @@ object Upsert {
     // a file is TOUCHED iff some evict key falls inside its bounds —
     // manifest is small (one row per file), so it broadcasts against
     // the distinct keys; bounds compare in the key's NATIVE type
-    val upKeys = evictKeys.select(col(keyCol).cast(keyType).as("__k")).distinct()
+    val upKeys = evictAll.select(col(keyCol).cast(keyType).as("__k")).distinct()
     val touched = broadcast(manifest)
       .join(upKeys,
         col("__k").between(col("mn").cast(keyType), col("mx").cast(keyType)),
@@ -329,7 +415,11 @@ object Upsert {
       if (touchedPaths.isEmpty) None
       else {
         val touchedRows = spark.read.parquet(touchedPaths: _*)
-        Some(touchedRows.join(broadcast(upKeys),
+        // broadcast while the key batch is provably small; a huge
+        // MERGE batch anti-joins by shuffle instead of OOMing the
+        // driver on the broadcast build
+        val keySide = if (wantBroadcast) broadcast(upKeys) else upKeys
+        Some(touchedRows.join(keySide,
           touchedRows(keyCol).cast(keyType) === col("__k"), "left_anti"))
       }
     val rewritten = (survivors, append) match {
@@ -419,7 +509,8 @@ object Upsert {
     val nUp = updates.count()
     val (c, r) = commit(spark, tablePath, outPath,
       evictKeys = updates.select(col(keyCol)), append = Some(updates),
-      keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution)
+      keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution,
+      nKeysHint = nUp)
     (c, r, nUp)
   }
 
@@ -435,7 +526,7 @@ object Upsert {
     val n = keys.count()
     val (c, r) = commit(spark, tablePath, outPath,
       evictKeys = keys.select(col(keyCol)), append = None,
-      keyCol = keyCol, allowSchemaEvolution = false)
+      keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = n)
     (c, r, n)
   }
 
@@ -455,7 +546,8 @@ object Upsert {
     val nDel = batch.filter(col(opCol) === "d").count()
     val (c, r) = commit(spark, tablePath, outPath,
       evictKeys = batch.select(col(keyCol)), append = Some(upserts),
-      keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution)
+      keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution,
+      nKeysHint = nUp + nDel)
     (c, r, nUp, nDel)
   }
 
@@ -600,10 +692,26 @@ object Upsert {
     // the version directory behind (still listed by snapshotVersions,
     // readSnapshot then returned a broken read). Only versions whose
     // directory is verifiably GONE are reported deleted.
-    drop.filter { v =>
+    val deleted = drop.filter { v =>
       val d = new java.io.File(s"$tableDir/v$v")
       org.apache.hadoop.fs.FileUtil.fullyDelete(d)
       !d.exists
     }
+    // Change-feed retention rides snapshot retention: `_cdf/v*` dirs
+    // for versions older than the oldest snapshot still on disk are
+    // unreachable history (their commits can no longer be time-traveled
+    // to) and would otherwise accumulate forever — the feed is written
+    // per commit ([[materializeCdf]]) but was never reclaimed. Feeds
+    // for retained snapshots stay: a late subscriber may still replay
+    // them.
+    val cdfRoot = new java.io.File(s"$tableDir/_cdf")
+    if (cdfRoot.isDirectory) {
+      val oldestKept = snapshotVersions(tableDir).headOption.getOrElse(Long.MaxValue)
+      Option(cdfRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .filter(_.getName.drop(1).toLong < oldestKept)
+        .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
+    }
+    deleted
   }
 }

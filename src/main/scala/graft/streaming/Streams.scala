@@ -314,11 +314,18 @@ object Streams {
     * @param opCol optional CDC op column: rows whose value is `"d"`
     *   (Debezium's delete code) DELETE their key; all other rows
     *   upsert. Last-per-key still applies first, so a delete followed
-    *   by a re-insert within one batch lands as the re-insert. */
+    *   by a re-insert within one batch lands as the re-insert.
+    * @param cdf when true, each commit also materializes its change
+    *   feed under `_cdf/v<id>` (the subscription surface for
+    *   [[cdfStream]]/[[mirrorFromCdf]]). OFF by default: the feed
+    *   costs an exceptAll shuffle plus a parquet write per micro-batch
+    *   and its version dirs persist until [[graft.ops.Upsert.vacuum]]
+    *   — a sink nobody subscribes to must not pay that on every
+    *   batch. */
   def upsertSink(
       df: DataFrame, tableDir: String, checkpointDir: String,
       keyCol: String, orderCol: String, opCol: Option[String] = None,
-      dropCols: Seq[String] = Nil)
+      dropCols: Seq[String] = Nil, cdf: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -360,7 +367,7 @@ object Streams {
         // swap (a reader following CURRENT always finds the feed
         // complete) — the write-side half of the CDC loop; cdfStream
         // is the subscription side
-        graft.ops.Upsert.materializeCdf(spark, tableDir, id)
+        if (cdf) graft.ops.Upsert.materializeCdf(spark, tableDir, id)
         // atomic pointer swap: write-then-rename so a reader sees the
         // old CURRENT or the new one, never a partial file
         val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
@@ -406,12 +413,14 @@ object Streams {
     * image deletes its key, an insert image upserts; an UPDATE arrives
     * as delete(old)+insert(new) for the same key, resolved by ordering
     * inserts above deletes within a commit (`2·version + isInsert`).
-    * The mirror materializes its own `_cdf` in turn, so derived tables
-    * chain. After draining, the mirror's CURRENT equals the source's
-    * CURRENT exactly (StreamingSpec). */
+    * The mirror materializes its own `_cdf` in turn by default (`cdf =
+    * true` — a mirror node exists to sit in a CDC chain), so derived
+    * tables chain; pass `cdf = false` for a terminal mirror. After
+    * draining, the mirror's CURRENT equals the source's CURRENT
+    * exactly (StreamingSpec). */
   def mirrorFromCdf(
       spark: SparkSession, srcTableDir: String, dstTableDir: String,
-      checkpointDir: String, keyCol: String)
+      checkpointDir: String, keyCol: String, cdf: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val feed = cdfStream(spark, srcTableDir)
       .withColumn("__op",
@@ -421,7 +430,8 @@ object Streams {
           when(col("_change_type") === "insert", 1).otherwise(0))
       .drop("_change_type", "_commit_version")
     upsertSink(feed, dstTableDir, checkpointDir, keyCol,
-      orderCol = "__ord", opCol = Some("__op"), dropCols = Seq("__ord"))
+      orderCol = "__ord", opCol = Some("__op"), dropCols = Seq("__ord"),
+      cdf = cdf)
   }
 
   /** Streaming approximate-distinct per event-time window, as the

@@ -479,6 +479,44 @@ class StreamingSpec extends AnyFunSuite {
             .partitionBy($"k").orderBy($"seq".desc)))
       .filter($"__rn" === 1).drop("__rn")
     assert(cur.exceptAll(expect).isEmpty && expect.exceptAll(cur).isEmpty)
+    // CDF is opt-in: the default sink must not pay the per-batch feed
+    // shuffle+write for subscribers that don't exist
+    assert(!new java.io.File(s"$tbl/_cdf").exists,
+      "default (cdf=false) sink materialized a change feed")
+  }
+
+  test("streaming sink on a DV-carrying snapshot folds the deletes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("dvsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dvsinkck").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.upsertSink(
+      input.toDF().toDF("k", "seq", "v"), tbl, ckpt,
+      keyCol = "k", orderCol = "seq")
+    input.addData((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c"), (4L, 4L, "d"))
+    q.processAllAvailable()
+    // out-of-band merge-on-read maintenance ON the sink's table while
+    // the query is idle: soft-delete key 2, swap the DV-carrying
+    // snapshot in place of v0 (the stream's next prev)
+    val staged = s"$tbl/_staged_dv"
+    graft.ops.Upsert.deleteByKeyDV(spark, s"$tbl/v0", staged,
+      Seq(2L).toDF("k"), "k")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tbl/v0"))
+    assert(new java.io.File(staged).renameTo(new java.io.File(s"$tbl/v0")))
+    // next micro-batch commits against the DV-carrying snapshot: the
+    // fold must keep key 2 gone and ship a DV-free snapshot
+    input.addData((9L, 5L, "z"))
+    q.processAllAvailable()
+    q.stop()
+    val curPath = Streams.currentSnapshot(tbl).get
+    assert(!new java.io.File(s"$curPath/_dv").exists,
+      "streamed commit must fold the DV, not carry or drop it")
+    val cur = spark.read.parquet(curPath)
+    assert(cur.filter($"k" === 2L).count() == 0,
+      "DV-deleted key resurrected through the streaming sink")
+    assert(cur.filter($"k" === 9L).count() == 1)
+    assert(cur.count() == 4) // 1,3,4,9
   }
 
   test("CDC mirror: derived table maintained from the feed equals the source snapshot") {
@@ -489,7 +527,7 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, Long, String, String)] // k, seq, v, op
     val q = Streams.upsertSink(
       input.toDF().toDF("k", "seq", "v", "op"), src, ckpt,
-      keyCol = "k", orderCol = "seq", opCol = Some("op"))
+      keyCol = "k", orderCol = "seq", opCol = Some("op"), cdf = true)
     input.addData((1L, 1L, "a", "c"), (2L, 2L, "b", "c"), (3L, 3L, "c", "c"))
     q.processAllAvailable()
     input.addData((2L, 4L, "b2", "u"), (4L, 5L, "d", "c"))
@@ -527,7 +565,7 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, Long, Long, String)] // k, seq, amount, grp
     val q = Streams.upsertSink(
       input.toDF().toDF("k", "seq", "amount", "grp"), tbl, ckpt,
-      keyCol = "k", orderCol = "seq")
+      keyCol = "k", orderCol = "seq", cdf = true)
     // three commits: inserts, an update (delete+insert in the feed),
     // and a mixed batch
     input.addData((1L, 1L, 10L, "a"), (2L, 2L, 20L, "b"), (3L, 3L, 30L, "a"))

@@ -67,6 +67,9 @@ class UpsertSpec extends AnyFunSuite {
     }
     val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
     try w.print("v2") finally w.close()
+    // materialized change-feed dirs ride the same retention
+    for (v <- Seq(0L, 1L, 2L))
+      new java.io.File(s"$tbl/_cdf/v$v").mkdirs()
 
     import graft.ops.Upsert
     assert(Upsert.snapshotVersions(tbl) == Seq(0L, 1L, 2L))
@@ -76,6 +79,11 @@ class UpsertSpec extends AnyFunSuite {
     // vacuum keeps the newest 1 (and CURRENT), drops the rest
     assert(Upsert.vacuum(tbl, keep = 1) == Seq(0L, 1L))
     assert(Upsert.snapshotVersions(tbl) == Seq(2L))
+    // feed dirs below the oldest retained snapshot are reclaimed; the
+    // retained snapshot's feed survives for late subscribers
+    assert(!new java.io.File(s"$tbl/_cdf/v0").exists)
+    assert(!new java.io.File(s"$tbl/_cdf/v1").exists)
+    assert(new java.io.File(s"$tbl/_cdf/v2").isDirectory)
     intercept[IllegalArgumentException] {
       Upsert.readSnapshot(spark, tbl, 0L)
     }
@@ -427,6 +435,80 @@ class UpsertSpec extends AnyFunSuite {
     assert(clean.count() == 3800 && clean.filter($"k" === 150L).count() == 0)
     val mor2 = Upsert.readWithDeletes(spark, v2)
     assert(clean.exceptAll(mor2).isEmpty && mor2.exceptAll(clean).isEmpty)
+  }
+
+  test("COW commit folds a deletion-vector sidecar: deleted keys stay gone") {
+    import spark.implicits._
+    val v0 = s"$base/dvcow/v0"; val v1 = s"$base/dvcow/v1"
+    val v2 = s"$base/dvcow/v2"; val v3 = s"$base/dvcow/v3"
+    spark.range(4000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(v0)
+    // soft-delete keys 100..199, then run a plain COW upsert on the
+    // DV-carrying snapshot — the round-9 defect dropped the _dv here
+    // and resurrected all 100 rows
+    Upsert.deleteByKeyDV(spark, v0, v1,
+      spark.range(100, 200).select($"id".as("k")), "k")
+    val updates = spark.range(3000, 3050).select($"id".as("k"), lit(-1L).as("v"))
+      .unionByName(Seq((150L, 77L)).toDF("k", "v"))
+    Upsert.upsertByKey(spark, v1, v2, updates, "k")
+    // folded: output snapshot is DV-free, deleted keys stay deleted,
+    // and the EXPLICIT upsert of key 150 is a deliberate resurrection
+    assert(!new java.io.File(s"$v2/_dv").exists, "fold must leave no _dv")
+    val out = Upsert.readWithDeletes(spark, v2)
+    assert(out.filter($"k".between(100, 199) && $"k" =!= 150L).count() == 0,
+      "DV-deleted keys resurrected across the COW commit")
+    assert(out.filter($"k" === 150L).select("v").as[Long].head() == 77L)
+    // value-exact vs merge over the merge-on-read state
+    val naive = Upsert.readWithDeletes(spark, v1)
+      .join(updates.select($"k"), Seq("k"), "left_anti").unionByName(updates)
+    assert(out.exceptAll(naive).isEmpty && naive.exceptAll(out).isEmpty)
+
+    // the pure-delete verb folds too
+    Upsert.deleteByKey(spark, v1, v3,
+      spark.range(200, 210).select($"id".as("k")), "k")
+    assert(!new java.io.File(s"$v3/_dv").exists)
+    assert(spark.read.parquet(v3).count() == 4000 - 100 - 10)
+  }
+
+  test("COW commit refuses a deletion vector on a different key") {
+    import spark.implicits._
+    val v0 = s"$base/dvkey/v0"; val v1 = s"$base/dvkey/v1"
+    spark.range(1000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(v0)
+    Upsert.deleteByKeyDV(spark, v0, v1,
+      spark.range(10).select($"id".as("k")), "k")
+    // merging on 'v' can't fold a DV keyed on 'k' — must fail loudly
+    // with the remedy named, never silently drop or mis-apply it
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertByKey(spark, v1, s"$base/dvkey/v2",
+        spark.range(5).select($"id".as("k"), $"id".as("v")), "v")
+    }
+    assert(e.getMessage.contains("compactDeletes"), e.getMessage)
+  }
+
+  test("DV sidecar shards past rowsPerDvFile; shuffle read path equals broadcast") {
+    import spark.implicits._
+    val v0 = s"$base/dvshard/v0"; val v1 = s"$base/dvshard/v1"
+    spark.range(4000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(v0)
+    Upsert.deleteByKeyDV(spark, v0, v1,
+      spark.range(0, 2000, 2).select($"id".as("k")), "k",
+      rowsPerDvFile = 100)
+    // 1000 keys / 100 per file → ≥10 shards (the coalesce(1) funnel
+    // was the unbounded single-task write)
+    val dvFiles = new java.io.File(s"$v1/_dv").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dvFiles >= 10, s"expected ≥10 DV shards, got $dvFiles")
+    // forcing the shuffle fallback (budget 0) must read identically to
+    // the broadcast path
+    val viaBcast = Upsert.readWithDeletes(spark, v1)
+    val viaShuffle = Upsert.readWithDeletes(spark, v1, broadcastMaxBytes = 0L)
+    assert(viaBcast.count() == 3000)
+    assert(viaShuffle.exceptAll(viaBcast).isEmpty &&
+      viaBcast.exceptAll(viaShuffle).isEmpty)
   }
 
   test("shallow clone: zero data bytes moved, sidecars carried, clone diverges safely") {

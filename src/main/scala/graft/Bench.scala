@@ -91,11 +91,37 @@ object Bench {
         plans(name) = md5hex(sanitizePlan(canon)).take(12)
       } catch { case _: Throwable => () } // failure surfaces in the timed pass
     }
+    // Fold-proof action: `.count()` lets Catalyst prune every output
+    // column, so a projection-heavy query can "finish" in ms without
+    // computing its columns (q_substr_dedup timed 248 ms against a
+    // multi-second scale-probe cost — the timing measured file listing,
+    // not the operator). Hashing EVERY output column into one aggregate
+    // forces full evaluation of the real projection while returning one
+    // row to the driver; a query whose output types the hash can't take
+    // falls back to count() (analysis-checked, so the fallback decision
+    // costs no execution).
+    def forceEval(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+      val forced =
+        try {
+          // bit_xor, not sum: ANSI mode (Spark 4 default) faults on
+          // long-sum overflow, and hash values overflow immediately
+          val f = df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+            .agg(expr("bit_xor(__h)"))
+          f.queryExecution.analyzed // throws if the hash can't analyze
+          Some(f)
+        } catch { case _: Throwable => None }
+      forced match {
+        case Some(f) => f.collect()
+        case None => df.count()
+      }
+      ()
+    }
     for (_ <- 1 to 3; (name, fn) <- ordered) {
       clearState()
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { forceEval(fn(spark, sfDir)); true }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

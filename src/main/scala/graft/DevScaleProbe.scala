@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.DevScaleProbe [k1 k2 ...]   (default: 1 10)
   * Output: one JSON line per (op, tier) appended to stdout and
-  * docs/BENCH_SCALE_r09.json.
+  * docs/BENCH_SCALE_r10.json.
   */
 object DevScaleProbe {
 
@@ -129,6 +129,22 @@ object DevScaleProbe {
       .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
   }
 
+  /** FIA's real panel structure mixed in: 3/5/7/9-year re-measurement
+    * cycles hash-picked per plot. Every key is freshly generated at the
+    * tier's cardinality (no tiling anywhere in the FIA probes — the
+    * generator IS organic; this variant additionally varies the
+    * survey-gap distribution, so the annualizer's densification fan-out
+    * differs per plot instead of repeating one interval). */
+  private val organicGaps = Seq(3, 5, 5, 7, 9)
+
+  private def fiaPipelineOrganic(s: SparkSession, k: Int): DataFrame = {
+    val results = graft.fia.Pipeline.runBucketed(s,
+      graft.fia.SyntheticState.tables(s, 6000 * k, gapYears = organicGaps),
+      s"/tmp/graft_scale_pipeline_org_stage_$k", buckets = 16 * k)
+    results("midpt").withColumn("variant", lit("midpt"))
+      .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
+  }
+
   private def ensureUpsertTable(s: SparkSession, dir: String, k: Int): String = {
     import s.implicits._
     val tbl = s"$dir/upsert_table"
@@ -223,7 +239,16 @@ object DevScaleProbe {
       for (_ <- 1 to 2) { // min of 2: sheds first-run codegen + one contention burst
         clearState()
         val t0 = System.nanoTime()
-        rows = fn().count()
+        // fold-proof action (same trap as Bench's): a bare count lets
+        // Catalyst prune every computed column — the pipeline probes
+        // would skip the NSVB DAG entirely. Hashing all output columns
+        // forces the full projection; count rides the same aggregate.
+        val r = fn()
+        // bit_xor combiner: ANSI mode faults on long-sum overflow
+        val forced = r.select(
+          xxhash64(struct(r.columns.map(col): _*)).as("__h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(__h)"))
+        rows = forced.collect()(0).getLong(0)
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
       val line = s"""{"op":"$op","tier":"${tier}x","rows_out":$rows,"sec":${math.round(best * 1000) / 1000.0}}"""
@@ -238,6 +263,24 @@ object DevScaleProbe {
       probe("semantic_dedup", k, () => semdedup(spark, dir, k))
       probe("pagerank", k, () => pagerank(spark, dir))
       probe("fia_pipeline", k, () => fiaPipeline(spark, k))
+      probe("fia_pipeline_organic", k, () => fiaPipelineOrganic(spark, k))
+      // incremental delivery against the ORGANIC tier: staged old
+      // output (untimed), timed merge — same contract as
+      // fia_incremental below
+      if (onlyOps.forall(_.contains("fia_incremental_organic"))) {
+        val full = graft.fia.SyntheticState.tables(spark, 6000 * k, organicGaps)
+        val (old, batch) = graft.fia.Incremental.splitDelivery(full)
+        val oldOutPath = s"$dir/fia_oldout_org"
+        if (!new java.io.File(s"$dir/FIA_OLDOUT_ORG_OK").exists) {
+          graft.fia.Incremental.bothVariants(spark, old)
+            .write.mode("overwrite").parquet(oldOutPath)
+          val w2 = new java.io.PrintWriter(s"$dir/FIA_OLDOUT_ORG_OK", "UTF-8")
+          try w2.print(k) finally w2.close()
+        }
+        probe("fia_incremental_organic", k, () =>
+          graft.fia.Incremental.merge(spark, spark.read.parquet(oldOutPath),
+            full, graft.fia.Incremental.dirtyPlotIds(batch)))
+      }
       // incremental vs full head-to-head at the same tier: the OLD
       // OUTPUT is pre-existing state in the CDC workflow, so its
       // construction is staged UNTIMED (marker-guarded); the timed part
@@ -270,12 +313,12 @@ object DevScaleProbe {
     // a FILTERED run (SPARK_GRAFT_PROBE_OPS) appends — it must not
     // clobber the full probe record with a partial one
     if (onlyOps.isDefined) {
-      val fw = new java.io.FileWriter("docs/BENCH_SCALE_r09.json", true)
+      val fw = new java.io.FileWriter("docs/BENCH_SCALE_r10.json", true)
       try fw.write(out.toString) finally fw.close()
       spark.stop()
       return
     }
-    val w = new java.io.PrintWriter("docs/BENCH_SCALE_r09.json", "UTF-8")
+    val w = new java.io.PrintWriter("docs/BENCH_SCALE_r10.json", "UTF-8")
     try w.print(out.toString) finally w.close()
     spark.stop()
   }

@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // partition in Spark's evaluator) rewrite to running frames over
     // the reversed order — see graft.plans.RewriteSuffixWindowFrames
     ext.injectOptimizerRule(_ => graft.plans.RewriteSuffixWindowFrames)
+    // SQL surface for the lakehouse verbs: MERGE INTO / DELETE FROM /
+    // VACUUM / OPTIMIZE / CLONE over path-addressed snapshot tables
+    // lower onto ops.Upsert/Layout; everything else delegates to
+    // Spark's parser — see graft.plans.LakehouseSql for the grammar
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(

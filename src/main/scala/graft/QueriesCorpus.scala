@@ -855,6 +855,74 @@ object QueriesCorpus {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY o_orderstatus""".stripMargin
 
+  // --- SQL MERGE (plans.LakehouseSql via the injected parser): the
+  //     SAME deterministic delivery as q_upsert, but driven entirely by
+  //     SQL text through spark.sql — the statement must lower onto the
+  //     COW commit engine and land the identical snapshot, so the gate
+  //     shares q_upsert's oracle. The update batch rides a temp view so
+  //     the USING subquery exercises the delegate parser inside ours.
+  private def sqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_sqlmerge"
+    val tbl = s"$base/table"; val out = s"$base/out"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      writeStageMarker(marker, dir, "orders")
+    }
+    val orders = s.read.parquet(tbl)
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    orders.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(
+        orders.orderBy(col("o_orderkey").desc).limit(500)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("o_orderstatus", lit("N")))
+      .createOrReplaceTempView("sqlmerge_updates")
+    val stats = s.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM sqlmerge_updates)
+         |ON o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |INTO '$out'""".stripMargin).collect()(0)
+    require(stats.getLong(0) > 0 && stats.getLong(1) > 0,
+      s"SQL MERGE must split copy/rewrite: $stats")
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  // --- SQL DELETE: q_delete's slice delete, expressed as the DELETE
+  //     FROM statement, sharing q_delete's oracle.
+  private def sqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_sqldelete"
+    val tbl = s"$base/table"; val out = s"$base/out"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      writeStageMarker(marker, dir, "orders")
+    }
+    val orders = s.read.parquet(tbl)
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val stats = s.sql(
+      s"""DELETE FROM '$tbl'
+         |WHERE o_orderkey IN
+         |  (SELECT o_orderkey FROM parquet.`$tbl` WHERE o_orderkey <= $cut)
+         |INTO '$out'""".stripMargin).collect()(0)
+    require(stats.getLong(0) > 0 && stats.getLong(1) > 0,
+      s"SQL DELETE must split copy/rewrite: $stats")
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
   // --- bloom-manifest point-lookup pruning (ops.Layout.bloomManifest /
   //     readBloomPruned): the staged copy is UNCLUSTERED (round-robin),
   //     so min/max stats prune nothing — the per-file bloom still skips
@@ -1273,6 +1341,8 @@ object QueriesCorpus {
     "q_dv_delete" -> (dvDelete _),
     "q_cdf" -> (cdf _),
     "q_upsert" -> (upsert _),
+    "q_sql_merge" -> (sqlMerge _),
+    "q_sql_delete" -> (sqlDelete _),
     "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
     "q_sql_functions" -> (sqlFunctions _),
@@ -1312,6 +1382,8 @@ object QueriesCorpus {
     "q_dv_delete" -> dvDeleteSql,
     "q_cdf" -> cdfSql,
     "q_upsert" -> upsertSql,
+    "q_sql_merge" -> upsertSql,
+    "q_sql_delete" -> deleteSql,
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,

@@ -36,11 +36,23 @@ object SyntheticState {
   private val spcds = Seq(131, 316, 475, 202, 802, 833, 110, 122)
 
   /** The four raw tables for `nPlots` plots (≈ 16 TREE rows per plot:
-    * ~2 surveys × ~8 trees). `nPlots = 6000` ⇒ ~96k TREE rows. */
-  def tables(spark: SparkSession, nPlots: Int): Map[String, DataFrame] = {
+    * ~2 surveys × ~8 trees). `nPlots = 6000` ⇒ ~96k TREE rows.
+    *
+    * @param gapYears per-plot re-measurement interval, hash-picked from
+    *   this list (repeat a value to weight it). The default `Seq(5)`
+    *   reproduces the fixed 5-year panel bit-for-bit (every pinned
+    *   checksum predates the parameter); an ORGANIC tier passes e.g.
+    *   `Seq(3, 5, 5, 7, 9)` — FIA's eastern 5/7-yr and western 10-yr
+    *   cycles mixed — so the annualizer sees a realistic survey-gap
+    *   distribution (variable densification fan-out per plot), not one
+    *   tiled interval. */
+  def tables(spark: SparkSession, nPlots: Int,
+      gapYears: Seq[Int] = Seq(5)): Map[String, DataFrame] = {
+    val gapArr = array(gapYears.map(lit): _*)
     val p = spark.range(nPlots).toDF("p")
       .withColumn("nsurv", lit(1) + h(3, col("p"), lit("nsurv")))
       .withColumn("base", lit(2004) + h(4, col("p"), lit("base")))
+      .withColumn("gap", element_at(gapArr, h(gapYears.size, col("p"), lit("gap")) + 1))
       .withColumn("STATECD", (lit(40) + pmod(col("p"), lit(3))).cast(IntegerType))
       .withColumn("UNITCD", lit(1))
       .withColumn("COUNTYCD", lit(1) + h(40, col("p"), lit("cty")))
@@ -52,7 +64,7 @@ object SyntheticState {
     // one row per (plot, survey occasion)
     val ps = p
       .withColumn("k", explode(sequence(lit(0), col("nsurv") - 1)))
-      .withColumn("INVYR", (col("base") + col("k") * 5).cast(IntegerType))
+      .withColumn("INVYR", (col("base") + col("k") * col("gap")).cast(IntegerType))
       .withColumn("PLT_CN", col("p") * 10 + col("k"))
 
     val plot = ps.select(

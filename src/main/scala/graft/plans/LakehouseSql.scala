@@ -1,0 +1,233 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import graft.ops.{Layout, Upsert}
+
+/** SQL surface for the engine's lakehouse verbs — real users reach
+  * MERGE/DELETE/VACUUM/OPTIMIZE/CLONE as SQL text first, not as Scala
+  * calls. [[GraftSqlParser]] (injected by
+  * [[graft.GraftExtensions]] via `injectParser`) intercepts these
+  * statements in `spark.sql(...)` and lowers them onto the SAME
+  * programmatic engine the Column API uses ([[graft.ops.Upsert]] /
+  * [[graft.ops.Layout]]), so the two surfaces cannot diverge; every
+  * other statement delegates verbatim to Spark's parser.
+  *
+  * Tables are addressed by PATH (quoted), matching the engine's
+  * catalog-free snapshot layout. Two addressing modes:
+  *
+  *  - a plain snapshot directory: the statement must name the
+  *    copy-on-write output with `INTO '<outPath>'` (snapshots are
+  *    immutable; the caller owns the pointer swap);
+  *  - a VERSIONED table directory (the `v<id>` + `CURRENT` layout of
+  *    [[graft.streaming.Streams.upsertSink]]): `INTO` is omitted —
+  *    the commit lands as the next version and `CURRENT` swaps
+  *    atomically, which is `MERGE INTO table` semantics.
+  *
+  * Grammar (keywords case-insensitive; `<query>` is any SELECT the
+  * session can run, including temp views and graft's injected
+  * functions):
+  * {{{
+  * MERGE INTO '<table>' USING (<query>) ON <keyCol>
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *              [INTO '<outPath>']
+  * DELETE FROM '<table>' WHERE <keyCol> IN (<query>)  [INTO '<outPath>']
+  * VACUUM '<tableDir>' RETAIN <n> SNAPSHOTS
+  * OPTIMIZE '<table>' BY <sortCol> [TARGET <mb> MB]   INTO '<outPath>'
+  * CLONE '<src>' TO '<dst>'
+  * }}}
+  * The MERGE shape is Delta's canonical key-upsert (`UPDATE SET *` /
+  * `INSERT *`); partial-clause merges are not this engine's verb — the
+  * statement refuses rather than half-applies.
+  */
+object LakehouseSql {
+
+  private val merge = (
+    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+\((.*)\)\s+ON\s+([\w.]+)\s+""" +
+      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""").r
+  private val delete =
+    """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+([\w.]+)\s+IN\s+\((.*)\)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
+  private val vacuum =
+    """(?is)^\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+SNAPSHOTS?\s*;?\s*$""".r
+  private val optimize =
+    """(?is)^\s*OPTIMIZE\s+'([^']+)'\s+BY\s+([\w.]+)\s*(?:TARGET\s+(\d+)\s+MB)?\s+INTO\s+'([^']+)'\s*;?\s*$""".r
+  private val cloneRe =
+    """(?is)^\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*$""".r
+  // a MERGE/DELETE that LOOKS like ours but doesn't match the grammar
+  // must fail loudly, not fall through to Spark's parser (whose error
+  // would point users at catalogs this engine doesn't use)
+  private val mergeish = """(?is)^\s*MERGE\s+INTO\s+'.*""".r
+  private val deleteish = """(?is)^\s*DELETE\s+FROM\s+'.*""".r
+
+  /** The graft statement for `sqlText`, if it is one. */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case merge(tbl, src, key, out) =>
+      Some(GraftMergeCommand(tbl, Option(out), key, src))
+    case delete(tbl, key, src, out) =>
+      Some(GraftDeleteCommand(tbl, Option(out), key, src))
+    case vacuum(dir, keep) =>
+      Some(GraftVacuumCommand(dir, keep.toInt))
+    case optimize(tbl, sortCol, mb, out) =>
+      Some(GraftOptimizeCommand(tbl, out, sortCol,
+        Option(mb).map(_.toLong << 20).getOrElse(128L << 20)))
+    case cloneRe(src, dst) => Some(GraftCloneCommand(src, dst))
+    case t if mergeish.matches(t) || deleteish.matches(t) =>
+      throw new IllegalArgumentException(
+        "graft lakehouse statement didn't match the supported grammar — " +
+          "see graft.plans.LakehouseSql (MERGE needs USING (<query>) ON " +
+          "<keyCol> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN " +
+          "INSERT *; DELETE needs WHERE <keyCol> IN (<query>)): " + t.trim.take(120))
+    case _ => None
+  }
+
+  /** Resolve a path argument: a versioned table dir (CURRENT pointer
+    * present) yields (current snapshot, commit-hook writing v<next> +
+    * swapping CURRENT); a plain snapshot dir yields itself and
+    * requires the statement's explicit `INTO`. */
+  private[plans] def resolveCow(
+      tablePath: String, explicitOut: Option[String], verb: String)
+      : (String, String, () => Unit) = {
+    val cur = new java.io.File(s"$tablePath/CURRENT")
+    if (cur.exists) {
+      require(explicitOut.isEmpty,
+        s"$verb: '$tablePath' is a versioned table (CURRENT present) — " +
+          "the commit lands as the next version; drop the INTO clause")
+      val src = scala.io.Source.fromFile(cur)
+      val current = try src.mkString.trim finally src.close()
+      val next = Upsert.snapshotVersions(tablePath).max + 1
+      val outPath = s"$tablePath/v$next"
+      val swap = () => {
+        val tmp = new java.io.File(s"$tablePath/CURRENT.tmp")
+        val w = new java.io.PrintWriter(tmp, "UTF-8")
+        try w.print(s"v$next") finally w.close()
+        java.nio.file.Files.move(tmp.toPath, cur.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      (s"$tablePath/$current", outPath, swap)
+    } else {
+      require(explicitOut.isDefined,
+        s"$verb: '$tablePath' is a plain snapshot (no CURRENT pointer) — " +
+          "name the copy-on-write output with INTO '<outPath>'")
+      (tablePath, explicitOut.get, () => ())
+    }
+  }
+
+  private[plans] def longAttrs(names: String*): Seq[Attribute] =
+    names.map(n => AttributeReference(n, LongType, nullable = false)())
+}
+
+/** `MERGE INTO` lowered onto [[graft.ops.Upsert.upsertByKey]]: the
+  * source query's rows upsert by `keyCol` into a new COW snapshot
+  * (file-granular manifest pruning; untouched files link). Returns the
+  * commit stats row. */
+case class GraftMergeCommand(
+    tablePath: String, outPath: Option[String], keyCol: String,
+    sourceSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    LakehouseSql.longAttrs("files_copied", "files_rewritten", "rows_merged")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (in, out, commitPointer) =
+      LakehouseSql.resolveCow(tablePath, outPath, "MERGE")
+    val (c, r, n) =
+      Upsert.upsertByKey(spark, in, out, spark.sql(sourceSql), keyCol)
+    commitPointer()
+    Seq(Row(c.toLong, r.toLong, n))
+  }
+}
+
+/** `DELETE FROM ... WHERE k IN (...)` lowered onto
+  * [[graft.ops.Upsert.deleteByKey]]. */
+case class GraftDeleteCommand(
+    tablePath: String, outPath: Option[String], keyCol: String,
+    sourceSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    LakehouseSql.longAttrs("files_copied", "files_rewritten", "keys_requested")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (in, out, commitPointer) =
+      LakehouseSql.resolveCow(tablePath, outPath, "DELETE")
+    val (c, r, n) =
+      Upsert.deleteByKey(spark, in, out, spark.sql(sourceSql), keyCol)
+    commitPointer()
+    Seq(Row(c.toLong, r.toLong, n))
+  }
+}
+
+/** `VACUUM ... RETAIN n SNAPSHOTS` lowered onto
+  * [[graft.ops.Upsert.vacuum]] (never drops CURRENT; reclaims `_cdf`
+  * feeds below the oldest retained snapshot). */
+case class GraftVacuumCommand(tableDir: String, keep: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("versions_deleted", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Upsert.vacuum(tableDir, keep).mkString(",")))
+}
+
+/** `OPTIMIZE ... BY col INTO ...` lowered onto
+  * [[graft.ops.Layout.optimizeTable]] (re-cluster into disjoint key
+  * ranges; revives manifest/min-max pruning). */
+case class GraftOptimizeCommand(
+    inPath: String, outPath: String, sortCol: String, targetBytes: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    LakehouseSql.longAttrs("files_in", "files_out", "bytes")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (i, o, b) = Layout.optimizeTable(spark, inPath, outPath, sortCol, targetBytes)
+    Seq(Row(i.toLong, o.toLong, b))
+  }
+}
+
+/** `CLONE ... TO ...` lowered onto
+  * [[graft.ops.Upsert.cloneSnapshot]] (hard-link shallow clone,
+  * sidecars carried). */
+case class GraftCloneCommand(srcPath: String, dstPath: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakehouseSql.longAttrs("files_cloned")
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Upsert.cloneSnapshot(spark, srcPath, dstPath).toLong))
+}
+
+/** Session parser wrapper: graft lakehouse statements lower to their
+  * commands; EVERYTHING else — including every identifier/type/schema
+  * entry point — delegates verbatim to Spark's parser. Injected via
+  * `SparkSessionExtensions.injectParser` by [[graft.GraftExtensions]],
+  * so plain `spark.sql(...)` reaches the engine's MERGE with no
+  * special session setup. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  @throws[ParseException]
+  override def parsePlan(sqlText: String): LogicalPlan =
+    LakehouseSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  @throws[ParseException]
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  @throws[ParseException]
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  @throws[ParseException]
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  @throws[ParseException]
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  @throws[ParseException]
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  @throws[ParseException]
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  @throws[ParseException]
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  @throws[ParseException]
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

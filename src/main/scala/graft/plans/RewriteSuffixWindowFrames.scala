@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
 /** Optimizer rule: rewrite SUFFIX window frames
   * (`ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING`) into RUNNING
@@ -14,22 +15,33 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * O(n²) per partition (`UnboundedFollowingWindowFunctionFrame`) —
   * while a running (unbounded-PRECEDING) frame accumulates
   * incrementally in O(n). The two are equivalent for
-  * order-insensitive aggregates (min/max/sum/count/average) and for
-  * first↔last (swapped), because reversing a total order turns every
-  * suffix into a prefix. This engine hit the pathology in production
-  * shape: a nullable window key concentrated 47k rows in ONE partition
-  * and a 2-column fill-up went quadratic — 90 s of a 122 s pipeline
-  * (PLANS.md round-9). The library's own operators ([[graft.ops.Fills]],
+  * order-insensitive aggregates and for first↔last (swapped), because
+  * reversing a total order turns every suffix into a prefix. This
+  * engine hit the pathology in production shape: a nullable window key
+  * concentrated 47k rows in ONE partition and a 2-column fill-up went
+  * quadratic — 90 s of a 122 s pipeline (PLANS.md round-9). The
+  * library's own operators ([[graft.ops.Fills]],
   * [[graft.ops.AsOf.attachNextMarker]]) are written in the O(n) form
   * directly; this rule is the engine-level safety net that gives ANY
   * user query (Column API or SQL text) the linear plan automatically.
   *
-  * Scope: a [[Window]] node rewrites only when EVERY window expression
-  * in it is a suffix-frame ROW aggregate with an order-reversal
-  * equivalent — the node-level sort order must flip, so one
-  * non-rewritable expression keeps the node as written. First/Last on
-  * tied sort keys are non-deterministic in Spark with or without the
-  * rewrite; order-insensitive aggregates are exact regardless.
+  * Eligibility per aggregate: first/last swap; min/max/count are exact
+  * under any accumulation order; sum/average flip only over
+  * NON-floating inputs — reversing a float/double accumulation can
+  * change low-order bits, and in an engine whose oracles pin bit-exact
+  * output a silent ulp drift against vanilla Spark is a wrong answer,
+  * not an optimization. Integral and decimal sums are exact in any
+  * order. First/Last on tied sort keys are non-deterministic in Spark
+  * with or without the rewrite.
+  *
+  * A node whose expressions are ALL eligible flips in place. A MIXED
+  * node SPLITS: the eligible expressions move to a new Window over the
+  * reversed order (linear), the rest stay on a Window with the written
+  * order stacked above it (windowed columns are independent — each
+  * sees only the child's rows), and a Project restores the original
+  * output order (parents resolve by exprId, but top-level column order
+  * is positional). Pre-split, one `collect_list` kept a whole fill-up
+  * node quadratic.
   */
 object RewriteSuffixWindowFrames extends Rule[LogicalPlan] {
 
@@ -50,11 +62,17 @@ object RewriteSuffixWindowFrames extends Rule[LogicalPlan] {
     SortOrder(so.child, dir, nulls, Seq.empty)
   }
 
-  /** The aggregate evaluated over the reversed prefix, if equivalent. */
+  private def isFloating(dt: DataType): Boolean =
+    dt == FloatType || dt == DoubleType
+
+  /** The aggregate evaluated over the reversed prefix, if exactly
+    * equivalent (see eligibility rules in the object scaladoc). */
   private def flip(f: AggregateFunction): Option[AggregateFunction] = f match {
     case First(c, ign) => Some(Last(c, ign))
     case Last(c, ign) => Some(First(c, ign))
-    case _: Min | _: Max | _: Sum | _: Count | _: Average => Some(f)
+    case s: Sum if !isFloating(s.child.dataType) => Some(f)
+    case a: Average if !isFloating(a.child.dataType) => Some(f)
+    case _: Min | _: Max | _: Count => Some(f)
     case _ => None
   }
 
@@ -65,21 +83,28 @@ object RewriteSuffixWindowFrames extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Rebuild one eligible expression as its flipped running-frame
+    * twin, preserving the alias exprId so parents re-resolve. */
+  private def toRunning(ne: NamedExpression): NamedExpression = ne match {
+    case a @ Alias(WindowExpression(ae: AggregateExpression,
+        spec @ WindowSpecDefinition(_, specOrder, _)), name) =>
+      val flipped = ae.copy(aggregateFunction = flip(ae.aggregateFunction).get)
+      Alias(
+        WindowExpression(flipped,
+          spec.copy(orderSpec = specOrder.map(reverse),
+            frameSpecification = runningFrame)),
+        name)(a.exprId, a.qualifier, a.explicitMetadata,
+          a.nonInheritableMetadataKeys)
+    case other => other // unreachable: callers filter by rewritable
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case w @ Window(wes, part, order, child, hint)
-        if order.nonEmpty && wes.nonEmpty && wes.forall(rewritable) =>
-      val newExprs = wes.map {
-        case a @ Alias(WindowExpression(ae: AggregateExpression,
-            spec @ WindowSpecDefinition(_, specOrder, _)), name) =>
-          val flipped = ae.copy(aggregateFunction = flip(ae.aggregateFunction).get)
-          Alias(
-            WindowExpression(flipped,
-              spec.copy(orderSpec = specOrder.map(reverse),
-                frameSpecification = runningFrame)),
-            name)(a.exprId, a.qualifier, a.explicitMetadata,
-              a.nonInheritableMetadataKeys)
-        case other => other // unreachable: guarded by forall(rewritable)
-      }
-      Window(newExprs, part, order.map(reverse), child, hint)
+        if order.nonEmpty && wes.nonEmpty && wes.exists(rewritable) =>
+      val (eligible, rest) = wes.partition(rewritable)
+      val linear =
+        Window(eligible.map(toRunning), part, order.map(reverse), child, hint)
+      if (rest.isEmpty) linear
+      else Project(w.output, Window(rest, part, order, linear, hint))
   }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.plans.LakehouseSql: the SQL surface for the lakehouse verbs.
+  * Statements run through plain `spark.sql` (the parser is injected by
+  * GraftExtensions) and must lower onto the same COW engine as the
+  * programmatic API. */
+class LakehouseSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = GraftSession.local(4)
+  import graft.ops.Upsert
+
+  private val base = "/tmp/graft_lakesqlspec"
+
+  test("MERGE INTO a versioned table commits the next version and swaps CURRENT") {
+    import spark.implicits._
+    val tbl = s"$base/versioned"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(2000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+
+    spark.range(100, 150).select($"id".as("k"), lit(-1L).as("v"))
+      .createOrReplaceTempView("lakesql_upd")
+    val stats = spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM lakesql_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    assert(stats.getLong(2) == 50, s"rows_merged: $stats")
+    // committed as v1, pointer swapped, values exact
+    assert(Upsert.snapshotVersions(tbl) == Seq(0L, 1L))
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v1"))
+    val cur = spark.read.parquet(s"$tbl/v1")
+    assert(cur.count() == 2000)
+    assert(cur.filter($"v" === -1L).count() == 50)
+    // old snapshot untouched (snapshot isolation)
+    assert(spark.read.parquet(s"$tbl/v0").filter($"v" === -1L).count() == 0)
+
+    // a versioned table must refuse an INTO clause (ambiguous commit)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO '$tbl' USING (SELECT * FROM lakesql_upd) ON k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT * INTO '$base/elsewhere'""".stripMargin)
+    }
+    assert(e.getMessage.contains("versioned table"), e.getMessage)
+  }
+
+  test("DELETE FROM / VACUUM / CLONE / OPTIMIZE round-trip through SQL") {
+    import spark.implicits._
+    val tbl = s"$base/plain"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(1000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(tbl)
+
+    // DELETE with a subquery source over the table itself
+    val del = spark.sql(
+      s"""DELETE FROM '$tbl'
+         |WHERE k IN (SELECT k FROM parquet.`$tbl` WHERE k < 250)
+         |INTO '$base/deleted'""".stripMargin).collect()(0)
+    assert(del.getLong(2) == 250)
+    assert(spark.read.parquet(s"$base/deleted").count() == 750)
+    assert(spark.read.parquet(s"$base/deleted").agg(min($"k")).head.getLong(0) == 250)
+
+    // CLONE: hard-link shallow clone
+    val cl = spark.sql(s"CLONE '$base/deleted' TO '$base/cloned'").collect()(0)
+    assert(cl.getLong(0) >= 1)
+    assert(spark.read.parquet(s"$base/cloned").count() == 750)
+
+    // OPTIMIZE: re-cluster the clone by key
+    val opt = spark.sql(
+      s"OPTIMIZE '$base/cloned' BY k TARGET 1 MB INTO '$base/opt'").collect()(0)
+    assert(opt.getLong(1) >= 1)
+    val optRead = spark.read.parquet(s"$base/opt")
+    assert(optRead.count() == 750)
+
+    // VACUUM a hand-built versioned layout through SQL
+    val vt = s"$base/vac"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(vt))
+    for (v <- 0 to 2)
+      spark.range(10).toDF("k").write.parquet(s"$vt/v$v")
+    val cw = new java.io.PrintWriter(s"$vt/CURRENT", "UTF-8")
+    try cw.print("v2") finally cw.close()
+    val vac = spark.sql(s"VACUUM '$vt' RETAIN 1 SNAPSHOTS").collect()(0)
+    assert(vac.getString(0) == "0,1")
+    assert(Upsert.snapshotVersions(vt) == Seq(2L))
+  }
+
+  test("near-miss grammar fails loudly; ordinary SQL delegates untouched") {
+    // quoted-path MERGE that doesn't match the full grammar → our error,
+    // not Spark's catalog error
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"MERGE INTO '$base/x' USING (SELECT 1) ON k")
+    }
+    assert(e.getMessage.contains("supported grammar"), e.getMessage)
+    // ordinary statements (incl. catalog-table DELETE syntax Spark
+    // owns) still parse through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
+    spark.sql("CREATE OR REPLACE TEMP VIEW lakesql_probe AS SELECT 41 AS x")
+    assert(spark.sql("SELECT x + 1 FROM lakesql_probe").collect()(0).getInt(0) == 42)
+  }
+}

@@ -71,6 +71,50 @@ class SuffixWindowRuleSpec extends AnyFunSuite {
     assert(got == Seq(20, 40), "suffix collect_list order preserved")
   }
 
+  test("a MIXED node splits: eligible half runs linear, the rest keeps its frame") {
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // first() is eligible; collect_list is order-sensitive and must
+    // keep the written (quadratic) frame — pre-split it poisoned the
+    // whole node
+    val out = fixture
+      .withColumn("f", first(col("v"), ignoreNulls = true).over(w))
+      .withColumn("l", collect_list(col("v")).over(w))
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("unboundedpreceding$"),
+      s"eligible expression must run linear after the split:\n$optimized")
+    assert(optimized.contains("unboundedfollowing$"),
+      s"order-sensitive expression must keep its frame:\n$optimized")
+    // values of BOTH halves, and the output column order, unchanged
+    assert(out.columns.toSeq == Seq("k", "t", "v", "f", "l"))
+    val got = out.orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getSeq[Int](4).toList))
+    assert(got.toSeq == Seq(
+      ("a", 1, 20, List(20, 40)), ("a", 2, 20, List(20, 40)),
+      ("a", 3, 40, List(40)), ("a", 4, 40, List(40)),
+      ("b", 1, 9, List(9)), ("b", 2, 9, List(9)), ("b", 3, 9, List(9))))
+  }
+
+  test("floating-point sum keeps its frame; integral sum flips") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 1L, 0.1), ("a", 2, 2L, 0.2), ("a", 3, 3L, 0.3))
+      .toDF("k", "t", "i", "d")
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // double sum: reversed accumulation can change low-order bits —
+    // must NOT rewrite (bit-exactness beats the linear frame)
+    val fp = df.withColumn("s", sum(col("d")).over(w))
+    assert(fp.queryExecution.optimizedPlan.toString.contains("unboundedfollowing$"),
+      "FP suffix sum must keep its written frame")
+    // integral sum is exact in any order — rewrites and stays exact
+    val int = df.withColumn("s", sum(col("i")).over(w))
+    val iopt = int.queryExecution.optimizedPlan.toString
+    assert(!iopt.contains("unboundedfollowing$") && iopt.contains("unboundedpreceding$"))
+    assert(int.orderBy("t").select("s").collect().map(_.getLong(0)).toSeq ==
+      Seq(6L, 5L, 3L))
+  }
+
   test("SQL-text queries get the rewrite as well") {
     fixture.createOrReplaceTempView("sfx_t")
     val out = spark.sql(

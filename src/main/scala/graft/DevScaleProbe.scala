@@ -257,7 +257,16 @@ object DevScaleProbe {
     }
 
     for (k <- tiers) {
-      val dir = buildTier(spark, k)
+      // the FIA probes GENERATE their input at tier cardinality — a
+      // filtered fia-only run (e.g. the 100×-class organic probe) must
+      // not pay the replicated doc/emb/lineitem tier build it never reads
+      val tierOps = Seq("minhash_lsh", "incr_dedup", "semantic_dedup",
+        "pagerank", "upsert_commit", "dv_delete", "substr_dedup",
+        "upsert_commit_cached")
+      val dir =
+        if (tierOps.exists(op => onlyOps.forall(_.contains(op))))
+          buildTier(spark, k)
+        else { val d = tierDir(k); new java.io.File(d).mkdirs(); d }
       probe("minhash_lsh", k, () => minhash(spark, dir))
       probe("incr_dedup", k, () => incr(spark, dir, k))
       probe("semantic_dedup", k, () => semdedup(spark, dir, k))

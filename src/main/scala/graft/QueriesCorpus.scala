@@ -923,6 +923,54 @@ object QueriesCorpus {
         Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
   }
 
+  // --- SQL RESTORE / DESCRIBE HISTORY (plans.LakehouseSql): stage
+  //     orders as a VERSIONED table (v0 + CURRENT), MERGE a mutation
+  //     batch (commits v1, swaps CURRENT), then RESTORE TO VERSION 0 —
+  //     Delta semantics: the restore lands as a NEW commit (v2 = v0's
+  //     state) with history preserved. The gate aggregates the
+  //     post-restore CURRENT snapshot against the PRISTINE orders
+  //     oracle, so it passes only if the restore truly reverted the
+  //     mutations; DESCRIBE HISTORY invariants are require()d inline.
+  //     No staging marker: the verb chain MUTATES the table (each run
+  //     appends commits), so staging is fresh per run.
+  private def sqlRestore(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_sqlrestore"
+    val tbl = s"$base/table"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+    Tables.orders(s, dir)
+      .repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+    val orders = s.read.parquet(s"$tbl/v0")
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 4
+    orders.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .createOrReplaceTempView("sqlrestore_updates")
+    s.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM sqlrestore_updates)
+         |ON o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val rest = s.sql(s"RESTORE '$tbl' TO VERSION 0").collect()(0)
+    require(rest.getLong(1) == 2L, s"restore must commit v2: $rest")
+    val hist = s.sql(s"DESCRIBE HISTORY '$tbl'").collect()
+    require(hist.length == 3 && hist.count(_.getBoolean(3)) == 1 &&
+      hist.find(_.getBoolean(3)).exists(_.getLong(0) == 2L),
+      s"history must keep all 3 commits with v2 current: ${hist.mkString(",")}")
+    val cur = graft.streaming.Streams.currentSnapshot(tbl).get
+    s.read.parquet(cur)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val sqlRestoreSql =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   // --- bloom-manifest point-lookup pruning (ops.Layout.bloomManifest /
   //     readBloomPruned): the staged copy is UNCLUSTERED (round-robin),
   //     so min/max stats prune nothing — the per-file bloom still skips
@@ -1343,6 +1391,7 @@ object QueriesCorpus {
     "q_upsert" -> (upsert _),
     "q_sql_merge" -> (sqlMerge _),
     "q_sql_delete" -> (sqlDelete _),
+    "q_sql_restore" -> (sqlRestore _),
     "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
     "q_sql_functions" -> (sqlFunctions _),
@@ -1384,6 +1433,7 @@ object QueriesCorpus {
     "q_upsert" -> upsertSql,
     "q_sql_merge" -> upsertSql,
     "q_sql_delete" -> deleteSql,
+    "q_sql_restore" -> sqlRestoreSql,
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,

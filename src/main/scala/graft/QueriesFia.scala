@@ -112,7 +112,9 @@ object QueriesFia {
     "q_nsvb_volume" -> (nsvbVolume _)
   ) ++ QueriesFiaPipeline.queries
 
-  val oracles: Map[String, String] = Map(
+  // def: the pipeline oracle SQL embeds the tier-keyed staged-input
+  // path, which follows the Verify run (QueriesFiaPipeline.in)
+  def oracles: Map[String, String] = Map(
     "q_nsvb_volume" -> nsvbVolumeSql
   ) ++ QueriesFiaPipeline.oracles
 }

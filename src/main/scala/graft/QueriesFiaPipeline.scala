@@ -35,7 +35,11 @@ import graft.fia.{RefData, SyntheticState}
 object QueriesFiaPipeline {
 
   private val ref = "/root/repo/src/main/resources/graft/refdata"
-  private val in = SyntheticState.oracleInputDir
+  // a def, not a val: the staged-input path is tier-keyed and follows
+  // the tier the queries actually ran (see SyntheticState
+  // .currentOracleInputDir) — freezing it at object init would pin the
+  // oracle SQL to the default tier regardless of the Verify SF
+  private def in = SyntheticState.currentOracleInputDir
 
   // ---- Spark side ------------------------------------------------------
 
@@ -88,7 +92,7 @@ object QueriesFiaPipeline {
   private val sentCols = stepCols.filterNot(_ == "PLT_CN")
   private val measuredCols = Seq("DIA", "HT", "ACTUALHT", "CULL", "CR")
 
-  private val rawSql = s"""
+  private def rawSql = s"""
 plot_raw AS (SELECT * FROM read_parquet('$in/PLOT/*.parquet')),
 pg_raw   AS (SELECT * FROM read_parquet('$in/PLOTGEOM/*.parquet')),
 cond_raw AS (SELECT * FROM read_parquet('$in/COND/*.parquet')),
@@ -508,7 +512,7 @@ final AS (SELECT p.*, pr.DRYBIO_AG, pr.CARBON_AG,
     "q_fia_pipeline_oracle" -> (fiaPipelineOracle _),
     "q_fia_incremental" -> (fiaIncremental _))
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_fia_pipeline_oracle" -> oracleSql,
     "q_fia_incremental" -> oracleSql)
 }

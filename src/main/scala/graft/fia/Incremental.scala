@@ -148,12 +148,16 @@ object Incremental {
     * real deployment already has on disk before a delivery arrives).
     * Built once per tier (marker-guarded like
     * [[SyntheticState.materialize]]); per-run cost is a parquet read. */
-  val oldOutputDir = "/tmp/graft_fia_incr_oldout"
+  // tier-keyed for the same reason as SyntheticState.oracleInputDirFor:
+  // alternating scale factors in one process (Verify sf0.01, Bench
+  // sf0.1) must not re-stage over each other every run
+  def oldOutputDirFor(n: Int): String = s"/tmp/graft_fia_incr_oldout_p$n"
 
   /** Materialize `bothVariants(pipeline(old snapshot))` for `sfDir`'s
     * tier (skip when the marker matches) and return the directory. */
   def materializeOldOutput(spark: SparkSession, sfDir: String): String = {
     val n = SyntheticState.nPlotsFor(sfDir)
+    val oldOutputDir = oldOutputDirFor(n)
     val dir = new java.io.File(oldOutputDir)
     val marker = new java.io.File(dir, "NPLOTS")
     // invalidated by tier, split-definition, or generator change; a

@@ -156,11 +156,22 @@ object SyntheticState {
       .unionByName(results("mortyr").withColumn("variant", lit("mortyr")))
   }
 
-  /** Where [[materialize]] writes the raw tables. The DuckDB oracle for
-    * the composed pipeline reads the SAME parquet files, so both engines
-    * consume identical bytes — the path is fixed because oracle SQL is a
-    * static string. */
-  val oracleInputDir = "/tmp/graft_fia_oracle_input"
+  /** Where [[materialize]] writes the raw tables for a given tier. The
+    * DuckDB oracle for the composed pipeline reads the SAME parquet
+    * files, so both engines consume identical bytes. Keyed by nPlots so
+    * runs at DIFFERENT scale factors never clobber each other's staged
+    * bytes: a Bench run at sf0.1 between a Verify at sf0.01 and its
+    * DuckDB replay used to re-stage the one fixed dir and turn the
+    * already-dumped oracle SQL red. */
+  def oracleInputDirFor(n: Int): String = s"/tmp/graft_fia_oracle_input_p$n"
+
+  /** The tier dir the oracle SQL reads. Follows the tier LAST
+    * materialized in-process: Verify materializes while running the
+    * queries, then dumps `oracleSql`, so the dump points at the tier it
+    * actually ran. Defaults to sf0.01's tier — the driver's verify SF —
+    * for a dump taken without running the queries first. */
+  @volatile var currentOracleInputDir: String =
+    oracleInputDirFor(nPlotsFor("sf0.01"))
 
   /** Write the raw synthetic tables for `sfDir`'s tier to
     * [[oracleInputDir]] (skipped when the tier is already there — a
@@ -174,7 +185,8 @@ object SyntheticState {
 
   def materialize(spark: SparkSession, sfDir: String): String = {
     val n = nPlotsFor(sfDir)
-    val dir = new java.io.File(oracleInputDir)
+    val tierDir = oracleInputDirFor(n)
+    val dir = new java.io.File(tierDir)
     val marker = new java.io.File(dir, "NPLOTS")
     val want = s"$n:$genVersion"
     val have =
@@ -184,13 +196,14 @@ object SyntheticState {
     if (have != want) {
       if (marker.exists) marker.delete() // stale tier/generator: invalidate first
       tables(spark, n).foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$oracleInputDir/$name")
+        df.write.mode("overwrite").parquet(s"$tierDir/$name")
       }
       dir.mkdirs()
       val w = new java.io.PrintWriter(marker, "UTF-8")
       try w.print(want) finally w.close()
     }
-    oracleInputDir
+    currentOracleInputDir = tierDir
+    tierDir
   }
 
   /** [[pipelineBothVariants]], but through the parquet round-trip that

@@ -345,7 +345,7 @@ object Layout {
   /** Leaf `.parquet` files under `path`, honoring the Spark/Hive
     * hidden convention: any path SEGMENT starting with `_` or `.`
     * (e.g. a `_manifest` sidecar dir) is metadata, not data. */
-  private[ops] def listDataFiles(
+  private[graft] def listDataFiles(
       spark: SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)

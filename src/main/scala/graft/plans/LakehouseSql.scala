@@ -41,7 +41,13 @@ import graft.ops.{Layout, Upsert}
   * VACUUM '<tableDir>' RETAIN <n> SNAPSHOTS
   * OPTIMIZE '<table>' BY <sortCol> [TARGET <mb> MB]   INTO '<outPath>'
   * CLONE '<src>' TO '<dst>'
+  * DESCRIBE HISTORY '<tableDir>'
+  * RESTORE '<tableDir>' TO VERSION <n>
   * }}}
+  * `RESTORE` follows Delta semantics: the restored state lands as a
+  * NEW version (hard-linked clone of the target snapshot) and
+  * `CURRENT` swaps to it — history is preserved, the restore is
+  * itself a commit, and a later vacuum can still reclaim it.
   * The MERGE shape is Delta's canonical key-upsert (`UPDATE SET *` /
   * `INSERT *`); partial-clause merges are not this engine's verb — the
   * statement refuses rather than half-applies.
@@ -60,6 +66,10 @@ object LakehouseSql {
     """(?is)^\s*OPTIMIZE\s+'([^']+)'\s+BY\s+([\w.]+)\s*(?:TARGET\s+(\d+)\s+MB)?\s+INTO\s+'([^']+)'\s*;?\s*$""".r
   private val cloneRe =
     """(?is)^\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*$""".r
+  private val history =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*$""".r
+  private val restore =
+    """(?is)^\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*$""".r
   // a MERGE/DELETE that LOOKS like ours but doesn't match the grammar
   // must fail loudly, not fall through to Spark's parser (whose error
   // would point users at catalogs this engine doesn't use)
@@ -78,6 +88,8 @@ object LakehouseSql {
       Some(GraftOptimizeCommand(tbl, out, sortCol,
         Option(mb).map(_.toLong << 20).getOrElse(128L << 20)))
     case cloneRe(src, dst) => Some(GraftCloneCommand(src, dst))
+    case history(dir) => Some(GraftHistoryCommand(dir))
+    case restore(dir, v) => Some(GraftRestoreCommand(dir, v.toLong))
     case t if mergeish.matches(t) || deleteish.matches(t) =>
       throw new IllegalArgumentException(
         "graft lakehouse statement didn't match the supported grammar — " +
@@ -194,6 +206,57 @@ case class GraftCloneCommand(srcPath: String, dstPath: String)
   override val output: Seq[Attribute] = LakehouseSql.longAttrs("files_cloned")
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Upsert.cloneSnapshot(spark, srcPath, dstPath).toLong))
+}
+
+/** `DESCRIBE HISTORY` over a versioned table dir: one row per
+  * snapshot (version, data files, bytes, current flag). Byte totals
+  * count hard links at full size — the row answers "what does time
+  * travel to v reach", not "unique bytes on disk". */
+case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("is_current", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val versions = Upsert.snapshotVersions(tableDir)
+    require(versions.nonEmpty,
+      s"DESCRIBE HISTORY: no v<id> snapshots under $tableDir")
+    val cur = graft.streaming.Streams.currentSnapshot(tableDir)
+      .map(_.split('/').last)
+    versions.map { v =>
+      val files = Layout.listDataFiles(spark, s"$tableDir/v$v")
+      val bytes = files.map(f => new java.io.File(
+        new org.apache.hadoop.fs.Path(f).toUri.getPath).length).sum
+      Row(v, files.size.toLong, bytes, cur.contains(s"v$v"))
+    }
+  }
+}
+
+/** `RESTORE ... TO VERSION n`: Delta semantics — the restored state
+  * is committed as a NEW version (hard-linked clone, sidecars
+  * carried) and `CURRENT` swaps to it. */
+case class GraftRestoreCommand(tableDir: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    LakehouseSql.longAttrs("restored_version", "new_version", "files_linked")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val versions = Upsert.snapshotVersions(tableDir)
+    require(versions.contains(version),
+      s"RESTORE: snapshot v$version not found under $tableDir " +
+        s"(have: ${versions.mkString(",")}) — vacuumed or never written")
+    val next = versions.max + 1
+    val n = Upsert.cloneSnapshot(spark, s"$tableDir/v$version", s"$tableDir/v$next")
+    val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try w.print(s"v$next") finally w.close()
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(s"$tableDir/CURRENT").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Seq(Row(version, next, n.toLong))
+  }
 }
 
 /** Session parser wrapper: graft lakehouse statements lower to their

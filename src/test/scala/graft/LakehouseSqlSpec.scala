@@ -40,6 +40,26 @@ class LakehouseSqlSpec extends AnyFunSuite {
     // old snapshot untouched (snapshot isolation)
     assert(spark.read.parquet(s"$tbl/v0").filter($"v" === -1L).count() == 0)
 
+    // DESCRIBE HISTORY: one row per snapshot, current flagged
+    val hist = spark.sql(s"DESCRIBE HISTORY '$tbl'").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(hist.toSeq == Seq((0L, false), (1L, true)), hist.toSeq.toString)
+
+    // RESTORE commits the old state as a NEW version and swaps CURRENT
+    val rest = spark.sql(s"RESTORE '$tbl' TO VERSION 0").collect()(0)
+    assert(rest.getLong(0) == 0L && rest.getLong(1) == 2L)
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v2"))
+    val restored = spark.read.parquet(s"$tbl/v2")
+    assert(restored.filter($"v" === -1L).count() == 0, "v2 must equal v0's state")
+    assert(restored.count() == 2000)
+    // v1 still exists — restore preserves history
+    assert(Upsert.snapshotVersions(tbl) == Seq(0L, 1L, 2L))
+    // restoring a vacuumed/unknown version refuses with inventory
+    val re = intercept[IllegalArgumentException] {
+      spark.sql(s"RESTORE '$tbl' TO VERSION 9")
+    }
+    assert(re.getMessage.contains("not found"), re.getMessage)
+
     // a versioned table must refuse an INTO clause (ambiguous commit)
     val e = intercept[IllegalArgumentException] {
       spark.sql(

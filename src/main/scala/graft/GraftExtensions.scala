@@ -24,6 +24,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // lower onto ops.Upsert/Layout; everything else delegates to
     // Spark's parser — see graft.plans.LakehouseSql for the grammar
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // Table-valued time travel: `SELECT ... FROM graft_table('<dir>')`
+    // reads the CURRENT snapshot of a versioned COW table (or a plain
+    // snapshot dir as-is); `graft_table('<dir>', n)` is VERSION AS OF n.
+    // Either form subtracts a `_dv` deletion-vector sidecar the same
+    // way ops.Upsert.readWithDeletes does — SQL must never resurrect
+    // soft-deleted rows a programmatic reader would hide. The builder
+    // returns the read's ANALYZED plan, so downstream
+    // filters/projections push into the parquet scan like any other
+    // relation.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_table"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "graft_table",
+        "graft_table(dir[, version]) - read a graft COW table from SQL: " +
+          "CURRENT snapshot by default, VERSION AS OF with the second " +
+          "argument; deletion-vector sidecars are honored", ""),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "graft_table takes (dir) or (dir, version)")
+        def litVal(e: Expression, what: String): Any = e match {
+          case Literal(v, _) if v != null => v
+          case other => throw new IllegalArgumentException(
+            s"graft_table: $what must be a non-null literal, got $other")
+        }
+        val dir = String.valueOf(litVal(children.head, "dir"))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val snap = children.lift(1) match {
+          case Some(e) =>
+            val v = litVal(e, "version") match {
+              case n: java.lang.Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"graft_table: version must be an integer literal, got $other")
+            }
+            val d = new java.io.File(s"$dir/v$v")
+            require(d.isDirectory,
+              s"graft_table: snapshot v$v not found under $dir (have: " +
+                s"${graft.ops.Upsert.snapshotVersions(dir).mkString(",")}) — " +
+                "vacuumed or never written")
+            d.toString
+          case None =>
+            graft.streaming.Streams.currentSnapshot(dir).getOrElse(dir)
+        }
+        graft.ops.Upsert.readWithDeletes(spark, snap).queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(

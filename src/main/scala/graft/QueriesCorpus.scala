@@ -971,6 +971,44 @@ object QueriesCorpus {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  // --- SQL time travel (graft_table TVF): stage orders versioned,
+  //     MERGE a mutation batch (v1 becomes CURRENT), then aggregate
+  //     `graft_table(tbl, 0)` — VERSION AS OF the pre-merge snapshot —
+  //     entirely through spark.sql. Oracle: the pristine orders
+  //     aggregate, so the gate passes only if the version-pinned read
+  //     bypasses the mutations that CURRENT carries (require()d
+  //     different inline).
+  private def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_sqltt"
+    val tbl = s"$base/table"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+    Tables.orders(s, dir)
+      .repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+    val orders = s.read.parquet(s"$tbl/v0")
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 4
+    orders.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .createOrReplaceTempView("sqltt_updates")
+    s.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM sqltt_updates)
+         |ON o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    def agg(src: String) = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+         |FROM $src GROUP BY o_orderstatus""".stripMargin)
+    val current = agg(s"graft_table('$tbl')").collect().toSet
+    val asOf0 = agg(s"graft_table('$tbl', 0)")
+    require(asOf0.collect().toSet != current,
+      "time travel must see PRE-merge values; CURRENT must carry the merge")
+    asOf0
+  }
+
   // --- bloom-manifest point-lookup pruning (ops.Layout.bloomManifest /
   //     readBloomPruned): the staged copy is UNCLUSTERED (round-robin),
   //     so min/max stats prune nothing — the per-file bloom still skips
@@ -1392,6 +1430,7 @@ object QueriesCorpus {
     "q_sql_merge" -> (sqlMerge _),
     "q_sql_delete" -> (sqlDelete _),
     "q_sql_restore" -> (sqlRestore _),
+    "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
     "q_sql_functions" -> (sqlFunctions _),
@@ -1434,6 +1473,7 @@ object QueriesCorpus {
     "q_sql_merge" -> upsertSql,
     "q_sql_delete" -> deleteSql,
     "q_sql_restore" -> sqlRestoreSql,
+    "q_sql_time_travel" -> sqlRestoreSql,
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,

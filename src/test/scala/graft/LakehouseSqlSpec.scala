@@ -111,6 +111,56 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(Upsert.snapshotVersions(vt) == Seq(2L))
   }
 
+  test("graft_table TVF: current / version-pinned / DV-honoring SQL reads") {
+    import spark.implicits._
+    val tbl = s"$base/tvf"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(1000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+    spark.range(100, 150).select($"id".as("k"), lit(-1L).as("v"))
+      .createOrReplaceTempView("tvf_upd")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM tvf_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+
+    // bare form reads CURRENT (v1: 50 keys updated to -1)
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$tbl') WHERE v = -1")
+      .collect()(0).getLong(0) == 50)
+    // VERSION AS OF 0: pre-merge state
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$tbl', 0) WHERE v = -1")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql(s"SELECT sum(v) FROM graft_table('$tbl', 0)")
+      .collect()(0).getLong(0) == 999L * 1000 / 2)
+
+    // a DV-carrying snapshot: SQL must not resurrect soft-deleted rows
+    val dvTbl = s"$base/tvf_dv"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dvTbl))
+    spark.range(500).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(dvTbl)
+    val dvOut = s"$base/tvf_dv_out"
+    Upsert.deleteByKeyDV(spark, dvTbl, dvOut,
+      spark.range(0, 100).toDF("k"), "k")
+    assert(spark.sql(s"SELECT count(*), min(k) FROM graft_table('$dvOut')")
+      .collect()(0) match { case r => r.getLong(0) == 400 && r.getLong(1) == 100 })
+
+    // filters over the TVF reach the parquet scan (it is a plain
+    // relation to Catalyst, not an opaque subquery)
+    val plan = spark.sql(s"SELECT v FROM graft_table('$tbl', 0) WHERE k = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,7)]"), plan)
+
+    // unknown version refuses with the snapshot inventory
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$tbl', 9)").collect()
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+  }
+
   test("near-miss grammar fails loudly; ordinary SQL delegates untouched") {
     // quoted-path MERGE that doesn't match the full grammar → our error,
     // not Spark's catalog error

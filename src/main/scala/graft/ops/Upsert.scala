@@ -154,7 +154,8 @@ object Upsert {
     require(all.nonEmpty, s"cloneSnapshot: no .parquet files under $tablePath")
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (ofs.exists(out)) ofs.delete(out, true)
+    // empty existing dir = claimed version number (see commit); keep it
+    if (ofs.exists(out) && ofs.listStatus(out).nonEmpty) ofs.delete(out, true)
     linkOrCopyAll(spark, all, outPath)
     for (sc <- Seq("_manifest", "_bloom", "_dv")) {
       val fs = sidecarFiles(spark, tablePath, sc)
@@ -399,7 +400,11 @@ object Upsert {
 
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (ofs.exists(out)) ofs.delete(out, true)
+    // an EXISTING EMPTY dir is a claimed version number from the
+    // optimistic-concurrency protocol (plans.LakehouseSql) — deleting
+    // and recreating it would reopen the claim race window, so only a
+    // non-empty leftover from a previous run is cleared
+    if (ofs.exists(out) && ofs.listStatus(out).nonEmpty) ofs.delete(out, true)
     ofs.mkdirs(out)
 
     // Untouched files: HARD-LINK when both ends are the local

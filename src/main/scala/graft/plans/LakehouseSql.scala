@@ -99,10 +99,88 @@ object LakehouseSql {
     case _ => None
   }
 
+  // ---- optimistic-concurrency commit protocol (versioned tables) ----
+  //
+  // Claim: `Files.createDirectory(v<next>)` is the filesystem's
+  // compare-and-create — two concurrent committers can never claim the
+  // same version number, so each builds its snapshot in a disjoint dir
+  // with no coordination (the commit engine preserves a claimed EMPTY
+  // dir instead of delete-recreating it).
+  // Publish: the CURRENT swap is a base-version compare-and-swap under
+  // an exclusive OS file lock (`_COMMITLOCK`): if the table advanced
+  // past the base this commit read, the claimed snapshot is deleted
+  // and the statement fails loudly — first committer wins, the loser
+  // rebases and retries. This is Delta's optimistic protocol with the
+  // log-record conditional-PUT swapped for a posix lock; an
+  // object-store port would use the store's conditional write.
+  // Crash story: a claimed-but-never-published v<id> is invisible to
+  // readers (they resolve CURRENT) and is reclaimed by VACUUM with the
+  // other non-retained versions.
+
+  private[graft] def withCommitLock[T](tablePath: String)(body: => T): T =
+    // JVM-level serialization first: FileChannel.lock throws
+    // OverlappingFileLockException (it does NOT block) when another
+    // thread of the SAME process holds the lock — intern-synchronized
+    // makes same-process committers queue, the file lock covers
+    // cross-process
+    tablePath.intern.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(tablePath, "_COMMITLOCK").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+
+  /** Atomically claim the next version number of a versioned table. */
+  private[graft] def claimNextVersion(tablePath: String): Long = {
+    var next = -1L
+    var claimed = false
+    while (!claimed) {
+      next = Upsert.snapshotVersions(tablePath).max + 1
+      claimed =
+        try {
+          java.nio.file.Files.createDirectory(
+            new java.io.File(s"$tablePath/v$next").toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+    }
+    next
+  }
+
+  /** Publish claimed `v<next>` as CURRENT iff the table still sits at
+    * `baseCurrent`; on conflict, discard the claim and refuse. */
+  private[graft] def publishOrAbort(
+      tablePath: String, baseCurrent: String, next: Long, verb: String): Unit =
+    withCommitLock(tablePath) {
+      val cur = new java.io.File(s"$tablePath/CURRENT")
+      val src = scala.io.Source.fromFile(cur)
+      val now = try src.mkString.trim finally src.close()
+      if (now != baseCurrent) {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(
+          new java.io.File(s"$tablePath/v$next"))
+        throw new IllegalStateException(
+          s"$verb: concurrent commit detected on '$tablePath' — this " +
+            s"commit read $baseCurrent but the table is now at $now; the " +
+            s"claimed snapshot v$next was discarded — rebase on $now and retry")
+      }
+      val tmp = new java.io.File(s"$tablePath/CURRENT.tmp")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try w.print(s"v$next") finally w.close()
+      java.nio.file.Files.move(tmp.toPath, cur.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+
   /** Resolve a path argument: a versioned table dir (CURRENT pointer
-    * present) yields (current snapshot, commit-hook writing v<next> +
-    * swapping CURRENT); a plain snapshot dir yields itself and
-    * requires the statement's explicit `INTO`. */
+    * present) yields (current snapshot, claimed next-version dir,
+    * publish hook running the CAS above); a plain snapshot dir yields
+    * itself and requires the statement's explicit `INTO`. */
   private[plans] def resolveCow(
       tablePath: String, explicitOut: Option[String], verb: String)
       : (String, String, () => Unit) = {
@@ -113,18 +191,10 @@ object LakehouseSql {
           "the commit lands as the next version; drop the INTO clause")
       val src = scala.io.Source.fromFile(cur)
       val current = try src.mkString.trim finally src.close()
-      val next = Upsert.snapshotVersions(tablePath).max + 1
+      val next = claimNextVersion(tablePath)
       val outPath = s"$tablePath/v$next"
-      val swap = () => {
-        val tmp = new java.io.File(s"$tablePath/CURRENT.tmp")
-        val w = new java.io.PrintWriter(tmp, "UTF-8")
-        try w.print(s"v$next") finally w.close()
-        java.nio.file.Files.move(tmp.toPath, cur.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
-      }
-      (s"$tablePath/$current", outPath, swap)
+      (s"$tablePath/$current", outPath,
+        () => publishOrAbort(tablePath, current, next, verb))
     } else {
       require(explicitOut.isDefined,
         s"$verb: '$tablePath' is a plain snapshot (no CURRENT pointer) — " +
@@ -246,15 +316,15 @@ case class GraftRestoreCommand(tableDir: String, version: Long)
     require(versions.contains(version),
       s"RESTORE: snapshot v$version not found under $tableDir " +
         s"(have: ${versions.mkString(",")}) — vacuumed or never written")
-    val next = versions.max + 1
+    val base = graft.streaming.Streams.currentSnapshot(tableDir)
+      .map(_.split('/').last)
+      .getOrElse(throw new IllegalArgumentException(
+        s"RESTORE: '$tableDir' has no CURRENT pointer — not a versioned table"))
+    // same claim + CAS-publish protocol as the COW verbs: a concurrent
+    // commit between reading CURRENT and publishing the restore refuses
+    val next = LakehouseSql.claimNextVersion(tableDir)
     val n = Upsert.cloneSnapshot(spark, s"$tableDir/v$version", s"$tableDir/v$next")
-    val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try w.print(s"v$next") finally w.close()
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(s"$tableDir/CURRENT").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    LakehouseSql.publishOrAbort(tableDir, base, next, "RESTORE")
     Seq(Row(version, next, n.toLong))
   }
 }

@@ -161,6 +161,50 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not found"), e.getMessage)
   }
 
+  test("optimistic concurrency: disjoint claims, first committer wins, loser discards") {
+    import spark.implicits._
+    import graft.plans.LakehouseSql
+    val tbl = s"$base/occ"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(100).select($"id".as("k"), $"id".as("v"))
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+
+    // two committers claim against the same base: numbers are disjoint
+    val a = LakehouseSql.claimNextVersion(tbl)
+    val b = LakehouseSql.claimNextVersion(tbl)
+    assert(a == 1L && b == 2L)
+    spark.read.parquet(s"$tbl/v0").write.mode("append").parquet(s"$tbl/v$a")
+    spark.read.parquet(s"$tbl/v0").write.mode("append").parquet(s"$tbl/v$b")
+
+    // first publish wins
+    LakehouseSql.publishOrAbort(tbl, "v0", a, "TEST")
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v1"))
+    // second publish against the stale base refuses, discards its claim
+    val e = intercept[IllegalStateException] {
+      LakehouseSql.publishOrAbort(tbl, "v0", b, "TEST")
+    }
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    assert(!new java.io.File(s"$tbl/v$b").exists, "losing claim must be discarded")
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v1"))
+
+    // a lingering claim (crashed writer) is skipped by the REAL verb:
+    // MERGE claims past it and commits; readers resolving CURRENT
+    // never see the empty dir
+    val crashed = LakehouseSql.claimNextVersion(tbl)
+    assert(crashed == 2L)
+    spark.range(5, 8).select($"id".as("k"), lit(-7L).as("v"))
+      .createOrReplaceTempView("occ_upd")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM occ_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v3"))
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$tbl') WHERE v = -7")
+      .collect()(0).getLong(0) == 3)
+  }
+
   test("near-miss grammar fails loudly; ordinary SQL delegates untouched") {
     // quoted-path MERGE that doesn't match the full grammar → our error,
     // not Spark's catalog error

@@ -106,6 +106,28 @@ object DevScaleProbe {
       thresholdQ = 3500L)
   }
 
+  // Round-10 additions: the ops whose HONEST cost the fold-proof bench
+  // action just exposed (previously count-folded to near-zero) — probe
+  // that the exposed cost is sub-linear, not just nonzero.
+
+  private def winnow(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.TextAnalysis.winnowFingerprints(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 8, 4)
+    fp.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+  }
+
+  private def profileNumeric(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.profileNumeric(
+      s.read.parquet(s"$dir/lineitem.parquet"),
+      Seq("l_orderkey", "l_partkey"))
+
+  private def ngramJac(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccardDegree(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 2, 0.6,
+      maxDocFreq = Some(40))
+
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .filter(pmod(col("l_orderkey"), lit(50)) === 0)
@@ -262,7 +284,7 @@ object DevScaleProbe {
       // not pay the replicated doc/emb/lineitem tier build it never reads
       val tierOps = Seq("minhash_lsh", "incr_dedup", "semantic_dedup",
         "pagerank", "upsert_commit", "dv_delete", "substr_dedup",
-        "upsert_commit_cached")
+        "upsert_commit_cached", "winnow_fp", "profile", "ngram_jaccard")
       val dir =
         if (tierOps.exists(op => onlyOps.forall(_.contains(op))))
           buildTier(spark, k)
@@ -271,6 +293,9 @@ object DevScaleProbe {
       probe("incr_dedup", k, () => incr(spark, dir, k))
       probe("semantic_dedup", k, () => semdedup(spark, dir, k))
       probe("pagerank", k, () => pagerank(spark, dir))
+      probe("winnow_fp", k, () => winnow(spark, dir))
+      probe("profile", k, () => profileNumeric(spark, dir))
+      probe("ngram_jaccard", k, () => ngramJac(spark, dir))
       probe("fia_pipeline", k, () => fiaPipeline(spark, k))
       probe("fia_pipeline_organic", k, () => fiaPipelineOrganic(spark, k))
       // incremental delivery against the ORGANIC tier: staged old

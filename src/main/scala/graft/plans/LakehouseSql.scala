@@ -134,6 +134,22 @@ object LakehouseSql {
       } finally ch.close()
     }
 
+  /** Refuse to commit to a table owned by a streaming sink: the
+    * sink's batch-id versioning would collide with claimed versions
+    * (a replayed batch delete-recreates `v<id>`, destroying a SQL
+    * commit that claimed the same number). One writer TYPE per table. */
+  private[graft] def requireNotStreamOwned(tablePath: String, verb: String): Unit = {
+    val ownerFile = new java.io.File(tablePath, "_WRITER")
+    if (ownerFile.exists) {
+      val src = scala.io.Source.fromFile(ownerFile)
+      val owner = try src.mkString.trim finally src.close()
+      if (owner.startsWith("stream:")) throw new IllegalStateException(
+        s"$verb: '$tablePath' is owned by a streaming sink ($owner) — " +
+          "stop the query and delete _WRITER to take ownership, or " +
+          "route the change through the stream")
+    }
+  }
+
   /** Atomically claim the next version number of a versioned table. */
   private[graft] def claimNextVersion(tablePath: String): Long = {
     var next = -1L
@@ -189,6 +205,7 @@ object LakehouseSql {
       require(explicitOut.isEmpty,
         s"$verb: '$tablePath' is a versioned table (CURRENT present) — " +
           "the commit lands as the next version; drop the INTO clause")
+      requireNotStreamOwned(tablePath, verb)
       val src = scala.io.Source.fromFile(cur)
       val current = try src.mkString.trim finally src.close()
       val next = claimNextVersion(tablePath)
@@ -322,6 +339,7 @@ case class GraftRestoreCommand(tableDir: String, version: Long)
         s"RESTORE: '$tableDir' has no CURRENT pointer — not a versioned table"))
     // same claim + CAS-publish protocol as the COW verbs: a concurrent
     // commit between reading CURRENT and publishing the restore refuses
+    LakehouseSql.requireNotStreamOwned(tableDir, "RESTORE")
     val next = LakehouseSql.claimNextVersion(tableDir)
     val n = Upsert.cloneSnapshot(spark, s"$tableDir/v$version", s"$tableDir/v$next")
     LakehouseSql.publishOrAbort(tableDir, base, next, "RESTORE")

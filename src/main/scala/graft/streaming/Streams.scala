@@ -331,6 +331,25 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
+        // table ownership: batch-id versioning is only replay-safe
+        // with ONE writer — this sink. The marker hands SQL/
+        // programmatic committers (whose claimed versions would
+        // collide with future batch ids) a loud refusal instead of a
+        // silent lost commit; a replay of THIS query (same
+        // checkpoint) passes.
+        val ownerFile = new java.io.File(tableDir, "_WRITER")
+        val owner = s"stream:$checkpointDir"
+        if (ownerFile.exists) {
+          val src = scala.io.Source.fromFile(ownerFile)
+          val have = try src.mkString.trim finally src.close()
+          if (have != owner) throw new IllegalStateException(
+            s"upsertSink: '$tableDir' is owned by '$have' — one writer " +
+              s"per versioned table; this query is '$owner'")
+        } else {
+          new java.io.File(tableDir).mkdirs()
+          val ow = new java.io.PrintWriter(ownerFile, "UTF-8")
+          try ow.print(owner) finally ow.close()
+        }
         // last row per key within the batch (CDC upsert convention)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol)).orderBy(col(orderCol).desc)

@@ -440,6 +440,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(!cur.columns.contains("op"), "op column must not be stored")
   }
 
+  test("table ownership: SQL commits refuse a stream-owned table; other writers refused") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("owntbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ownckpt").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.upsertSink(
+      input.toDF().toDF("k", "seq", "v"), tbl, ckpt,
+      keyCol = "k", orderCol = "seq")
+    input.addData((1L, 1L, "a"), (2L, 2L, "b"))
+    q.processAllAvailable()
+    q.stop()
+
+    // a SQL MERGE against the stream-owned table refuses loudly
+    spark.sql("SELECT CAST(5 AS BIGINT) AS k, CAST(9 AS BIGINT) AS seq, 'x' AS v")
+      .createOrReplaceTempView("own_upd")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO '$tbl' USING (SELECT * FROM own_upd) ON k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("streaming sink"), e.getMessage)
+
+    // a DIFFERENT streaming query (new checkpoint) is also refused
+    val ckpt2 = java.nio.file.Files.createTempDirectory("ownckpt2").toString
+    val input2 = MemoryStream[(Long, Long, String)]
+    val q2 = Streams.upsertSink(
+      input2.toDF().toDF("k", "seq", "v"), tbl, ckpt2,
+      keyCol = "k", orderCol = "seq")
+    input2.addData((7L, 1L, "q"))
+    val e2 = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    assert(e2.getMessage.contains("owned by"), e2.getMessage)
+
+    // deleting the marker hands ownership over: the SQL MERGE commits
+    assert(new java.io.File(tbl, "_WRITER").delete())
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM own_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val state = spark.read.parquet(Streams.currentSnapshot(tbl).get)
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a", 2L -> "b", 5L -> "x"), state.toString)
+  }
+
   test("streaming upsert sink: snapshots accumulate CDC state exactly") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

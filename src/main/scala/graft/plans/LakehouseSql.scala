@@ -43,6 +43,7 @@ import graft.ops.{Layout, Upsert}
   * CLONE '<src>' TO '<dst>'
   * DESCRIBE HISTORY '<tableDir>'
   * RESTORE '<tableDir>' TO VERSION <n>
+  * CONVERT '<snapshotDir>' TO VERSIONED '<tableDir>'
   * }}}
   * `RESTORE` follows Delta semantics: the restored state lands as a
   * NEW version (hard-linked clone of the target snapshot) and
@@ -68,6 +69,8 @@ object LakehouseSql {
     """(?is)^\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*$""".r
   private val history =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*$""".r
+  private val convert =
+    """(?is)^\s*CONVERT\s+'([^']+)'\s+TO\s+VERSIONED\s+'([^']+)'\s*;?\s*$""".r
   private val restore =
     """(?is)^\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*$""".r
   // a MERGE/DELETE that LOOKS like ours but doesn't match the grammar
@@ -90,6 +93,7 @@ object LakehouseSql {
     case cloneRe(src, dst) => Some(GraftCloneCommand(src, dst))
     case history(dir) => Some(GraftHistoryCommand(dir))
     case restore(dir, v) => Some(GraftRestoreCommand(dir, v.toLong))
+    case convert(src, dst) => Some(GraftConvertCommand(src, dst))
     case t if mergeish.matches(t) || deleteish.matches(t) =>
       throw new IllegalArgumentException(
         "graft lakehouse statement didn't match the supported grammar — " +
@@ -344,6 +348,33 @@ case class GraftRestoreCommand(tableDir: String, version: Long)
     val n = Upsert.cloneSnapshot(spark, s"$tableDir/v$version", s"$tableDir/v$next")
     LakehouseSql.publishOrAbort(tableDir, base, next, "RESTORE")
     Seq(Row(version, next, n.toLong))
+  }
+}
+
+/** `CONVERT '<src>' TO VERSIONED '<dst>'` — the CONVERT-TO-DELTA
+  * analog: lift an existing plain parquet snapshot into the versioned
+  * layout (`<dst>/v0` as a hard-linked clone, sidecars carried,
+  * `CURRENT → v0`), from where MERGE/DELETE/RESTORE/time travel all
+  * work. The SOURCE is never mutated (snapshots are immutable); a
+  * pre-existing destination refuses rather than overwrites. */
+case class GraftConvertCommand(srcPath: String, dstPath: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    LakehouseSql.longAttrs("files_linked", "version")
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(!new java.io.File(s"$srcPath/CURRENT").exists,
+      s"CONVERT: '$srcPath' is already a versioned table")
+    require(!new java.io.File(dstPath).exists,
+      s"CONVERT: destination '$dstPath' already exists — refusing to overwrite")
+    val n = Upsert.cloneSnapshot(spark, srcPath, s"$dstPath/v0")
+    val tmp = new java.io.File(s"$dstPath/CURRENT.tmp")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try w.print("v0") finally w.close()
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(s"$dstPath/CURRENT").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Seq(Row(n.toLong, 0L))
   }
 }
 

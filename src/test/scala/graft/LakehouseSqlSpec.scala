@@ -161,6 +161,40 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not found"), e.getMessage)
   }
 
+  test("CONVERT TO VERSIONED lifts a plain snapshot; verbs work on the result") {
+    import spark.implicits._
+    val src = s"$base/conv_src"; val dst = s"$base/conv_dst"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(src))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dst))
+    spark.range(300).select($"id".as("k"), $"id".as("v"))
+      .write.mode("overwrite").parquet(src)
+    val conv = spark.sql(s"CONVERT '$src' TO VERSIONED '$dst'").collect()(0)
+    assert(conv.getLong(0) >= 1 && conv.getLong(1) == 0L)
+    assert(graft.streaming.Streams.currentSnapshot(dst).get.endsWith("/v0"))
+
+    // the full verb set works on the converted table
+    spark.sql("SELECT CAST(5 AS BIGINT) AS k, CAST(-5 AS BIGINT) AS v")
+      .createOrReplaceTempView("conv_upd")
+    spark.sql(
+      s"""MERGE INTO '$dst' USING (SELECT * FROM conv_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(spark.sql(s"SELECT v FROM graft_table('$dst') WHERE k = 5")
+      .collect()(0).getLong(0) == -5L)
+    // source untouched
+    assert(spark.read.parquet(src).filter($"v" === -5L).count() == 0)
+
+    // refusals: already-versioned source, pre-existing destination
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"CONVERT '$dst' TO VERSIONED '$base/conv_x'")
+    }
+    assert(e1.getMessage.contains("already a versioned table"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"CONVERT '$src' TO VERSIONED '$dst'")
+    }
+    assert(e2.getMessage.contains("refusing to overwrite"), e2.getMessage)
+  }
+
   test("optimistic concurrency: disjoint claims, first committer wins, loser discards") {
     import spark.implicits._
     import graft.plans.LakehouseSql

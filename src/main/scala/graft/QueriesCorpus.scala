@@ -923,6 +923,28 @@ object QueriesCorpus {
         Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
   }
 
+  // The versioned-verb gates MUTATE their table (each run appends
+  // commits), so the TABLE is rebuilt fresh per run — but the parquet
+  // SEED is immutable and marker-cached: rebuild = hard-linked clone
+  // (O(files) metadata ops), not a re-sort of orders.
+  private def stageVersionedOrders(
+      s: SparkSession, dir: String, base: String): String = {
+    val seed = s"$base/seed"; val tbl = s"$base/table"
+    val marker = new java.io.File(s"$base/SEED_STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(seed)
+      writeStageMarker(marker, dir, "orders")
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    graft.ops.Upsert.cloneSnapshot(s, seed, s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+    tbl
+  }
+
   // --- SQL RESTORE / DESCRIBE HISTORY (plans.LakehouseSql): stage
   //     orders as a VERSIONED table (v0 + CURRENT), MERGE a mutation
   //     batch (commits v1, swaps CURRENT), then RESTORE TO VERSION 0 —
@@ -931,18 +953,10 @@ object QueriesCorpus {
   //     post-restore CURRENT snapshot against the PRISTINE orders
   //     oracle, so it passes only if the restore truly reverted the
   //     mutations; DESCRIBE HISTORY invariants are require()d inline.
-  //     No staging marker: the verb chain MUTATES the table (each run
-  //     appends commits), so staging is fresh per run.
+  //     Table rebuilt per run from the cached seed (stageVersionedOrders).
   private def sqlRestore(s: SparkSession, dir: String): DataFrame = {
     val base = bktBase(dir) + "_sqlrestore"
-    val tbl = s"$base/table"
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
-    Tables.orders(s, dir)
-      .repartitionByRange(16, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .write.mode("overwrite").parquet(s"$tbl/v0")
-    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
-    try w.print("v0") finally w.close()
+    val tbl = stageVersionedOrders(s, dir, base)
     val orders = s.read.parquet(s"$tbl/v0")
     val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 4
     orders.filter(col("o_orderkey") <= cut)
@@ -980,14 +994,7 @@ object QueriesCorpus {
   //     different inline).
   private def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
     val base = bktBase(dir) + "_sqltt"
-    val tbl = s"$base/table"
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
-    Tables.orders(s, dir)
-      .repartitionByRange(16, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .write.mode("overwrite").parquet(s"$tbl/v0")
-    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
-    try w.print("v0") finally w.close()
+    val tbl = stageVersionedOrders(s, dir, base)
     val orders = s.read.parquet(s"$tbl/v0")
     val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 4
     orders.filter(col("o_orderkey") <= cut)

@@ -239,6 +239,70 @@ class LakehouseSqlSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 3)
   }
 
+  test("optimistic concurrency under real thread contention: no lost or corrupt commits") {
+    import spark.implicits._
+    val tbl = s"$base/occ_threads"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(1000).select($"id".as("k"), lit(0L).as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+
+    // 4 writers x 4 attempts each, all MERGEing disjoint key slices of
+    // one table with no external coordination. Invariants that must
+    // hold REGARDLESS of interleaving: every attempt either commits or
+    // refuses with the concurrent-commit error (nothing else), the
+    // version chain has exactly one snapshot per win, and the final
+    // state equals v0 with each winning merge's slice applied
+    // (committed work is never lost, refused work leaves no trace).
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val committed =
+      java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = for (t <- 0 until 4; i <- 0 until 4) yield {
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val view = s"occ_mt_${t}_$i"
+          // slice [t*250 + i*50, +50): disjoint across all (t, i)
+          spark.range(t * 250 + i * 50, t * 250 + i * 50 + 50)
+            .select($"id".as("k"), lit(t * 100L + i + 1L).as("v"))
+            .createOrReplaceTempView(view)
+          try {
+            spark.sql(
+              s"""MERGE INTO '$tbl' USING (SELECT * FROM $view) ON k
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+            wins.incrementAndGet(); committed.add((t, i)); ()
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("concurrent commit") =>
+              losses.incrementAndGet(); ()
+          }
+        }
+      })
+    }
+    tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+
+    assert(wins.get + losses.get == 16, s"wins=$wins losses=$losses")
+    assert(wins.get >= 1)
+    // one snapshot per win, CURRENT at the head of the chain
+    val versions = Upsert.snapshotVersions(tbl)
+    assert(versions.size == wins.get + 1, s"versions=$versions wins=$wins")
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get
+      .endsWith(s"/v${versions.max}"))
+    // final state = v0 + exactly the winning slices
+    val cur = spark.read.parquet(graft.streaming.Streams.currentSnapshot(tbl).get)
+    assert(cur.count() == 1000)
+    val got = cur.filter($"v" =!= 0L).select($"v").distinct()
+      .as[Long].collect().toSet
+    val want = committed.toArray.map { case (t: Int, i: Int) => t * 100L + i + 1L }.toSet
+    assert(got == want, s"committed slices $want but read back $got")
+  }
+
   test("near-miss grammar fails loudly; ordinary SQL delegates untouched") {
     // quoted-path MERGE that doesn't match the full grammar → our error,
     // not Spark's catalog error

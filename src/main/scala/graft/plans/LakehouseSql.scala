@@ -318,8 +318,14 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
       .map(_.split('/').last)
     versions.map { v =>
       val files = Layout.listDataFiles(spark, s"$tableDir/v$v")
-      val bytes = files.map(f => new java.io.File(
-        new org.apache.hadoop.fs.Path(f).toUri.getPath).length).sum
+      // Hadoop FS for sizes (not java.io): history must answer for
+      // hdfs/s3a-addressed tables too, and a claimed-but-unpublished
+      // version legitimately lists zero files
+      val bytes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      }.sum
       Row(v, files.size.toLong, bytes, cur.contains(s"v$v"))
     }
   }

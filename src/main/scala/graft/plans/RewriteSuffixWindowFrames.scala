@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
 /** Optimizer rule: rewrite SUFFIX window frames
-  * (`ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING`) into RUNNING
-  * frames over the REVERSED sort order.
+  * (`ROWS BETWEEN <x> AND UNBOUNDED FOLLOWING` for any row lower
+  * bound, and the no-offset RANGE form) into RUNNING frames over the
+  * REVERSED sort order.
   *
   * Why this matters at scale: Spark evaluates an unbounded-FOLLOWING
   * frame by re-scanning from each row to the partition end —
@@ -45,10 +46,32 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
   */
 object RewriteSuffixWindowFrames extends Rule[LogicalPlan] {
 
-  private val suffixFrame =
-    SpecifiedWindowFrame(RowFrame, CurrentRow, UnboundedFollowing)
-  private val runningFrame =
-    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+  /** The frame evaluated over the reversed order that covers the SAME
+    * row set, if one exists. Any `... AND UNBOUNDED FOLLOWING` frame
+    * hits Spark's O(n²) suffix evaluator, and every ROW-frame lower
+    * bound negates cleanly under order reversal:
+    * `[x FOLLOWING, ∞)` ≡ reversed `(-∞, x PRECEDING]` (CurrentRow is
+    * its own negation; an integer offset flips sign). A RANGE suffix
+    * frame reverses only in the no-offset form — peer sets are
+    * direction-symmetric but offset range bounds are VALUE arithmetic,
+    * which does not reverse. A frame whose lower bound is already
+    * UNBOUNDED PRECEDING is the whole partition — O(n) in Spark,
+    * nothing to fix. */
+  private def flipFrame(f: WindowFrame): Option[SpecifiedWindowFrame] = f match {
+    case SpecifiedWindowFrame(RowFrame, lower, UnboundedFollowing) =>
+      lower match {
+        case CurrentRow =>
+          Some(SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+        case Literal(v: Int, dt) =>
+          Some(SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-v, dt)))
+        case Literal(v: Long, dt) =>
+          Some(SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-v, dt)))
+        case _ => None
+      }
+    case SpecifiedWindowFrame(RangeFrame, CurrentRow, UnboundedFollowing) =>
+      Some(SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow))
+    case _ => None
+  }
 
   private def reverse(so: SortOrder): SortOrder = {
     val dir = so.direction match {
@@ -78,8 +101,8 @@ object RewriteSuffixWindowFrames extends Rule[LogicalPlan] {
 
   private def rewritable(ne: NamedExpression): Boolean = ne match {
     case Alias(WindowExpression(ae: AggregateExpression,
-        WindowSpecDefinition(_, _, `suffixFrame`)), _) =>
-      flip(ae.aggregateFunction).isDefined
+        WindowSpecDefinition(_, _, frame)), _) =>
+      flipFrame(frame).isDefined && flip(ae.aggregateFunction).isDefined
     case _ => false
   }
 
@@ -87,12 +110,12 @@ object RewriteSuffixWindowFrames extends Rule[LogicalPlan] {
     * twin, preserving the alias exprId so parents re-resolve. */
   private def toRunning(ne: NamedExpression): NamedExpression = ne match {
     case a @ Alias(WindowExpression(ae: AggregateExpression,
-        spec @ WindowSpecDefinition(_, specOrder, _)), name) =>
+        spec @ WindowSpecDefinition(_, specOrder, frame)), name) =>
       val flipped = ae.copy(aggregateFunction = flip(ae.aggregateFunction).get)
       Alias(
         WindowExpression(flipped,
           spec.copy(orderSpec = specOrder.map(reverse),
-            frameSpecification = runningFrame)),
+            frameSpecification = flipFrame(frame).get)),
         name)(a.exprId, a.qualifier, a.explicitMetadata,
           a.nonInheritableMetadataKeys)
     case other => other // unreachable: callers filter by rewritable

@@ -57,6 +57,55 @@ class SuffixWindowRuleSpec extends AnyFunSuite {
       ("b", 1, 9, 3L), ("b", 2, 9, 2L), ("b", 3, 9, 1L)))
   }
 
+  test("offset suffix frames flip too (ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)") {
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val out = fixture
+      .withColumn("m", min(col("v")).over(w))
+      .withColumn("f", first(col("v"), ignoreNulls = true).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("unboundedfollowing$"),
+      s"offset suffix frame survived optimization:\n$optimized")
+    // frame EXCLUDES the current row; at each partition's last row it
+    // is empty (null aggregates, count 0) — same set either direction
+    val got = out.orderBy("k", "t").collect().map(r => (
+      r.getString(0), r.getInt(1),
+      if (r.isNullAt(3)) -1 else r.getInt(3),
+      if (r.isNullAt(4)) -1 else r.getInt(4),
+      r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", 1, 20, 20, 3L), ("a", 2, 40, 40, 2L), ("a", 3, 40, 40, 1L),
+      ("a", 4, -1, -1, 0L),
+      ("b", 1, 9, 9, 2L), ("b", 2, 9, 9, 1L), ("b", 3, -1, -1, 0L)))
+  }
+
+  test("no-offset RANGE suffix frames flip; peer ties included on both sides") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 10), ("a", 2, 20), ("a", 2, 21), ("a", 3, 30))
+      .toDF("k", "t", "v")
+    val w = Window.partitionBy("k").orderBy("t")
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val out = df.withColumn("m", min(col("v")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("unboundedfollowing$"),
+      s"range suffix frame survived optimization:\n$optimized")
+    val got = out.orderBy("t", "v").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // at t=2 the frame starts at the FIRST t=2 peer for both peers
+    assert(got.toSeq == Seq(
+      (1, 10, 10, 4L), (2, 20, 20, 3L), (2, 21, 20, 3L), (3, 30, 30, 1L)))
+  }
+
+  test("offset RANGE suffix frames keep their frame (value bounds do not reverse)") {
+    val w = Window.partitionBy("k").orderBy("t")
+      .rangeBetween(1, Window.unboundedFollowing)
+    val out = fixture.withColumn("m", min(col("v")).over(w))
+    assert(out.queryExecution.optimizedPlan.toString.contains("unboundedfollowing$"),
+      "offset range frame must not rewrite")
+  }
+
   test("a node with a non-rewritable expression is left as written") {
     val w = Window.partitionBy("k").orderBy("t")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)

@@ -159,7 +159,7 @@ object LakehouseSql {
     var next = -1L
     var claimed = false
     while (!claimed) {
-      next = Upsert.snapshotVersions(tablePath).max + 1
+      next = Upsert.snapshotVersions(tablePath).maxOption.getOrElse(-1L) + 1
       claimed =
         try {
           java.nio.file.Files.createDirectory(

@@ -719,4 +719,50 @@ object Upsert {
     }
     deleted
   }
+
+  /** Time-based retention ([[vacuum]]'s count-based twin — the shape
+    * production tables actually run, Delta's `RETAIN n HOURS`):
+    * reclaim snapshot versions whose directory mtime is older than
+    * `maxAgeMs`. Age alone never suffices to delete — the CURRENT
+    * version and the newest `keepAtLeast` versions survive regardless
+    * (an idle table must not vacuum itself to nothing), and `_cdf`
+    * retention rides the surviving snapshot set exactly as in
+    * [[vacuum]]. Hard links make this cheap: an old version whose
+    * files all live on in later snapshots frees only metadata.
+    *
+    * @return versions verifiably deleted */
+  def vacuumOlderThan(
+      tableDir: String, maxAgeMs: Long, keepAtLeast: Int = 1): Seq[Long] = {
+    require(keepAtLeast >= 1, "must keep at least one snapshot")
+    val versions = snapshotVersions(tableDir)
+    val current = {
+      val cur = new java.io.File(s"$tableDir/CURRENT")
+      if (!cur.exists) None
+      else {
+        val src = scala.io.Source.fromFile(cur)
+        val v = try src.mkString.trim finally src.close()
+        Some(v.drop(1).toLong)
+      }
+    }
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val protectedNewest = versions.takeRight(keepAtLeast).toSet
+    val drop = versions
+      .filterNot(protectedNewest)
+      .filterNot(current.contains)
+      .filter(v => new java.io.File(s"$tableDir/v$v").lastModified() < cutoff)
+    val deleted = drop.filter { v =>
+      val d = new java.io.File(s"$tableDir/v$v")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(d)
+      !d.exists
+    }
+    val cdfRoot = new java.io.File(s"$tableDir/_cdf")
+    if (cdfRoot.isDirectory) {
+      val oldestKept = snapshotVersions(tableDir).headOption.getOrElse(Long.MaxValue)
+      Option(cdfRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .filter(_.getName.drop(1).toLong < oldestKept)
+        .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
+    }
+    deleted
+  }
 }

@@ -39,6 +39,7 @@ import graft.ops.{Layout, Upsert}
   *   WHEN NOT MATCHED THEN INSERT *              [INTO '<outPath>']
   * DELETE FROM '<table>' WHERE <keyCol> IN (<query>)  [INTO '<outPath>']
   * VACUUM '<tableDir>' RETAIN <n> SNAPSHOTS
+  * VACUUM '<tableDir>' OLDER THAN <n> HOURS
   * OPTIMIZE '<table>' BY <sortCol> [TARGET <mb> MB]   INTO '<outPath>'
   * CLONE '<src>' TO '<dst>'
   * DESCRIBE HISTORY '<tableDir>'
@@ -63,6 +64,8 @@ object LakehouseSql {
     """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+([\w.]+)\s+IN\s+\((.*)\)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
   private val vacuum =
     """(?is)^\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+SNAPSHOTS?\s*;?\s*$""".r
+  private val vacuumAge =
+    """(?is)^\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+)\s+HOURS?\s*;?\s*$""".r
   private val optimize =
     """(?is)^\s*OPTIMIZE\s+'([^']+)'\s+BY\s+([\w.]+)\s*(?:TARGET\s+(\d+)\s+MB)?\s+INTO\s+'([^']+)'\s*;?\s*$""".r
   private val cloneRe =
@@ -87,6 +90,8 @@ object LakehouseSql {
       Some(GraftDeleteCommand(tbl, Option(out), key, src))
     case vacuum(dir, keep) =>
       Some(GraftVacuumCommand(dir, keep.toInt))
+    case vacuumAge(dir, hours) =>
+      Some(GraftVacuumAgeCommand(dir, hours.toLong))
     case optimize(tbl, sortCol, mb, out) =>
       Some(GraftOptimizeCommand(tbl, out, sortCol,
         Option(mb).map(_.toLong << 20).getOrElse(128L << 20)))
@@ -273,6 +278,17 @@ case class GraftVacuumCommand(tableDir: String, keep: Int)
     AttributeReference("versions_deleted", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Upsert.vacuum(tableDir, keep).mkString(",")))
+}
+
+/** `VACUUM ... OLDER THAN n HOURS` — time-based retention
+  * ([[graft.ops.Upsert.vacuumOlderThan]]): CURRENT and the newest
+  * snapshot always survive regardless of age. */
+case class GraftVacuumAgeCommand(tableDir: String, hours: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("versions_deleted", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Upsert.vacuumOlderThan(tableDir, hours * 3600L * 1000L).mkString(",")))
 }
 
 /** `OPTIMIZE ... BY col INTO ...` lowered onto

@@ -161,6 +161,31 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not found"), e.getMessage)
   }
 
+  test("VACUUM OLDER THAN: age-based reclaim; CURRENT and newest survive any age") {
+    import spark.implicits._
+    val tbl = s"$base/vage"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    for (v <- 0 to 3)
+      spark.range(10).toDF("k").write.parquet(s"$tbl/v$v")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v1") finally w.close() // current is NOT the newest
+    // backdate v0..v2 a week; v3 (the newest) stays fresh
+    val weekAgo = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    for (v <- 0 to 2)
+      assert(new java.io.File(s"$tbl/v$v").setLastModified(weekAgo))
+
+    val del = spark.sql(s"VACUUM '$tbl' OLDER THAN 24 HOURS").collect()(0)
+    // v0 and v2 are old and unprotected; v1 survives as CURRENT
+    // despite its age; v3 survives as the newest
+    assert(del.getString(0) == "0,2", del.getString(0))
+    assert(Upsert.snapshotVersions(tbl) == Seq(1L, 3L))
+    assert(spark.read.parquet(s"$tbl/v1").count() == 10)
+
+    // nothing is younger than the cutoff now — a re-run deletes nothing
+    assert(spark.sql(s"VACUUM '$tbl' OLDER THAN 24 HOURS")
+      .collect()(0).getString(0) == "")
+  }
+
   test("CONVERT TO VERSIONED lifts a plain snapshot; verbs work on the result") {
     import spark.implicits._
     val src = s"$base/conv_src"; val dst = s"$base/conv_dst"

@@ -40,7 +40,7 @@ import graft.ops.{Layout, Upsert}
   * DELETE FROM '<table>' WHERE <keyCol> IN (<query>)  [INTO '<outPath>']
   * VACUUM '<tableDir>' RETAIN <n> SNAPSHOTS
   * VACUUM '<tableDir>' OLDER THAN <n> HOURS
-  * OPTIMIZE '<table>' BY <sortCol> [TARGET <mb> MB]   INTO '<outPath>'
+  * OPTIMIZE '<table>' BY <sortCol> [TARGET <mb> MB]  [INTO '<outPath>']
   * CLONE '<src>' TO '<dst>'
   * DESCRIBE HISTORY '<tableDir>'
   * RESTORE '<tableDir>' TO VERSION <n>
@@ -67,7 +67,7 @@ object LakehouseSql {
   private val vacuumAge =
     """(?is)^\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+)\s+HOURS?\s*;?\s*$""".r
   private val optimize =
-    """(?is)^\s*OPTIMIZE\s+'([^']+)'\s+BY\s+([\w.]+)\s*(?:TARGET\s+(\d+)\s+MB)?\s+INTO\s+'([^']+)'\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+'([^']+)'\s+BY\s+([\w.]+)\s*(?:TARGET\s+(\d+)\s+MB)?\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
   private val cloneRe =
     """(?is)^\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*$""".r
   private val history =
@@ -93,7 +93,7 @@ object LakehouseSql {
     case vacuumAge(dir, hours) =>
       Some(GraftVacuumAgeCommand(dir, hours.toLong))
     case optimize(tbl, sortCol, mb, out) =>
-      Some(GraftOptimizeCommand(tbl, out, sortCol,
+      Some(GraftOptimizeCommand(tbl, Option(out), sortCol,
         Option(mb).map(_.toLong << 20).getOrElse(128L << 20)))
     case cloneRe(src, dst) => Some(GraftCloneCommand(src, dst))
     case history(dir) => Some(GraftHistoryCommand(dir))
@@ -291,16 +291,53 @@ case class GraftVacuumAgeCommand(tableDir: String, hours: Long)
     Seq(Row(Upsert.vacuumOlderThan(tableDir, hours * 3600L * 1000L).mkString(",")))
 }
 
-/** `OPTIMIZE ... BY col INTO ...` lowered onto
+/** `OPTIMIZE ... BY col [INTO ...]` lowered onto
   * [[graft.ops.Layout.optimizeTable]] (re-cluster into disjoint key
-  * ranges; revives manifest/min-max pruning). */
+  * ranges; revives manifest/min-max pruning). On a versioned table the
+  * optimized layout commits as the next version (Delta's in-place
+  * OPTIMIZE shape); a plain snapshot needs an explicit `INTO`. */
 case class GraftOptimizeCommand(
-    inPath: String, outPath: String, sortCol: String, targetBytes: Long)
+    inPath: String, explicitOut: Option[String], sortCol: String,
+    targetBytes: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_in", "files_out", "bytes")
   override def run(spark: SparkSession): Seq[Row] = {
-    val (i, o, b) = Layout.optimizeTable(spark, inPath, outPath, sortCol, targetBytes)
+    // a VERSIONED table commits the optimized layout as the next
+    // version (Delta's OPTIMIZE shape) through the same claim + CAS
+    // protocol as the DML verbs; a plain snapshot still needs INTO.
+    // A deletion-vector sidecar must not ride along: optimizeTable
+    // reads data files only, so the rewritten layout would silently
+    // DROP the _dv and resurrect soft-deleted rows — refuse with the
+    // fold named (compactDeletes both deletes and compacts).
+    // DV check BEFORE resolveCow: refusing after the claim would
+    // leave an orphan v<id> behind on every refusal
+    val readPath = graft.streaming.Streams.currentSnapshot(inPath)
+      .getOrElse(inPath)
+    require(!new java.io.File(s"$readPath/_dv/_SUCCESS").exists,
+      s"OPTIMIZE: '$readPath' carries a deletion-vector sidecar — run " +
+        "Upsert.compactDeletes first (it deletes AND compacts)")
+    val (src, out, publish) =
+      LakehouseSql.resolveCow(inPath, explicitOut, "OPTIMIZE")
+    val (i, o, b) =
+      if (explicitOut.isDefined)
+        Layout.optimizeTable(spark, src, out, sortCol, targetBytes)
+      else {
+        // Spark's overwrite delete-recreates the output dir, which
+        // would reopen the claimed-version race window — write beside
+        // the claim and move files in (the claimed dir itself is
+        // never deleted). The `.inprogress` suffix keeps the tmp
+        // invisible to snapshotVersions' `v<id>` match.
+        val tmp = s"$out.inprogress"
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+        val r = Layout.optimizeTable(spark, src, tmp, sortCol, targetBytes)
+        val dst = new java.io.File(out)
+        for (f <- Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty))
+          java.nio.file.Files.move(f.toPath, new java.io.File(dst, f.getName).toPath)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+        r
+      }
+    publish()
     Seq(Row(i.toLong, o.toLong, b))
   }
 }

@@ -328,6 +328,53 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(got == want, s"committed slices $want but read back $got")
   }
 
+  test("OPTIMIZE on a versioned table commits in place; DV-carrying input refuses") {
+    import spark.implicits._
+    val tbl = s"$base/opt_versioned"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    // a fragmented v0: many small files with overlapping key ranges
+    spark.range(2000).select($"id".as("k"), $"id".as("v"))
+      .repartition(8).write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+
+    val opt = spark.sql(s"OPTIMIZE '$tbl' BY k TARGET 64 MB").collect()(0)
+    assert(opt.getLong(0) == 8, s"files_in: $opt")
+    assert(opt.getLong(1) == 1, s"files_out: $opt")
+    // committed as v1, CURRENT swapped, data identical
+    assert(graft.ops.Upsert.snapshotVersions(tbl) == Seq(0L, 1L))
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v1"))
+    val cur = spark.read.parquet(s"$tbl/v1")
+    assert(cur.count() == 2000)
+    assert(cur.agg(sum($"v")).head.getLong(0) == 1999L * 2000 / 2)
+    // no .inprogress residue, no unclaimed dirs
+    assert(!new java.io.File(s"$tbl/v1.inprogress").exists)
+
+    // a versioned table refuses INTO (same contract as MERGE/DELETE)
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE '$tbl' BY k INTO '$base/opt_elsewhere'")
+    }
+    assert(e1.getMessage.contains("versioned table"), e1.getMessage)
+
+    // a DV-carrying current snapshot refuses BEFORE claiming a version
+    val dvSrc = s"$base/opt_dv_src"; val dvTbl = s"$base/opt_dv"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dvSrc))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dvTbl))
+    spark.range(500).select($"id".as("k"), $"id".as("v"))
+      .write.mode("overwrite").parquet(dvSrc)
+    spark.sql(s"CONVERT '$dvSrc' TO VERSIONED '$dvTbl'").collect()
+    graft.ops.Upsert.deleteByKeyDV(spark, s"$dvTbl/v0", s"$dvTbl/v1",
+      spark.range(0, 50).toDF("k"), "k")
+    val cw = new java.io.PrintWriter(s"$dvTbl/CURRENT", "UTF-8")
+    try cw.print("v1") finally cw.close()
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE '$dvTbl' BY k")
+    }
+    assert(e2.getMessage.contains("deletion-vector"), e2.getMessage)
+    // the refusal claimed nothing — the version chain is untouched
+    assert(graft.ops.Upsert.snapshotVersions(dvTbl) == Seq(0L, 1L))
+  }
+
   test("near-miss grammar fails loudly; ordinary SQL delegates untouched") {
     // quoted-path MERGE that doesn't match the full grammar → our error,
     // not Spark's catalog error

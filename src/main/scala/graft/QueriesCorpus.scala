@@ -1016,6 +1016,77 @@ object QueriesCorpus {
     asOf0
   }
 
+  // --- SQL OPTIMIZE, in place on a versioned table: stage a
+  //     FRAGMENTED v0 (round-robin layout — overlapping key ranges,
+  //     min/max pruning dead), then `OPTIMIZE BY o_orderkey` with NO
+  //     INTO: the re-clustered layout must commit as v1 through the
+  //     same claim + CAS protocol as MERGE, swap CURRENT, and change
+  //     no row (oracle: the pristine orders aggregate). VACUUM RETAIN
+  //     1 then reclaims v0 — layout maintenance end-to-end in SQL.
+  private def sqlOptimize(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_sqlopt"
+    val seed = s"$base/seed"; val tbl = s"$base/table"
+    val marker = new java.io.File(s"$base/SEED_STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir).repartition(16)
+        .write.mode("overwrite").parquet(seed)
+      writeStageMarker(marker, dir, "orders")
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    graft.ops.Upsert.cloneSnapshot(s, seed, s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+
+    val opt = s.sql(s"OPTIMIZE '$tbl' BY o_orderkey TARGET 64 MB").collect()(0)
+    require(opt.getLong(0) == 16 && opt.getLong(1) < 16,
+      s"optimize must compact the fragmented layout: $opt")
+    require(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v1"),
+      "optimize must commit v1 and swap CURRENT")
+    val vac = s.sql(s"VACUUM '$tbl' RETAIN 1 SNAPSHOTS").collect()(0)
+    require(vac.getString(0) == "0", s"vacuum must reclaim v0: $vac")
+    s.read.parquet(s"$tbl/v1")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  // --- SQL CONVERT + versioned DELETE: lift a plain snapshot into
+  //     the versioned layout (`CONVERT ... TO VERSIONED` — the
+  //     CONVERT-TO-DELTA analog), then DELETE FROM with NO INTO —
+  //     the delete lands as v1 via the commit protocol. Oracle:
+  //     q_delete's surviving-rows aggregate, so the gate passes only
+  //     if conversion preserved every row AND the versioned delete
+  //     removed exactly the requested slice.
+  private def sqlConvert(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_sqlconv"
+    val seed = s"$base/seed"; val tbl = s"$base/table"
+    val marker = new java.io.File(s"$base/SEED_STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(seed)
+      writeStageMarker(marker, dir, "orders")
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    s.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
+    val cut = s.read.parquet(seed)
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val stats = s.sql(
+      s"""DELETE FROM '$tbl'
+         |WHERE o_orderkey IN
+         |  (SELECT o_orderkey FROM parquet.`$seed` WHERE o_orderkey <= $cut)"""
+        .stripMargin).collect()(0)
+    require(stats.getLong(0) > 0 && stats.getLong(1) > 0,
+      s"versioned DELETE must split copy/rewrite: $stats")
+    val cur = graft.streaming.Streams.currentSnapshot(tbl).get
+    require(cur.endsWith("/v1"), s"versioned DELETE must commit v1, got $cur")
+    s.read.parquet(cur)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
   // --- bloom-manifest point-lookup pruning (ops.Layout.bloomManifest /
   //     readBloomPruned): the staged copy is UNCLUSTERED (round-robin),
   //     so min/max stats prune nothing — the per-file bloom still skips
@@ -1438,6 +1509,8 @@ object QueriesCorpus {
     "q_sql_delete" -> (sqlDelete _),
     "q_sql_restore" -> (sqlRestore _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
+    "q_sql_optimize" -> (sqlOptimize _),
+    "q_sql_convert" -> (sqlConvert _),
     "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
     "q_sql_functions" -> (sqlFunctions _),
@@ -1481,6 +1554,8 @@ object QueriesCorpus {
     "q_sql_delete" -> deleteSql,
     "q_sql_restore" -> sqlRestoreSql,
     "q_sql_time_travel" -> sqlRestoreSql,
+    "q_sql_optimize" -> sqlRestoreSql,
+    "q_sql_convert" -> deleteSql,
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,

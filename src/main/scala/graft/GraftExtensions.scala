@@ -36,9 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((
       new FunctionIdentifier("graft_table"),
       new ExpressionInfo(classOf[GraftExtensions].getName, null, "graft_table",
-        "graft_table(dir[, version]) - read a graft COW table from SQL: " +
-          "CURRENT snapshot by default, VERSION AS OF with the second " +
-          "argument; deletion-vector sidecars are honored", ""),
+        "graft_table(dir[, version | 'timestamp']) - read a graft COW " +
+          "table from SQL: CURRENT snapshot by default, VERSION AS OF " +
+          "with an integer second argument, TIMESTAMP AS OF with a " +
+          "timestamp string; deletion-vector sidecars are honored", ""),
       (children: Seq[Expression]) => {
         require(children.nonEmpty && children.length <= 2,
           "graft_table takes (dir) or (dir, version)")
@@ -53,8 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Some(e) =>
             val v = litVal(e, "version") match {
               case n: java.lang.Number => n.longValue()
+              // a string second argument is TIMESTAMP AS OF: resolve
+              // through the _commitinfo audit stamps (newest version
+              // committed at or before the instant)
+              case s: org.apache.spark.unsafe.types.UTF8String =>
+                graft.ops.Upsert.versionAsOfTimestamp(
+                  dir, graft.plans.LakehouseSql.parseTsMillis(s.toString))
               case other => throw new IllegalArgumentException(
-                s"graft_table: version must be an integer literal, got $other")
+                s"graft_table: second argument must be an integer version " +
+                  s"or a timestamp string literal, got $other")
             }
             val d = new java.io.File(s"$dir/v$v")
             require(d.isDirectory,

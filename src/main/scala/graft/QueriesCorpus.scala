@@ -973,6 +973,11 @@ object QueriesCorpus {
     require(hist.length == 3 && hist.count(_.getBoolean(3)) == 1 &&
       hist.find(_.getBoolean(3)).exists(_.getLong(0) == 2L),
       s"history must keep all 3 commits with v2 current: ${hist.mkString(",")}")
+    // the _commitinfo audit trail: v1 stamped by the MERGE, v2 by the
+    // RESTORE (v0 is hand-staged — pre-audit, null operation)
+    require(hist.sortBy(_.getLong(0)).map(_.getString(4)).toSeq ==
+      Seq(null, "MERGE", "RESTORE"),
+      s"history operations: ${hist.map(_.getString(4)).mkString(",")}")
     val cur = graft.streaming.Streams.currentSnapshot(tbl).get
     s.read.parquet(cur)
       .groupBy(col("o_orderstatus"))

@@ -232,6 +232,8 @@ object Upsert {
       if (parts <= merged.rdd.getNumPartitions) merged.coalesce(parts)
       else merged.repartition(parts)
     sized.write.mode("overwrite").parquet(dvDir(outPath))
+    writeCommitInfo(outPath, "DELETE_DV", Seq(
+      "files_linked" -> all.size.toLong, "dv_keys" -> n))
     (all.size, n)
   }
 
@@ -282,7 +284,13 @@ object Upsert {
       s"compactDeletes: no deletion vector under $tablePath")
     val keys = spark.read.parquet(dv.toString)
     val keyCol = keys.schema.fieldNames.head
-    deleteByKey(spark, tablePath, outPath, keys, keyCol)
+    val (c, r, n) = deleteByKey(spark, tablePath, outPath, keys, keyCol)
+    // re-stamp over deleteByKey's: the audit row should name the verb
+    // the USER ran
+    writeCommitInfo(outPath, "COMPACT_DELETES", Seq(
+      "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
+      "dv_keys_folded" -> n))
+    (c, r, n)
   }
 
   /** Past this many keys in one commit batch the evict anti-join stops
@@ -516,6 +524,9 @@ object Upsert {
       evictKeys = updates.select(col(keyCol)), append = Some(updates),
       keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution,
       nKeysHint = nUp)
+    writeCommitInfo(outPath, "MERGE", Seq(
+      "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
+      "rows_merged" -> nUp))
     (c, r, nUp)
   }
 
@@ -532,6 +543,9 @@ object Upsert {
     val (c, r) = commit(spark, tablePath, outPath,
       evictKeys = keys.select(col(keyCol)), append = None,
       keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = n)
+    writeCommitInfo(outPath, "DELETE", Seq(
+      "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
+      "keys_requested" -> n))
     (c, r, n)
   }
 
@@ -553,6 +567,9 @@ object Upsert {
       evictKeys = batch.select(col(keyCol)), append = Some(upserts),
       keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution,
       nKeysHint = nUp + nDel)
+    writeCommitInfo(outPath, "CDC", Seq(
+      "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
+      "rows_upserted" -> nUp, "rows_deleted" -> nDel))
     (c, r, nUp, nDel)
   }
 
@@ -561,6 +578,89 @@ object Upsert {
   // graft.streaming.Streams.upsertSink maintains: v<id> snapshot dirs
   // plus a CURRENT pointer file).
   // -------------------------------------------------------------------
+
+  /** Write the `_commitinfo` audit sidecar into a freshly committed
+    * snapshot — the analog of Delta's commitInfo action: one JSON
+    * object carrying the operation name, the commit wall-clock (epoch
+    * millis), and the verb's stats. Every commit verb stamps its
+    * output (a later stamp by a composing verb overwrites —
+    * [[compactDeletes]] re-stamps the [[deleteByKey]] it delegates
+    * to); `DESCRIBE HISTORY` and TIMESTAMP-AS-OF time travel read it
+    * back. Written tmp + atomic-move so a reader never sees a torn
+    * file; a metadata write, no job. */
+  def writeCommitInfo(
+      snapshotDir: String, operation: String,
+      stats: Seq[(String, Long)] = Nil): Unit = {
+    require(operation.forall(c => c != '"' && c != '\\' && c >= ' '),
+      s"writeCommitInfo: operation must be a plain verb name, got '$operation'")
+    require(stats.forall(_._1.forall(c => c != '"' && c != '\\' && c >= ' ')),
+      "writeCommitInfo: stat names must be plain identifiers")
+    val sb = new StringBuilder
+    sb.append("{\"operation\":\"").append(operation)
+      .append("\",\"ts\":").append(System.currentTimeMillis())
+    for ((k, v) <- stats) sb.append(",\"").append(k).append("\":").append(v)
+    sb.append("}")
+    val dir = new java.io.File(snapshotDir)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, "_commitinfo.tmp")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try w.print(sb.toString) finally w.close()
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, "_commitinfo").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private val commitInfoRe =
+    """\{"operation":"([^"]*)","ts":(\d+)(.*)\}""".r
+
+  /** Read back a snapshot's `_commitinfo`: (operation, epoch millis,
+    * stats). None when the snapshot predates the audit trail; a
+    * present-but-unparseable sidecar fails loudly (it can only mean
+    * corruption or a foreign writer — never silently drop audit). */
+  def readCommitInfo(snapshotDir: String)
+      : Option[(String, Long, Seq[(String, Long)])] = {
+    val f = new java.io.File(snapshotDir, "_commitinfo")
+    if (!f.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val txt = try src.mkString.trim finally src.close()
+      txt match {
+        case commitInfoRe(op, ts, rest) =>
+          val statRe = """"([^"]+)":(-?\d+)""".r
+          Some((op, ts.toLong,
+            statRe.findAllMatchIn(rest)
+              .map(m => m.group(1) -> m.group(2).toLong).toSeq))
+        case _ => throw new IllegalStateException(
+          s"unparseable _commitinfo under $snapshotDir: ${txt.take(200)}")
+      }
+    }
+  }
+
+  /** Commit timestamp of `v<version>`: the `_commitinfo` stamp when
+    * present, else the version directory's modification time (the
+    * best available signal for pre-audit-trail snapshots — same
+    * fallback Delta applies when commitInfo timestamps are absent). */
+  def commitTimestamp(tableDir: String, version: Long): Long =
+    readCommitInfo(s"$tableDir/v$version").map(_._2)
+      .getOrElse(new java.io.File(s"$tableDir/v$version").lastModified)
+
+  /** TIMESTAMP AS OF resolution: the newest version whose commit
+    * timestamp is <= `tsMillis`. Refuses when even the oldest commit
+    * is later — there is no table state to read at that instant. */
+  def versionAsOfTimestamp(tableDir: String, tsMillis: Long): Long = {
+    val versions = snapshotVersions(tableDir)
+    require(versions.nonEmpty,
+      s"versionAsOfTimestamp: no v<id> snapshots under $tableDir")
+    val eligible = versions.filter(v => commitTimestamp(tableDir, v) <= tsMillis)
+    require(eligible.nonEmpty,
+      s"versionAsOfTimestamp: every commit under $tableDir is later than " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} — the oldest is " +
+        s"v${versions.min} at ${java.time.Instant.ofEpochMilli(
+          commitTimestamp(tableDir, versions.min))}")
+    eligible.max
+  }
 
   /** List snapshot versions of a versioned COW table, ascending. */
   def snapshotVersions(tableDir: String): Seq[Long] =

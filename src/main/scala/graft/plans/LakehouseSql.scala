@@ -44,6 +44,7 @@ import graft.ops.{Layout, Upsert}
   * CLONE '<src>' TO '<dst>'
   * DESCRIBE HISTORY '<tableDir>'
   * RESTORE '<tableDir>' TO VERSION <n>
+  * RESTORE '<tableDir>' TO TIMESTAMP '<ts>'
   * CONVERT '<snapshotDir>' TO VERSIONED '<tableDir>'
   * }}}
   * `RESTORE` follows Delta semantics: the restored state lands as a
@@ -76,6 +77,8 @@ object LakehouseSql {
     """(?is)^\s*CONVERT\s+'([^']+)'\s+TO\s+VERSIONED\s+'([^']+)'\s*;?\s*$""".r
   private val restore =
     """(?is)^\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*$""".r
+  private val restoreTs =
+    """(?is)^\s*RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'\s*;?\s*$""".r
   // a MERGE/DELETE that LOOKS like ours but doesn't match the grammar
   // must fail loudly, not fall through to Spark's parser (whose error
   // would point users at catalogs this engine doesn't use)
@@ -98,6 +101,8 @@ object LakehouseSql {
     case cloneRe(src, dst) => Some(GraftCloneCommand(src, dst))
     case history(dir) => Some(GraftHistoryCommand(dir))
     case restore(dir, v) => Some(GraftRestoreCommand(dir, v.toLong))
+    case restoreTs(dir, ts) =>
+      Some(GraftRestoreCommand(dir, -1L, Some(parseTsMillis(ts))))
     case convert(src, dst) => Some(GraftConvertCommand(src, dst))
     case t if mergeish.matches(t) || deleteish.matches(t) =>
       throw new IllegalArgumentException(
@@ -231,6 +236,23 @@ object LakehouseSql {
 
   private[plans] def longAttrs(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, LongType, nullable = false)())
+
+  /** Timestamp literal for `TO TIMESTAMP` / TIMESTAMP AS OF: ISO-8601
+    * instant (`2026-08-14T12:00:00Z`) or the SQL-conventional local
+    * form (`2026-08-14 12:00:00`, session-machine zone — matching how
+    * the commit stamps were taken). */
+  private[graft] def parseTsMillis(s: String): Long =
+    try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try java.sql.Timestamp.valueOf(s).getTime
+        catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"unparseable timestamp '$s' — use ISO-8601 " +
+                "(2026-08-14T12:00:00Z) or 'yyyy-MM-dd HH:mm:ss'")
+        }
+    }
 }
 
 /** `MERGE INTO` lowered onto [[graft.ops.Upsert.upsertByKey]]: the
@@ -335,6 +357,8 @@ case class GraftOptimizeCommand(
         for (f <- Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty))
           java.nio.file.Files.move(f.toPath, new java.io.File(dst, f.getName).toPath)
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+        Upsert.writeCommitInfo(out, "OPTIMIZE", Seq(
+          "files_in" -> r._1.toLong, "files_out" -> r._2.toLong))
         r
       }
     publish()
@@ -348,12 +372,18 @@ case class GraftOptimizeCommand(
 case class GraftCloneCommand(srcPath: String, dstPath: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = LakehouseSql.longAttrs("files_cloned")
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(Upsert.cloneSnapshot(spark, srcPath, dstPath).toLong))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = Upsert.cloneSnapshot(spark, srcPath, dstPath)
+    Upsert.writeCommitInfo(dstPath, "CLONE", Seq("files_cloned" -> n.toLong))
+    Seq(Row(n.toLong))
+  }
 }
 
 /** `DESCRIBE HISTORY` over a versioned table dir: one row per
-  * snapshot (version, data files, bytes, current flag). Byte totals
+  * snapshot (version, data files, bytes, current flag, plus the
+  * `_commitinfo` audit stamp — operation name and commit timestamp;
+  * null operation marks a snapshot that predates the audit trail,
+  * whose timestamp falls back to the directory mtime). Byte totals
   * count hard links at full size — the row answers "what does time
   * travel to v reach", not "unique bytes on disk". */
 case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
@@ -362,6 +392,9 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("bytes", LongType, nullable = false)(),
     AttributeReference("is_current", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("operation", StringType, nullable = true)(),
+    AttributeReference("commit_ts", org.apache.spark.sql.types.TimestampType,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val versions = Upsert.snapshotVersions(tableDir)
@@ -379,19 +412,27 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getFileStatus(p).getLen
       }.sum
-      Row(v, files.size.toLong, bytes, cur.contains(s"v$v"))
+      val info = Upsert.readCommitInfo(s"$tableDir/v$v")
+      Row(v, files.size.toLong, bytes, cur.contains(s"v$v"),
+        info.map(_._1).orNull,
+        new java.sql.Timestamp(Upsert.commitTimestamp(tableDir, v)))
     }
   }
 }
 
-/** `RESTORE ... TO VERSION n`: Delta semantics — the restored state
-  * is committed as a NEW version (hard-linked clone, sidecars
-  * carried) and `CURRENT` swaps to it. */
-case class GraftRestoreCommand(tableDir: String, version: Long)
+/** `RESTORE ... TO VERSION n` / `TO TIMESTAMP 'ts'`: Delta semantics
+  * — the restored state is committed as a NEW version (hard-linked
+  * clone, sidecars carried) and `CURRENT` swaps to it. The timestamp
+  * form resolves through the `_commitinfo` audit stamps at run time
+  * ([[graft.ops.Upsert.versionAsOfTimestamp]]). */
+case class GraftRestoreCommand(
+    tableDir: String, versionArg: Long, tsMillis: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("restored_version", "new_version", "files_linked")
   override def run(spark: SparkSession): Seq[Row] = {
+    val version = tsMillis
+      .map(Upsert.versionAsOfTimestamp(tableDir, _)).getOrElse(versionArg)
     val versions = Upsert.snapshotVersions(tableDir)
     require(versions.contains(version),
       s"RESTORE: snapshot v$version not found under $tableDir " +
@@ -405,6 +446,8 @@ case class GraftRestoreCommand(tableDir: String, version: Long)
     LakehouseSql.requireNotStreamOwned(tableDir, "RESTORE")
     val next = LakehouseSql.claimNextVersion(tableDir)
     val n = Upsert.cloneSnapshot(spark, s"$tableDir/v$version", s"$tableDir/v$next")
+    Upsert.writeCommitInfo(s"$tableDir/v$next", "RESTORE", Seq(
+      "restored_version" -> version, "files_linked" -> n.toLong))
     LakehouseSql.publishOrAbort(tableDir, base, next, "RESTORE")
     Seq(Row(version, next, n.toLong))
   }
@@ -426,6 +469,8 @@ case class GraftConvertCommand(srcPath: String, dstPath: String)
     require(!new java.io.File(dstPath).exists,
       s"CONVERT: destination '$dstPath' already exists — refusing to overwrite")
     val n = Upsert.cloneSnapshot(spark, srcPath, s"$dstPath/v0")
+    Upsert.writeCommitInfo(s"$dstPath/v0", "CONVERT", Seq(
+      "files_linked" -> n.toLong))
     val tmp = new java.io.File(s"$dstPath/CURRENT.tmp")
     val w = new java.io.PrintWriter(tmp, "UTF-8")
     try w.print("v0") finally w.close()

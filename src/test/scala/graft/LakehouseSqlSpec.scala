@@ -375,6 +375,71 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(graft.ops.Upsert.snapshotVersions(dvTbl) == Seq(0L, 1L))
   }
 
+  test("commit audit trail: operations in DESCRIBE HISTORY; TIMESTAMP AS OF travel") {
+    import spark.implicits._
+    val tbl = s"$base/audit"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(1000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+    // v0 is hand-staged (pre-audit-trail): no _commitinfo, ts falls
+    // back to the dir mtime — backdate it a week
+    val weekAgo = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    assert(new java.io.File(s"$tbl/v0").setLastModified(weekAgo))
+
+    spark.range(100, 150).select($"id".as("k"), lit(-1L).as("v"))
+      .createOrReplaceTempView("audit_upd")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM audit_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+
+    // history: operation + commit_ts columns; v0 pre-audit (null op,
+    // mtime fallback), v1 stamped MERGE with a fresh timestamp
+    val hist = spark.sql(s"DESCRIBE HISTORY '$tbl'").collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getTimestamp(5).getTime))
+      .sortBy(_._1)
+    assert(hist(0)._2 == null && hist(0)._3 == weekAgo, hist.mkString(","))
+    assert(hist(1)._2 == "MERGE" && hist(1)._3 > weekAgo, hist.mkString(","))
+
+    // TIMESTAMP AS OF an hour ago → v0 (pre-merge values)
+    val hourAgo = java.time.Instant
+      .ofEpochMilli(System.currentTimeMillis() - 3600 * 1000).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_table('$tbl', '$hourAgo') WHERE v = -1")
+      .collect()(0).getLong(0) == 0)
+    // an instant before every commit refuses with the inventory
+    val tooEarly = java.time.Instant.ofEpochMilli(weekAgo - 1000).toString
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$tbl', '$tooEarly')").collect()
+    }
+    assert(e.getMessage.contains("later than"), e.getMessage)
+
+    // RESTORE TO TIMESTAMP: resolves v0, commits it as v2 (op RESTORE)
+    val rest = spark.sql(s"RESTORE '$tbl' TO TIMESTAMP '$hourAgo'").collect()(0)
+    assert(rest.getLong(0) == 0L && rest.getLong(1) == 2L, rest.toString)
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$tbl') WHERE v = -1")
+      .collect()(0).getLong(0) == 0)
+    val ops = spark.sql(s"DESCRIBE HISTORY '$tbl'").collect()
+      .map(r => (r.getLong(0), r.getString(4))).sortBy(_._1)
+    assert(ops.map(_._2).toSeq == Seq(null, "MERGE", "RESTORE"),
+      ops.mkString(","))
+
+    // programmatic verbs stamp too: DELETE_DV then COMPACT_DELETES
+    val dvOut = s"$base/audit_dv"; val cdOut = s"$base/audit_cd"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dvOut))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cdOut))
+    graft.ops.Upsert.deleteByKeyDV(spark, s"$tbl/v0", dvOut,
+      spark.range(0, 50).toDF("k"), "k")
+    assert(graft.ops.Upsert.readCommitInfo(dvOut).map(_._1).contains("DELETE_DV"))
+    graft.ops.Upsert.compactDeletes(spark, dvOut, cdOut)
+    val cd = graft.ops.Upsert.readCommitInfo(cdOut).get
+    assert(cd._1 == "COMPACT_DELETES" &&
+      cd._3.toMap.get("dv_keys_folded").contains(50L), cd.toString)
+  }
+
   test("near-miss grammar fails loudly; ordinary SQL delegates untouched") {
     // quoted-path MERGE that doesn't match the full grammar → our error,
     // not Spark's catalog error

@@ -75,6 +75,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.ops.Upsert.readWithDeletes(spark, snap).queryExecution.analyzed
       }))
+    // Change-data-feed TVF: `SELECT ... FROM graft_cdf('<dir>', f, t)`
+    // is the SQL surface of ops.Upsert.changeDataFeed — row-level
+    // before/after images between two snapshots of a versioned table,
+    // computed from changed files only. CDC consumers (a derived
+    // aggregate refresh, an audit query) subscribe from plain SQL.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_cdf"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "graft_cdf",
+        "graft_cdf(dir, fromVersion, toVersion) - change data feed " +
+          "between two snapshots of a graft versioned table: after " +
+          "images as _change_type='insert', before images as 'delete' " +
+          "(an updated key surfaces as one of each)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_cdf takes (dir, fromVersion, toVersion)")
+        def longLit(e: Expression, what: String): Long = e match {
+          case Literal(n: java.lang.Number, _) => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_cdf: $what must be an integer literal, got $other")
+        }
+        val dir = children.head match {
+          case Literal(v, _) if v != null => String.valueOf(v)
+          case other => throw new IllegalArgumentException(
+            s"graft_cdf: dir must be a non-null string literal, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ops.Upsert.changeDataFeed(spark, dir,
+          longLit(children(1), "fromVersion"), longLit(children(2), "toVersion"))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(

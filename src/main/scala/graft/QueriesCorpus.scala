@@ -1311,6 +1311,34 @@ object QueriesCorpus {
       .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"))
   }
 
+  // --- graft_cdf TVF: q_cdf's exact delivery, but the feed is read
+  //     through `SELECT ... FROM graft_cdf(dir, 0, 1)` — plain SQL is
+  //     enough to subscribe a CDC consumer. Shares q_cdf's oracle.
+  private def sqlCdf(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_sqlcdf"
+    val v0 = s"$base/chain/v0"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(v0)
+      writeStageMarker(marker, dir, "orders")
+    }
+    val orders = s.read.parquet(v0)
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val updates = orders.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(
+        orders.orderBy(col("o_orderkey").desc).limit(500)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("o_orderstatus", lit("N")))
+    graft.ops.Upsert.upsertByKey(s, v0, s"$base/chain/v1", updates, "o_orderkey")
+    s.sql(
+      s"""SELECT o_orderkey, o_totalprice, _change_type
+         |FROM graft_cdf('$base/chain', 0, 1)""".stripMargin)
+  }
+
   private val cdfSql =
     """WITH mx AS (SELECT max(o_orderkey) / 8 AS cut FROM orders),
       |ins AS (
@@ -1516,6 +1544,7 @@ object QueriesCorpus {
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_sql_optimize" -> (sqlOptimize _),
     "q_sql_convert" -> (sqlConvert _),
+    "q_sql_cdf" -> (sqlCdf _),
     "q_pagerank" -> (pageRank _),
     "q_file_stats" -> (fileStats _),
     "q_sql_functions" -> (sqlFunctions _),
@@ -1561,6 +1590,7 @@ object QueriesCorpus {
     "q_sql_time_travel" -> sqlRestoreSql,
     "q_sql_optimize" -> sqlRestoreSql,
     "q_sql_convert" -> deleteSql,
+    "q_sql_cdf" -> cdfSql,
     "q_pagerank" -> pageRankSql,
     "q_file_stats" -> fileStatsSql,
     "q_sql_functions" -> sqlFunctionsSql,

@@ -34,7 +34,7 @@ import graft.ops.{Layout, Upsert}
   * session can run, including temp views and graft's injected
   * functions):
   * {{{
-  * MERGE INTO '<table>' USING (<query>) ON <keyCol>
+  * MERGE [WITH SCHEMA EVOLUTION] INTO '<table>' USING (<query>) ON <keyCol>
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *              [INTO '<outPath>']
   * DELETE FROM '<table>' WHERE <keyCol> IN (<query>)  [INTO '<outPath>']
@@ -58,7 +58,7 @@ import graft.ops.{Layout, Upsert}
 object LakehouseSql {
 
   private val merge = (
-    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+\((.*)\)\s+ON\s+([\w.]+)\s+""" +
+    """(?is)^\s*MERGE\s+(?:(WITH)\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'([^']+)'\s+USING\s+\((.*)\)\s+ON\s+([\w.]+)\s+""" +
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""").r
   private val delete =
@@ -82,13 +82,15 @@ object LakehouseSql {
   // a MERGE/DELETE that LOOKS like ours but doesn't match the grammar
   // must fail loudly, not fall through to Spark's parser (whose error
   // would point users at catalogs this engine doesn't use)
-  private val mergeish = """(?is)^\s*MERGE\s+INTO\s+'.*""".r
+  private val mergeish =
+    """(?is)^\s*MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'.*""".r
   private val deleteish = """(?is)^\s*DELETE\s+FROM\s+'.*""".r
 
   /** The graft statement for `sqlText`, if it is one. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case merge(tbl, src, key, out) =>
-      Some(GraftMergeCommand(tbl, Option(out), key, src))
+    case merge(evo, tbl, src, key, out) =>
+      Some(GraftMergeCommand(tbl, Option(out), key, src,
+        schemaEvolution = evo != null))
     case delete(tbl, key, src, out) =>
       Some(GraftDeleteCommand(tbl, Option(out), key, src))
     case vacuum(dir, keep) =>
@@ -207,13 +209,20 @@ object LakehouseSql {
       ()
     }
 
-  /** Resolve a path argument: a versioned table dir (CURRENT pointer
-    * present) yields (current snapshot, claimed next-version dir,
-    * publish hook running the CAS above); a plain snapshot dir yields
-    * itself and requires the statement's explicit `INTO`. */
-  private[plans] def resolveCow(
-      tablePath: String, explicitOut: Option[String], verb: String)
-      : (String, String, () => Unit) = {
+  /** Resolve a path argument and run a COW verb against it: a
+    * versioned table dir (CURRENT pointer present) claims the next
+    * version, runs `body(currentSnapshot, claimedDir)`, and publishes
+    * through the CAS above; a plain snapshot dir requires the
+    * statement's explicit `INTO` and runs `body(tablePath, outPath)`.
+    * A `body` that THROWS on a versioned table discards its claim —
+    * an in-process verb failure (schema drift refusal, a bad source
+    * query) must not leave a half-built zombie snapshot that time
+    * travel or CDF could later read as real; only process death
+    * leaves a lingering claim (the protocol's documented crash story:
+    * invisible to CURRENT readers, reclaimed by VACUUM). */
+  private[plans] def withCow[T](
+      tablePath: String, explicitOut: Option[String], verb: String)(
+      body: (String, String) => T): T = {
     val cur = new java.io.File(s"$tablePath/CURRENT")
     if (cur.exists) {
       require(explicitOut.isEmpty,
@@ -223,14 +232,21 @@ object LakehouseSql {
       val src = scala.io.Source.fromFile(cur)
       val current = try src.mkString.trim finally src.close()
       val next = claimNextVersion(tablePath)
-      val outPath = s"$tablePath/v$next"
-      (s"$tablePath/$current", outPath,
-        () => publishOrAbort(tablePath, current, next, verb))
+      val r =
+        try body(s"$tablePath/$current", s"$tablePath/v$next")
+        catch {
+          case e: Throwable =>
+            org.apache.hadoop.fs.FileUtil.fullyDelete(
+              new java.io.File(s"$tablePath/v$next"))
+            throw e
+        }
+      publishOrAbort(tablePath, current, next, verb)
+      r
     } else {
       require(explicitOut.isDefined,
         s"$verb: '$tablePath' is a plain snapshot (no CURRENT pointer) — " +
           "name the copy-on-write output with INTO '<outPath>'")
-      (tablePath, explicitOut.get, () => ())
+      body(tablePath, explicitOut.get)
     }
   }
 
@@ -255,23 +271,25 @@ object LakehouseSql {
     }
 }
 
-/** `MERGE INTO` lowered onto [[graft.ops.Upsert.upsertByKey]]: the
-  * source query's rows upsert by `keyCol` into a new COW snapshot
-  * (file-granular manifest pruning; untouched files link). Returns the
-  * commit stats row. */
+/** `MERGE [WITH SCHEMA EVOLUTION] INTO` lowered onto
+  * [[graft.ops.Upsert.upsertByKey]]: the source query's rows upsert by
+  * `keyCol` into a new COW snapshot (file-granular manifest pruning;
+  * untouched files link). `WITH SCHEMA EVOLUTION` (Delta's clause)
+  * lets the source carry NEW columns — rows in byte-copied files
+  * surface them as null; without it, schema drift refuses. Returns
+  * the commit stats row. */
 case class GraftMergeCommand(
     tablePath: String, outPath: Option[String], keyCol: String,
-    sourceSql: String) extends LeafRunnableCommand {
+    sourceSql: String, schemaEvolution: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_copied", "files_rewritten", "rows_merged")
-  override def run(spark: SparkSession): Seq[Row] = {
-    val (in, out, commitPointer) =
-      LakehouseSql.resolveCow(tablePath, outPath, "MERGE")
-    val (c, r, n) =
-      Upsert.upsertByKey(spark, in, out, spark.sql(sourceSql), keyCol)
-    commitPointer()
-    Seq(Row(c.toLong, r.toLong, n))
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    LakehouseSql.withCow(tablePath, outPath, "MERGE") { (in, out) =>
+      val (c, r, n) = Upsert.upsertByKey(spark, in, out,
+        spark.sql(sourceSql), keyCol, allowSchemaEvolution = schemaEvolution)
+      Seq(Row(c.toLong, r.toLong, n))
+    }
 }
 
 /** `DELETE FROM ... WHERE k IN (...)` lowered onto
@@ -281,14 +299,12 @@ case class GraftDeleteCommand(
     sourceSql: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_copied", "files_rewritten", "keys_requested")
-  override def run(spark: SparkSession): Seq[Row] = {
-    val (in, out, commitPointer) =
-      LakehouseSql.resolveCow(tablePath, outPath, "DELETE")
-    val (c, r, n) =
-      Upsert.deleteByKey(spark, in, out, spark.sql(sourceSql), keyCol)
-    commitPointer()
-    Seq(Row(c.toLong, r.toLong, n))
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    LakehouseSql.withCow(tablePath, outPath, "DELETE") { (in, out) =>
+      val (c, r, n) =
+        Upsert.deleteByKey(spark, in, out, spark.sql(sourceSql), keyCol)
+      Seq(Row(c.toLong, r.toLong, n))
+    }
 }
 
 /** `VACUUM ... RETAIN n SNAPSHOTS` lowered onto
@@ -339,30 +355,34 @@ case class GraftOptimizeCommand(
     require(!new java.io.File(s"$readPath/_dv/_SUCCESS").exists,
       s"OPTIMIZE: '$readPath' carries a deletion-vector sidecar — run " +
         "Upsert.compactDeletes first (it deletes AND compacts)")
-    val (src, out, publish) =
-      LakehouseSql.resolveCow(inPath, explicitOut, "OPTIMIZE")
-    val (i, o, b) =
-      if (explicitOut.isDefined)
-        Layout.optimizeTable(spark, src, out, sortCol, targetBytes)
-      else {
-        // Spark's overwrite delete-recreates the output dir, which
-        // would reopen the claimed-version race window — write beside
-        // the claim and move files in (the claimed dir itself is
-        // never deleted). The `.inprogress` suffix keeps the tmp
-        // invisible to snapshotVersions' `v<id>` match.
-        val tmp = s"$out.inprogress"
-        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-        val r = Layout.optimizeTable(spark, src, tmp, sortCol, targetBytes)
-        val dst = new java.io.File(out)
-        for (f <- Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty))
-          java.nio.file.Files.move(f.toPath, new java.io.File(dst, f.getName).toPath)
-        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-        Upsert.writeCommitInfo(out, "OPTIMIZE", Seq(
-          "files_in" -> r._1.toLong, "files_out" -> r._2.toLong))
-        r
-      }
-    publish()
-    Seq(Row(i.toLong, o.toLong, b))
+    LakehouseSql.withCow(inPath, explicitOut, "OPTIMIZE") { (src, out) =>
+      val (i, o, b) =
+        if (explicitOut.isDefined)
+          Layout.optimizeTable(spark, src, out, sortCol, targetBytes)
+        else {
+          // Spark's overwrite delete-recreates the output dir, which
+          // would reopen the claimed-version race window — write beside
+          // the claim and move files in (the claimed dir itself is
+          // never deleted). The `.inprogress` suffix keeps the tmp
+          // invisible to snapshotVersions' `v<id>` match.
+          val tmp = s"$out.inprogress"
+          org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+          val r =
+            try Layout.optimizeTable(spark, src, tmp, sortCol, targetBytes)
+            catch { case e: Throwable =>
+              org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+              throw e
+            }
+          val dst = new java.io.File(out)
+          for (f <- Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty))
+            java.nio.file.Files.move(f.toPath, new java.io.File(dst, f.getName).toPath)
+          org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+          Upsert.writeCommitInfo(out, "OPTIMIZE", Seq(
+            "files_in" -> r._1.toLong, "files_out" -> r._2.toLong))
+          r
+        }
+      Seq(Row(i.toLong, o.toLong, b))
+    }
   }
 }
 
@@ -445,9 +465,20 @@ case class GraftRestoreCommand(
     // commit between reading CURRENT and publishing the restore refuses
     LakehouseSql.requireNotStreamOwned(tableDir, "RESTORE")
     val next = LakehouseSql.claimNextVersion(tableDir)
-    val n = Upsert.cloneSnapshot(spark, s"$tableDir/v$version", s"$tableDir/v$next")
-    Upsert.writeCommitInfo(s"$tableDir/v$next", "RESTORE", Seq(
-      "restored_version" -> version, "files_linked" -> n.toLong))
+    val n =
+      try {
+        val n0 = Upsert.cloneSnapshot(
+          spark, s"$tableDir/v$version", s"$tableDir/v$next")
+        Upsert.writeCommitInfo(s"$tableDir/v$next", "RESTORE", Seq(
+          "restored_version" -> version, "files_linked" -> n0.toLong))
+        n0
+      } catch { case e: Throwable =>
+        // same contract as withCow: an in-process failure discards
+        // the claim instead of leaving a half-built snapshot
+        org.apache.hadoop.fs.FileUtil.fullyDelete(
+          new java.io.File(s"$tableDir/v$next"))
+        throw e
+      }
     LakehouseSql.publishOrAbort(tableDir, base, next, "RESTORE")
     Seq(Row(version, next, n.toLong))
   }

@@ -375,6 +375,58 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(graft.ops.Upsert.snapshotVersions(dvTbl) == Seq(0L, 1L))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds columns; plain MERGE refuses drift; graft_cdf TVF") {
+    import spark.implicits._
+    val tbl = s"$base/evo"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(500).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+
+    spark.range(100, 120)
+      .select($"id".as("k"), lit(-1L).as("v"), lit("fresh").as("tag"))
+      .createOrReplaceTempView("evo_upd")
+    // plain MERGE refuses the new column (silent drift is a bug) —
+    // and the failed verb must DISCARD its claimed version: a
+    // half-built v1 zombie would poison time travel and CDF
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO '$tbl' USING (SELECT * FROM evo_upd) ON k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(e.getMessage != null)
+    assert(graft.ops.Upsert.snapshotVersions(tbl) == Seq(0L),
+      "a failed MERGE must not leave its claimed version behind")
+    // ...but WITH SCHEMA EVOLUTION commits it
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO '$tbl'
+         |USING (SELECT * FROM evo_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val cur = spark.sql(s"SELECT * FROM graft_table('$tbl')")
+    assert(cur.columns.toSet == Set("k", "v", "tag"))
+    assert(cur.count() == 500)
+    assert(cur.filter($"tag" === "fresh").count() == 20)
+    // rows in byte-copied files surface the new column as null
+    assert(cur.filter($"tag".isNull).count() == 480)
+
+    // graft_cdf: the v0→v1 diff in SQL — 20 inserts + 20 deletes
+    // (every merged key existed before), keys exactly 100..119
+    val cdf = spark.sql(
+      s"SELECT k, v, _change_type FROM graft_cdf('$tbl', 0, 1)")
+    val byType = cdf.groupBy($"_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 20L, "delete" -> 20L), byType.toString)
+    assert(cdf.filter($"_change_type" === "insert")
+      .agg(min($"k"), max($"k"), min($"v")).collect()(0)
+      match { case r => r.getLong(0) == 100 && r.getLong(1) == 119 && r.getLong(2) == -1 })
+    // feed filters push to the scan side (it is a real plan, not a view)
+    assert(cdf.filter($"k" === 105).count() == 2)
+  }
+
   test("commit audit trail: operations in DESCRIBE HISTORY; TIMESTAMP AS OF travel") {
     import spark.implicits._
     val tbl = s"$base/audit"

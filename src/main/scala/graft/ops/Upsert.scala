@@ -700,9 +700,21 @@ object Upsert {
     * for pre-evolution images. Column additions only — a type-changing
     * rewrite is a new table, not an evolution.
     *
+    * DELETION VECTORS are part of the diff: the feed reflects the
+    * LOGICAL table ([[readWithDeletes]]' view). Keys newly present in
+    * the `to` side's `_dv` emit their full rows as `delete` images
+    * even though no data file changed, and file-diff deletes already
+    * covered by the `from` side's DV are subtracted — so a logical
+    * delete surfaces exactly once (at its DELETE_DV commit) and a
+    * pure [[compactDeletes]] interval feeds NOTHING (physically huge,
+    * logically a no-op).
+    *
     * Cost ∝ changed files across the interval, not table size — the
     * property that makes incremental downstream consumers (a streaming
-    * reader, a derived aggregate) cheap against a 100 TB table. */
+    * reader, a derived aggregate) cheap against a 100 TB table. The
+    * one exception: an interval whose `to` side adds DV keys scans the
+    * `from` snapshot to fetch the deleted rows' images — exactly the
+    * table-proportional work the DV write path deferred. */
   def changeDataFeed(
       spark: SparkSession, tableDir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
@@ -736,9 +748,56 @@ object Upsert {
         else lit(null).cast(types(c)).as(c)): _*)
     val before = align(before0)
     val after = align(after0)
+    // ---- deletion-vector delta: the feed reflects the LOGICAL table
+    // (readWithDeletes' view), so DV state changes are part of the
+    // diff. A DELETE_DV commit links every data file (file diff:
+    // empty) but logically deletes its keys — emit their rows as
+    // before images. Conversely a commit that FOLDS a DV into a COW
+    // rewrite (compactDeletes / MERGE) physically drops rows that
+    // were ALREADY logically deleted — subtract the from-side DV keys
+    // from the file-diff deletes or every DV'd row would be reported
+    // deleted twice across the chain. Net invariant: a delete
+    // surfaces exactly once, at the commit that logically removed it;
+    // a pure compaction interval feeds nothing.
+    // (keys, small?) — broadcast the join side while the sidecar is
+    // small, shuffle past it: the same bound readWithDeletes applies
+    def dvKeysOf(v: Long): Option[(DataFrame, Boolean)] = {
+      val d = new java.io.File(s"$tableDir/v$v/_dv")
+      if (new java.io.File(d, "_SUCCESS").isFile) {
+        val bytes = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(_.length).sum
+        Some((spark.read.parquet(d.toString), bytes <= DvBroadcastMaxBytes))
+      } else None
+    }
+    def hint(df: DataFrame, small: Boolean): DataFrame =
+      if (small) broadcast(df) else df
+    val fromDv = dvKeysOf(fromVersion)
+    val toDv = dvKeysOf(toVersion)
+    val fileDeletes = before.exceptAll(after)
+    val fileDeletesLive = fromDv match {
+      case Some((k, small)) =>
+        fileDeletes.join(hint(k, small), k.schema.fieldNames.toSeq, "left_anti")
+      case None => fileDeletes
+    }
+    val dvDeletes: Option[DataFrame] = toDv.map { case (t, tSmall) =>
+      val (newKeys, small) = fromDv match {
+        case Some((f, _)) => (t.exceptAll(f), tSmall)
+        case None => (t, tSmall)
+      }
+      // the deleted rows' full images, fetched by key from the FROM
+      // side (every to-side data file is a link of it on a DV commit).
+      // This leg scans the from snapshot — cost ∝ table, the one
+      // exception to the changed-files-only property; it only runs
+      // across DV-delete commits, whose whole point was to defer the
+      // table-proportional work out of the write path.
+      align(spark.read.option("mergeSchema", "true")
+          .parquet(s"$tableDir/v$fromVersion"))
+        .join(hint(newKeys, small), newKeys.schema.fieldNames.toSeq, "left_semi")
+    }
+    val deletes = dvDeletes
+      .map(fileDeletesLive.unionByName(_)).getOrElse(fileDeletesLive)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
-      .unionByName(
-        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+      .unionByName(deletes.withColumn("_change_type", lit("delete")))
   }
 
   /** Materialize the change feed of commit `toVersion` as parquet under

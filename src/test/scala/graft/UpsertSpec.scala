@@ -437,6 +437,54 @@ class UpsertSpec extends AnyFunSuite {
     assert(clean.exceptAll(mor2).isEmpty && mor2.exceptAll(clean).isEmpty)
   }
 
+  test("CDF reflects deletion vectors: deletes surface once, compaction feeds nothing") {
+    import spark.implicits._
+    val tbl = s"$base/dvcdf"
+    // v0: base; v1: DV delete 100-199; v2: DV delete 150-299 (union
+    // {100..299}); v3: compaction (physically drops all 200)
+    spark.range(4000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    Upsert.deleteByKeyDV(spark, s"$tbl/v0", s"$tbl/v1",
+      spark.range(100, 200).toDF("k"), "k")
+    Upsert.deleteByKeyDV(spark, s"$tbl/v1", s"$tbl/v2",
+      spark.range(150, 300).toDF("k"), "k")
+    Upsert.compactDeletes(spark, s"$tbl/v2", s"$tbl/v3")
+
+    // v0→v1: zero data files changed, but 100 LOGICAL deletes with
+    // full row images
+    val f01 = Upsert.changeDataFeed(spark, tbl, 0L, 1L).cache()
+    assert(f01.filter($"_change_type" === "insert").count() == 0)
+    val d01 = f01.filter($"_change_type" === "delete")
+    assert(d01.count() == 100)
+    assert(d01.agg(min($"k"), max($"k")).collect()(0)
+      match { case r => r.getLong(0) == 100 && r.getLong(1) == 199 })
+    assert(d01.filter($"v" === $"k").count() == 100, "full row images")
+
+    // v1→v2: only the keys NEW to the DV (union minus already-deleted)
+    val d12 = Upsert.changeDataFeed(spark, tbl, 1L, 2L)
+      .filter($"_change_type" === "delete")
+    assert(d12.count() == 100)
+    assert(d12.agg(min($"k"), max($"k")).collect()(0)
+      match { case r => r.getLong(0) == 200 && r.getLong(1) == 299 })
+
+    // v2→v3, pure compaction: physically 200 rows vanish from data
+    // files, logically NOTHING changed — the feed must be empty
+    assert(Upsert.changeDataFeed(spark, tbl, 2L, 3L).count() == 0)
+
+    // spanning intervals: each delete surfaces exactly once
+    assert(Upsert.changeDataFeed(spark, tbl, 0L, 2L)
+      .filter($"_change_type" === "delete").count() == 200)
+    val f03 = Upsert.changeDataFeed(spark, tbl, 0L, 3L)
+    assert(f03.filter($"_change_type" === "delete").count() == 200)
+    assert(f03.filter($"_change_type" === "insert").count() == 0)
+    // v1→v3: deletes committed after v1 only (200..299)
+    val d13 = Upsert.changeDataFeed(spark, tbl, 1L, 3L)
+      .filter($"_change_type" === "delete")
+    assert(d13.count() == 100)
+    assert(d13.agg(min($"k")).collect()(0).getLong(0) == 200)
+  }
+
   test("COW commit folds a deletion-vector sidecar: deleted keys stay gone") {
     import spark.implicits._
     val v0 = s"$base/dvcow/v0"; val v1 = s"$base/dvcow/v1"

@@ -82,6 +82,35 @@ object Upsert {
   private val integralTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
 
+  /** The manifest can prune on `dt` — see [[requireSupportedKey]]. */
+  private[graft] def isManifestKeyType(dt: DataType): Boolean =
+    integralTypes.contains(dt) || dt == StringType
+
+  /** Stamp a snapshot's `_manifest` bounds sidecar for `keyCol` from
+    * its parquet footers — footer reads only, no data pass. Layout
+    * maintenance that just re-clustered by the key (OPTIMIZE) calls
+    * this so the NEXT commit prunes immediately instead of paying the
+    * all-files footer fallback once.
+    *
+    * @return number of data files stamped */
+  def writeManifestSidecar(
+      spark: SparkSession, snapshotDir: String, keyCol: String): Int = {
+    val keyType = spark.read.parquet(snapshotDir).schema(keyCol).dataType
+    requireSupportedKey(keyType, keyCol, "manifest stamp")
+    val bounds = Layout.parquetFileStats(spark, snapshotDir)
+      .filter(col("column") === keyCol)
+      .groupBy(substring_index(col("file"), "/", -1).as("file"))
+      .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
+        max(col("max_value").cast(keyType)).cast("string").as("mx"))
+      .withColumn("key", lit(keyCol))
+      .select("file", "key", "mn", "mx")
+      .cache()
+    val n = bounds.count().toInt
+    bounds.coalesce(1).write.mode("overwrite").parquet(manifestDir(snapshotDir))
+    bounds.unpersist()
+    n
+  }
+
   private def requireSupportedKey(dt: DataType, keyCol: String, side: String): Unit =
     require(integralTypes.contains(dt) || dt == StringType,
       s"Upsert: key column '$keyCol' ($side) has type ${dt.simpleString}; " +

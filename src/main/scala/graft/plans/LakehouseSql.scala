@@ -377,6 +377,12 @@ case class GraftOptimizeCommand(
           for (f <- Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty))
             java.nio.file.Files.move(f.toPath, new java.io.File(dst, f.getName).toPath)
           org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+          // the layout was JUST range-clustered by sortCol — stamp its
+          // manifest so the next MERGE prunes with zero footer reads
+          // (skipped for key types the manifest can't compare)
+          if (Upsert.isManifestKeyType(
+              spark.read.parquet(out).schema(sortCol).dataType))
+            Upsert.writeManifestSidecar(spark, out, sortCol)
           Upsert.writeCommitInfo(out, "OPTIMIZE", Seq(
             "files_in" -> r._1.toLong, "files_out" -> r._2.toLong))
           r

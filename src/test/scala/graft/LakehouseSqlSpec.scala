@@ -349,6 +349,20 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(cur.agg(sum($"v")).head.getLong(0) == 1999L * 2000 / 2)
     // no .inprogress residue, no unclaimed dirs
     assert(!new java.io.File(s"$tbl/v1.inprogress").exists)
+    // the re-clustered layout ships a manifest for its cluster key...
+    assert(new java.io.File(s"$tbl/v1/_manifest/_SUCCESS").isFile)
+    assert(graft.ops.Upsert.readCommitInfo(s"$tbl/v1")
+      .map(_._1).contains("OPTIMIZE"))
+    // ...and a following MERGE consumes the optimized snapshot cleanly
+    spark.range(5, 8).select($"id".as("k"), lit(-9L).as("v"))
+      .createOrReplaceTempView("optv_upd")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM optv_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val merged = spark.sql(s"SELECT * FROM graft_table('$tbl')")
+    assert(merged.count() == 2000)
+    assert(merged.filter($"v" === -9L).count() == 3)
 
     // a versioned table refuses INTO (same contract as MERGE/DELETE)
     val e1 = intercept[IllegalArgumentException] {

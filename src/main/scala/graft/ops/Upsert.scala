@@ -741,9 +741,9 @@ object Upsert {
     * Cost ∝ changed files across the interval, not table size — the
     * property that makes incremental downstream consumers (a streaming
     * reader, a derived aggregate) cheap against a 100 TB table. The
-    * one exception: an interval whose `to` side adds DV keys scans the
-    * `from` snapshot to fetch the deleted rows' images — exactly the
-    * table-proportional work the DV write path deferred. */
+    * DV-delta leg fetches deleted rows' images manifest-pruned (only
+    * files whose key bounds can hold a deleted key decode), so it too
+    * costs ∝ affected files. */
   def changeDataFeed(
       spark: SparkSession, tableDir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
@@ -814,14 +814,30 @@ object Upsert {
         case None => (t, tSmall)
       }
       // the deleted rows' full images, fetched by key from the FROM
-      // side (every to-side data file is a link of it on a DV commit).
-      // This leg scans the from snapshot — cost ∝ table, the one
-      // exception to the changed-files-only property; it only runs
-      // across DV-delete commits, whose whole point was to defer the
-      // table-proportional work out of the write path.
-      align(spark.read.option("mergeSchema", "true")
-          .parquet(s"$tableDir/v$fromVersion"))
-        .join(hint(newKeys, small), newKeys.schema.fieldNames.toSeq, "left_semi")
+      // side (every to-side data file is a link of it on a DV commit)
+      // — manifest-pruned exactly like the commit engine: only files
+      // whose key bounds can hold a newly deleted key decode, so the
+      // leg costs ∝ files containing deletes, not table size.
+      val snap = s"$tableDir/v$fromVersion"
+      val kc = t.schema.fieldNames.head
+      val kt = t.schema.head.dataType
+      val src =
+        if (!isManifestKeyType(kt))
+          spark.read.option("mergeSchema", "true").parquet(snap)
+        else {
+          val bounds = keyBounds(spark, snap, kc, kt)
+          val candidates = broadcast(bounds)
+            .join(newKeys.select(col(kc).cast(kt).as("__k")).distinct(),
+              col("__k").between(col("mn").cast(kt), col("mx").cast(kt)),
+              "left_semi")
+            .select(col("file")).collect().map(_.getString(0)).toSet
+          val files = Layout.listDataFiles(spark, snap).filter(f =>
+            candidates.contains(new org.apache.hadoop.fs.Path(f).getName))
+          if (files.isEmpty)
+            spark.read.option("mergeSchema", "true").parquet(snap).limit(0)
+          else spark.read.option("mergeSchema", "true").parquet(files: _*)
+        }
+      align(src).join(hint(newKeys, small), Seq(kc), "left_semi")
     }
     val deletes = dvDeletes
       .map(fileDeletesLive.unionByName(_)).getOrElse(fileDeletesLive)

@@ -379,8 +379,12 @@ object Streams {
           case (None, Some(op)) =>
             perKey.filter(col(op) =!= "d").drop(op)
               .write.mode("overwrite").parquet(next)
+            // the verb-backed arms stamp inside Upsert; the initial
+            // snapshot stamps here so history is gapless
+            graft.ops.Upsert.writeCommitInfo(next, "STREAM_INIT")
           case (None, None) =>
             perKey.write.mode("overwrite").parquet(next)
+            graft.ops.Upsert.writeCommitInfo(next, "STREAM_INIT")
         }
         // materialize this commit's change feed BEFORE the pointer
         // swap (a reader following CURRENT always finds the feed

@@ -179,6 +179,39 @@ object Layout {
     (files.size, written, total)
   }
 
+  /** [[optimizeTable]] with TWO cluster columns — the full Delta
+    * `OPTIMIZE … ZORDER BY (a, b)` shape: re-range-partition + sort on
+    * the Morton interleave ([[zOrderValue]]), so filters on EITHER
+    * column prune via row-group min/max without electing a primary
+    * sort key. Same single-shuffle maintenance-cadence contract as
+    * [[optimizeTable]].
+    *
+    * @return (input files, output files, total input bytes) */
+  def optimizeTableZOrder(
+      spark: SparkSession, inPath: String, outPath: String,
+      colA: String, colB: String, targetBytes: Long,
+      bits: Int = 16): (Int, Int, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val files = listDataFiles(spark, inPath)
+    require(files.nonEmpty, s"optimizeTableZOrder: no .parquet files under $inPath")
+    val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .withColumn("__z", zOrderValue(col(colA), col(colB), bits))
+      .repartitionByRange(nOut, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outPath)
+    var written = 0
+    val it = fs.listFiles(new HPath(outPath), true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) written += 1
+    }
+    (files.size, written, total)
+  }
+
   /** Per-FILE Bloom filter over a key column — the data-skipping index
     * for POINT lookups on columns the layout is NOT clustered by:
     * row-group min/max (and the upsert manifest built from it) prune

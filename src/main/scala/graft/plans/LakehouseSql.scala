@@ -41,6 +41,7 @@ import graft.ops.{Layout, Upsert}
   * VACUUM '<tableDir>' RETAIN <n> SNAPSHOTS
   * VACUUM '<tableDir>' OLDER THAN <n> HOURS
   * OPTIMIZE '<table>' BY <sortCol> [TARGET <mb> MB]  [INTO '<outPath>']
+ * OPTIMIZE '<table>' ZORDER BY (<a>, <b>) [TARGET <mb> MB]  [INTO '<outPath>']
   * CLONE '<src>' TO '<dst>'
   * DESCRIBE HISTORY '<tableDir>'
   * RESTORE '<tableDir>' TO VERSION <n>
@@ -69,6 +70,8 @@ object LakehouseSql {
     """(?is)^\s*VACUUM\s+'([^']+)'\s+OLDER\s+THAN\s+(\d+)\s+HOURS?\s*;?\s*$""".r
   private val optimize =
     """(?is)^\s*OPTIMIZE\s+'([^']+)'\s+BY\s+([\w.]+)\s*(?:TARGET\s+(\d+)\s+MB)?\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
+  private val optimizeZ =
+    """(?is)^\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s+\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*(?:TARGET\s+(\d+)\s+MB)?\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
   private val cloneRe =
     """(?is)^\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*$""".r
   private val history =
@@ -98,7 +101,10 @@ object LakehouseSql {
     case vacuumAge(dir, hours) =>
       Some(GraftVacuumAgeCommand(dir, hours.toLong))
     case optimize(tbl, sortCol, mb, out) =>
-      Some(GraftOptimizeCommand(tbl, Option(out), sortCol,
+      Some(GraftOptimizeCommand(tbl, Option(out), Seq(sortCol),
+        Option(mb).map(_.toLong << 20).getOrElse(128L << 20)))
+    case optimizeZ(tbl, a, b, mb, out) =>
+      Some(GraftOptimizeCommand(tbl, Option(out), Seq(a, b),
         Option(mb).map(_.toLong << 20).getOrElse(128L << 20)))
     case cloneRe(src, dst) => Some(GraftCloneCommand(src, dst))
     case history(dir) => Some(GraftHistoryCommand(dir))
@@ -331,11 +337,13 @@ case class GraftVacuumAgeCommand(tableDir: String, hours: Long)
 
 /** `OPTIMIZE ... BY col [INTO ...]` lowered onto
   * [[graft.ops.Layout.optimizeTable]] (re-cluster into disjoint key
-  * ranges; revives manifest/min-max pruning). On a versioned table the
-  * optimized layout commits as the next version (Delta's in-place
+  * ranges; revives manifest/min-max pruning), or `ZORDER BY (a, b)`
+  * onto [[graft.ops.Layout.optimizeTableZOrder]] (Morton-interleaved
+  * clustering — filters on either column prune). On a versioned table
+  * the optimized layout commits as the next version (Delta's in-place
   * OPTIMIZE shape); a plain snapshot needs an explicit `INTO`. */
 case class GraftOptimizeCommand(
-    inPath: String, explicitOut: Option[String], sortCol: String,
+    inPath: String, explicitOut: Option[String], sortCols: Seq[String],
     targetBytes: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -355,10 +363,16 @@ case class GraftOptimizeCommand(
     require(!new java.io.File(s"$readPath/_dv/_SUCCESS").exists,
       s"OPTIMIZE: '$readPath' carries a deletion-vector sidecar — run " +
         "Upsert.compactDeletes first (it deletes AND compacts)")
+    def cluster(src: String, dst: String): (Int, Int, Long) = sortCols match {
+      case Seq(c) => Layout.optimizeTable(spark, src, dst, c, targetBytes)
+      case Seq(a, b) =>
+        Layout.optimizeTableZOrder(spark, src, dst, a, b, targetBytes)
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE: 1 (BY) or 2 (ZORDER BY) cluster columns, got $other")
+    }
     LakehouseSql.withCow(inPath, explicitOut, "OPTIMIZE") { (src, out) =>
       val (i, o, b) =
-        if (explicitOut.isDefined)
-          Layout.optimizeTable(spark, src, out, sortCol, targetBytes)
+        if (explicitOut.isDefined) cluster(src, out)
         else {
           // Spark's overwrite delete-recreates the output dir, which
           // would reopen the claimed-version race window — write beside
@@ -368,7 +382,7 @@ case class GraftOptimizeCommand(
           val tmp = s"$out.inprogress"
           org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
           val r =
-            try Layout.optimizeTable(spark, src, tmp, sortCol, targetBytes)
+            try cluster(src, tmp)
             catch { case e: Throwable =>
               org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
               throw e
@@ -377,12 +391,13 @@ case class GraftOptimizeCommand(
           for (f <- Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty))
             java.nio.file.Files.move(f.toPath, new java.io.File(dst, f.getName).toPath)
           org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-          // the layout was JUST range-clustered by sortCol — stamp its
+          // a single-key layout was JUST range-clustered — stamp its
           // manifest so the next MERGE prunes with zero footer reads
-          // (skipped for key types the manifest can't compare)
-          if (Upsert.isManifestKeyType(
-              spark.read.parquet(out).schema(sortCol).dataType))
-            Upsert.writeManifestSidecar(spark, out, sortCol)
+          // (skipped for ZORDER — the manifest is single-key — and for
+          // key types it can't compare)
+          if (sortCols.size == 1 && Upsert.isManifestKeyType(
+              spark.read.parquet(out).schema(sortCols.head).dataType))
+            Upsert.writeManifestSidecar(spark, out, sortCols.head)
           Upsert.writeCommitInfo(out, "OPTIMIZE", Seq(
             "files_in" -> r._1.toLong, "files_out" -> r._2.toLong))
           r

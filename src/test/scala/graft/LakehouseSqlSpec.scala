@@ -370,6 +370,21 @@ class LakehouseSqlSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("versioned table"), e1.getMessage)
 
+    // ZORDER BY (a, b): in-place too — commits v3 on the post-MERGE
+    // chain, values identical to v2's state
+    val zOpt = spark.sql(s"OPTIMIZE '$tbl' ZORDER BY (k, v) TARGET 64 MB")
+      .collect()(0)
+    assert(zOpt.getLong(1) >= 1, zOpt.toString)
+    val zCur = graft.streaming.Streams.currentSnapshot(tbl).get
+    assert(zCur.endsWith("/v3"), zCur)
+    val z = spark.read.parquet(zCur)
+    assert(z.count() == 2000)
+    assert(z.agg(sum($"v")).head.getLong(0) == 1999L * 2000 / 2 - 18 - 27)
+    // point filters on EITHER column stay exact over the new layout
+    assert(z.filter($"k" === 1234L).count() == 1)
+    assert(z.filter($"v" === 777L).count() == 1)
+    assert(z.filter($"v" === -9L).count() == 3)
+
     // a DV-carrying current snapshot refuses BEFORE claiming a version
     val dvSrc = s"$base/opt_dv_src"; val dvTbl = s"$base/opt_dv"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dvSrc))

@@ -206,6 +206,30 @@ object DevScaleProbe {
     Seq((nFiles.toLong, nDv)).toDF("files", "dv_keys")
   }
 
+  /** CDF across a deletion-vector commit: the DV-delta leg fetches the
+    * deleted rows' before images manifest-pruned, so the feed must
+    * cost ∝ files containing deleted keys (fixed delivery → ~flat
+    * curve), not the tier's table size. Chain build (clone + DV
+    * delete) is staged untimed; the timed part is the feed itself. */
+  private def cdfDv(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val tbl = ensureUpsertTable(s, dir, k)
+    val chain = s"$dir/cdfdv"
+    val marker = new java.io.File(s"$dir/CDFDV_OK")
+    if (!marker.exists) {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(chain))
+      graft.ops.Upsert.cloneSnapshot(s, tbl, s"$chain/v0")
+      // a production chain carries the bounds manifest; without it the
+      // feed's pruned fetch pays O(files) footer reads per run
+      graft.ops.Upsert.writeManifestSidecar(s, s"$chain/v0", "k")
+      graft.ops.Upsert.deleteByKeyDV(s, s"$chain/v0", s"$chain/v1",
+        s.range(5000L).select(($"id" * 7L).as("k")), "k")
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      try w.print(k) finally w.close()
+    }
+    graft.ops.Upsert.changeDataFeed(s, chain, 0L, 1L)
+  }
+
   /** Exact-substring dedup over the k×-sized documents tier: copies
     * are token-bijections, so per-copy duplicated-span structure is
     * identical and the ground-truth scaling law is linear. The probe
@@ -283,7 +307,7 @@ object DevScaleProbe {
       // filtered fia-only run (e.g. the 100×-class organic probe) must
       // not pay the replicated doc/emb/lineitem tier build it never reads
       val tierOps = Seq("minhash_lsh", "incr_dedup", "semantic_dedup",
-        "pagerank", "upsert_commit", "dv_delete", "substr_dedup",
+        "pagerank", "upsert_commit", "dv_delete", "cdf_dv", "substr_dedup",
         "upsert_commit_cached", "winnow_fp", "profile", "ngram_jaccard")
       val dir =
         if (tierOps.exists(op => onlyOps.forall(_.contains(op))))
@@ -338,6 +362,7 @@ object DevScaleProbe {
       }
       probe("upsert_commit", k, () => upsertCommit(spark, dir, k))
       probe("dv_delete", k, () => dvDelete(spark, dir, k))
+      probe("cdf_dv", k, () => cdfDv(spark, dir, k))
       probe("substr_dedup", k, () => substrDedup(spark, dir))
       if (onlyOps.forall(_.contains("upsert_commit_cached"))) {
         upsertCommit(spark, dir, k) // stage the manifested snapshot untimed

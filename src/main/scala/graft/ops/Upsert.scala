@@ -761,8 +761,12 @@ object Upsert {
     // files in its to-only set)
     def rows(fs: Seq[String], anySnapshot: String): DataFrame =
       if (fs.isEmpty)
-        spark.read.option("mergeSchema", "true")
-          .parquet(s"$tableDir/v$anySnapshot").limit(0)
+        // schema-only: ONE footer, not a mergeSchema sweep of every
+        // file — a DV-only commit has both file-diff sides empty and
+        // paid two O(files) footer jobs here; evolved columns the
+        // single footer misses are null-filled by align() from the
+        // OTHER side's schema, which is the side that has rows
+        spark.read.parquet(s"$tableDir/v$anySnapshot").limit(0)
       else spark.read.option("mergeSchema", "true").parquet(fs: _*)
     val before0 = rows(fromOnly, fromVersion.toString)
     val after0 = rows(toOnly, toVersion.toString)

@@ -164,7 +164,7 @@ object Layout {
     val files = listDataFiles(spark, inPath)
     require(files.nonEmpty, s"optimizeTable: no .parquet files under $inPath")
     val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val total = totalBytes(spark, files)
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath)
       .repartitionByRange(nOut, col(sortCol))
@@ -195,7 +195,7 @@ object Layout {
     val files = listDataFiles(spark, inPath)
     require(files.nonEmpty, s"optimizeTableZOrder: no .parquet files under $inPath")
     val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val total = totalBytes(spark, files)
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath)
       .withColumn("__z", zOrderValue(col(colA), col(colB), bits))
@@ -436,6 +436,21 @@ object Layout {
       }
     }
   }
+
+  /** Total size of `files` — NIO for local paths (a Hadoop
+    * getFileStatus forks per file for permissions on this build;
+    * seconds for a wide table), Hadoop FS for remote schemes. */
+  private[graft] def totalBytes(
+      spark: SparkSession, files: Seq[String]): Long =
+    files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val scheme = p.toUri.getScheme
+      if (scheme == null || scheme == "file")
+        java.nio.file.Files.size(java.nio.file.Paths.get(p.toUri.getPath))
+      else
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+    }.sum
 
   def parquetFileStats(spark: SparkSession, path: String): DataFrame = {
     val files = listDataFiles(spark, path)

@@ -445,13 +445,18 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
       .map(_.split('/').last)
     versions.map { v =>
       val files = Layout.listDataFiles(spark, s"$tableDir/v$v")
-      // Hadoop FS for sizes (not java.io): history must answer for
-      // hdfs/s3a-addressed tables too, and a claimed-but-unpublished
-      // version legitimately lists zero files
+      // sizes: NIO for local paths (a Hadoop getFileStatus per file
+      // forks for permissions on this build — seconds per version on
+      // a wide table), Hadoop FS for hdfs/s3a-addressed tables; a
+      // claimed-but-unpublished version legitimately lists zero files
       val bytes = files.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(p).getLen
+        val scheme = p.toUri.getScheme
+        if (scheme == null || scheme == "file")
+          java.nio.file.Files.size(java.nio.file.Paths.get(p.toUri.getPath))
+        else
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getLen
       }.sum
       val info = Upsert.readCommitInfo(s"$tableDir/v$v")
       Row(v, files.size.toLong, bytes, cur.contains(s"v$v"),

@@ -675,14 +675,39 @@ object Upsert {
     readCommitInfo(s"$tableDir/v$version").map(_._2)
       .getOrElse(new java.io.File(s"$tableDir/v$version").lastModified)
 
+  /** The version dir holds at least one (non-hidden) data file —
+    * distinguishes real snapshots from claimed-but-unpublished OCC
+    * claims (empty dirs) and in-flight builds. */
+  private def hasDataFiles(dir: String): Boolean = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) false
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.anyMatch { p =>
+        p.getFileName.toString.endsWith(".parquet") && {
+          val rel = root.relativize(p)
+          !(0 until rel.getNameCount).exists { i =>
+            val seg = rel.getName(i).toString
+            seg.startsWith("_") || seg.startsWith(".")
+          }
+        }
+      } finally s.close()
+    }
+  }
+
   /** TIMESTAMP AS OF resolution: the newest version whose commit
-    * timestamp is <= `tsMillis`. Refuses when even the oldest commit
-    * is later — there is no table state to read at that instant. */
+    * timestamp is <= `tsMillis`. Versions without data files (OCC
+    * claims in flight or abandoned by a crash) are skipped — time
+    * travel must never resolve to a snapshot no reader could load.
+    * Refuses when even the oldest commit is later — there is no table
+    * state to read at that instant. */
   def versionAsOfTimestamp(tableDir: String, tsMillis: Long): Long = {
     val versions = snapshotVersions(tableDir)
     require(versions.nonEmpty,
       s"versionAsOfTimestamp: no v<id> snapshots under $tableDir")
-    val eligible = versions.filter(v => commitTimestamp(tableDir, v) <= tsMillis)
+    val eligible = versions.filter(v =>
+      commitTimestamp(tableDir, v) <= tsMillis &&
+        hasDataFiles(s"$tableDir/v$v"))
     require(eligible.nonEmpty,
       s"versionAsOfTimestamp: every commit under $tableDir is later than " +
         s"${java.time.Instant.ofEpochMilli(tsMillis)} — the oldest is " +
@@ -957,7 +982,11 @@ object Upsert {
     val drop = versions
       .filterNot(protectedNewest)
       .filterNot(current.contains)
-      .filter(v => new java.io.File(s"$tableDir/v$v").lastModified() < cutoff)
+      // age by the _commitinfo stamp (dir-mtime fallback for
+      // pre-audit snapshots) — the same clock TIMESTAMP AS OF reads,
+      // so retention and time travel can't disagree about when a
+      // snapshot was committed
+      .filter(v => commitTimestamp(tableDir, v) < cutoff)
     val deleted = drop.filter { v =>
       val d = new java.io.File(s"$tableDir/v$v")
       org.apache.hadoop.fs.FileUtil.fullyDelete(d)

@@ -508,6 +508,17 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(ops.map(_._2).toSeq == Seq(null, "MERGE", "RESTORE"),
       ops.mkString(","))
 
+    // an in-flight OCC claim (empty dir, fresh mtime) must never win
+    // AS-OF resolution — a reader could not load it
+    val claimed = graft.plans.LakehouseSql.claimNextVersion(tbl)
+    val now = java.time.Instant.now().toString
+    assert(graft.ops.Upsert.versionAsOfTimestamp(
+      tbl, System.currentTimeMillis()) == claimed - 1,
+      "AS OF now must skip the empty claimed version")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tbl/v$claimed"))
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$tbl', '$now')")
+      .collect()(0).getLong(0) == 1000)
+
     // programmatic verbs stamp too: DELETE_DV then COMPACT_DELETES
     val dvOut = s"$base/audit_dv"; val cdOut = s"$base/audit_cd"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dvOut))

@@ -135,7 +135,8 @@ object Layout {
     // may already combine below the target), so the request is a cap;
     // the returned count is what actually landed on disk.
     val nReq = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath).coalesce(nReq)
+    // mergeSchema: same evolved-column hazard as optimizeTable
+    spark.read.option("mergeSchema", "true").parquet(inPath).coalesce(nReq)
       .write.mode("overwrite").parquet(outPath)
     val oit = fs.listFiles(new HPath(outPath), true)
     var nOut = 0
@@ -166,7 +167,10 @@ object Layout {
     val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val total = totalBytes(spark, files)
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath)
+    // mergeSchema: a snapshot after a schema-evolving commit mixes
+    // old- and new-schema files; a single-footer read would pick one
+    // arbitrarily and the rewrite would DROP the evolved columns
+    spark.read.option("mergeSchema", "true").parquet(inPath)
       .repartitionByRange(nOut, col(sortCol))
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(outPath)
@@ -197,7 +201,8 @@ object Layout {
     val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val total = totalBytes(spark, files)
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath)
+    // mergeSchema: same evolved-column hazard as optimizeTable
+    spark.read.option("mergeSchema", "true").parquet(inPath)
       .withColumn("__z", zOrderValue(col(colA), col(colB), bits))
       .repartitionByRange(nOut, col("__z"))
       .sortWithinPartitions(col("__z"))

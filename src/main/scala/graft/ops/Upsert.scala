@@ -47,6 +47,23 @@ object Upsert {
     * what keeps a commit's cost ∝ touched files instead of ∝ table
     * file count — the same role a table format's checkpoint/manifest
     * plays. */
+  /** Per-file key bounds aggregated from parquet FOOTERS (row-group
+    * stats; no data pages) in the key's NATIVE type — a text min of
+    * "9" vs "10" would invert numeric bounds — stored as text, keyed
+    * by file BASENAME. The single source of the manifest row shape
+    * ([[keyBounds]]' fallback, the commit engine's fresh-file rows,
+    * and [[writeManifestSidecar]] all build it here). */
+  private def footerBounds(
+      spark: SparkSession, files: Seq[String], keyCol: String,
+      keyType: DataType): DataFrame =
+    Layout.parquetFileStatsFor(spark, files)
+      .filter(col("column") === keyCol)
+      .groupBy(substring_index(col("file"), "/", -1).as("file"))
+      .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
+        max(col("max_value").cast(keyType)).cast("string").as("mx"))
+      .withColumn("key", lit(keyCol))
+      .select("file", "key", "mn", "mx")
+
   private def keyBounds(
       spark: SparkSession, tablePath: String, keyCol: String,
       keyType: DataType): DataFrame = {
@@ -60,17 +77,9 @@ object Upsert {
           .withColumn("mn", col("mn").cast("string"))
           .withColumn("mx", col("mx").cast("string")))
       else None
-    cached.filter(_.limit(1).count() > 0).getOrElse {
-      Layout.parquetFileStats(spark, tablePath)
-        .filter(col("column") === keyCol)
-        .groupBy(substring_index(col("file"), "/", -1).as("file"))
-        // aggregate per-row-group stats in the key's NATIVE type (text
-        // min of "9" vs "10" would invert numeric bounds), store text
-        .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
-          max(col("max_value").cast(keyType)).cast("string").as("mx"))
-        .withColumn("key", lit(keyCol))
-        .select("file", "key", "mn", "mx")
-    }
+    cached.filter(_.limit(1).count() > 0).getOrElse(
+      footerBounds(spark, Layout.listDataFiles(spark, tablePath),
+        keyCol, keyType))
   }
 
   /** The key types the manifest can prune on: integral (footer stats
@@ -97,13 +106,8 @@ object Upsert {
       spark: SparkSession, snapshotDir: String, keyCol: String): Int = {
     val keyType = spark.read.parquet(snapshotDir).schema(keyCol).dataType
     requireSupportedKey(keyType, keyCol, "manifest stamp")
-    val bounds = Layout.parquetFileStats(spark, snapshotDir)
-      .filter(col("column") === keyCol)
-      .groupBy(substring_index(col("file"), "/", -1).as("file"))
-      .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
-        max(col("max_value").cast(keyType)).cast("string").as("mx"))
-      .withColumn("key", lit(keyCol))
-      .select("file", "key", "mn", "mx")
+    val bounds = footerBounds(spark,
+        Layout.listDataFiles(spark, snapshotDir), keyCol, keyType)
       .cache()
     val n = bounds.count().toInt
     bounds.coalesce(1).write.mode("overwrite").parquet(manifestDir(snapshotDir))
@@ -496,13 +500,7 @@ object Upsert {
       .filterNot(f => untouchedNames.contains(new HPath(f).getName))
     val fresh =
       if (freshFiles.isEmpty) carried.limit(0)
-      else Layout.parquetFileStatsFor(spark, freshFiles)
-        .filter(col("column") === keyCol)
-        .groupBy(substring_index(col("file"), "/", -1).as("file"))
-        .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
-          max(col("max_value").cast(keyType)).cast("string").as("mx"))
-        .withColumn("key", lit(keyCol))
-        .select("file", "key", "mn", "mx")
+      else footerBounds(spark, freshFiles, keyCol, keyType)
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
 
@@ -755,13 +753,15 @@ object Upsert {
     * rewrite is a new table, not an evolution.
     *
     * DELETION VECTORS are part of the diff: the feed reflects the
-    * LOGICAL table ([[readWithDeletes]]' view). Keys newly present in
-    * the `to` side's `_dv` emit their full rows as `delete` images
-    * even though no data file changed, and file-diff deletes already
-    * covered by the `from` side's DV are subtracted — so a logical
-    * delete surfaces exactly once (at its DELETE_DV commit) and a
-    * pure [[compactDeletes]] interval feeds NOTHING (physically huge,
-    * logically a no-op).
+    * LOGICAL table ([[readWithDeletes]]' view). Each file-diff side
+    * is restricted to its LIVE rows (anti-joined with that side's own
+    * DV) before the excepts, and keys newly present in the `to`
+    * side's `_dv` emit their full rows as `delete` images fetched
+    * from files SHARED by both snapshots — so a logical delete
+    * surfaces exactly once (at the commit that logically removed it),
+    * a pure [[compactDeletes]] interval feeds NOTHING (physically
+    * huge, logically a no-op), an insert-then-DV-delete interval nets
+    * to nothing, and an explicit resurrection surfaces as an insert.
     *
     * Cost ∝ changed files across the interval, not table size — the
     * property that makes incremental downstream consumers (a streaming
@@ -789,34 +789,32 @@ object Upsert {
         // schema-only: ONE footer, not a mergeSchema sweep of every
         // file — a DV-only commit has both file-diff sides empty and
         // paid two O(files) footer jobs here; evolved columns the
-        // single footer misses are null-filled by align() from the
-        // OTHER side's schema, which is the side that has rows
+        // single footer misses are null-filled by align(), whose
+        // column set unions every leg INCLUDING the DV image source
         spark.read.parquet(s"$tableDir/v$anySnapshot").limit(0)
       else spark.read.option("mergeSchema", "true").parquet(fs: _*)
     val before0 = rows(fromOnly, fromVersion.toString)
     val after0 = rows(toOnly, toVersion.toString)
-    // align the two sides (exceptAll is positional): every column from
-    // either side, in a stable order, null-filled where absent
-    val types = (before0.schema ++ after0.schema)
-      .map(f => f.name -> f.dataType).toMap
-    val allCols = (before0.columns ++ after0.columns).distinct
-    def align(df: DataFrame): DataFrame =
-      df.select(allCols.map(c =>
-        if (df.columns.contains(c)) col(c)
-        else lit(null).cast(types(c)).as(c)): _*)
-    val before = align(before0)
-    val after = align(after0)
     // ---- deletion-vector delta: the feed reflects the LOGICAL table
-    // (readWithDeletes' view), so DV state changes are part of the
-    // diff. A DELETE_DV commit links every data file (file diff:
-    // empty) but logically deletes its keys — emit their rows as
-    // before images. Conversely a commit that FOLDS a DV into a COW
-    // rewrite (compactDeletes / MERGE) physically drops rows that
-    // were ALREADY logically deleted — subtract the from-side DV keys
-    // from the file-diff deletes or every DV'd row would be reported
-    // deleted twice across the chain. Net invariant: a delete
-    // surfaces exactly once, at the commit that logically removed it;
-    // a pure compaction interval feeds nothing.
+    // (readWithDeletes' view), so DV state is part of the diff. The
+    // formulation that makes every transition surface exactly once:
+    //  - LIVE views: each file-diff side is anti-joined with its OWN
+    //    side's DV before the excepts. This (a) stops a DV'd key's
+    //    later physical drop from re-reporting the delete, (b) stops
+    //    an insert-then-DV-delete interval from feeding a phantom
+    //    row, and (c) lets an explicit resurrection (upsert of a
+    //    DV-deleted key) surface as the insert it logically is, even
+    //    when the re-inserted row is byte-identical to the old one.
+    //  - DV-delta images: keys newly in the to-side DV emit their
+    //    rows as delete images, fetched ONLY from files SHARED by
+    //    both snapshots (a rewritten file is the file-diff legs' job
+    //    — fetching from shared files is what prevents a COW-delete +
+    //    redundant-DV interval from double-reporting), manifest-
+    //    pruned within the shared set so the leg costs ∝ affected
+    //    files. Net invariants, spec-pinned: each logical delete
+    //    surfaces once, at the commit that logically removed it; a
+    //    pure compaction interval feeds nothing; an insert-then-
+    //    DV-delete interval nets to nothing.
     // (keys, small?) — broadcast the join side while the sidecar is
     // small, shuffle past it: the same bound readWithDeletes applies
     def dvKeysOf(v: Long): Option[(DataFrame, Boolean)] = {
@@ -831,46 +829,61 @@ object Upsert {
       if (small) broadcast(df) else df
     val fromDv = dvKeysOf(fromVersion)
     val toDv = dvKeysOf(toVersion)
-    val fileDeletes = before.exceptAll(after)
-    val fileDeletesLive = fromDv match {
-      case Some((k, small)) =>
-        fileDeletes.join(hint(k, small), k.schema.fieldNames.toSeq, "left_anti")
-      case None => fileDeletes
-    }
-    val dvDeletes: Option[DataFrame] = toDv.map { case (t, tSmall) =>
-      val (newKeys, small) = fromDv match {
-        case Some((f, _)) => (t.exceptAll(f), tSmall)
-        case None => (t, tSmall)
+    val dvImages: Option[DataFrame] = toDv.map { case (t, tSmall) =>
+      val newKeys = fromDv match {
+        case Some((f, _)) => t.exceptAll(f)
+        case None => t
       }
-      // the deleted rows' full images, fetched by key from the FROM
-      // side (every to-side data file is a link of it on a DV commit)
-      // — manifest-pruned exactly like the commit engine: only files
-      // whose key bounds can hold a newly deleted key decode, so the
-      // leg costs ∝ files containing deletes, not table size.
-      val snap = s"$tableDir/v$fromVersion"
       val kc = t.schema.fieldNames.head
       val kt = t.schema.head.dataType
+      val sharedNames = from.keySet & to.keySet
+      val sharedPaths = sharedNames.toSeq.sorted.map(to)
       val src =
-        if (!isManifestKeyType(kt))
-          spark.read.option("mergeSchema", "true").parquet(snap)
+        if (sharedPaths.isEmpty)
+          spark.read.parquet(s"$tableDir/v$toVersion").limit(0)
+        else if (!isManifestKeyType(kt))
+          spark.read.option("mergeSchema", "true").parquet(sharedPaths: _*)
         else {
-          val bounds = keyBounds(spark, snap, kc, kt)
+          val bounds = keyBounds(spark, s"$tableDir/v$toVersion", kc, kt)
+            .filter(col("file").isin(sharedNames.toSeq: _*))
           val candidates = broadcast(bounds)
             .join(newKeys.select(col(kc).cast(kt).as("__k")).distinct(),
               col("__k").between(col("mn").cast(kt), col("mx").cast(kt)),
               "left_semi")
             .select(col("file")).collect().map(_.getString(0)).toSet
-          val files = Layout.listDataFiles(spark, snap).filter(f =>
+          val cand = sharedPaths.filter(f =>
             candidates.contains(new org.apache.hadoop.fs.Path(f).getName))
-          if (files.isEmpty)
-            spark.read.option("mergeSchema", "true").parquet(snap).limit(0)
-          else spark.read.option("mergeSchema", "true").parquet(files: _*)
+          if (cand.isEmpty)
+            spark.read.parquet(s"$tableDir/v$toVersion").limit(0)
+          else spark.read.option("mergeSchema", "true").parquet(cand: _*)
         }
-      align(src).join(hint(newKeys, small), Seq(kc), "left_semi")
+      src.join(hint(newKeys, tSmall), Seq(kc), "left_semi")
     }
-    val deletes = dvDeletes
-      .map(fileDeletesLive.unionByName(_)).getOrElse(fileDeletesLive)
-    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+    // align every leg (exceptAll is positional): every column any leg
+    // carries, in a stable order, null-filled where absent — the DV
+    // image source's schema is included because BOTH file-diff sides
+    // can be empty single-footer reads that miss evolved columns
+    val types = (before0.schema ++ after0.schema ++
+        dvImages.map(_.schema.toSeq).getOrElse(Seq.empty))
+      .map(f => f.name -> f.dataType).toMap
+    val allCols = (before0.columns ++ after0.columns ++
+      dvImages.map(_.columns.toSeq).getOrElse(Seq.empty)).distinct
+    def align(df: DataFrame): DataFrame =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(types(c)).as(c)): _*)
+    def antiDv(df: DataFrame, dv: Option[(DataFrame, Boolean)]): DataFrame =
+      dv match {
+        case Some((k, small)) =>
+          df.join(hint(k, small), k.schema.fieldNames.toSeq, "left_anti")
+        case None => df
+      }
+    val beforeLive = antiDv(align(before0), fromDv)
+    val afterLive = antiDv(align(after0), toDv)
+    val deletes = dvImages
+      .map(i => beforeLive.exceptAll(afterLive).unionByName(align(i)))
+      .getOrElse(beforeLive.exceptAll(afterLive))
+    afterLive.exceptAll(beforeLive).withColumn("_change_type", lit("insert"))
       .unionByName(deletes.withColumn("_change_type", lit("delete")))
   }
 

@@ -88,6 +88,7 @@ object LakehouseSql {
   private val mergeish =
     """(?is)^\s*MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'.*""".r
   private val deleteish = """(?is)^\s*DELETE\s+FROM\s+'.*""".r
+  private val optimizeish = """(?is)^\s*OPTIMIZE\s+'.*""".r
 
   /** The graft statement for `sqlText`, if it is one. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -112,12 +113,14 @@ object LakehouseSql {
     case restoreTs(dir, ts) =>
       Some(GraftRestoreCommand(dir, -1L, Some(parseTsMillis(ts))))
     case convert(src, dst) => Some(GraftConvertCommand(src, dst))
-    case t if mergeish.matches(t) || deleteish.matches(t) =>
+    case t if mergeish.matches(t) || deleteish.matches(t) ||
+        optimizeish.matches(t) =>
       throw new IllegalArgumentException(
         "graft lakehouse statement didn't match the supported grammar — " +
           "see graft.plans.LakehouseSql (MERGE needs USING (<query>) ON " +
           "<keyCol> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN " +
-          "INSERT *; DELETE needs WHERE <keyCol> IN (<query>)): " + t.trim.take(120))
+          "INSERT *; DELETE needs WHERE <keyCol> IN (<query>); OPTIMIZE " +
+          "needs BY <col> or ZORDER BY (<a>, <b>)): " + t.trim.take(120))
     case _ => None
   }
 
@@ -352,17 +355,6 @@ case class GraftOptimizeCommand(
     // a VERSIONED table commits the optimized layout as the next
     // version (Delta's OPTIMIZE shape) through the same claim + CAS
     // protocol as the DML verbs; a plain snapshot still needs INTO.
-    // A deletion-vector sidecar must not ride along: optimizeTable
-    // reads data files only, so the rewritten layout would silently
-    // DROP the _dv and resurrect soft-deleted rows — refuse with the
-    // fold named (compactDeletes both deletes and compacts).
-    // DV check BEFORE resolveCow: refusing after the claim would
-    // leave an orphan v<id> behind on every refusal
-    val readPath = graft.streaming.Streams.currentSnapshot(inPath)
-      .getOrElse(inPath)
-    require(!new java.io.File(s"$readPath/_dv/_SUCCESS").exists,
-      s"OPTIMIZE: '$readPath' carries a deletion-vector sidecar — run " +
-        "Upsert.compactDeletes first (it deletes AND compacts)")
     def cluster(src: String, dst: String): (Int, Int, Long) = sortCols match {
       case Seq(c) => Layout.optimizeTable(spark, src, dst, c, targetBytes)
       case Seq(a, b) =>
@@ -371,6 +363,15 @@ case class GraftOptimizeCommand(
         s"OPTIMIZE: 1 (BY) or 2 (ZORDER BY) cluster columns, got $other")
     }
     LakehouseSql.withCow(inPath, explicitOut, "OPTIMIZE") { (src, out) =>
+      // A deletion-vector sidecar must not ride along: the cluster
+      // pass reads data files only, so the rewritten layout would
+      // silently DROP the _dv and resurrect soft-deleted rows —
+      // refuse with the fold named. Checked INSIDE the claim against
+      // the RESOLVED src (a pre-claim check races a concurrent
+      // deleteByKeyDV publish); withCow discards the claim on refusal.
+      require(!new java.io.File(s"$src/_dv/_SUCCESS").exists,
+        s"OPTIMIZE: '$src' carries a deletion-vector sidecar — run " +
+          "Upsert.compactDeletes first (it deletes AND compacts)")
       val (i, o, b) =
         if (explicitOut.isDefined) cluster(src, out)
         else {
@@ -444,24 +445,14 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
     val cur = graft.streaming.Streams.currentSnapshot(tableDir)
       .map(_.split('/').last)
     versions.map { v =>
+      // a claimed-but-unpublished version legitimately lists zero files
       val files = Layout.listDataFiles(spark, s"$tableDir/v$v")
-      // sizes: NIO for local paths (a Hadoop getFileStatus per file
-      // forks for permissions on this build — seconds per version on
-      // a wide table), Hadoop FS for hdfs/s3a-addressed tables; a
-      // claimed-but-unpublished version legitimately lists zero files
-      val bytes = files.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val scheme = p.toUri.getScheme
-        if (scheme == null || scheme == "file")
-          java.nio.file.Files.size(java.nio.file.Paths.get(p.toUri.getPath))
-        else
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .getFileStatus(p).getLen
-      }.sum
+      val bytes = Layout.totalBytes(spark, files)
       val info = Upsert.readCommitInfo(s"$tableDir/v$v")
       Row(v, files.size.toLong, bytes, cur.contains(s"v$v"),
         info.map(_._1).orNull,
-        new java.sql.Timestamp(Upsert.commitTimestamp(tableDir, v)))
+        new java.sql.Timestamp(info.map(_._2).getOrElse(
+          new java.io.File(s"$tableDir/v$v").lastModified)))
     }
   }
 }

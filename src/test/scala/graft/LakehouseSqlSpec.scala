@@ -385,7 +385,9 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(z.filter($"v" === 777L).count() == 1)
     assert(z.filter($"v" === -9L).count() == 3)
 
-    // a DV-carrying current snapshot refuses BEFORE claiming a version
+    // a DV-carrying current snapshot refuses inside the claim (checked
+    // against the RESOLVED src — a pre-claim check would race a
+    // concurrent DV publish) and the claim is discarded
     val dvSrc = s"$base/opt_dv_src"; val dvTbl = s"$base/opt_dv"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dvSrc))
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dvTbl))
@@ -400,7 +402,7 @@ class LakehouseSqlSpec extends AnyFunSuite {
       spark.sql(s"OPTIMIZE '$dvTbl' BY k")
     }
     assert(e2.getMessage.contains("deletion-vector"), e2.getMessage)
-    // the refusal claimed nothing — the version chain is untouched
+    // the refusal discarded its claim — the version chain is untouched
     assert(graft.ops.Upsert.snapshotVersions(dvTbl) == Seq(0L, 1L))
   }
 
@@ -539,6 +541,15 @@ class LakehouseSqlSpec extends AnyFunSuite {
       spark.sql(s"MERGE INTO '$base/x' USING (SELECT 1) ON k")
     }
     assert(e.getMessage.contains("supported grammar"), e.getMessage)
+    // OPTIMIZE near-misses (wrong ZORDER arity) fail loudly too
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE '$base/x' ZORDER BY (a, b, c)")
+    }
+    assert(e2.getMessage.contains("supported grammar"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE '$base/x' ZORDER BY (a)")
+    }
+    assert(e3.getMessage.contains("supported grammar"), e3.getMessage)
     // ordinary statements (incl. catalog-table DELETE syntax Spark
     // owns) still parse through the delegate
     assert(spark.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)

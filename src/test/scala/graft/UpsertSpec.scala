@@ -485,6 +485,57 @@ class UpsertSpec extends AnyFunSuite {
     assert(d13.agg(min($"k")).collect()(0).getLong(0) == 200)
   }
 
+  test("CDF DV edges: phantom inserts, COW+DV double-count, resurrection") {
+    import spark.implicits._
+    // --- insert-then-DV-delete nets to NOTHING: a key appended at v1
+    // and DV-deleted at v2 was dead at both endpoints of 0→2 — the
+    // old file-diff-only feed emitted it as a live insert
+    val t1 = s"$base/dvedge1"
+    spark.range(1000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$t1/v0")
+    Upsert.upsertByKey(spark, s"$t1/v0", s"$t1/v1",
+      Seq((5000L, -5L)).toDF("k", "v"), "k")
+    Upsert.deleteByKeyDV(spark, s"$t1/v1", s"$t1/v2",
+      Seq(5000L).toDF("k"), "k")
+    val f02 = Upsert.changeDataFeed(spark, t1, 0L, 2L).cache()
+    assert(f02.filter($"k" === 5000L).count() == 0,
+      "insert-then-DV-delete must net to nothing")
+    assert(f02.count() == 0, s"interval is logically empty: ${f02.collect().toSeq}")
+
+    // --- COW-delete then redundant DV of the same key: ONE delete
+    // (the file diff owns it; the DV image leg must not re-fetch from
+    // a rewritten file)
+    val t2 = s"$base/dvedge2"
+    spark.range(1000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$t2/v0")
+    Upsert.deleteByKey(spark, s"$t2/v0", s"$t2/v1", Seq(7L).toDF("k"), "k")
+    Upsert.deleteByKeyDV(spark, s"$t2/v1", s"$t2/v2", Seq(7L).toDF("k"), "k")
+    val g02 = Upsert.changeDataFeed(spark, t2, 0L, 2L)
+      .filter($"_change_type" === "delete")
+    assert(g02.filter($"k" === 7L).count() == 1,
+      "COW delete + redundant DV must report the delete ONCE")
+
+    // --- resurrection: DV-delete a key, then a COW fold whose update
+    // batch re-upserts it with IDENTICAL values — logically dead→live,
+    // must surface as an insert (the old feed's exceptAll canceled it)
+    val t3 = s"$base/dvedge3"
+    spark.range(1000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$t3/v0")
+    Upsert.deleteByKeyDV(spark, s"$t3/v0", s"$t3/v1", Seq(9L).toDF("k"), "k")
+    Upsert.upsertByKey(spark, s"$t3/v1", s"$t3/v2",
+      Seq((9L, 9L)).toDF("k", "v"), "k") // same values as the original row
+    val h12 = Upsert.changeDataFeed(spark, t3, 1L, 2L).cache()
+    assert(h12.filter($"_change_type" === "insert" && $"k" === 9L).count() == 1,
+      "resurrecting a DV-deleted key is logically an insert")
+    assert(h12.filter($"_change_type" === "delete" && $"k" === 9L).count() == 0,
+      "the key was already dead at v1 — no delete image")
+    // and 0→2 nets to nothing (dead interval endpoints both have k=9 live)
+    assert(Upsert.changeDataFeed(spark, t3, 0L, 2L).count() == 0)
+  }
+
   test("COW commit folds a deletion-vector sidecar: deleted keys stay gone") {
     import spark.implicits._
     val v0 = s"$base/dvcow/v0"; val v1 = s"$base/dvcow/v1"

@@ -536,6 +536,41 @@ class UpsertSpec extends AnyFunSuite {
     assert(Upsert.changeDataFeed(spark, t3, 0L, 2L).count() == 0)
   }
 
+  test("feed replay across a mixed COW/DV/compact chain rebuilds the final table") {
+    import spark.implicits._
+    val tbl = s"$base/dvreplay"
+    // v0 base → v1 COW merge (100 updates + 20 appends) → v2 DV
+    // delete (some updated, some untouched keys) → v3 compaction →
+    // v4 merge resurrecting a DV-deleted key
+    spark.range(2000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v1",
+      spark.range(50, 150).select($"id".as("k"), lit(-1L).as("v"))
+        .unionByName(spark.range(9000, 9020).select($"id".as("k"), lit(-2L).as("v"))),
+      "k")
+    Upsert.deleteByKeyDV(spark, s"$tbl/v1", s"$tbl/v2",
+      spark.range(100, 300).toDF("k"), "k")
+    Upsert.compactDeletes(spark, s"$tbl/v2", s"$tbl/v3")
+    Upsert.upsertByKey(spark, s"$tbl/v3", s"$tbl/v4",
+      Seq((120L, -7L)).toDF("k", "v"), "k")
+
+    // replay: logical state at v0, then apply each interval's feed
+    var state = Upsert.readWithDeletes(spark, s"$tbl/v0")
+    for (i <- 1 to 4) {
+      val feed = Upsert.changeDataFeed(spark, tbl, i - 1L, i.toLong).cache()
+      val dels = feed.filter($"_change_type" === "delete").drop("_change_type")
+      val ins = feed.filter($"_change_type" === "insert").drop("_change_type")
+      state = state.exceptAll(dels).unionByName(ins)
+    }
+    val want = Upsert.readWithDeletes(spark, s"$tbl/v4")
+    assert(state.exceptAll(want).isEmpty && want.exceptAll(state).isEmpty,
+      "replaying the feed must reconstruct the final logical table")
+    // sanity on the final state itself
+    assert(want.count() == 2000 + 20 - 200 + 1)
+    assert(want.filter($"k" === 120L).select($"v").head.getLong(0) == -7L)
+  }
+
   test("COW commit folds a deletion-vector sidecar: deleted keys stay gone") {
     import spark.implicits._
     val v0 = s"$base/dvcow/v0"; val v1 = s"$base/dvcow/v1"

@@ -33,20 +33,6 @@ object Upsert {
     * snapshot. Underscore-prefixed, so Spark's data reads skip it. */
   private def manifestDir(snapshot: String) = s"$snapshot/_manifest"
 
-  /** Per-file (file, key, mn, mx) bounds for `keyCol`, where `file` is
-    * the BASENAME (unique within a snapshot; basenames survive the
-    * link/copy into the next snapshot unchanged and are scheme-proof —
-    * full paths from a cached manifest vs a live listing can differ in
-    * `file:` prefixing and would silently mis-classify every file).
-    * Bounds are STORED as type-faithful text (what the footer stats
-    * already are) and compared after casting back to the key's native
-    * type, so integral AND string keys prune correctly — a long-only
-    * manifest silently classified every file of a string-keyed table
-    * as untouched. Source: the cached sidecar when one exists FOR THIS
-    * KEY, else aggregated from the parquet footers. The sidecar is
-    * what keeps a commit's cost ∝ touched files instead of ∝ table
-    * file count — the same role a table format's checkpoint/manifest
-    * plays. */
   /** Per-file key bounds aggregated from parquet FOOTERS (row-group
     * stats; no data pages) in the key's NATIVE type — a text min of
     * "9" vs "10" would invert numeric bounds — stored as text, keyed
@@ -64,23 +50,43 @@ object Upsert {
       .withColumn("key", lit(keyCol))
       .select("file", "key", "mn", "mx")
 
-  private def keyBounds(
-      spark: SparkSession, tablePath: String, keyCol: String,
-      keyType: DataType): DataFrame = {
+  /** The cached `_manifest` bounds rows for `keyCol`, when the sidecar
+    * exists AND carries this key (a sidecar for a different key must
+    * not shadow the footer fallback). */
+  private def cachedBounds(
+      spark: SparkSession, tablePath: String, keyCol: String)
+      : Option[DataFrame] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val md = new HPath(manifestDir(tablePath))
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cached =
-      if (fs.exists(new HPath(md, "_SUCCESS")))
-        Some(spark.read.parquet(md.toString).filter(col("key") === keyCol)
-          // pre-r9 sidecars stored long bounds; normalize to text
-          .withColumn("mn", col("mn").cast("string"))
-          .withColumn("mx", col("mx").cast("string")))
-      else None
-    cached.filter(_.limit(1).count() > 0).getOrElse(
+    if (!fs.exists(new HPath(md, "_SUCCESS"))) None
+    else Some(spark.read.parquet(md.toString).filter(col("key") === keyCol)
+        // pre-r9 sidecars stored long bounds; normalize to text
+        .withColumn("mn", col("mn").cast("string"))
+        .withColumn("mx", col("mx").cast("string")))
+      .filter(_.limit(1).count() > 0)
+  }
+
+  /** Per-file (file, key, mn, mx) bounds for `keyCol`, where `file` is
+    * the BASENAME (unique within a snapshot; basenames survive the
+    * link/copy into the next snapshot unchanged and are scheme-proof —
+    * full paths from a cached manifest vs a live listing can differ in
+    * `file:` prefixing and would silently mis-classify every file).
+    * Bounds are STORED as type-faithful text (what the footer stats
+    * already are) and compared after casting back to the key's native
+    * type, so integral AND string keys prune correctly — a long-only
+    * manifest silently classified every file of a string-keyed table
+    * as untouched. Source: the cached sidecar when one exists FOR THIS
+    * KEY ([[cachedBounds]]), else aggregated from the parquet footers.
+    * The sidecar is what keeps a commit's cost ∝ touched files instead
+    * of ∝ table file count — the same role a table format's
+    * checkpoint/manifest plays. */
+  private def keyBounds(
+      spark: SparkSession, tablePath: String, keyCol: String,
+      keyType: DataType): DataFrame =
+    cachedBounds(spark, tablePath, keyCol).getOrElse(
       footerBounds(spark, Layout.listDataFiles(spark, tablePath),
         keyCol, keyType))
-  }
 
   /** The key types the manifest can prune on: integral (footer stats
     * round-trip through text exactly) and string (parquet string stats
@@ -673,45 +679,47 @@ object Upsert {
     readCommitInfo(s"$tableDir/v$version").map(_._2)
       .getOrElse(new java.io.File(s"$tableDir/v$version").lastModified)
 
-  /** The version dir holds at least one (non-hidden) data file —
-    * distinguishes real snapshots from claimed-but-unpublished OCC
-    * claims (empty dirs) and in-flight builds. */
-  private def hasDataFiles(dir: String): Boolean = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(root)) false
-    else {
-      val s = java.nio.file.Files.walk(root)
-      try s.anyMatch { p =>
-        p.getFileName.toString.endsWith(".parquet") && {
-          val rel = root.relativize(p)
-          !(0 until rel.getNameCount).exists { i =>
-            val seg = rel.getName(i).toString
-            seg.startsWith("_") || seg.startsWith(".")
-          }
-        }
-      } finally s.close()
-    }
-  }
-
-  /** TIMESTAMP AS OF resolution: the newest version whose commit
-    * timestamp is <= `tsMillis`. Versions without data files (OCC
-    * claims in flight or abandoned by a crash) are skipped — time
-    * travel must never resolve to a snapshot no reader could load.
-    * Refuses when even the oldest commit is later — there is no table
-    * state to read at that instant. */
+  /** TIMESTAMP AS OF resolution: the newest COMPLETE version whose
+    * commit timestamp is <= `tsMillis`.
+    *
+    * Completeness: the `_commitinfo` stamp is written AFTER a verb
+    * finishes building its snapshot, so it doubles as the completion
+    * marker. A version is complete when it is stamped, OR it is the
+    * CURRENT version (publish follows the build), OR it predates the
+    * table's oldest stamp (a hand-staged base or pre-audit-trail
+    * chain — judged by holding data files). Anything else — unstamped,
+    * not current, at-or-after the first stamp — is an in-flight or
+    * crash-abandoned OCC claim, and is never resolvable: time travel
+    * must not hand a reader a partially-linked table, even once its
+    * first files land. */
   def versionAsOfTimestamp(tableDir: String, tsMillis: Long): Long = {
     val versions = snapshotVersions(tableDir)
     require(versions.nonEmpty,
       s"versionAsOfTimestamp: no v<id> snapshots under $tableDir")
-    val eligible = versions.filter(v =>
-      commitTimestamp(tableDir, v) <= tsMillis &&
-        hasDataFiles(s"$tableDir/v$v"))
-    require(eligible.nonEmpty,
-      s"versionAsOfTimestamp: every commit under $tableDir is later than " +
-        s"${java.time.Instant.ofEpochMilli(tsMillis)} — the oldest is " +
-        s"v${versions.min} at ${java.time.Instant.ofEpochMilli(
-          commitTimestamp(tableDir, versions.min))}")
-    eligible.max
+    val info = versions.map(v => v -> readCommitInfo(s"$tableDir/v$v")).toMap
+    val oldestStamp = info.collect { case (v, Some(_)) => v }
+      .minOption
+    val current = {
+      val cur = new java.io.File(s"$tableDir/CURRENT")
+      if (!cur.exists) None
+      else {
+        val src = scala.io.Source.fromFile(cur)
+        val v = try src.mkString.trim finally src.close()
+        Some(v.drop(1).toLong)
+      }
+    }
+    def ts(v: Long): Long = info(v).map(_._2)
+      .getOrElse(new java.io.File(s"$tableDir/v$v").lastModified)
+    def complete(v: Long): Boolean =
+      info(v).isDefined || current.contains(v) ||
+        (oldestStamp.forall(v < _) && Layout.localDataFileExists(s"$tableDir/v$v"))
+    versions.sorted.reverseIterator
+      .find(v => ts(v) <= tsMillis && complete(v))
+      .getOrElse(throw new IllegalArgumentException(
+        s"versionAsOfTimestamp: no complete snapshot under $tableDir " +
+          s"committed at or before ${java.time.Instant.ofEpochMilli(tsMillis)} — " +
+          versions.map(v => s"v$v@${java.time.Instant.ofEpochMilli(ts(v))}" +
+            (if (complete(v)) "" else " (incomplete)")).mkString(", ")))
   }
 
   /** List snapshot versions of a versioned COW table, ascending. */
@@ -844,8 +852,12 @@ object Upsert {
         else if (!isManifestKeyType(kt))
           spark.read.option("mergeSchema", "true").parquet(sharedPaths: _*)
         else {
-          val bounds = keyBounds(spark, s"$tableDir/v$toVersion", kc, kt)
-            .filter(col("file").isin(sharedNames.toSeq: _*))
+          // bounds: the cached manifest filtered to the shared set, or
+          // footers of ONLY the shared files — the fallback must not
+          // footer-read the whole snapshot to then discard the rows
+          val bounds = cachedBounds(spark, s"$tableDir/v$toVersion", kc)
+            .map(_.filter(col("file").isin(sharedNames.toSeq: _*)))
+            .getOrElse(footerBounds(spark, sharedPaths, kc, kt))
           val candidates = broadcast(bounds)
             .join(newKeys.select(col(kc).cast(kt).as("__k")).distinct(),
               col("__k").between(col("mn").cast(kt), col("mx").cast(kt)),

@@ -498,7 +498,7 @@ class LakehouseSqlSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_table('$tbl', '$tooEarly')").collect()
     }
-    assert(e.getMessage.contains("later than"), e.getMessage)
+    assert(e.getMessage.contains("at or before"), e.getMessage)
 
     // RESTORE TO TIMESTAMP: resolves v0, commits it as v2 (op RESTORE)
     val rest = spark.sql(s"RESTORE '$tbl' TO TIMESTAMP '$hourAgo'").collect()(0)
@@ -510,13 +510,20 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(ops.map(_._2).toSeq == Seq(null, "MERGE", "RESTORE"),
       ops.mkString(","))
 
-    // an in-flight OCC claim (empty dir, fresh mtime) must never win
-    // AS-OF resolution — a reader could not load it
+    // an in-flight OCC claim must never win AS-OF resolution — not
+    // while empty, and not once its first linked files land (a
+    // half-built table is worse than an empty one: it READS)
     val claimed = graft.plans.LakehouseSql.claimNextVersion(tbl)
     val now = java.time.Instant.now().toString
     assert(graft.ops.Upsert.versionAsOfTimestamp(
       tbl, System.currentTimeMillis()) == claimed - 1,
       "AS OF now must skip the empty claimed version")
+    // simulate mid-build state: some files linked, no _commitinfo yet
+    graft.ops.Upsert.cloneSnapshot(spark, s"$tbl/v0", s"$tbl/v$claimed")
+    new java.io.File(s"$tbl/v$claimed/_commitinfo").delete()
+    assert(graft.ops.Upsert.versionAsOfTimestamp(
+      tbl, System.currentTimeMillis()) == claimed - 1,
+      "AS OF now must skip a partially-built unstamped claim")
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tbl/v$claimed"))
     assert(spark.sql(s"SELECT count(*) FROM graft_table('$tbl', '$now')")
       .collect()(0).getLong(0) == 1000)

@@ -103,27 +103,36 @@ object TextAnalysis {
     * fingerprint set. Guarantees any shared substring of length
     * >= k + w - 1 contributes at least one common fingerprint.
     *
-    * Output: one row per (id, fp). Execution: explode positions at scan
-    * (no shuffle), ONE hash shuffle on id for the per-document sliding
-    * window + distinct — partitions by document, so 100 TB of docs
-    * spreads evenly. The hash is [[Dedup.hash60]] (md5-based) so
-    * fingerprints are engine-reproducible; min-in-window selection, not
-    * the hash rolling-update trick, is what defines the algorithm. */
+    * Output: one row per (id, fp). Execution: ZERO shuffles — the whole
+    * algorithm is per-document, so it runs scan-side with array
+    * higher-order functions (hash array -> per-window `array_min` ->
+    * `array_distinct` -> explode). The earlier formulation exploded one
+    * row per gram and ran the window-min through a
+    * `Window.partitionBy(id)` — a full shuffle+sort of the gram stream
+    * whose spill made the 10x->30x probe segment super-linear; the
+    * array form is the same O(len*w) work without ever leaving the
+    * scan. The hash array is materialized as a BOUND column before the
+    * window pass ([[ngramArray]]'s inlining caveat: a computed
+    * expression inside the `slice` lambda would re-hash the whole
+    * document per window position). The hash is [[Dedup.hash60]]
+    * (md5-based) so fingerprints are engine-reproducible; min-in-window
+    * selection, not the hash rolling-update trick, is what defines the
+    * algorithm. */
   def winnowFingerprints(
       df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = col(textCol)
-    val positions = sequence(lit(1), length(t) - (k - 1))
-    val win = Window.partitionBy(col("id")).orderBy(col("i"))
-      .rowsBetween(-(w - 1), 0)
-    df.filter(length(t) >= k)
-      .select(col(idCol).as("id"), t.as("t"), explode(positions).as("i"))
-      .select(col("id"), col("i"),
-        Dedup.hash60(col("t").substr(col("i"), lit(k))).as("h"))
-      .withColumn("fp", min(col("h")).over(win))
-      .filter(col("i") >= w) // full windows only
-      .select(col("id"), col("fp"))
-      .distinct()
+    // docs shorter than k+w-1 chars have no FULL window: the row-based
+    // formulation emitted their grams and then filtered every one of
+    // them on i >= w; filtering the doc up front is value-identical.
+    df.filter(length(t) >= k + w - 1)
+      .select(col(idCol).as("id"),
+        transform(sequence(lit(1), length(t) - (k - 1)),
+          i => Dedup.hash60(t.substr(i, lit(k)))).as("__hs"))
+      .select(col("id"),
+        explode(array_distinct(
+          transform(sequence(lit(w), size(col("__hs"))),
+            j => array_min(slice(col("__hs"), j - lit(w - 1), lit(w))))))
+          .as("fp"))
   }
 
   /** Word n-gram array over an ALREADY-MATERIALIZED token-array column.

@@ -1465,6 +1465,92 @@ object QueriesCorpus {
       |WHERE o_orderkey > (SELECT max(o_orderkey) / 8 FROM orders)
       |GROUP BY o_orderstatus""".stripMargin
 
+  // --- SQL UPDATE (plans.LakehouseSql.GraftUpdateCommand): the
+  //     predicate verb over a range-clustered snapshot — matched keys
+  //     sit in the low files only, so the statement must split
+  //     copy/rewrite; the SET clause includes a comma inside a
+  //     function call (the top-level splitter's real-world case) and
+  //     the oracle re-derives the whole updated table in DuckDB.
+  private def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_sqlupdate"
+    val tbl = s"$base/table"; val out = s"$base/out"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      writeStageMarker(marker, dir, "orders")
+    }
+    val cut = s.read.parquet(tbl)
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val stats = s.sql(
+      s"""UPDATE '$tbl' ON o_orderkey
+         |SET o_totalprice = o_totalprice * 2 + 10,
+         |    o_orderpriority = concat('U-', o_orderpriority)
+         |WHERE o_orderkey <= $cut AND o_orderstatus = 'F'
+         |INTO '$out'""".stripMargin).collect()(0)
+    require(stats.getLong(0) > 0 && stats.getLong(1) > 0 &&
+        stats.getLong(2) > 0,
+      s"SQL UPDATE must split copy/rewrite and match rows: $stats")
+    s.read.parquet(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val sqlUpdateSql =
+    """WITH updd AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey <= (SELECT max(o_orderkey) / 8 FROM orders)
+      |              AND o_orderstatus = 'F'
+      |         THEN o_totalprice * 2 + 10 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate,
+      |    CASE WHEN o_orderkey <= (SELECT max(o_orderkey) / 8 FROM orders)
+      |              AND o_orderstatus = 'F'
+      |         THEN concat('U-', o_orderpriority)
+      |         ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM updd GROUP BY o_orderpriority""".stripMargin
+
+  // --- SQL predicate DELETE (GraftDeleteWhereCommand): general WHERE,
+  //     keys bounded to the low files by the range predicate.
+  private def sqlDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_sqldelw"
+    val tbl = s"$base/table"; val out = s"$base/out"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(tbl)
+      writeStageMarker(marker, dir, "orders")
+    }
+    val cut = s.read.parquet(tbl)
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val stats = s.sql(
+      s"""DELETE FROM '$tbl' ON o_orderkey
+         |WHERE o_orderkey <= $cut AND o_orderstatus <> 'F'
+         |INTO '$out'""".stripMargin).collect()(0)
+    require(stats.getLong(0) > 0 && stats.getLong(1) > 0 &&
+        stats.getLong(2) > 0,
+      s"SQL DELETE WHERE must split copy/rewrite and match rows: $stats")
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val sqlDeleteWhereSql =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE NOT (o_orderkey <= (SELECT max(o_orderkey) / 8 FROM orders)
+      |           AND o_orderstatus <> 'F')
+      |GROUP BY o_orderstatus""".stripMargin
+
   // --- OPTIMIZE (Layout.optimizeTable): re-clusters an accreted
   //     round-robin copy into disjoint key ranges (one shuffle — the
   //     maintenance pass that revives pruning); data must be
@@ -1540,6 +1626,8 @@ object QueriesCorpus {
     "q_upsert" -> (upsert _),
     "q_sql_merge" -> (sqlMerge _),
     "q_sql_delete" -> (sqlDelete _),
+    "q_sql_update" -> (sqlUpdate _),
+    "q_sql_delete_where" -> (sqlDeleteWhere _),
     "q_sql_restore" -> (sqlRestore _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_sql_optimize" -> (sqlOptimize _),
@@ -1586,6 +1674,8 @@ object QueriesCorpus {
     "q_upsert" -> upsertSql,
     "q_sql_merge" -> upsertSql,
     "q_sql_delete" -> deleteSql,
+    "q_sql_update" -> sqlUpdateSql,
+    "q_sql_delete_where" -> sqlDeleteWhereSql,
     "q_sql_restore" -> sqlRestoreSql,
     "q_sql_time_travel" -> sqlRestoreSql,
     "q_sql_optimize" -> sqlRestoreSql,

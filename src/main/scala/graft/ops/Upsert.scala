@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
@@ -604,6 +604,120 @@ object Upsert {
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
       "rows_upserted" -> nUp, "rows_deleted" -> nDel))
     (c, r, nUp, nDel)
+  }
+
+  /** Copy-on-write `UPDATE ... SET ... WHERE ...` — the predicate
+    * verb, same commit engine. Matched rows come from the LIVE view
+    * ([[readWithDeletes]] — a soft-deleted row must not resurrect as
+    * an "updated" row); their `keyCol` values drive the file-granular
+    * eviction, so only key-range-intersecting files decode. Because
+    * eviction is key-granular, EVERY live row sharing a key with a
+    * matched row is re-inserted: assignments apply only where the
+    * predicate holds (NULL = no match, three-valued like SQL), rows
+    * riding along come back verbatim — value-correct whether or not
+    * `keyCol` is unique. All SET expressions read the PRE-update row
+    * (one `select`, SQL UPDATE semantics — `SET a = b, b = a` swaps),
+    * and each is cast to its column's existing type: UPDATE mutates
+    * values, never schema. Assigning `keyCol` itself is allowed (the
+    * eviction uses the OLD keys; fresh files get fresh footer bounds).
+    *
+    * A predicate matching nothing still commits — a pure link of every
+    * data file (plus the engine's standard DV fold if the snapshot
+    * carries one), so the verb is a real commit in the audit trail
+    * either way.
+    *
+    * Scale shape: one predicate scan of the live table (filters push
+    * to parquet when no DV is carried) to find matched keys, one
+    * key-semi-joined scan for the rewrite payload, and the commit's
+    * own touched-file decode — cost ∝ matched keys, not table size.
+    *
+    * @return (filesCopied, filesRewritten, rowsMatched) */
+  def updateWhere(
+      spark: SparkSession, tablePath: String, outPath: String,
+      keyCol: String, predicate: Column,
+      assignments: Seq[(String, Column)]): (Int, Int, Long) = {
+    require(assignments.nonEmpty, "updateWhere: at least one SET assignment")
+    val dups = assignments.groupBy(_._1).collect {
+      case (n, as) if as.size > 1 => n
+    }
+    require(dups.isEmpty,
+      s"updateWhere: column(s) assigned twice: ${dups.mkString(", ")}")
+    val live = readWithDeletes(spark, tablePath)
+    val schema = live.schema
+    assignments.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"updateWhere: SET names '$c' but the table's columns are " +
+          schema.fieldNames.mkString(", "))
+    }
+    val nMatched = live.filter(predicate).count()
+    if (nMatched == 0) {
+      val (c0, r0) = commit(spark, tablePath, outPath,
+        evictKeys = live.select(col(keyCol)).limit(0), append = None,
+        keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L)
+      writeCommitInfo(outPath, "UPDATE", Seq(
+        "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
+        "rows_updated" -> 0L))
+      return (c0, r0, 0L)
+    }
+    val keys = live.filter(predicate).select(col(keyCol)).distinct()
+    // fresh scan for the payload side: joining `live` with a frame
+    // derived from itself trips Spark's ambiguous-self-join lineage
+    val sets = assignments.toMap
+    val payloadSrc = readWithDeletes(spark, tablePath)
+    val payload = payloadSrc.join(keys, Seq(keyCol), "left_semi").select(
+      schema.fields.map { f =>
+        sets.get(f.name) match {
+          case Some(e) =>
+            when(predicate, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    val (c, r) = commit(spark, tablePath, outPath,
+      evictKeys = keys, append = Some(payload), keyCol = keyCol,
+      allowSchemaEvolution = false, nKeysHint = nMatched)
+    writeCommitInfo(outPath, "UPDATE", Seq(
+      "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
+      "rows_updated" -> nMatched))
+    (c, r, nMatched)
+  }
+
+  /** Copy-on-write `DELETE ... WHERE <predicate>` — the general form
+    * of [[deleteByKey]] (which takes an explicit key set). Matched
+    * rows come from the LIVE view; their keys drive the eviction, and
+    * rows that SHARE a key with a matched row without matching the
+    * predicate themselves (possible when `keyCol` is not unique)
+    * survive by re-insert — a NULL predicate is not a match, so such
+    * rows survive too. A predicate matching nothing commits a pure
+    * link (plus the standard DV fold), like [[updateWhere]].
+    *
+    * @return (filesCopied, filesRewritten, rowsDeleted) */
+  def deleteWhere(
+      spark: SparkSession, tablePath: String, outPath: String,
+      keyCol: String, predicate: Column): (Int, Int, Long) = {
+    val live = readWithDeletes(spark, tablePath)
+    val nMatched = live.filter(predicate).count()
+    if (nMatched == 0) {
+      val (c0, r0) = commit(spark, tablePath, outPath,
+        evictKeys = live.select(col(keyCol)).limit(0), append = None,
+        keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L)
+      writeCommitInfo(outPath, "DELETE", Seq(
+        "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
+        "rows_deleted" -> 0L))
+      return (c0, r0, 0L)
+    }
+    val keys = live.filter(predicate).select(col(keyCol)).distinct()
+    val payloadSrc = readWithDeletes(spark, tablePath) // fresh scan; see updateWhere
+    val survivors = payloadSrc.join(keys, Seq(keyCol), "left_semi")
+      .filter(!coalesce(predicate, lit(false)))
+    val nSurv = survivors.count()
+    val (c, r) = commit(spark, tablePath, outPath,
+      evictKeys = keys,
+      append = if (nSurv == 0) None else Some(survivors),
+      keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = nMatched)
+    writeCommitInfo(outPath, "DELETE", Seq(
+      "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
+      "rows_deleted" -> nMatched, "rows_reinserted" -> nSurv))
+    (c, r, nMatched)
   }
 
   // -------------------------------------------------------------------

@@ -38,6 +38,8 @@ import graft.ops.{Layout, Upsert}
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *              [INTO '<outPath>']
   * DELETE FROM '<table>' WHERE <keyCol> IN (<query>)  [INTO '<outPath>']
+  * DELETE FROM '<table>' ON <keyCol> WHERE <predicate>  [INTO '<outPath>']
+  * UPDATE '<table>' ON <keyCol> SET <col> = <expr> [, ...] WHERE <predicate>  [INTO '<outPath>']
   * VACUUM '<tableDir>' RETAIN <n> SNAPSHOTS
   * VACUUM '<tableDir>' OLDER THAN <n> HOURS
   * OPTIMIZE '<table>' BY <sortCol> [TARGET <mb> MB]  [INTO '<outPath>']
@@ -55,6 +57,15 @@ import graft.ops.{Layout, Upsert}
   * The MERGE shape is Delta's canonical key-upsert (`UPDATE SET *` /
   * `INSERT *`); partial-clause merges are not this engine's verb — the
   * statement refuses rather than half-applies.
+  *
+  * `UPDATE` and predicate `DELETE` name the table's pruning key with
+  * `ON <keyCol>` (this engine's snapshots are manifest-pruned by a
+  * declared key, not a transaction log's per-file row tracking): the
+  * matched rows' keys bound the copy-on-write rewrite, and rows
+  * sharing a key with a matched row ride along verbatim — see
+  * [[graft.ops.Upsert.updateWhere]] / [[graft.ops.Upsert.deleteWhere]]
+  * for the exact semantics (predicates are three-valued, SET reads the
+  * pre-update row, schema never changes).
   */
 object LakehouseSql {
 
@@ -64,6 +75,11 @@ object LakehouseSql {
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""").r
   private val delete =
     """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+([\w.]+)\s+IN\s+\((.*)\)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
+  private val deleteWhere =
+    """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+ON\s+([\w.]+)\s+WHERE\s+(.*?)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
+  private val update =
+    """(?is)^\s*UPDATE\s+'([^']+)'\s+ON\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
+  private val assignRe = """(?s)^\s*([\w.]+)\s*=\s*(.+?)\s*$""".r
   private val vacuum =
     """(?is)^\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+SNAPSHOTS?\s*;?\s*$""".r
   private val vacuumAge =
@@ -89,6 +105,32 @@ object LakehouseSql {
     """(?is)^\s*MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'.*""".r
   private val deleteish = """(?is)^\s*DELETE\s+FROM\s+'.*""".r
   private val optimizeish = """(?is)^\s*OPTIMIZE\s+'.*""".r
+  private val updateish = """(?is)^\s*UPDATE\s+'.*""".r
+
+  /** Split on `sep` at paren depth 0 outside single-quoted strings —
+    * the SET-clause comma splitter (an assignment's expression may
+    * itself contain commas inside function calls or quoted text; SQL's
+    * `''` escape re-enters the string state naturally on the next
+    * quote). */
+  private[graft] def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var last = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case x if x == sep && depth == 0 =>
+          out += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.toSeq
+  }
 
   /** The graft statement for `sqlText`, if it is one. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -97,6 +139,15 @@ object LakehouseSql {
         schemaEvolution = evo != null))
     case delete(tbl, key, src, out) =>
       Some(GraftDeleteCommand(tbl, Option(out), key, src))
+    case deleteWhere(tbl, key, pred, out) =>
+      Some(GraftDeleteWhereCommand(tbl, Option(out), key, pred))
+    case update(tbl, key, setC, pred, out) =>
+      val assigns = splitTopLevel(setC).map {
+        case assignRe(c, e) => (c, e)
+        case bad => throw new IllegalArgumentException(
+          s"UPDATE SET clause: expected <col> = <expr>, got '${bad.trim}'")
+      }
+      Some(GraftUpdateCommand(tbl, Option(out), key, assigns, pred))
     case vacuum(dir, keep) =>
       Some(GraftVacuumCommand(dir, keep.toInt))
     case vacuumAge(dir, hours) =>
@@ -114,12 +165,14 @@ object LakehouseSql {
       Some(GraftRestoreCommand(dir, -1L, Some(parseTsMillis(ts))))
     case convert(src, dst) => Some(GraftConvertCommand(src, dst))
     case t if mergeish.matches(t) || deleteish.matches(t) ||
-        optimizeish.matches(t) =>
+        optimizeish.matches(t) || updateish.matches(t) =>
       throw new IllegalArgumentException(
         "graft lakehouse statement didn't match the supported grammar — " +
           "see graft.plans.LakehouseSql (MERGE needs USING (<query>) ON " +
           "<keyCol> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN " +
-          "INSERT *; DELETE needs WHERE <keyCol> IN (<query>); OPTIMIZE " +
+          "INSERT *; DELETE needs WHERE <keyCol> IN (<query>) or ON " +
+          "<keyCol> WHERE <predicate>; UPDATE needs ON <keyCol> SET " +
+          "<col> = <expr> WHERE <predicate>; OPTIMIZE " +
           "needs BY <col> or ZORDER BY (<a>, <b>)): " + t.trim.take(120))
     case _ => None
   }
@@ -312,6 +365,43 @@ case class GraftDeleteCommand(
     LakehouseSql.withCow(tablePath, outPath, "DELETE") { (in, out) =>
       val (c, r, n) =
         Upsert.deleteByKey(spark, in, out, spark.sql(sourceSql), keyCol)
+      Seq(Row(c.toLong, r.toLong, n))
+    }
+}
+
+/** `DELETE FROM ... ON <keyCol> WHERE <predicate>` lowered onto
+  * [[graft.ops.Upsert.deleteWhere]] — the general-predicate form;
+  * matched rows' keys bound the COW rewrite. */
+case class GraftDeleteWhereCommand(
+    tablePath: String, outPath: Option[String], keyCol: String,
+    predicateSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    LakehouseSql.longAttrs("files_copied", "files_rewritten", "rows_deleted")
+  override def run(spark: SparkSession): Seq[Row] =
+    LakehouseSql.withCow(tablePath, outPath, "DELETE") { (in, out) =>
+      val (c, r, n) = Upsert.deleteWhere(spark, in, out, keyCol,
+        org.apache.spark.sql.functions.expr(predicateSql))
+      Seq(Row(c.toLong, r.toLong, n))
+    }
+}
+
+/** `UPDATE '<t>' ON <keyCol> SET ... WHERE ...` lowered onto
+  * [[graft.ops.Upsert.updateWhere]]: assignments apply where the
+  * predicate holds (reading the pre-update row, each cast to the
+  * column's existing type); the matched rows' keys bound the COW
+  * rewrite and rows sharing a key ride along verbatim. */
+case class GraftUpdateCommand(
+    tablePath: String, outPath: Option[String], keyCol: String,
+    assignments: Seq[(String, String)], predicateSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    LakehouseSql.longAttrs("files_copied", "files_rewritten", "rows_updated")
+  override def run(spark: SparkSession): Seq[Row] =
+    LakehouseSql.withCow(tablePath, outPath, "UPDATE") { (in, out) =>
+      val fx = org.apache.spark.sql.functions
+      val (c, r, n) = Upsert.updateWhere(spark, in, out, keyCol,
+        fx.expr(predicateSql),
+        assignments.map { case (cn, e) => (cn, fx.expr(e)) })
       Seq(Row(c.toLong, r.toLong, n))
     }
 }

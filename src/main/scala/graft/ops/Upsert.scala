@@ -626,10 +626,16 @@ object Upsert {
     * carries one), so the verb is a real commit in the audit trail
     * either way.
     *
-    * Scale shape: one predicate scan of the live table (filters push
-    * to parquet when no DV is carried) to find matched keys, one
-    * key-semi-joined scan for the rewrite payload, and the commit's
-    * own touched-file decode — cost ∝ matched keys, not table size.
+    * Scale shape: ONE predicate scan of the live table (filters push
+    * to parquet when no DV is carried) yields the matched-row count,
+    * the matched keys' min/max, and — persisted — the distinct key
+    * set; the rewrite-payload scan is pre-filtered to that key RANGE
+    * (row-group pruning skips everything else on a key-clustered
+    * table) before the semi join, and the commit decodes touched
+    * files only — cost ∝ matched keys, not table size. Rows matching
+    * the predicate with a NULL `keyCol` refuse loudly: the key-pruned
+    * engine cannot address them (a NULL never equi-joins), and
+    * silently leaving them un-updated would be worse.
     *
     * @return (filesCopied, filesRewritten, rowsMatched) */
   def updateWhere(
@@ -649,7 +655,8 @@ object Upsert {
         s"updateWhere: SET names '$c' but the table's columns are " +
           schema.fieldNames.mkString(", "))
     }
-    val nMatched = live.filter(predicate).count()
+    val (nMatched, nNullKey, mnK, mxK) = matchedStats(live, keyCol, predicate)
+    requireNoNullKeyMatches("updateWhere", keyCol, nNullKey)
     if (nMatched == 0) {
       val (c0, r0) = commit(spark, tablePath, outPath,
         evictKeys = live.select(col(keyCol)).limit(0), append = None,
@@ -660,26 +667,52 @@ object Upsert {
       return (c0, r0, 0L)
     }
     val keys = live.filter(predicate).select(col(keyCol)).distinct()
-    // fresh scan for the payload side: joining `live` with a frame
-    // derived from itself trips Spark's ambiguous-self-join lineage
-    val sets = assignments.toMap
-    val payloadSrc = readWithDeletes(spark, tablePath)
-    val payload = payloadSrc.join(keys, Seq(keyCol), "left_semi").select(
-      schema.fields.map { f =>
-        sets.get(f.name) match {
-          case Some(e) =>
-            when(predicate, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }.toSeq: _*)
-    val (c, r) = commit(spark, tablePath, outPath,
-      evictKeys = keys, append = Some(payload), keyCol = keyCol,
-      allowSchemaEvolution = false, nKeysHint = nMatched)
-    writeCommitInfo(outPath, "UPDATE", Seq(
-      "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
-      "rows_updated" -> nMatched))
-    (c, r, nMatched)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // fresh scan for the payload side (joining `live` with a frame
+      // derived from itself trips Spark's ambiguous-self-join lineage),
+      // pre-filtered to the matched keys' RANGE: every evicted key lies
+      // within [mnK, mxK] by construction, so the filter is
+      // value-neutral and parquet row-group stats skip the rest
+      val sets = assignments.toMap
+      val payloadSrc = readWithDeletes(spark, tablePath)
+        .filter(col(keyCol).between(lit(mnK), lit(mxK)))
+      val payload = payloadSrc.join(keys, Seq(keyCol), "left_semi").select(
+        schema.fields.map { f =>
+          sets.get(f.name) match {
+            case Some(e) =>
+              when(predicate, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+      val (c, r) = commit(spark, tablePath, outPath,
+        evictKeys = keys, append = Some(payload), keyCol = keyCol,
+        allowSchemaEvolution = false, nKeysHint = nMatched)
+      writeCommitInfo(outPath, "UPDATE", Seq(
+        "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
+        "rows_updated" -> nMatched))
+      (c, r, nMatched)
+    } finally { keys.unpersist(); () }
   }
+
+  /** One predicate scan: matched-row count, matched rows with a NULL
+    * key (must refuse — see [[updateWhere]]), and the matched keys'
+    * min/max (native type, for row-group-prunable range filters). */
+  private def matchedStats(
+      live: DataFrame, keyCol: String, predicate: Column)
+      : (Long, Long, Any, Any) = {
+    val r = live.filter(predicate).agg(
+      count(lit(1)), count(when(col(keyCol).isNull, 1)),
+      min(col(keyCol)), max(col(keyCol))).head()
+    (r.getLong(0), r.getLong(1), r.get(2), r.get(3))
+  }
+
+  private def requireNoNullKeyMatches(
+      verb: String, keyCol: String, nNullKey: Long): Unit =
+    require(nNullKey == 0,
+      s"$verb: the predicate matches $nNullKey row(s) whose '$keyCol' " +
+        "is NULL — the key-pruned COW engine cannot address them " +
+        "(NULL never equi-joins); fill the key or rewrite the table")
 
   /** Copy-on-write `DELETE ... WHERE <predicate>` — the general form
     * of [[deleteByKey]] (which takes an explicit key set). Matched
@@ -688,14 +721,17 @@ object Upsert {
     * predicate themselves (possible when `keyCol` is not unique)
     * survive by re-insert — a NULL predicate is not a match, so such
     * rows survive too. A predicate matching nothing commits a pure
-    * link (plus the standard DV fold), like [[updateWhere]].
+    * link (plus the standard DV fold), and a predicate matching a
+    * NULL-keyed row refuses loudly, like [[updateWhere]] (same
+    * single-scan stats + range-pruned payload shape).
     *
     * @return (filesCopied, filesRewritten, rowsDeleted) */
   def deleteWhere(
       spark: SparkSession, tablePath: String, outPath: String,
       keyCol: String, predicate: Column): (Int, Int, Long) = {
     val live = readWithDeletes(spark, tablePath)
-    val nMatched = live.filter(predicate).count()
+    val (nMatched, nNullKey, mnK, mxK) = matchedStats(live, keyCol, predicate)
+    requireNoNullKeyMatches("deleteWhere", keyCol, nNullKey)
     if (nMatched == 0) {
       val (c0, r0) = commit(spark, tablePath, outPath,
         evictKeys = live.select(col(keyCol)).limit(0), append = None,
@@ -706,18 +742,23 @@ object Upsert {
       return (c0, r0, 0L)
     }
     val keys = live.filter(predicate).select(col(keyCol)).distinct()
-    val payloadSrc = readWithDeletes(spark, tablePath) // fresh scan; see updateWhere
-    val survivors = payloadSrc.join(keys, Seq(keyCol), "left_semi")
-      .filter(!coalesce(predicate, lit(false)))
-    val nSurv = survivors.count()
-    val (c, r) = commit(spark, tablePath, outPath,
-      evictKeys = keys,
-      append = if (nSurv == 0) None else Some(survivors),
-      keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = nMatched)
-    writeCommitInfo(outPath, "DELETE", Seq(
-      "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
-      "rows_deleted" -> nMatched, "rows_reinserted" -> nSurv))
-    (c, r, nMatched)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // fresh scan pre-filtered to the matched key range; see updateWhere
+      val payloadSrc = readWithDeletes(spark, tablePath)
+        .filter(col(keyCol).between(lit(mnK), lit(mxK)))
+      val survivors = payloadSrc.join(keys, Seq(keyCol), "left_semi")
+        .filter(!coalesce(predicate, lit(false)))
+      val nSurv = survivors.count()
+      val (c, r) = commit(spark, tablePath, outPath,
+        evictKeys = keys,
+        append = if (nSurv == 0) None else Some(survivors),
+        keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = nMatched)
+      writeCommitInfo(outPath, "DELETE", Seq(
+        "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
+        "rows_deleted" -> nMatched, "rows_reinserted" -> nSurv))
+      (c, r, nMatched)
+    } finally { keys.unpersist(); () }
   }
 
   // -------------------------------------------------------------------

@@ -189,6 +189,30 @@ class UpdateWhereSpec extends AnyFunSuite {
     assert(!e3.getMessage.contains("graft lakehouse statement"), e3.getMessage)
   }
 
+  test("a predicate matching NULL-keyed rows refuses loudly (both verbs)") {
+    import spark.implicits._
+    val tbl = s"$base/nullkey_table"
+    Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("k", "c").write.mode("overwrite").parquet(tbl)
+    val e1 = intercept[IllegalArgumentException] {
+      Upsert.updateWhere(spark, tbl, s"$base/nullkey_out", "k",
+        $"c" === "b", Seq("c" -> lit("z")))
+    }
+    assert(e1.getMessage.contains("NULL"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Upsert.deleteWhere(spark, tbl, s"$base/nullkey_out2", "k", $"c" === "b")
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+    // NULL-keyed rows NOT matched by the predicate are fine — they
+    // survive untouched like any other unmatched row
+    val (_, _, n) = Upsert.updateWhere(spark, tbl, s"$base/nullkey_out3", "k",
+      $"c" === "a", Seq("c" -> lit("z")))
+    assert(n == 1)
+    val res = spark.read.parquet(s"$base/nullkey_out3")
+    assert(res.count() == 2 && res.filter($"c" === "z").count() == 1)
+    assert(res.filter($"k".isNull && $"c" === "b").count() == 1)
+  }
+
   test("change data feed across an UPDATE interval: delete + insert per updated key") {
     import spark.implicits._
     val tbl = s"$base/cdf_versioned"

@@ -194,6 +194,20 @@ object DevScaleProbe {
     Seq((nCopied.toLong, nRewritten.toLong)).toDF("copied", "rewritten")
   }
 
+  /** Fixed-RANGE predicate UPDATE against the k×-sized table: the
+    * verb's cost should track the matched key range (one stats scan
+    * with the predicate pushed to parquet, range-pruned payload,
+    * touched-file decode), staying ~flat while the table grows. */
+  private def updateWhere(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val tbl = ensureUpsertTable(s, dir, k)
+    val (nCopied, nRewritten, n) = graft.ops.Upsert.updateWhere(
+      s, tbl, s"$dir/updw_out", "k",
+      $"k" >= 10000L && $"k" < 15000L && $"v" < 90L,
+      Seq("v" -> ($"v" + 1000L)))
+    Seq((nCopied.toLong, nRewritten.toLong, n)).toDF("copied", "rewritten", "n")
+  }
+
   /** Fixed-size MERGE-ON-READ delete against the k×-sized table: a DV
     * commit never decodes or rewrites a data file, so its cost should
     * track file COUNT (links) + the delta write only. */
@@ -308,7 +322,8 @@ object DevScaleProbe {
       // not pay the replicated doc/emb/lineitem tier build it never reads
       val tierOps = Seq("minhash_lsh", "incr_dedup", "semantic_dedup",
         "pagerank", "upsert_commit", "dv_delete", "cdf_dv", "substr_dedup",
-        "upsert_commit_cached", "winnow_fp", "profile", "ngram_jaccard")
+        "upsert_commit_cached", "winnow_fp", "profile", "ngram_jaccard",
+        "update_where")
       val dir =
         if (tierOps.exists(op => onlyOps.forall(_.contains(op))))
           buildTier(spark, k)
@@ -361,6 +376,7 @@ object DevScaleProbe {
             full, graft.fia.Incremental.dirtyPlotIds(batch)))
       }
       probe("upsert_commit", k, () => upsertCommit(spark, dir, k))
+      probe("update_where", k, () => updateWhere(spark, dir, k))
       probe("dv_delete", k, () => dvDelete(spark, dir, k))
       probe("cdf_dv", k, () => cdfDv(spark, dir, k))
       probe("substr_dedup", k, () => substrDedup(spark, dir))

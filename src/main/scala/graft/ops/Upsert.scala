@@ -697,11 +697,27 @@ object Upsert {
 
   /** One predicate scan: matched-row count, matched rows with a NULL
     * key (must refuse — see [[updateWhere]]), and the matched keys'
-    * min/max (native type, for row-group-prunable range filters). */
+    * min/max (native type, for row-group-prunable range filters).
+    * A NON-DETERMINISTIC predicate refuses here: the verbs evaluate
+    * it in two scans (stats, payload) and again per touched row —
+    * `rand()`-style conditions would tear the commit (different rows
+    * matched in each pass), silently. Checked on the ANALYZED filter
+    * so both the Column form and SQL text (`expr("rand() < .5")`,
+    * unresolved until analysis) are caught. */
   private def matchedStats(
       live: DataFrame, keyCol: String, predicate: Column)
       : (Long, Long, Any, Any) = {
-    val r = live.filter(predicate).agg(
+    val filtered = live.filter(predicate)
+    val nonDet = filtered.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if !f.condition.deterministic => f.condition
+    }
+    require(nonDet.isEmpty,
+      "predicate is non-deterministic (" + nonDet.map(_.sql).getOrElse("") +
+        ") — it is evaluated in more than one scan and would match " +
+        "different rows in each; materialize the choice first (e.g. " +
+        "stage the matched keys and use the key-set verb)")
+    val r = filtered.agg(
       count(lit(1)), count(when(col(keyCol).isNull, 1)),
       min(col(keyCol)), max(col(keyCol))).head()
     (r.getLong(0), r.getLong(1), r.get(2), r.get(3))

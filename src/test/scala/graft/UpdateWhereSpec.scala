@@ -203,6 +203,19 @@ class UpdateWhereSpec extends AnyFunSuite {
       Upsert.deleteWhere(spark, tbl, s"$base/nullkey_out2", "k", $"c" === "b")
     }
     assert(e2.getMessage.contains("NULL"), e2.getMessage)
+    // a non-deterministic predicate would match different rows in the
+    // stats and payload scans — refuse, both Column and SQL-text forms
+    val e3 = intercept[IllegalArgumentException] {
+      Upsert.updateWhere(spark, tbl, s"$base/nullkey_outx", "k",
+        rand() < 0.5, Seq("c" -> lit("z")))
+    }
+    assert(e3.getMessage.contains("non-deterministic"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Upsert.deleteWhere(spark, tbl, s"$base/nullkey_outy", "k",
+        expr("rand() < 0.5"))
+    }
+    assert(e4.getMessage.contains("non-deterministic"), e4.getMessage)
+
     // NULL-keyed rows NOT matched by the predicate are fine — they
     // survive untouched like any other unmatched row
     val (_, _, n) = Upsert.updateWhere(spark, tbl, s"$base/nullkey_out3", "k",

@@ -124,10 +124,24 @@ object TextAnalysis {
     // docs shorter than k+w-1 chars have no FULL window: the row-based
     // formulation emitted their grams and then filtered every one of
     // them on i >= w; filtering the doc up front is value-identical.
-    df.filter(length(t) >= k + w - 1)
-      .select(col(idCol).as("id"),
-        transform(sequence(lit(1), length(t) - (k - 1)),
-          i => Dedup.hash60(t.substr(i, lit(k)))).as("__hs"))
+    val pruned = df.filter(length(t) >= k + w - 1)
+      .select(col(idCol).as("id"), t.as("__t"))
+    // The fused scan-side plan is only as parallel as the INPUT
+    // splits: a small single-file table would serialize the whole
+    // hash+window computation on one core (measured 5x on the bench
+    // corpus). Spreading the raw text once costs the text's own bytes
+    // — an order of magnitude less than the row formulation's shuffle
+    // of hashed gram rows (~24 B per CHARACTER) — and a production
+    // table with plenty of splits skips the exchange entirely.
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (pruned.rdd.getNumPartitions >= want) pruned
+      else pruned.repartition(want)
+    val tt = col("__t")
+    spread
+      .select(col("id"),
+        transform(sequence(lit(1), length(tt) - (k - 1)),
+          i => Dedup.hash60(tt.substr(i, lit(k)))).as("__hs"))
       .select(col("id"),
         explode(array_distinct(
           transform(sequence(lit(w), size(col("__hs"))),

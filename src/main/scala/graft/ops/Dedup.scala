@@ -522,7 +522,10 @@ object Dedup {
   def removeDuplicateSpans(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"span window must be at least 2 tokens, got $n")
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    // gram hashing is the heavy fused kernel here; a single-split
+    // corpus must not serialize it on one core ([[Spread.toCores]])
+    val toks = Spread.toCores(
+      docs.select(col(idCol), split(col(textCol), " ").as("__toks")))
     val grams = toks
       .filter(size(col("__toks")) >= n)
       .select(col(idCol), explode(expr(

@@ -126,17 +126,9 @@ object TextAnalysis {
     // them on i >= w; filtering the doc up front is value-identical.
     val pruned = df.filter(length(t) >= k + w - 1)
       .select(col(idCol).as("id"), t.as("__t"))
-    // The fused scan-side plan is only as parallel as the INPUT
-    // splits: a small single-file table would serialize the whole
-    // hash+window computation on one core (measured 5x on the bench
-    // corpus). Spreading the raw text once costs the text's own bytes
-    // — an order of magnitude less than the row formulation's shuffle
-    // of hashed gram rows (~24 B per CHARACTER) — and a production
-    // table with plenty of splits skips the exchange entirely.
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (pruned.rdd.getNumPartitions >= want) pruned
-      else pruned.repartition(want)
+    // single-split sources would serialize the fused kernel on one
+    // core — see [[Spread.toCores]]
+    val spread = Spread.toCores(pruned)
     val tt = col("__t")
     spread
       .select(col("id"),

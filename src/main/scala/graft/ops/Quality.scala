@@ -49,6 +49,11 @@ object Quality {
     * downstream checks are data, not schema. */
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
+    // the multi-distinct Expand multiplies the stream BEFORE the
+    // partial aggregate — on a single-split source that whole fan-out
+    // would run on one core ([[Spread.toCores]]); project first so a
+    // fired spread moves only the profiled columns
+    val src = Spread.toCores(df.select(cols.map(col): _*))
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
@@ -58,7 +63,7 @@ object Quality {
         max(col(c)).cast("double").as(s"__mx_$c"),
         sum(col(c).cast("decimal(28,4)")).cast("double").as(s"__sm_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = src.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
       struct(lit(c).as("column"),
         col(s"__nn_$c").as("n_values"), col(s"__nul_$c").as("n_nulls"),

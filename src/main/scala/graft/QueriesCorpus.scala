@@ -862,18 +862,9 @@ object QueriesCorpus {
   //     shares q_upsert's oracle. The update batch rides a temp view so
   //     the USING subquery exercises the delegate parser inside ours.
   private def sqlMerge(s: SparkSession, dir: String): DataFrame = {
-    val base = bktBase(dir) + "_sqlmerge"
-    val tbl = s"$base/table"; val out = s"$base/out"
-    val marker = new java.io.File(s"$base/STAGED")
-    if (needsStaging(marker, dir, "orders")) {
-      Tables.orders(s, dir)
-        .repartitionByRange(16, col("o_orderkey"))
-        .sortWithinPartitions(col("o_orderkey"))
-        .write.mode("overwrite").parquet(tbl)
-      writeStageMarker(marker, dir, "orders")
-    }
+    val (tbl, cut) = stagedOrdersRange(s, dir, "_sqlmerge")
+    val out = bktBase(dir) + "_sqlmerge/out"
     val orders = s.read.parquet(tbl)
-    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
     orders.filter(col("o_orderkey") <= cut)
       .withColumn("o_totalprice", col("o_totalprice") * 2)
       .unionByName(
@@ -898,18 +889,8 @@ object QueriesCorpus {
   // --- SQL DELETE: q_delete's slice delete, expressed as the DELETE
   //     FROM statement, sharing q_delete's oracle.
   private def sqlDelete(s: SparkSession, dir: String): DataFrame = {
-    val base = bktBase(dir) + "_sqldelete"
-    val tbl = s"$base/table"; val out = s"$base/out"
-    val marker = new java.io.File(s"$base/STAGED")
-    if (needsStaging(marker, dir, "orders")) {
-      Tables.orders(s, dir)
-        .repartitionByRange(16, col("o_orderkey"))
-        .sortWithinPartitions(col("o_orderkey"))
-        .write.mode("overwrite").parquet(tbl)
-      writeStageMarker(marker, dir, "orders")
-    }
-    val orders = s.read.parquet(tbl)
-    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val (tbl, cut) = stagedOrdersRange(s, dir, "_sqldelete")
+    val out = bktBase(dir) + "_sqldelete/out"
     val stats = s.sql(
       s"""DELETE FROM '$tbl'
          |WHERE o_orderkey IN
@@ -1465,15 +1446,14 @@ object QueriesCorpus {
       |WHERE o_orderkey > (SELECT max(o_orderkey) / 8 FROM orders)
       |GROUP BY o_orderstatus""".stripMargin
 
-  // --- SQL UPDATE (plans.LakehouseSql.GraftUpdateCommand): the
-  //     predicate verb over a range-clustered snapshot — matched keys
-  //     sit in the low files only, so the statement must split
-  //     copy/rewrite; the SET clause includes a comma inside a
-  //     function call (the top-level splitter's real-world case) and
-  //     the oracle re-derives the whole updated table in DuckDB.
-  private def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
-    val base = bktBase(dir) + "_sqlupdate"
-    val tbl = s"$base/table"; val out = s"$base/out"
+  /** Stage a range-clustered orders snapshot for a SQL-verb gate
+    * (once per testdata generation, marker-guarded) and return
+    * (tablePath, max(o_orderkey)/8) — the shared setup of the
+    * MERGE/DELETE/UPDATE statement gates. */
+  private def stagedOrdersRange(
+      s: SparkSession, dir: String, suffix: String): (String, Long) = {
+    val base = bktBase(dir) + suffix
+    val tbl = s"$base/table"
     val marker = new java.io.File(s"$base/STAGED")
     if (needsStaging(marker, dir, "orders")) {
       Tables.orders(s, dir)
@@ -1484,6 +1464,18 @@ object QueriesCorpus {
     }
     val cut = s.read.parquet(tbl)
       .agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    (tbl, cut)
+  }
+
+  // --- SQL UPDATE (plans.LakehouseSql.GraftUpdateCommand): the
+  //     predicate verb over a range-clustered snapshot — matched keys
+  //     sit in the low files only, so the statement must split
+  //     copy/rewrite; the SET clause includes a comma inside a
+  //     function call (the top-level splitter's real-world case) and
+  //     the oracle re-derives the whole updated table in DuckDB.
+  private def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, cut) = stagedOrdersRange(s, dir, "_sqlupdate")
+    val out = bktBase(dir) + "_sqlupdate/out"
     val stats = s.sql(
       s"""UPDATE '$tbl' ON o_orderkey
          |SET o_totalprice = o_totalprice * 2 + 10,
@@ -1518,18 +1510,8 @@ object QueriesCorpus {
   // --- SQL predicate DELETE (GraftDeleteWhereCommand): general WHERE,
   //     keys bounded to the low files by the range predicate.
   private def sqlDeleteWhere(s: SparkSession, dir: String): DataFrame = {
-    val base = bktBase(dir) + "_sqldelw"
-    val tbl = s"$base/table"; val out = s"$base/out"
-    val marker = new java.io.File(s"$base/STAGED")
-    if (needsStaging(marker, dir, "orders")) {
-      Tables.orders(s, dir)
-        .repartitionByRange(16, col("o_orderkey"))
-        .sortWithinPartitions(col("o_orderkey"))
-        .write.mode("overwrite").parquet(tbl)
-      writeStageMarker(marker, dir, "orders")
-    }
-    val cut = s.read.parquet(tbl)
-      .agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val (tbl, cut) = stagedOrdersRange(s, dir, "_sqldelw")
+    val out = bktBase(dir) + "_sqldelw/out"
     val stats = s.sql(
       s"""DELETE FROM '$tbl' ON o_orderkey
          |WHERE o_orderkey <= $cut AND o_orderstatus <> 'F'

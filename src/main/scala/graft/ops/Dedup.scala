@@ -523,9 +523,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"span window must be at least 2 tokens, got $n")
     // gram hashing is the heavy fused kernel here; a single-split
-    // corpus must not serialize it on one core ([[Spread.toCores]])
-    val toks = Spread.toCores(
-      docs.select(col(idCol), split(col(textCol), " ").as("__toks")))
+    // corpus must not serialize it on one core ([[Spread.toCores]]).
+    // Spread the RAW text and tokenize above the exchange: a fired
+    // spread then ships the text's own bytes, not per-token arrays
+    // with their element offsets, and the split runs on all cores too
+    val toks = Spread.toCores(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
     val grams = toks
       .filter(size(col("__toks")) >= n)
       .select(col(idCol), explode(expr(

@@ -119,13 +119,28 @@ object TextAnalysis {
     * selection, not the hash rolling-update trick, is what defines the
     * algorithm. */
   def winnowFingerprints(
-      df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, k: Int, w: Int,
+      maxDocChars: Int = 8 * 1000 * 1000): DataFrame = {
     val t = col(textCol)
     // docs shorter than k+w-1 chars have no FULL window: the row-based
     // formulation emitted their grams and then filtered every one of
     // them on i >= w; filtering the doc up front is value-identical.
+    // Docs BEYOND maxDocChars refuse loudly at scan time (raise_error
+    // is a codegen'd branch, no extra pass): the fused form holds the
+    // whole hash array in ONE row (~8 B/char), so a runaway
+    // concatenated-crawl document would OOM the task instead of
+    // spilling the way the old exploded-row form did — chunk it first
+    // ([[TextPrep.chunkByTokens]]) or raise the cap deliberately.
     val pruned = df.filter(length(t) >= k + w - 1)
-      .select(col(idCol).as("id"), t.as("__t"))
+      .select(col(idCol).as("id"),
+        when(length(t) > maxDocChars,
+          raise_error(concat(
+            lit("winnowFingerprints: document '"), col(idCol).cast("string"),
+            lit(s"' exceeds $maxDocChars chars — the fused hash array " +
+              "would hold that many longs in one row; chunk the doc " +
+              "first (TextPrep.chunkByTokens) or raise maxDocChars")))
+            .cast("string"))
+          .otherwise(t).as("__t"))
     // single-split sources would serialize the fused kernel on one
     // core — see [[Spread.toCores]]
     val spread = Spread.toCores(pruned)

@@ -628,8 +628,9 @@ object Upsert {
     *
     * Scale shape: ONE predicate scan of the live table (filters push
     * to parquet when no DV is carried) yields the matched-row count,
-    * the matched keys' min/max, and — persisted — the distinct key
-    * set; the rewrite-payload scan is pre-filtered to that key RANGE
+    * the matched keys' min/max, and — persisted, sized by the matched
+    * set — the key column, from which the distinct evict set derives
+    * cache-fed; the rewrite-payload scan is pre-filtered to that key RANGE
     * (row-group pruning skips everything else on a key-clustered
     * table) before the semi join, and the commit decodes touched
     * files only — cost ∝ matched keys, not table size. Rows matching
@@ -655,20 +656,20 @@ object Upsert {
         s"updateWhere: SET names '$c' but the table's columns are " +
           schema.fieldNames.mkString(", "))
     }
-    val (nMatched, nNullKey, mnK, mxK) = matchedStats(live, keyCol, predicate)
-    requireNoNullKeyMatches("updateWhere", keyCol, nNullKey)
-    if (nMatched == 0) {
-      val (c0, r0) = commit(spark, tablePath, outPath,
-        evictKeys = live.select(col(keyCol)).limit(0), append = None,
-        keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L)
-      writeCommitInfo(outPath, "UPDATE", Seq(
-        "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
-        "rows_updated" -> 0L))
-      return (c0, r0, 0L)
-    }
-    val keys = live.filter(predicate).select(col(keyCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nMatched, nNullKey, mnK, mxK, mkeys) =
+      matchedStats(live, keyCol, predicate)
     try {
+      requireNoNullKeyMatches("updateWhere", keyCol, nNullKey)
+      if (nMatched == 0) {
+        val (c0, r0) = commit(spark, tablePath, outPath,
+          evictKeys = live.select(col(keyCol)).limit(0), append = None,
+          keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L)
+        writeCommitInfo(outPath, "UPDATE", Seq(
+          "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
+          "rows_updated" -> 0L))
+        return (c0, r0, 0L)
+      }
+      val keys = mkeys.distinct() // cache-fed: no second predicate scan
       // fresh scan for the payload side (joining `live` with a frame
       // derived from itself trips Spark's ambiguous-self-join lineage),
       // pre-filtered to the matched keys' RANGE: every evicted key lies
@@ -692,35 +693,58 @@ object Upsert {
         "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
         "rows_updated" -> nMatched))
       (c, r, nMatched)
-    } finally { keys.unpersist(); () }
+    } finally { mkeys.unpersist(); () }
   }
 
-  /** One predicate scan: matched-row count, matched rows with a NULL
-    * key (must refuse — see [[updateWhere]]), and the matched keys'
-    * min/max (native type, for row-group-prunable range filters).
+  /** ONE predicate scan for the predicate verbs: the matched rows'
+    * key column lands in a persisted frame (the scan runs ONCE, into
+    * the cache, sized by the MATCHED set — spills to disk if huge),
+    * and the returned stats — matched-row count, matched rows with a
+    * NULL key (must refuse — see [[updateWhere]]), the matched keys'
+    * min/max (native type, for row-group-prunable range filters) —
+    * are the caching action. The caller derives the distinct evict
+    * set from the frame (cache-fed, no rescan) and MUST unpersist it.
+    *
     * A NON-DETERMINISTIC predicate refuses here: the verbs evaluate
-    * it in two scans (stats, payload) and again per touched row —
-    * `rand()`-style conditions would tear the commit (different rows
-    * matched in each pass), silently. Checked on the ANALYZED filter
-    * so both the Column form and SQL text (`expr("rand() < .5")`,
-    * unresolved until analysis) are caught. */
+    * it in more than one query execution (stats/keys, then the
+    * payload scan and per touched row) — `rand()`-style conditions
+    * would tear the commit (different rows matched in each pass),
+    * silently. So does a TIME-DEPENDENT one: `now()`/
+    * `current_date()` report deterministic but are stamped per
+    * QueryExecution, so a row crossing the threshold between the
+    * executions flips sides just as silently. Checked on the
+    * ANALYZED filter so both the Column form and SQL text
+    * (`expr("rand() < .5")`, unresolved until analysis) are caught,
+    * and before the optimizer folds the current-time literals in. */
   private def matchedStats(
       live: DataFrame, keyCol: String, predicate: Column)
-      : (Long, Long, Any, Any) = {
+      : (Long, Long, Any, Any, DataFrame) = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      CurrentDate, CurrentTimestampLike, LocalTimestamp}
     val filtered = live.filter(predicate)
-    val nonDet = filtered.queryExecution.analyzed.collectFirst {
+    val bad = filtered.queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if !f.condition.deterministic => f.condition
+          if !f.condition.deterministic => (f.condition, "non-deterministic")
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.exists {
+            case _: CurrentTimestampLike | _: CurrentDate |
+                _: LocalTimestamp => true
+            case _ => false
+          } => (f.condition, "time-dependent")
     }
-    require(nonDet.isEmpty,
-      "predicate is non-deterministic (" + nonDet.map(_.sql).getOrElse("") +
-        ") — it is evaluated in more than one scan and would match " +
-        "different rows in each; materialize the choice first (e.g. " +
-        "stage the matched keys and use the key-set verb)")
-    val r = filtered.agg(
+    require(bad.isEmpty,
+      s"predicate is ${bad.map(_._2).getOrElse("")} " +
+        "(" + bad.map(_._1.sql).getOrElse("") + ") — it is evaluated " +
+        "in more than one query execution and would match different " +
+        "rows in each; materialize the choice first (evaluate the " +
+        "cutoff to a literal, or stage the matched keys and use the " +
+        "key-set verb)")
+    val mkeys = filtered.select(col(keyCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = mkeys.agg(
       count(lit(1)), count(when(col(keyCol).isNull, 1)),
       min(col(keyCol)), max(col(keyCol))).head()
-    (r.getLong(0), r.getLong(1), r.get(2), r.get(3))
+    (r.getLong(0), r.getLong(1), r.get(2), r.get(3), mkeys)
   }
 
   private def requireNoNullKeyMatches(
@@ -746,20 +770,20 @@ object Upsert {
       spark: SparkSession, tablePath: String, outPath: String,
       keyCol: String, predicate: Column): (Int, Int, Long) = {
     val live = readWithDeletes(spark, tablePath)
-    val (nMatched, nNullKey, mnK, mxK) = matchedStats(live, keyCol, predicate)
-    requireNoNullKeyMatches("deleteWhere", keyCol, nNullKey)
-    if (nMatched == 0) {
-      val (c0, r0) = commit(spark, tablePath, outPath,
-        evictKeys = live.select(col(keyCol)).limit(0), append = None,
-        keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L)
-      writeCommitInfo(outPath, "DELETE", Seq(
-        "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
-        "rows_deleted" -> 0L))
-      return (c0, r0, 0L)
-    }
-    val keys = live.filter(predicate).select(col(keyCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nMatched, nNullKey, mnK, mxK, mkeys) =
+      matchedStats(live, keyCol, predicate)
     try {
+      requireNoNullKeyMatches("deleteWhere", keyCol, nNullKey)
+      if (nMatched == 0) {
+        val (c0, r0) = commit(spark, tablePath, outPath,
+          evictKeys = live.select(col(keyCol)).limit(0), append = None,
+          keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L)
+        writeCommitInfo(outPath, "DELETE", Seq(
+          "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
+          "rows_deleted" -> 0L))
+        return (c0, r0, 0L)
+      }
+      val keys = mkeys.distinct() // cache-fed: no second predicate scan
       // fresh scan pre-filtered to the matched key range; see updateWhere
       val payloadSrc = readWithDeletes(spark, tablePath)
         .filter(col(keyCol).between(lit(mnK), lit(mxK)))
@@ -774,7 +798,7 @@ object Upsert {
         "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
         "rows_deleted" -> nMatched, "rows_reinserted" -> nSurv))
       (c, r, nMatched)
-    } finally { keys.unpersist(); () }
+    } finally { mkeys.unpersist(); () }
   }
 
   // -------------------------------------------------------------------

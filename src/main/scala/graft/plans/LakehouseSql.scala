@@ -77,8 +77,11 @@ object LakehouseSql {
     """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+([\w.]+)\s+IN\s+\((.*)\)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
   private val deleteWhere =
     """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+ON\s+([\w.]+)\s+WHERE\s+(.*?)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
+  // the SET/WHERE boundary is found by [[indexOfTopLevelKeyword]], not
+  // the regex — a SET string literal containing the word WHERE must
+  // not split the clause early
   private val update =
-    """(?is)^\s*UPDATE\s+'([^']+)'\s+ON\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+'([^']+)'\s+ON\s+([\w.]+)\s+SET\s+(.*?)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
   private val assignRe = """(?s)^\s*([\w.]+)\s*=\s*(.+?)\s*$""".r
   private val vacuum =
     """(?is)^\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+SNAPSHOTS?\s*;?\s*$""".r
@@ -132,6 +135,31 @@ object LakehouseSql {
     out.toSeq
   }
 
+  /** Index of the first occurrence of standalone keyword `kw` at paren
+    * depth 0 outside single-quoted strings, case-insensitive; -1 when
+    * absent. Word boundaries: the char on each side must not be a
+    * letter, digit, or underscore. */
+  private[graft] def indexOfTopLevelKeyword(s: String, kw: String): Int = {
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !wordChar(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length || !wordChar(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** The graft statement for `sqlText`, if it is one. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case merge(evo, tbl, src, key, out) =>
@@ -141,7 +169,12 @@ object LakehouseSql {
       Some(GraftDeleteCommand(tbl, Option(out), key, src))
     case deleteWhere(tbl, key, pred, out) =>
       Some(GraftDeleteWhereCommand(tbl, Option(out), key, pred))
-    case update(tbl, key, setC, pred, out) =>
+    case update(tbl, key, body, out) =>
+      val wi = indexOfTopLevelKeyword(body, "WHERE")
+      if (wi < 0) throw new IllegalArgumentException(
+        "UPDATE needs a WHERE clause (top-level, outside quotes/" +
+          "parens): " + body.trim.take(120))
+      val (setC, pred) = (body.substring(0, wi), body.substring(wi + 5))
       val assigns = splitTopLevel(setC).map {
         case assignRe(c, e) => (c, e)
         case bad => throw new IllegalArgumentException(

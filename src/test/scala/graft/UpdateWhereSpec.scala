@@ -215,6 +215,18 @@ class UpdateWhereSpec extends AnyFunSuite {
         expr("rand() < 0.5"))
     }
     assert(e4.getMessage.contains("non-deterministic"), e4.getMessage)
+    // now()/current_date() report deterministic but are stamped per
+    // QueryExecution — the verbs run several — so they refuse too
+    val e5 = intercept[IllegalArgumentException] {
+      Upsert.deleteWhere(spark, tbl, s"$base/nullkey_outz", "k",
+        expr("current_timestamp() > timestamp'2020-01-01 00:00:00'"))
+    }
+    assert(e5.getMessage.contains("time-dependent"), e5.getMessage)
+    val e6 = intercept[IllegalArgumentException] {
+      Upsert.updateWhere(spark, tbl, s"$base/nullkey_outw", "k",
+        expr("c < current_date()"), Seq("c" -> lit("z")))
+    }
+    assert(e6.getMessage.contains("time-dependent"), e6.getMessage)
 
     // NULL-keyed rows NOT matched by the predicate are fine — they
     // survive untouched like any other unmatched row
@@ -255,5 +267,41 @@ class UpdateWhereSpec extends AnyFunSuite {
     assert(splitTopLevel("a = 'it''s, quoted', b = 2") ==
       Seq("a = 'it''s, quoted'", " b = 2"))
     assert(splitTopLevel("solo = 1") == Seq("solo = 1"))
+  }
+
+  test("SET string literals containing WHERE do not split the clause early") {
+    import spark.implicits._
+    import graft.plans.LakehouseSql.indexOfTopLevelKeyword
+    assert(indexOfTopLevelKeyword("a = 'see WHERE x' WHERE k = 1", "WHERE") == 18)
+    assert(indexOfTopLevelKeyword("a = f(1 WHERE)", "WHERE") == -1) // parens
+    assert(indexOfTopLevelKeyword("nowhere = 1 WHERE k", "WHERE") == 12) // word bounds
+    val tbl = s"$base/wherelit_table"
+    spark.range(100).select($"id".as("k"), lit("p").as("s"))
+      .write.mode("overwrite").parquet(tbl)
+    val stats = spark.sql(
+      s"""UPDATE '$tbl' ON k SET s = 'see WHERE clause' WHERE k < 10
+         |INTO '$base/wherelit_out'""".stripMargin).collect()(0)
+    assert(stats.getLong(2) == 10, stats.toString)
+    val res = spark.read.parquet(s"$base/wherelit_out")
+    assert(res.filter($"s" === "see WHERE clause").count() == 10)
+  }
+
+  test("winnowFingerprints refuses a document beyond maxDocChars at scan time") {
+    import spark.implicits._
+    val df = Seq((1, "x" * 200), (2, "y" * 50)).toDF("id", "text")
+    val e = intercept[Exception] {
+      graft.ops.TextAnalysis
+        .winnowFingerprints(df, "id", "text", 8, 4, maxDocChars = 100)
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("exceeds 100 chars"), msgs)
+    // under the cap: normal output
+    val ok = graft.ops.TextAnalysis
+      .winnowFingerprints(df, "id", "text", 8, 4, maxDocChars = 500)
+      .collect()
+    assert(ok.nonEmpty)
   }
 }

@@ -46,6 +46,7 @@ import graft.ops.{Layout, Upsert}
  * OPTIMIZE '<table>' ZORDER BY (<a>, <b>) [TARGET <mb> MB]  [INTO '<outPath>']
   * CLONE '<src>' TO '<dst>'
   * DESCRIBE HISTORY '<tableDir>'
+  * DESCRIBE DETAIL '<tableDir | snapshotDir>'
   * RESTORE '<tableDir>' TO VERSION <n>
   * RESTORE '<tableDir>' TO TIMESTAMP '<ts>'
   * CONVERT '<snapshotDir>' TO VERSIONED '<tableDir>'
@@ -95,6 +96,8 @@ object LakehouseSql {
     """(?is)^\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*$""".r
   private val history =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*$""".r
+  private val detail =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*$""".r
   private val convert =
     """(?is)^\s*CONVERT\s+'([^']+)'\s+TO\s+VERSIONED\s+'([^']+)'\s*;?\s*$""".r
   private val restore =
@@ -193,6 +196,7 @@ object LakehouseSql {
         Option(mb).map(_.toLong << 20).getOrElse(128L << 20)))
     case cloneRe(src, dst) => Some(GraftCloneCommand(src, dst))
     case history(dir) => Some(GraftHistoryCommand(dir))
+    case detail(dir) => Some(GraftDetailCommand(dir))
     case restore(dir, v) => Some(GraftRestoreCommand(dir, v.toLong))
     case restoreTs(dir, ts) =>
       Some(GraftRestoreCommand(dir, -1L, Some(parseTsMillis(ts))))
@@ -577,6 +581,70 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
         new java.sql.Timestamp(info.map(_._2).getOrElse(
           new java.io.File(s"$tableDir/v$v").lastModified)))
     }
+  }
+}
+
+/** `DESCRIBE DETAIL '<dir>'` — one-row table-level summary (Delta's
+  * everyday introspection verb next to DESCRIBE HISTORY): resolves a
+  * versioned dir through CURRENT (a plain snapshot dir describes
+  * itself), and reports file/byte counts plus which sidecars ride the
+  * resolved snapshot and who owns the table. Metadata-only — file
+  * listings and size sums, no Spark job over data. */
+case class GraftDetailCommand(tableDir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("is_versioned", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("current_version", LongType, nullable = true)(),
+    AttributeReference("n_snapshots", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("has_manifest", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("has_bloom", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("dv_bytes", LongType, nullable = false)(),
+    AttributeReference("writer", StringType, nullable = true)(),
+    AttributeReference("last_operation", StringType, nullable = true)(),
+    AttributeReference("last_commit_ts",
+      org.apache.spark.sql.types.TimestampType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cur = graft.streaming.Streams.currentSnapshot(tableDir)
+    val versioned = cur.isDefined
+    val snapshot = cur.getOrElse(tableDir)
+    val files =
+      try Layout.listDataFiles(spark, snapshot)
+      catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
+    require(versioned || files.nonEmpty,
+      s"DESCRIBE DETAIL: no CURRENT pointer and no .parquet files " +
+        s"under '$tableDir' — not a graft table")
+    val bytes = Layout.totalBytes(spark, files)
+    def sidecar(name: String): Boolean =
+      new java.io.File(s"$snapshot/$name/_SUCCESS").isFile
+    val dvBytes = {
+      val d = new java.io.File(s"$snapshot/_dv")
+      if (!new java.io.File(d, "_SUCCESS").isFile) 0L
+      else d.listFiles().filter(_.isFile).map(_.length).sum
+    }
+    val writer = {
+      val f = new java.io.File(tableDir, "_WRITER")
+      if (!f.isFile) None
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try Some(src.mkString.trim) finally src.close()
+      }
+    }
+    val info = Upsert.readCommitInfo(snapshot)
+    Seq(Row(
+      tableDir, versioned,
+      cur.map(c => java.lang.Long.valueOf(c.split('/').last.drop(1).toLong))
+        .orNull,
+      if (versioned) Upsert.snapshotVersions(tableDir).size.toLong else 0L,
+      files.size.toLong, bytes,
+      sidecar("_manifest"), sidecar("_bloom"), dvBytes,
+      writer.orNull,
+      info.map(_._1).orNull,
+      info.map(i => new java.sql.Timestamp(i._2)).orNull))
   }
 }
 

@@ -260,6 +260,44 @@ class UpdateWhereSpec extends AnyFunSuite {
     assert(ins.forall(r => r.getLong(1) == r.getLong(0) + 1000000), "new images")
   }
 
+  test("DESCRIBE DETAIL: versioned, plain-snapshot, DV-carrying, and non-tables") {
+    import spark.implicits._
+    val tbl = s"$base/detail_versioned"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(500).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+    spark.sql(s"UPDATE '$tbl' ON k SET v = v + 1 WHERE k < 5")
+
+    val d = spark.sql(s"DESCRIBE DETAIL '$tbl'").collect()(0)
+    assert(d.getBoolean(1), "is_versioned")
+    assert(d.getLong(2) == 1L, s"current_version: $d")
+    assert(d.getLong(3) == 2L, s"n_snapshots: $d")
+    assert(d.getLong(4) >= 2L && d.getLong(5) > 0L, s"files/bytes: $d")
+    assert(d.getBoolean(6), "UPDATE commits a manifest sidecar")
+    assert(d.getLong(8) == 0L, "no DV")
+    assert(d.getString(10) == "UPDATE", s"last_operation: $d")
+    assert(d.getTimestamp(11) != null)
+
+    // plain DV-carrying snapshot: describes itself, reports dv_bytes
+    val plain = s"$base/detail_plain"; val dvOut = s"$base/detail_dv"
+    spark.range(100).select($"id".as("k"), $"id".as("v"))
+      .write.mode("overwrite").parquet(plain)
+    Upsert.deleteByKeyDV(spark, plain, dvOut,
+      spark.range(10).select($"id".as("k")), "k")
+    val d2 = spark.sql(s"DESCRIBE DETAIL '$dvOut'").collect()(0)
+    assert(!d2.getBoolean(1) && d2.getLong(3) == 0L, s"plain: $d2")
+    assert(d2.getLong(8) > 0L, s"dv_bytes: $d2")
+    assert(d2.getString(10) == "DELETE_DV", s"op: $d2")
+
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"DESCRIBE DETAIL '$base/nowhere'").collect()
+    }
+    assert(e.getMessage.contains("not a graft table"), e.getMessage)
+  }
+
   test("splitTopLevel: commas inside parens and quotes do not split") {
     import graft.plans.LakehouseSql.splitTopLevel
     assert(splitTopLevel("a = f(x, y), b = 'a,b', c = 1") ==

@@ -554,21 +554,31 @@ class UpsertSpec extends AnyFunSuite {
     Upsert.compactDeletes(spark, s"$tbl/v2", s"$tbl/v3")
     Upsert.upsertByKey(spark, s"$tbl/v3", s"$tbl/v4",
       Seq((120L, -7L)).toDF("k", "v"), "k")
+    // the predicate verbs are COW commits like any other — the feed
+    // must carry an UPDATE interval as delete+insert pairs and a
+    // DELETE-WHERE interval as deletes
+    Upsert.updateWhere(spark, s"$tbl/v4", s"$tbl/v5", "k",
+      $"k" >= 1500L && $"k" < 1600L, Seq("v" -> ($"v" - 1000000L)))
+    Upsert.deleteWhere(spark, s"$tbl/v5", s"$tbl/v6", "k", $"v" === -1L)
 
     // replay: logical state at v0, then apply each interval's feed
     var state = Upsert.readWithDeletes(spark, s"$tbl/v0")
-    for (i <- 1 to 4) {
+    for (i <- 1 to 6) {
       val feed = Upsert.changeDataFeed(spark, tbl, i - 1L, i.toLong).cache()
       val dels = feed.filter($"_change_type" === "delete").drop("_change_type")
       val ins = feed.filter($"_change_type" === "insert").drop("_change_type")
       state = state.exceptAll(dels).unionByName(ins)
     }
-    val want = Upsert.readWithDeletes(spark, s"$tbl/v4")
+    val want = Upsert.readWithDeletes(spark, s"$tbl/v6")
     assert(state.exceptAll(want).isEmpty && want.exceptAll(state).isEmpty,
       "replaying the feed must reconstruct the final logical table")
-    // sanity on the final state itself
-    assert(want.count() == 2000 + 20 - 200 + 1)
+    // sanity on the final state itself: +20 appends, -200 DV-deleted,
+    // +1 resurrection, -50 v=-1 rows (keys 50..99; 100..149 were
+    // DV-deleted before the update could ever see them)
+    assert(want.count() == 2000 + 20 - 200 + 1 - 50)
     assert(want.filter($"k" === 120L).select($"v").head.getLong(0) == -7L)
+    assert(want.filter($"k" === 1550L).select($"v").head.getLong(0)
+      == 1550L - 1000000L)
   }
 
   test("COW commit folds a deletion-vector sidecar: deleted keys stay gone") {

@@ -298,6 +298,26 @@ class UpdateWhereSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a graft table"), e.getMessage)
   }
 
+  test("UPDATE/DELETE-WHERE refuse a stream-owned versioned table") {
+    import spark.implicits._
+    val tbl = s"$base/streamowned"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(10).select($"id".as("k"), $"id".as("v"))
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    for ((f, c) <- Seq("CURRENT" -> "v0", "_WRITER" -> "stream:q1")) {
+      val w = new java.io.PrintWriter(s"$tbl/$f", "UTF-8")
+      try w.print(c) finally w.close()
+    }
+    val e1 = intercept[IllegalStateException] {
+      spark.sql(s"UPDATE '$tbl' ON k SET v = 0 WHERE k = 1")
+    }
+    assert(e1.getMessage.contains("streaming sink"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      spark.sql(s"DELETE FROM '$tbl' ON k WHERE k = 1")
+    }
+    assert(e2.getMessage.contains("streaming sink"), e2.getMessage)
+  }
+
   test("splitTopLevel: commas inside parens and quotes do not split") {
     import graft.plans.LakehouseSql.splitTopLevel
     assert(splitTopLevel("a = f(x, y), b = 'a,b', c = 1") ==

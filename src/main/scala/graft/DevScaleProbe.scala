@@ -171,9 +171,13 @@ object DevScaleProbe {
     import s.implicits._
     val tbl = s"$dir/upsert_table"
     if (!new java.io.File(s"$dir/UPSERT_TBL_OK").exists) {
-      s.range(200000L * k).select($"id".as("k"), pmod($"id", lit(97L)).as("v"))
-        .repartitionByRange(16 * k, $"k").sortWithinPartitions($"k")
+      val df = s.range(200000L * k)
+        .select($"id".as("k"), pmod($"id", lit(97L)).as("v"))
+      df.repartitionByRange(16 * k, $"k").sortWithinPartitions($"k")
         .write.mode("overwrite").parquet(tbl)
+      // any real lineage carries the schema sidecar after its first
+      // commit — stage the post-bootstrap state the verbs actually see
+      graft.ops.Upsert.writeSchemaSidecar(tbl, df.schema)
       val w = new java.io.PrintWriter(s"$dir/UPSERT_TBL_OK", "UTF-8")
       try w.print(k) finally w.close()
     }

@@ -200,6 +200,7 @@ object Upsert {
       val fs = sidecarFiles(spark, tablePath, sc)
       if (fs.nonEmpty) linkOrCopyAll(spark, fs, s"$outPath/$sc")
     }
+    readSchemaSidecar(tablePath).foreach(writeSchemaSidecar(outPath, _))
     all.size
   }
 
@@ -212,6 +213,86 @@ object Upsert {
   // Read cost grows with the DV, so [[compactDeletes]] folds the DV
   // back into a clean COW rewrite when it gets heavy.
   // -------------------------------------------------------------------
+
+  // -------------------------------------------------------------------
+  // Schema sidecar: `_schema.json` records the snapshot's LOGICAL
+  // schema (the union across its files after any evolution) — the
+  // analog of the schema a transaction-log format keeps in its log.
+  // Without it every read of an evolvable snapshot pays a
+  // `mergeSchema` footer sweep over EVERY data file (a driver-visible
+  // job ∝ file count — ~seconds per read on a 1,600-file table, pure
+  // waste on the 100 TB table this engine targets). Commit verbs
+  // stamp it (bootstrapping legacy tables with ONE sweep, amortized
+  // forever after), metadata-only verbs carry it verbatim, and the
+  // readers below use it to skip the sweep; a snapshot without one
+  // reads exactly as before.
+  // -------------------------------------------------------------------
+
+  private def schemaSidecar(snapshot: String) = s"$snapshot/_schema.json"
+
+  private[graft] def writeSchemaSidecar(
+      snapshotDir: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    // top-level nullable: linked pre-evolution files surface the new
+    // columns as null, so the LOGICAL schema is nullable regardless
+    // of what the freshly written files claim
+    val nullable = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
+    val dir = new java.io.File(snapshotDir)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, "_schema.json.tmp")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try w.print(nullable.json) finally w.close()
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, "_schema.json").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private[graft] def readSchemaSidecar(
+      snapshotDir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val f = new java.io.File(schemaSidecar(snapshotDir))
+    if (!f.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      // corrupt sidecar = foreign writer or torn copy — fail loudly,
+      // never silently fall back to a sweep that may see other state
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** The snapshot's data read WITHOUT a per-read footer sweep when the
+    * schema sidecar is present; `mergeSchema` fallback otherwise. */
+  private def readSnapshotData(
+      spark: SparkSession, snapshotDir: String): DataFrame =
+    readSchemaSidecar(snapshotDir) match {
+      case Some(s) => spark.read.schema(s).parquet(snapshotDir)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(snapshotDir)
+    }
+
+  /** Logical schema of a snapshot: sidecar, else ONE mergeSchema sweep
+    * (the bootstrap price for a table predating the sidecar). */
+  private def logicalSchema(
+      spark: SparkSession, snapshotDir: String)
+      : org.apache.spark.sql.types.StructType =
+    readSchemaSidecar(snapshotDir).getOrElse(
+      spark.read.option("mergeSchema", "true").parquet(snapshotDir).schema)
+
+  private def unionSchema(
+      base: org.apache.spark.sql.types.StructType,
+      extra: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    // case-insensitive name match, like unionByName under Spark's
+    // default resolution — an evolved column differing only by case
+    // must not land twice
+    val names = base.fieldNames.map(_.toLowerCase).toSet
+    org.apache.spark.sql.types.StructType(
+      base.fields ++
+        extra.fields.filterNot(f => names.contains(f.name.toLowerCase)))
+  }
 
   private def dvDir(snapshot: String) = s"$snapshot/_dv"
 
@@ -253,6 +334,8 @@ object Upsert {
       val fs = sidecarFiles(spark, tablePath, sc)
       if (fs.nonEmpty) linkOrCopyAll(spark, fs, s"$outPath/$sc")
     }
+    // a DV commit never changes the logical schema — carry the sidecar
+    readSchemaSidecar(tablePath).foreach(writeSchemaSidecar(outPath, _))
     val prevDv = new HPath(dvDir(tablePath))
     val pfs = prevDv.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batch = keys.select(col(keyCol))
@@ -294,7 +377,7 @@ object Upsert {
       spark: SparkSession, tablePath: String,
       broadcastMaxBytes: Long = DvBroadcastMaxBytes): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val data = spark.read.option("mergeSchema", "true").parquet(tablePath)
+    val data = readSnapshotData(spark, tablePath)
     val dv = new HPath(dvDir(tablePath))
     val fs = dv.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new HPath(dv, "_SUCCESS"))) data
@@ -539,6 +622,17 @@ object Upsert {
           .write.mode("overwrite").parquet(Layout.bloomSidecarDir(outPath))
       }
     }
+
+    // Schema sidecar: output logical schema = input's (sidecar, or ONE
+    // bootstrap mergeSchema sweep for a legacy table) plus any new
+    // columns the append carried (allowSchemaEvolution unions them;
+    // without evolution the append schema is a subset by the drift
+    // refusal). Metadata write; every later read skips the sweep.
+    val outSchema = append match {
+      case Some(a) => unionSchema(logicalSchema(spark, tablePath), a.schema)
+      case None => logicalSchema(spark, tablePath)
+    }
+    writeSchemaSidecar(outPath, outSchema)
     (untouched.size, touched.size)
   }
 
@@ -934,7 +1028,7 @@ object Upsert {
     require(d.isDirectory,
       s"snapshot v$version not found under $tableDir " +
         s"(have: ${snapshotVersions(tableDir).mkString(",")}) — vacuumed or never written")
-    spark.read.option("mergeSchema", "true").parquet(d.toString)
+    readSnapshotData(spark, d.toString)
   }
 
   /** Change data feed between two snapshots of a versioned COW table —

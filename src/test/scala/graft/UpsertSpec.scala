@@ -581,6 +581,48 @@ class UpsertSpec extends AnyFunSuite {
       == 1550L - 1000000L)
   }
 
+  test("schema sidecar: commits stamp it, DV/clone carry it, reads skip the sweep") {
+    import spark.implicits._
+    val tbl = s"$base/schemasc"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(1000).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    assert(Upsert.readSchemaSidecar(s"$tbl/v0").isEmpty, "legacy: no sidecar")
+
+    // bootstrap: first commit stamps the sidecar
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v1",
+      Seq((5L, -1L)).toDF("k", "v"), "k")
+    val s1 = Upsert.readSchemaSidecar(s"$tbl/v1")
+    assert(s1.isDefined && s1.get.fieldNames.toSeq == Seq("k", "v"))
+
+    // schema-evolving commit: the sidecar gains the new column, and a
+    // sidecar-driven read equals the mergeSchema read exactly —
+    // including nulls surfaced from byte-linked pre-evolution files
+    Upsert.upsertByKey(spark, s"$tbl/v1", s"$tbl/v2",
+      Seq((900L, -2L, "x")).toDF("k", "v", "w"), "k",
+      allowSchemaEvolution = true)
+    val s2 = Upsert.readSchemaSidecar(s"$tbl/v2")
+    assert(s2.get.fieldNames.toSeq == Seq("k", "v", "w"), s2.toString)
+    val viaSidecar = Upsert.readSnapshot(spark, tbl, 2L)
+    val viaSweep = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tbl/v2").select($"k", $"v", $"w")
+    assert(viaSidecar.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(viaSidecar.exceptAll(viaSweep).isEmpty &&
+      viaSweep.exceptAll(viaSidecar).isEmpty)
+    assert(viaSidecar.filter($"w".isNull).count() == 999, "old files: null w")
+
+    // DV commit and clone carry the sidecar verbatim; the DV-honoring
+    // read resolves through it
+    Upsert.deleteByKeyDV(spark, s"$tbl/v2", s"$tbl/v3",
+      Seq(1L, 2L).toDF("k"), "k")
+    assert(Upsert.readSchemaSidecar(s"$tbl/v3") == s2)
+    assert(Upsert.readWithDeletes(spark, s"$tbl/v3").count() == 998)
+    val cl = s"$base/schemasc_clone"
+    Upsert.cloneSnapshot(spark, s"$tbl/v3", cl)
+    assert(Upsert.readSchemaSidecar(cl) == s2)
+  }
+
   test("COW commit folds a deletion-vector sidecar: deleted keys stay gone") {
     import spark.implicits._
     val v0 = s"$base/dvcow/v0"; val v1 = s"$base/dvcow/v1"

@@ -116,6 +116,18 @@ object Layout {
     * small and numerous, which is the premise).
     *
     * @return (input file count, output file count, total input bytes) */
+  /** The snapshot's LOGICAL view for a maintenance rewrite: through
+    * the `_schema.json` sidecar when the lineage carries one (no
+    * footer sweep), else `mergeSchema` — a snapshot after a
+    * schema-evolving commit mixes old- and new-schema files, and a
+    * single-footer read would pick one arbitrarily and DROP the
+    * evolved columns from the rewrite. */
+  private def readLogical(spark: SparkSession, inPath: String) =
+    Upsert.readSchemaSidecar(inPath) match {
+      case Some(s) => spark.read.schema(s).parquet(inPath)
+      case None => spark.read.option("mergeSchema", "true").parquet(inPath)
+    }
+
   def compactSmallFiles(
       spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): (Int, Int, Long) = {
@@ -127,9 +139,9 @@ object Layout {
     // may already combine below the target), so the request is a cap;
     // the returned count is what actually landed on disk.
     val nReq = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    // mergeSchema: same evolved-column hazard as optimizeTable
-    spark.read.option("mergeSchema", "true").parquet(inPath).coalesce(nReq)
-      .write.mode("overwrite").parquet(outPath)
+    val df = readLogical(spark, inPath)
+    df.coalesce(nReq).write.mode("overwrite").parquet(outPath)
+    Upsert.writeSchemaSidecar(outPath, df.schema)
     (nIn, listDataFiles(spark, outPath).size, total)
   }
 
@@ -153,13 +165,11 @@ object Layout {
     val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val total = totalBytes(spark, files)
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    // mergeSchema: a snapshot after a schema-evolving commit mixes
-    // old- and new-schema files; a single-footer read would pick one
-    // arbitrarily and the rewrite would DROP the evolved columns
-    spark.read.option("mergeSchema", "true").parquet(inPath)
-      .repartitionByRange(nOut, col(sortCol))
+    val df = readLogical(spark, inPath)
+    df.repartitionByRange(nOut, col(sortCol))
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(outPath)
+    Upsert.writeSchemaSidecar(outPath, df.schema)
     var written = 0
     val it = fs.listFiles(new HPath(outPath), true)
     while (it.hasNext) {
@@ -187,13 +197,13 @@ object Layout {
     val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val total = totalBytes(spark, files)
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    // mergeSchema: same evolved-column hazard as optimizeTable
-    spark.read.option("mergeSchema", "true").parquet(inPath)
-      .withColumn("__z", zOrderValue(col(colA), col(colB), bits))
+    val df = readLogical(spark, inPath)
+    df.withColumn("__z", zOrderValue(col(colA), col(colB), bits))
       .repartitionByRange(nOut, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(outPath)
+    Upsert.writeSchemaSidecar(outPath, df.schema)
     var written = 0
     val it = fs.listFiles(new HPath(outPath), true)
     while (it.hasNext) {

@@ -603,6 +603,8 @@ case class GraftDetailCommand(tableDir: String) extends LeafRunnableCommand {
       nullable = false)(),
     AttributeReference("has_bloom", org.apache.spark.sql.types.BooleanType,
       nullable = false)(),
+    AttributeReference("has_schema", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
     AttributeReference("dv_bytes", LongType, nullable = false)(),
     AttributeReference("writer", StringType, nullable = true)(),
     AttributeReference("last_operation", StringType, nullable = true)(),
@@ -641,7 +643,8 @@ case class GraftDetailCommand(tableDir: String) extends LeafRunnableCommand {
         .orNull,
       if (versioned) Upsert.snapshotVersions(tableDir).size.toLong else 0L,
       files.size.toLong, bytes,
-      sidecar("_manifest"), sidecar("_bloom"), dvBytes,
+      sidecar("_manifest"), sidecar("_bloom"),
+      new java.io.File(s"$snapshot/_schema.json").isFile, dvBytes,
       writer.orNull,
       info.map(_._1).orNull,
       info.map(i => new java.sql.Timestamp(i._2)).orNull))

@@ -377,14 +377,17 @@ object Streams {
           case (Some(p), None) =>
             graft.ops.Upsert.upsertByKey(spark, p, next, perKey, keyCol)
           case (None, Some(op)) =>
-            perKey.filter(col(op) =!= "d").drop(op)
-              .write.mode("overwrite").parquet(next)
+            val init = perKey.filter(col(op) =!= "d").drop(op)
+            init.write.mode("overwrite").parquet(next)
             // the verb-backed arms stamp inside Upsert; the initial
-            // snapshot stamps here so history is gapless
+            // snapshot stamps here so history is gapless — and the
+            // schema sidecar starts the lineage sweep-free
             graft.ops.Upsert.writeCommitInfo(next, "STREAM_INIT")
+            graft.ops.Upsert.writeSchemaSidecar(next, init.schema)
           case (None, None) =>
             perKey.write.mode("overwrite").parquet(next)
             graft.ops.Upsert.writeCommitInfo(next, "STREAM_INIT")
+            graft.ops.Upsert.writeSchemaSidecar(next, perKey.schema)
         }
         // materialize this commit's change feed BEFORE the pointer
         // swap (a reader following CURRENT always finds the feed

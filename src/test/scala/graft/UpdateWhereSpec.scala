@@ -277,9 +277,10 @@ class UpdateWhereSpec extends AnyFunSuite {
     assert(d.getLong(3) == 2L, s"n_snapshots: $d")
     assert(d.getLong(4) >= 2L && d.getLong(5) > 0L, s"files/bytes: $d")
     assert(d.getBoolean(6), "UPDATE commits a manifest sidecar")
-    assert(d.getLong(8) == 0L, "no DV")
-    assert(d.getString(10) == "UPDATE", s"last_operation: $d")
-    assert(d.getTimestamp(11) != null)
+    assert(d.getBoolean(8), "UPDATE stamps the schema sidecar")
+    assert(d.getLong(9) == 0L, "no DV")
+    assert(d.getString(11) == "UPDATE", s"last_operation: $d")
+    assert(d.getTimestamp(12) != null)
 
     // plain DV-carrying snapshot: describes itself, reports dv_bytes
     val plain = s"$base/detail_plain"; val dvOut = s"$base/detail_dv"
@@ -289,8 +290,8 @@ class UpdateWhereSpec extends AnyFunSuite {
       spark.range(10).select($"id".as("k")), "k")
     val d2 = spark.sql(s"DESCRIBE DETAIL '$dvOut'").collect()(0)
     assert(!d2.getBoolean(1) && d2.getLong(3) == 0L, s"plain: $d2")
-    assert(d2.getLong(8) > 0L, s"dv_bytes: $d2")
-    assert(d2.getString(10) == "DELETE_DV", s"op: $d2")
+    assert(d2.getLong(9) > 0L, s"dv_bytes: $d2")
+    assert(d2.getString(11) == "DELETE_DV", s"op: $d2")
 
     val e = intercept[IllegalArgumentException] {
       spark.sql(s"DESCRIBE DETAIL '$base/nowhere'").collect()

@@ -83,6 +83,60 @@ object DevScaleProbe {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       numPerms = 6, bandSize = 3, threshold = 0.8, maxBucket = Some(100))
 
+  /** ORGANIC corpus at tier k: generated documents, not tiled copies —
+    * fresh doc ids, Zipf-ish vocabulary (uniform hash squared → low
+    * token ids dominate, like real word frequencies), organic length
+    * spread (40–400 tokens), and ~5% planted near-dups (a mutated copy
+    * of the previous doc: one token in ~30 replaced). Pure column
+    * expressions, fully deterministic — the honest complement to the
+    * structure-preserving replicated tiers, where every copy shares
+    * the source's length/frequency profile by construction. */
+  private def organicDocs(s: SparkSession, nDocs: Long): DataFrame = {
+    import s.implicits._
+    val vocab = 50000L
+    // per-(doc, position) pseudo-randomness: xxhash64 of the pair
+    def h(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      abs(xxhash64(seed))
+    val isDup = pmod($"id", lit(20L)) === 19L // doc 19 mutates doc 18, …
+    val srcId = when(isDup, $"id" - 1L).otherwise($"id")
+    val len = (h(srcId * 7919L) % 361L + 40L).cast("int")
+    val toks = transform(sequence(lit(1), len), i => {
+      val u = (h(srcId * 104729L + i.cast("long")) % 100000L).cast("double") / 100000.0
+      val zipf = (u * u * vocab).cast("long") // Zipf-ish: low ids frequent
+      val mutated = isDup && h($"id" * 31L + i.cast("long")) % 30L === 0L
+      concat(lit("w"), when(mutated, zipf + vocab).otherwise(zipf))
+    })
+    s.range(nDocs).select($"id".as("doc_id"), array_join(toks, " ").as("text"))
+  }
+
+  private def organicDir(k: Int): String = {
+    val d = s"/tmp/graft_scale_org_${k}x"
+    new java.io.File(d).mkdirs(); d
+  }
+
+  private def ensureOrganicDocs(s: SparkSession, k: Int): String = {
+    val dir = organicDir(k)
+    val marker = new java.io.File(s"$dir/ORG_DOCS_OK")
+    if (!marker.exists) {
+      organicDocs(s, 5000L * k).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      try w.print(k) finally w.close()
+    }
+    s"$dir/documents.parquet"
+  }
+
+  private def minhashOrganic(s: SparkSession, k: Int): DataFrame =
+    graft.ops.Dedup.minHashLshPairs(
+      s.read.parquet(ensureOrganicDocs(s, k)), "doc_id", "text",
+      numPerms = 6, bandSize = 3, threshold = 0.8, maxBucket = Some(100))
+
+  private def substrOrganic(s: SparkSession, k: Int): DataFrame =
+    graft.ops.Dedup.removeDuplicateSpans(
+      s.read.parquet(ensureOrganicDocs(s, k)), "doc_id", "text", n = 12)
+      .agg(count(lit(1)).as("n"), sum(col("n_kept")).as("kept"),
+        sum(col("n_toks")).as("toks"))
+
   private def incr(s: SparkSession, dir: String, k: Int): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet")
     // 20/80 split WITHIN each copy (ids are c*5000 + orig): cross-copy
@@ -327,12 +381,14 @@ object DevScaleProbe {
       val tierOps = Seq("minhash_lsh", "incr_dedup", "semantic_dedup",
         "pagerank", "upsert_commit", "dv_delete", "cdf_dv", "substr_dedup",
         "upsert_commit_cached", "winnow_fp", "profile", "ngram_jaccard",
-        "update_where")
+        "update_where") // organic ops build their own corpus, not the tier
       val dir =
         if (tierOps.exists(op => onlyOps.forall(_.contains(op))))
           buildTier(spark, k)
         else { val d = tierDir(k); new java.io.File(d).mkdirs(); d }
       probe("minhash_lsh", k, () => minhash(spark, dir))
+      probe("minhash_lsh_organic", k, () => minhashOrganic(spark, k))
+      probe("substr_dedup_organic", k, () => substrOrganic(spark, k))
       probe("incr_dedup", k, () => incr(spark, dir, k))
       probe("semantic_dedup", k, () => semdedup(spark, dir, k))
       probe("pagerank", k, () => pagerank(spark, dir))

@@ -545,11 +545,22 @@ object Upsert {
     // parquet file — snapshots share immutable content.
     linkOrCopyAll(spark, untouched, outPath)
 
+    // The table's LOGICAL schema (sidecar, or one bootstrap sweep):
+    // touched files are decoded THROUGH it. After a schema-evolving
+    // commit a snapshot mixes old- and new-schema files, and a bare
+    // read takes ONE file's schema for all of them — survivors from a
+    // post-evolution file silently LOST their evolved column values
+    // in the rewrite (caught by SchemaLineagePropSpec's random verb
+    // chains). The explicit schema null-fills pre-evolution files and
+    // preserves every stored value.
+    val baseLogical = logicalSchema(spark, tablePath)
+
     // decode ONLY the touched files; evict keys; append the payload
     val survivors =
       if (touchedPaths.isEmpty) None
       else {
-        val touchedRows = spark.read.parquet(touchedPaths: _*)
+        val touchedRows =
+          spark.read.schema(baseLogical).parquet(touchedPaths: _*)
         // broadcast while the key batch is provably small; a huge
         // MERGE batch anti-joins by shuffle instead of OOMing the
         // driver on the broadcast build
@@ -559,9 +570,25 @@ object Upsert {
       }
     val rewritten = (survivors, append) match {
       case (Some(s), Some(a)) =>
-        Some(s.unionByName(a, allowMissingColumns = allowSchemaEvolution))
+        // survivors carry the FULL logical schema now, so a plain
+        // unionByName is the drift check in BOTH directions: an
+        // update batch with new columns refuses without the evolution
+        // flag, and one MISSING an evolved column refuses too (it
+        // used to silently ride or corrupt depending on which files
+        // were touched); WITH the flag, either side null-fills
+        Some(if (allowSchemaEvolution) s.unionByName(a, allowMissingColumns = true)
+        else s.unionByName(a))
       case (Some(s), None) => Some(s)
-      case (None, Some(a)) => Some(a)
+      case (None, Some(a)) =>
+        if (!allowSchemaEvolution) {
+          // no touched files, so the survivors union can't check drift
+          // — an all-new-keys batch must obey the same contract
+          val probe = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), baseLogical)
+          probe.unionByName(a) // analysis-time drift check; never executed
+          ()
+        }
+        Some(a)
       case (None, None) => None
     }
     // one output file per touched input file (1 for a pure append) —
@@ -623,14 +650,13 @@ object Upsert {
       }
     }
 
-    // Schema sidecar: output logical schema = input's (sidecar, or ONE
-    // bootstrap mergeSchema sweep for a legacy table) plus any new
+    // Schema sidecar: output logical schema = input's plus any new
     // columns the append carried (allowSchemaEvolution unions them;
-    // without evolution the append schema is a subset by the drift
-    // refusal). Metadata write; every later read skips the sweep.
+    // without evolution the append matches by the drift refusal).
+    // Metadata write; every later read skips the sweep.
     val outSchema = append match {
-      case Some(a) => unionSchema(logicalSchema(spark, tablePath), a.schema)
-      case None => logicalSchema(spark, tablePath)
+      case Some(a) => unionSchema(baseLogical, a.schema)
+      case None => baseLogical
     }
     writeSchemaSidecar(outPath, outSchema)
     (untouched.size, touched.size)

@@ -224,7 +224,11 @@ object DevScaleProbe {
   private def ensureUpsertTable(s: SparkSession, dir: String, k: Int): String = {
     import s.implicits._
     val tbl = s"$dir/upsert_table"
-    if (!new java.io.File(s"$dir/UPSERT_TBL_OK").exists) {
+    // the sidecar check re-stages tables left by PRE-sidecar probe
+    // runs, which would otherwise silently measure the legacy
+    // footer-sweep path
+    if (!new java.io.File(s"$dir/UPSERT_TBL_OK").exists ||
+        !new java.io.File(s"$tbl/_schema.json").isFile) {
       val df = s.range(200000L * k)
         .select($"id".as("k"), pmod($"id", lit(97L)).as("v"))
       df.repartitionByRange(16 * k, $"k").sortWithinPartitions($"k")

@@ -116,18 +116,6 @@ object Layout {
     * small and numerous, which is the premise).
     *
     * @return (input file count, output file count, total input bytes) */
-  /** The snapshot's LOGICAL view for a maintenance rewrite: through
-    * the `_schema.json` sidecar when the lineage carries one (no
-    * footer sweep), else `mergeSchema` — a snapshot after a
-    * schema-evolving commit mixes old- and new-schema files, and a
-    * single-footer read would pick one arbitrarily and DROP the
-    * evolved columns from the rewrite. */
-  private def readLogical(spark: SparkSession, inPath: String) =
-    Upsert.readSchemaSidecar(inPath) match {
-      case Some(s) => spark.read.schema(s).parquet(inPath)
-      case None => spark.read.option("mergeSchema", "true").parquet(inPath)
-    }
-
   def compactSmallFiles(
       spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): (Int, Int, Long) = {
@@ -139,7 +127,7 @@ object Layout {
     // may already combine below the target), so the request is a cap;
     // the returned count is what actually landed on disk.
     val nReq = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val df = readLogical(spark, inPath)
+    val df = Upsert.readSnapshotData(spark, inPath) // sidecar, else mergeSchema (evolved-column safety)
     df.coalesce(nReq).write.mode("overwrite").parquet(outPath)
     Upsert.writeSchemaSidecar(outPath, df.schema)
     (nIn, listDataFiles(spark, outPath).size, total)
@@ -165,7 +153,7 @@ object Layout {
     val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val total = totalBytes(spark, files)
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val df = readLogical(spark, inPath)
+    val df = Upsert.readSnapshotData(spark, inPath) // sidecar, else mergeSchema (evolved-column safety)
     df.repartitionByRange(nOut, col(sortCol))
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(outPath)
@@ -197,7 +185,7 @@ object Layout {
     val fs = new HPath(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val total = totalBytes(spark, files)
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val df = readLogical(spark, inPath)
+    val df = Upsert.readSnapshotData(spark, inPath) // sidecar, else mergeSchema (evolved-column safety)
     df.withColumn("__z", zOrderValue(col(colA), col(colB), bits))
       .repartitionByRange(nOut, col("__z"))
       .sortWithinPartitions(col("__z"))

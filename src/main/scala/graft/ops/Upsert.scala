@@ -264,8 +264,10 @@ object Upsert {
   }
 
   /** The snapshot's data read WITHOUT a per-read footer sweep when the
-    * schema sidecar is present; `mergeSchema` fallback otherwise. */
-  private def readSnapshotData(
+    * schema sidecar is present; `mergeSchema` fallback otherwise (the
+    * shared resolution for readers AND maintenance rewrites — see
+    * Layout's compaction/OPTIMIZE passes). */
+  private[graft] def readSnapshotData(
       spark: SparkSession, snapshotDir: String): DataFrame =
     readSchemaSidecar(snapshotDir) match {
       case Some(s) => spark.read.schema(s).parquet(snapshotDir)
@@ -450,7 +452,9 @@ object Upsert {
   private def commit(
       spark: SparkSession, tablePath: String, outPath: String,
       evictKeys: DataFrame, append: Option[DataFrame], keyCol: String,
-      allowSchemaEvolution: Boolean, nKeysHint: Long): (Int, Int) = {
+      allowSchemaEvolution: Boolean, nKeysHint: Long,
+      knownLogical: Option[org.apache.spark.sql.types.StructType] = None)
+      : (Int, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
 
     val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -483,12 +487,17 @@ object Upsert {
     // estimate is all the broadcast decision needs
     val wantBroadcast = nKeysHint + dvBytes / 8 <= CommitBroadcastMaxKeys
 
-    // Key type: taken from the TABLE (its footer stats are what the
-    // manifest prunes on — ONE file's footer, not a directory-wide
-    // schema merge; the key column is invariant across the snapshot);
-    // the update side must agree in kind. Both must be integral or
-    // string — see requireSupportedKey.
-    val keyType = spark.read.parquet(all.head).schema(keyCol).dataType
+    // The table's LOGICAL schema (sidecar, or one bootstrap sweep —
+    // callers that already resolved it pass it through, sparing legacy
+    // tables a repeat sweep): the key type comes from HERE, not from
+    // one arbitrary file's footer — a key column added by schema
+    // evolution is absent from pre-evolution footers, and `all.head`
+    // is typically the oldest linked file.
+    val baseLogical = knownLogical.getOrElse(logicalSchema(spark, tablePath))
+    require(baseLogical.fieldNames.contains(keyCol),
+      s"Upsert.commit: key column '$keyCol' is not in the table's " +
+        s"schema (${baseLogical.fieldNames.mkString(", ")})")
+    val keyType = baseLogical(keyCol).dataType
     requireSupportedKey(keyType, keyCol, "table")
     requireSupportedKey(evictAll.schema(keyCol).dataType, keyCol, "updates")
     require((keyType == StringType) ==
@@ -545,17 +554,14 @@ object Upsert {
     // parquet file — snapshots share immutable content.
     linkOrCopyAll(spark, untouched, outPath)
 
-    // The table's LOGICAL schema (sidecar, or one bootstrap sweep):
-    // touched files are decoded THROUGH it. After a schema-evolving
-    // commit a snapshot mixes old- and new-schema files, and a bare
-    // read takes ONE file's schema for all of them — survivors from a
-    // post-evolution file silently LOST their evolved column values
-    // in the rewrite (caught by SchemaLineagePropSpec's random verb
-    // chains). The explicit schema null-fills pre-evolution files and
-    // preserves every stored value.
-    val baseLogical = logicalSchema(spark, tablePath)
-
-    // decode ONLY the touched files; evict keys; append the payload
+    // Decode touched files THROUGH the logical schema. After a
+    // schema-evolving commit a snapshot mixes old- and new-schema
+    // files, and a bare read takes ONE file's schema for all of them
+    // — survivors from a post-evolution file silently LOST their
+    // evolved column values in the rewrite (caught by
+    // SchemaLineagePropSpec's random verb chains). The explicit
+    // schema null-fills pre-evolution files and preserves every
+    // stored value.
     val survivors =
       if (touchedPaths.isEmpty) None
       else {
@@ -568,16 +574,31 @@ object Upsert {
         Some(touchedRows.join(keySide,
           touchedRows(keyCol).cast(keyType) === col("__k"), "left_anti"))
       }
-    val rewritten = (survivors, append) match {
+    // The append lands in FRESH parquet files whose physical types
+    // must match the logical schema — a batch whose `v` is int on a
+    // long table would otherwise commit INT32 files that every later
+    // sidecar-driven read fails to decode (and the union's implicit
+    // coercion would mask it on the touched path). Name-matched
+    // columns cast to the table's type (ANSI mode faults a lossy
+    // cast loudly); evolution-added columns keep their own.
+    val alignedAppend = append.map { a =>
+      val baseTypes =
+        baseLogical.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      a.select(a.schema.fields.map { f =>
+        baseTypes.get(f.name.toLowerCase) match {
+          case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+          case _ => col(f.name)
+        }
+      }.toSeq: _*)
+    }
+    val rewritten = (survivors, alignedAppend) match {
       case (Some(s), Some(a)) =>
-        // survivors carry the FULL logical schema now, so a plain
-        // unionByName is the drift check in BOTH directions: an
-        // update batch with new columns refuses without the evolution
-        // flag, and one MISSING an evolved column refuses too (it
-        // used to silently ride or corrupt depending on which files
-        // were touched); WITH the flag, either side null-fills
-        Some(if (allowSchemaEvolution) s.unionByName(a, allowMissingColumns = true)
-        else s.unionByName(a))
+        // survivors carry the FULL logical schema, so unionByName is
+        // the drift check in BOTH directions: an update batch with
+        // new columns refuses without the evolution flag, and one
+        // MISSING an evolved column refuses too (it used to silently
+        // ride or corrupt depending on which files were touched)
+        Some(s.unionByName(a, allowMissingColumns = allowSchemaEvolution))
       case (Some(s), None) => Some(s)
       case (None, Some(a)) =>
         if (!allowSchemaEvolution) {
@@ -654,7 +675,7 @@ object Upsert {
     // columns the append carried (allowSchemaEvolution unions them;
     // without evolution the append matches by the drift refusal).
     // Metadata write; every later read skips the sweep.
-    val outSchema = append match {
+    val outSchema = alignedAppend match {
       case Some(a) => unionSchema(baseLogical, a.schema)
       case None => baseLogical
     }
@@ -783,7 +804,8 @@ object Upsert {
       if (nMatched == 0) {
         val (c0, r0) = commit(spark, tablePath, outPath,
           evictKeys = live.select(col(keyCol)).limit(0), append = None,
-          keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L)
+          keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L,
+          knownLogical = Some(schema))
         writeCommitInfo(outPath, "UPDATE", Seq(
           "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
           "rows_updated" -> 0L))
@@ -808,7 +830,8 @@ object Upsert {
         }.toSeq: _*)
       val (c, r) = commit(spark, tablePath, outPath,
         evictKeys = keys, append = Some(payload), keyCol = keyCol,
-        allowSchemaEvolution = false, nKeysHint = nMatched)
+        allowSchemaEvolution = false, nKeysHint = nMatched,
+        knownLogical = Some(schema))
       writeCommitInfo(outPath, "UPDATE", Seq(
         "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
         "rows_updated" -> nMatched))
@@ -897,7 +920,8 @@ object Upsert {
       if (nMatched == 0) {
         val (c0, r0) = commit(spark, tablePath, outPath,
           evictKeys = live.select(col(keyCol)).limit(0), append = None,
-          keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L)
+          keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L,
+          knownLogical = Some(live.schema))
         writeCommitInfo(outPath, "DELETE", Seq(
           "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
           "rows_deleted" -> 0L))
@@ -913,7 +937,8 @@ object Upsert {
       val (c, r) = commit(spark, tablePath, outPath,
         evictKeys = keys,
         append = if (nSurv == 0) None else Some(survivors),
-        keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = nMatched)
+        keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = nMatched,
+        knownLogical = Some(live.schema))
       writeCommitInfo(outPath, "DELETE", Seq(
         "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
         "rows_deleted" -> nMatched, "rows_reinserted" -> nSurv))
@@ -1046,9 +1071,11 @@ object Upsert {
 
   /** Time travel: read the table AS OF `version` (a past snapshot is a
     * complete table — copy-on-write never mutates shipped files).
-    * `mergeSchema` is on: after a schema-evolving commit, a snapshot
-    * mixes old-schema (linked) and new-schema (rewritten) files, and a
-    * bare read would pick one file's schema arbitrarily. */
+    * Schema resolution: the `_schema.json` sidecar when the snapshot
+    * carries one (authoritative, no footer sweep), else `mergeSchema`
+    * — after a schema-evolving commit a snapshot mixes old-schema
+    * (linked) and new-schema (rewritten) files, and a bare read would
+    * pick one file's schema arbitrarily. */
   def readSnapshot(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
     val d = new java.io.File(s"$tableDir/v$version")
     require(d.isDirectory,

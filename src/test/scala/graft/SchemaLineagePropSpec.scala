@@ -78,10 +78,8 @@ class SchemaLineagePropSpec extends AnyFunSuite {
             Upsert.deleteByKeyDV(spark, cur, out,
               spark.range(rnd.nextInt(20) + 1)
                 .select(($"id" * 11 + rnd.nextInt(200)).as("k")), "k")
-            hasDv = true
           case 4 if hasDv => // fold the DV back into a clean rewrite
             Upsert.compactDeletes(spark, cur, out)
-            hasDv = false
           case 4 => // predicate update (refuses on a foreign-key DV — skip)
             Upsert.updateWhere(spark, cur, out, "k",
               $"k" % (rnd.nextInt(9) + 2) === 0, Seq("v" -> ($"v" + 100L)))

@@ -581,6 +581,30 @@ class UpsertSpec extends AnyFunSuite {
       == 1550L - 1000000L)
   }
 
+  test("narrower-typed append casts to the table's schema instead of poisoning the lineage") {
+    import spark.implicits._
+    val tbl = s"$base/typealign"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(100).select($"id".as("k"), $"id".as("v")) // LongType
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v1",
+      spark.range(5).select($"id".as("k"), lit(-1L).as("v")), "k")
+
+    // ALL-NEW keys with IntegerType columns: a pure append (no touched
+    // files), so no union coercion can mask the width mismatch — the
+    // fresh file must land as LONG or every sidecar-driven read of the
+    // snapshot fails to decode it
+    val intBatch = Seq((100000, 7)).toDF("k", "v")
+    assert(intBatch.schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    Upsert.upsertByKey(spark, s"$tbl/v1", s"$tbl/v2", intBatch, "k")
+    val got = Upsert.readWithDeletes(spark, s"$tbl/v2")
+    assert(got.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.count() == 101)
+    assert(got.filter($"k" === 100000L).select($"v").head.getLong(0) == 7L)
+  }
+
   test("schema sidecar: commits stamp it, DV/clone carry it, reads skip the sweep") {
     import spark.implicits._
     val tbl = s"$base/schemasc"

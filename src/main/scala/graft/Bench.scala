@@ -169,8 +169,13 @@ object Bench {
         // "HEAD when measured", not "the commit containing this file"
         if (gitOut("status", "--porcelain").exists(_.nonEmpty)) s"$h-dirty" else h
       }.getOrElse("unknown")
+    // "action":"hash" marks the timing regime (xxhash64-fold over every
+    // output column, min of 3 interleaved passes) so cross-round artifact
+    // diffs can't misread a regime change as a perf regression — the
+    // r9→r10 count()→hash switch looked like one to anyone not reading
+    // docs/PLANS.md. BenchLineSpec pins the field.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$ps,"failed":$nFail,"sf":"$sfDir","generated_at":"$generatedAt","commit":"$commit"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"hash","passes":"min-of-3","queries":$qs,"plans":$ps,"failed":$nFail,"sf":"$sfDir","generated_at":"$generatedAt","commit":"$commit"}"""
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -203,7 +208,7 @@ object Bench {
       .sortBy(-_._2)
       .map { case (n, ms) => s"\"$n\":$ms" }
     def line(entries: Seq[String], omitted: Int): String =
-      s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","queries":${
+      s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","action":"hash","queries":${
         entries.mkString("{", ",", "}")},"failed":$nFail,"omitted":$omitted,"file":"$file","sf":"$sfDir"}"""
     var keep = timed.length
     while (keep > 0 && line(errs ++ timed.take(keep), timed.length - keep).length > MaxLineChars)

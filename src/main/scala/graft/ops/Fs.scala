@@ -1,0 +1,94 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file metadata I/O for the lakehouse layer, routed through the
+  * Hadoop [[FileSystem]] abstraction so the commit substrate works on
+  * any scheme Hadoop can mount (`file:`, `hdfs:`, `s3a:`…), not just
+  * the local filesystem `java.io.File` reaches. Every sidecar the
+  * commit engine stamps (`_schema.json`, `_commitinfo`, `CURRENT`,
+  * `_manifest/_keys.json`) goes through here — a raw `java.io` call in
+  * the lakehouse layer is a bug (it silently resolves against the
+  * LOCAL working directory on a remote-scheme table; FsSubstrateSpec
+  * guards the invariant).
+  *
+  * Durability notes, encoded once here instead of at each call site:
+  *  - [[writeTextAtomic]] writes `.name.tmp` then renames. On a POSIX
+  *    local filesystem Hadoop's rename is `rename(2)` — an atomic
+  *    replace, same guarantee the old `Files.move(..., ATOMIC_MOVE)`
+  *    gave. On HDFS rename refuses an existing destination, so the
+  *    fallback deletes first — a sub-millisecond absence window that
+  *    production formats close with a transaction log; documented, not
+  *    hidden.
+  *  - [[createExclusive]] is the create-if-absent CAS primitive
+  *    (`FileSystem.create(path, overwrite = false)` — atomic on HDFS
+  *    and local; object stores without atomic create need a locking
+  *    layer, as Delta's S3 LogStore documents).
+  */
+object Fs {
+
+  def of(path: String, spark: SparkSession): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def of(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  def readText(fs: FileSystem, path: Path): String = {
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** [[readText]] when `path` is a file, None otherwise. */
+  def readTextIfExists(fs: FileSystem, path: Path): Option[String] =
+    if (fs.exists(path) && fs.getFileStatus(path).isFile)
+      Some(readText(fs, path))
+    else None
+
+  /** Write `text` via tmp + rename (see durability notes above). */
+  def writeTextAtomic(fs: FileSystem, path: Path, text: String): Unit = {
+    val parent = path.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    val tmp = new Path(parent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, path)) {
+      // HDFS-style semantics: rename refuses an existing destination
+      fs.delete(path, false)
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"writeTextAtomic: rename $tmp -> $path failed")
+    }
+  }
+
+  /** Atomically create `path` with `text` IFF it does not exist —
+    * the compare-and-set primitive the OCC commit protocol claims
+    * versions with. Returns false when someone else holds it. */
+  def createExclusive(fs: FileSystem, path: Path, text: String): Boolean = {
+    val parent = path.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    try {
+      val out = fs.create(path, false)
+      try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Child directories of `dir` (empty when `dir` is absent). */
+  def listDirs(fs: FileSystem, dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath).toSeq
+
+  /** Plain files directly under `dir` (empty when absent). */
+  def listFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isFile).map(_.getPath).toSeq
+}

@@ -50,21 +50,68 @@ object Upsert {
       .withColumn("key", lit(keyCol))
       .select("file", "key", "mn", "mx")
 
+  /** `_manifest/_keys.json`: the key columns the sidecar carries rows
+    * for, stamped by every manifest writer — a METADATA answer to "does
+    * this sidecar cover key X", so the presence check below never runs
+    * a Spark job. Hand-rolled JSON string array (no deps), names
+    * escaped. */
+  private def writeManifestKeys(
+      spark: SparkSession, snapshotDir: String, keys: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val p = new HPath(s"${manifestDir(snapshotDir)}/_keys.json")
+    Fs.writeTextAtomic(Fs.of(snapshotDir, spark), p,
+      keys.distinct.map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]"))
+  }
+
+  private val jsonStringRe = """"((?:[^"\\]|\\.)*)"""".r
+
+  private def readManifestKeys(
+      spark: SparkSession, snapshotDir: String): Option[Set[String]] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(s"${manifestDir(snapshotDir)}/_keys.json")
+    Fs.readTextIfExists(Fs.of(snapshotDir, spark), p).map { txt =>
+      jsonStringRe.findAllMatchIn(txt)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSet
+    }
+  }
+
   /** The cached `_manifest` bounds rows for `keyCol`, when the sidecar
     * exists AND carries this key (a sidecar for a different key must
-    * not shadow the footer fallback). */
-  private def cachedBounds(
+    * not shadow the footer fallback). Key membership comes from the
+    * `_keys.json` stamp when present — a metadata read, NO Spark job
+    * (the old `limit(1).count()` probe ran one empty-stage job per
+    * commit just to test presence); a legacy sidecar without the stamp
+    * pays the probe once more. */
+  private[graft] def cachedBounds(
       spark: SparkSession, tablePath: String, keyCol: String)
       : Option[DataFrame] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val md = new HPath(manifestDir(tablePath))
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new HPath(md, "_SUCCESS"))) None
-    else Some(spark.read.parquet(md.toString).filter(col("key") === keyCol)
-        // pre-r9 sidecars stored long bounds; normalize to text
-        .withColumn("mn", col("mn").cast("string"))
-        .withColumn("mx", col("mx").cast("string")))
-      .filter(_.limit(1).count() > 0)
+    else readManifestKeys(spark, tablePath) match {
+      case Some(keys) =>
+        if (!keys.contains(keyCol)) None
+        else {
+          // a stamped sidecar was written by the current writers, whose
+          // row shape is fixed (all-text bounds) — the explicit schema
+          // skips parquet schema inference, which launches a Spark job;
+          // with it the whole presence path is metadata-only
+          val shape = org.apache.spark.sql.types.StructType.fromDDL(
+            "file string, key string, mn string, mx string")
+          Some(spark.read.schema(shape).parquet(md.toString)
+            .filter(col("key") === keyCol))
+        }
+      case None =>
+        // legacy sidecar (pre-_keys.json): inference + a one-row probe
+        val bounds = spark.read.parquet(md.toString)
+          .filter(col("key") === keyCol)
+          // pre-r9 sidecars stored long bounds; normalize to text
+          .withColumn("mn", col("mn").cast("string"))
+          .withColumn("mx", col("mx").cast("string"))
+        Some(bounds).filter(_.limit(1).count() > 0)
+    }
   }
 
   /** Per-file (file, key, mn, mx) bounds for `keyCol`, where `file` is
@@ -118,6 +165,7 @@ object Upsert {
     val n = bounds.count().toInt
     bounds.coalesce(1).write.mode("overwrite").parquet(manifestDir(snapshotDir))
     bounds.unpersist()
+    writeManifestKeys(spark, snapshotDir, Seq(keyCol))
     n
   }
 
@@ -352,10 +400,11 @@ object Upsert {
         s"(cap $MaxDvKeys) — fold it into a COW rewrite first " +
         "(Upsert.compactDeletes), then resume merge-on-read deletes")
     val parts = math.max(1L, (n + rowsPerDvFile - 1) / rowsPerDvFile).toInt
-    val sized =
-      if (parts <= merged.rdd.getNumPartitions) merged.coalesce(parts)
-      else merged.repartition(parts)
-    sized.write.mode("overwrite").parquet(dvDir(outPath))
+    // shard count from n alone — probing merged.rdd.getNumPartitions
+    // would force the union/distinct stages to EXECUTE under AQE just
+    // to read a count (docs/PLANS.md rule 9), then the write re-runs
+    // them; one round-robin shuffle of the key set is the cheaper deal
+    merged.repartition(parts).write.mode("overwrite").parquet(dvDir(outPath))
     writeCommitInfo(outPath, "DELETE_DV", Seq(
       "files_linked" -> all.size.toLong, "dv_keys" -> n))
     (all.size, n)
@@ -640,6 +689,7 @@ object Upsert {
       else footerBounds(spark, freshFiles, keyCol, keyType)
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
+    writeManifestKeys(spark, outPath, Seq(keyCol))
 
     // Bloom sidecar carry (Layout.writeBloomSidecar): when the source
     // snapshot ships per-file Bloom filters FOR THIS KEY, maintain them

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType}
 
 /** Optimizer rule: rewrite SUFFIX window frames
   * (`ROWS BETWEEN <x> AND UNBOUNDED FOLLOWING` for any row lower
@@ -27,13 +27,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
   * user query (Column API or SQL text) the linear plan automatically.
   *
   * Eligibility per aggregate: first/last swap; min/max/count are exact
-  * under any accumulation order; sum/average flip only over
-  * NON-floating inputs — reversing a float/double accumulation can
-  * change low-order bits, and in an engine whose oracles pin bit-exact
-  * output a silent ulp drift against vanilla Spark is a wrong answer,
-  * not an optimization. Integral and decimal sums are exact in any
-  * order. First/Last on tied sort keys are non-deterministic in Spark
-  * with or without the rewrite.
+  * under any accumulation order; Sum flips only over NON-floating
+  * inputs — reversing a float/double accumulation can change low-order
+  * bits, and in an engine whose oracles pin bit-exact output a silent
+  * ulp drift against vanilla Spark is a wrong answer, not an
+  * optimization. Integral and decimal sums are exact in any order.
+  * Average is stricter: Spark accumulates every NON-DECIMAL input
+  * (ints and longs included) in a DoubleType sum buffer, so partial
+  * sums past 2^53 drift under reordering just like float Sum — only
+  * DecimalType inputs (decimal sum buffer, order-exact) flip.
+  * First/Last on tied sort keys are non-deterministic in Spark with or
+  * without the rewrite.
   *
   * A node whose expressions are ALL eligible flips in place. A MIXED
   * node SPLITS: the eligible expressions move to a new Window over the
@@ -94,7 +98,11 @@ object RewriteSuffixWindowFrames extends Rule[LogicalPlan] {
     case First(c, ign) => Some(Last(c, ign))
     case Last(c, ign) => Some(First(c, ign))
     case s: Sum if !isFloating(s.child.dataType) => Some(f)
-    case a: Average if !isFloating(a.child.dataType) => Some(f)
+    // Average's sum buffer is DoubleType for every non-decimal input
+    // (org.apache.spark.sql.catalyst.expressions.aggregate.Average:
+    // sumDataType) — an int/long average past 2^53 of partial sum
+    // drifts under reordering; only a decimal buffer is order-exact
+    case a: Average if a.child.dataType.isInstanceOf[DecimalType] => Some(f)
     case _: Min | _: Max | _: Count => Some(f)
     case _ => None
   }

@@ -423,6 +423,33 @@ object Streams {
     * commits rewrite their feed dir, so delivery is at-least-once —
     * consumers key idempotence off `_commit_version`. */
   def cdfStream(spark: SparkSession, tableDir: String): DataFrame = {
+    // Refuse a table that is not materializing its feed — upsertSink's
+    // `cdf` flag defaults to FALSE, and a subscriber pointed at a
+    // producer left at the default would otherwise hang on a silently
+    // empty feed forever (a misconfigured producer/consumer pair must
+    // fail loudly, not feed nothing).
+    val cdfRoot = new java.io.File(s"$tableDir/_cdf")
+    require(cdfRoot.isDirectory,
+      s"cdfStream: $tableDir has no _cdf change feed — the producer is " +
+        "not materializing it; pass cdf = true to Streams.upsertSink " +
+        "(or call Upsert.materializeCdf per commit in a batch chain)")
+    // Staleness check, same failure mode later in the table's life: a
+    // producer that RAN with cdf = true and was restarted with the
+    // default leaves old feed versions behind — the subscriber would
+    // replay those and then silently starve. A correctly configured
+    // producer materializes every commit's feed, and vacuum never
+    // reclaims CURRENT's, so CURRENT without a feed dir = cdf is off.
+    val cur = new java.io.File(s"$tableDir/CURRENT")
+    if (cur.isFile) {
+      val src = scala.io.Source.fromFile(cur, "UTF-8")
+      val v = try src.mkString.trim finally src.close()
+      require(new java.io.File(cdfRoot, v).isDirectory,
+        s"cdfStream: $tableDir's CURRENT ($v) has no materialized feed " +
+          s"under _cdf — the producer stopped materializing the change " +
+          "feed (restarted with cdf = false?); re-enable cdf = true on " +
+          "Streams.upsertSink or call Upsert.materializeCdf for the " +
+          "missing commits")
+    }
     val glob = s"$tableDir/_cdf/v*"
     // file streams need an explicit schema; at least one materialized
     // feed version must exist (the table's first commit writes it)

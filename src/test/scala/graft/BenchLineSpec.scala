@@ -22,6 +22,10 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     assert((parsed \\ "metric").values == "total")
+    // the timing-regime marker: artifacts must be self-documenting about
+    // WHAT was timed (hash-fold action), so cross-round diffs spanning a
+    // regime change can't be misread as perf regressions
+    assert((parsed \\ "action").values == "hash")
   }
 
   test("failed queries survive truncation; slowest timings kept first") {

@@ -164,6 +164,28 @@ class SuffixWindowRuleSpec extends AnyFunSuite {
       Seq(6L, 5L, 3L))
   }
 
+  test("avg keeps its frame on non-decimal inputs; flips on decimal") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 1L), ("a", 2, 2L), ("a", 3, 3L))
+      .toDF("k", "t", "i")
+      .withColumn("dec", col("i").cast("decimal(20,2)"))
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // long avg: Spark's Average keeps a DOUBLE sum buffer for every
+    // non-decimal input, so reordering drifts past 2^53 of partial
+    // sum — must NOT rewrite
+    val lng = df.withColumn("a", avg(col("i")).over(w))
+    assert(lng.queryExecution.optimizedPlan.toString.contains("unboundedfollowing$"),
+      "non-decimal suffix avg must keep its written frame")
+    // decimal avg: decimal sum buffer, order-exact — rewrites
+    val dec = df.withColumn("a", avg(col("dec")).over(w))
+    val dopt = dec.queryExecution.optimizedPlan.toString
+    assert(!dopt.contains("unboundedfollowing$") && dopt.contains("unboundedpreceding$"),
+      s"decimal suffix avg must flip:\n$dopt")
+    assert(dec.orderBy("t").select("a").collect()
+      .map(_.getDecimal(0).doubleValue).toSeq == Seq(2.0, 2.5, 3.0))
+  }
+
   test("SQL-text queries get the rewrite as well") {
     fixture.createOrReplaceTempView("sfx_t")
     val out = spark.sql(

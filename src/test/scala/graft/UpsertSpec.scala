@@ -756,4 +756,48 @@ class UpsertSpec extends AnyFunSuite {
     assert(nRewritten == 0 && nCopied == 4)
     assert(spark.read.parquet(out).count() == 1005)
   }
+
+  test("sidecar key-presence check is metadata-only: no Spark job") {
+    import spark.implicits._
+    val tbl = s"$base/keysmeta"
+    spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+      .write.mode("overwrite").parquet(tbl)
+    Upsert.writeManifestSidecar(spark, tbl, "k")
+    assert(new java.io.File(s"$tbl/_manifest/_keys.json").isFile,
+      "manifest writers must stamp _keys.json")
+
+    // Job IDs are assigned synchronously and monotonically by the
+    // DAGScheduler, so two sentinel jobs with CONSECUTIVE ids prove no
+    // job ran between them — no async-listener races. The status store
+    // is fed asynchronously, hence the polling reads.
+    val tracker = spark.sparkContext.statusTracker
+    def jobIdsFor(group: String): Seq[Int] = {
+      val deadline = System.currentTimeMillis() + 30000
+      var ids = tracker.getJobIdsForGroup(group)
+      while (ids.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(20); ids = tracker.getJobIdsForGroup(group)
+      }
+      ids.toSeq
+    }
+    try {
+      spark.sparkContext.setJobGroup("keysmeta_pre", "sentinel")
+      spark.range(1).count()
+      spark.sparkContext.clearJobGroup()
+      // stamped sidecar: presence answers from _keys.json — zero jobs
+      // (the old limit(1).count() probe ran one per commit)
+      assert(Upsert.cachedBounds(spark, tbl, "k").isDefined)
+      assert(Upsert.cachedBounds(spark, tbl, "no_such_key").isEmpty)
+      spark.sparkContext.setJobGroup("keysmeta_post", "sentinel")
+      spark.range(1).count()
+      val pre = jobIdsFor("keysmeta_pre").max
+      val post = jobIdsFor("keysmeta_post").min
+      assert(post == pre + 1,
+        s"presence check ran ${post - pre - 1} Spark job(s) between the sentinels")
+    } finally spark.sparkContext.clearJobGroup()
+
+    // legacy sidecar (no _keys.json stamp): the probe path still answers
+    new java.io.File(s"$tbl/_manifest/_keys.json").delete()
+    assert(Upsert.cachedBounds(spark, tbl, "k").isDefined)
+    assert(Upsert.cachedBounds(spark, tbl, "no_such_key").isEmpty)
+  }
 }

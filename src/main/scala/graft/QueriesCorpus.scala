@@ -855,6 +855,116 @@ object QueriesCorpus {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY o_orderstatus""".stripMargin
 
+  // --- COMPOSITE-KEY upsert (ops.Upsert.upsertByKeys): MERGE on the
+  //     natural (l_orderkey, l_linenumber) grain — the tuple-eviction
+  //     case a single surrogate key can't express. The staged table is
+  //     a 5-column lineitem projection DEDUPED to the tuple grain (the
+  //     driver's generator repeats tuples; the verb's contract is
+  //     unique keys) and range-clustered by the LEADING key, which is
+  //     all pruning consults. The update batch doubles prices on a
+  //     contiguous leading-key slice AND appends 500 brand-new tuples
+  //     reusing EXISTING high orderkeys with shifted line numbers — so
+  //     touched files must evict by the FULL tuple (rows sharing an
+  //     orderkey but not the line number ride along verbatim) while
+  //     the new tuples append into files whose leading bounds already
+  //     cover them.
+  private def stagedLineitemComposite(
+      s: SparkSession, dir: String, tag: String): (String, Long) = {
+    val base = bktBase(dir) + tag
+    val tbl = s"$base/table"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "lineitem")) {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).as("l_quantity"),
+          max(col("l_extendedprice")).as("l_extendedprice"),
+          max(col("l_returnflag")).as("l_returnflag"))
+        .repartitionByRange(16, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+        .write.mode("overwrite").parquet(tbl)
+      writeStageMarker(marker, dir, "lineitem")
+    }
+    val cut = s.read.parquet(tbl)
+      .agg(max(col("l_orderkey"))).collect()(0).getLong(0) / 8
+    (tbl, cut)
+  }
+
+  private def compositeUpdates(
+      s: SparkSession, tbl: String, cut: Long): DataFrame = {
+    val li = s.read.parquet(tbl)
+    li.filter(col("l_orderkey") <= cut)
+      .withColumn("l_extendedprice", col("l_extendedprice") * 2)
+      .unionByName(
+        li.orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+          .limit(500)
+          .withColumn("l_linenumber", col("l_linenumber") + lit(100))
+          .withColumn("l_returnflag", lit("X")))
+  }
+
+  private def upsertComposite(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, cut) = stagedLineitemComposite(s, dir, "_upsertcomp")
+    val out = bktBase(dir) + "_upsertcomp/out"
+    val (nCopied, nRewritten, _) = graft.ops.Upsert.upsertByKeys(
+      s, tbl, out, compositeUpdates(s, tbl, cut),
+      Seq("l_orderkey", "l_linenumber"))
+    require(nRewritten > 0 && nCopied > 0,
+      s"composite upsert must split copy/rewrite: " +
+        s"copied=$nCopied rewritten=$nRewritten")
+    s.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  private val upsertCompositeSql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         max(l_quantity) AS l_quantity,
+      |         max(l_extendedprice) AS l_extendedprice,
+      |         max(l_returnflag) AS l_returnflag
+      |  FROM lineitem GROUP BY 1, 2),
+      |upd AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |         l_extendedprice * 2 AS l_extendedprice, l_returnflag
+      |  FROM li WHERE l_orderkey <= (SELECT max(l_orderkey) / 8 FROM li)
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber + 100 AS l_linenumber, l_quantity,
+      |         l_extendedprice, 'X' AS l_returnflag
+      |  FROM (SELECT * FROM li ORDER BY l_orderkey DESC, l_linenumber DESC
+      |        LIMIT 500)),
+      |merged AS (
+      |  SELECT * FROM li WHERE NOT EXISTS (
+      |    SELECT 1 FROM upd u
+      |    WHERE u.l_orderkey = li.l_orderkey
+      |      AND u.l_linenumber = li.l_linenumber)
+      |  UNION ALL SELECT * FROM upd)
+      |SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY l_returnflag""".stripMargin
+
+  // --- SQL composite MERGE (`ON a AND b` through the injected
+  //     parser): the SAME delivery as q_upsert_composite driven by SQL
+  //     text — shares its oracle, so the statement must land the
+  //     identical snapshot.
+  private def sqlMergeComposite(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, cut) = stagedLineitemComposite(s, dir, "_sqlmergecomp")
+    val out = bktBase(dir) + "_sqlmergecomp/out"
+    compositeUpdates(s, tbl, cut)
+      .createOrReplaceTempView("sqlmergecomp_updates")
+    val stats = s.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM sqlmergecomp_updates)
+         |ON l_orderkey AND l_linenumber
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |INTO '$out'""".stripMargin).collect()(0)
+    require(stats.getLong(0) > 0 && stats.getLong(1) > 0,
+      s"SQL composite MERGE must split copy/rewrite: $stats")
+    s.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("l_extendedprice"), 2).as("sum_price"))
+  }
+
   // --- SQL MERGE (plans.LakehouseSql via the injected parser): the
   //     SAME deterministic delivery as q_upsert, but driven entirely by
   //     SQL text through spark.sql — the statement must lower onto the
@@ -1606,7 +1716,9 @@ object QueriesCorpus {
     "q_dv_delete" -> (dvDelete _),
     "q_cdf" -> (cdf _),
     "q_upsert" -> (upsert _),
+    "q_upsert_composite" -> (upsertComposite _),
     "q_sql_merge" -> (sqlMerge _),
+    "q_sql_merge_composite" -> (sqlMergeComposite _),
     "q_sql_delete" -> (sqlDelete _),
     "q_sql_update" -> (sqlUpdate _),
     "q_sql_delete_where" -> (sqlDeleteWhere _),
@@ -1654,7 +1766,9 @@ object QueriesCorpus {
     "q_dv_delete" -> dvDeleteSql,
     "q_cdf" -> cdfSql,
     "q_upsert" -> upsertSql,
+    "q_upsert_composite" -> upsertCompositeSql,
     "q_sql_merge" -> upsertSql,
+    "q_sql_merge_composite" -> upsertCompositeSql,
     "q_sql_delete" -> deleteSql,
     "q_sql_update" -> sqlUpdateSql,
     "q_sql_delete_where" -> sqlDeleteWhereSql,

@@ -479,6 +479,16 @@ object Upsert {
     * any), and commit the new snapshot's manifest sidecar with carried
     * rows for linked files + fresh footer stats for written ones.
     *
+    * COMPOSITE KEYS: `keyCols` may name several columns (the natural
+    * grain of most analytic tables — e.g. the annualized FIA table's
+    * `(tree_ID, YEAR)`, the key of every reference re-attach,
+    * `R/estimate_carbon.R:92-104`). File pruning consults the LEADING
+    * component's bounds (the manifest carries per-file bounds for every
+    * key column, but a tuple range is only meaningfully orderable by
+    * its first component); eviction matches the FULL tuple. A table
+    * clustered by its leading key keeps commit cost ∝ touched files at
+    * any key arity.
+    *
     * A snapshot carrying a `_dv` deletion-vector sidecar FOLDS it here:
     * the DV keys join the evict set, so DV-deleted rows stay deleted
     * across the commit and the output snapshot is DV-free (a plain
@@ -486,12 +496,13 @@ object Upsert {
     * round-9 defect — resurrected every soft-deleted row). A key in
     * both the DV and the update batch comes back as the update: evict
     * runs before append, which is MERGE semantics — an explicit upsert
-    * of a deleted key is a deliberate resurrection. A DV naming a
-    * DIFFERENT column than this commit's key cannot be folded (pruning
-    * and eviction are single-key) and refuses with the remedy named.
+    * of a deleted key is a deliberate resurrection. A DV naming
+    * DIFFERENT columns than this commit's keys cannot be folded
+    * (pruning and eviction are keyed) and refuses with the remedy
+    * named.
     *
-    * @param evictKeys single-column frame of `keyCol` values to remove
-    *                  from touched files
+    * @param evictKeys frame of `keyCols` tuples to remove from touched
+    *                  files
     * @param append    rows to add after eviction (the upsert payload);
     *                  None for a pure delete
     * @param nKeysHint caller-known size of `evictKeys` (pre-distinct
@@ -500,12 +511,15 @@ object Upsert {
     * @return (filesCopied, filesRewritten) */
   private def commit(
       spark: SparkSession, tablePath: String, outPath: String,
-      evictKeys: DataFrame, append: Option[DataFrame], keyCol: String,
+      evictKeys: DataFrame, append: Option[DataFrame], keyCols: Seq[String],
       allowSchemaEvolution: Boolean, nKeysHint: Long,
       knownLogical: Option[org.apache.spark.sql.types.StructType] = None)
       : (Int, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
 
+    require(keyCols.nonEmpty, "Upsert.commit: at least one key column")
+    require(keyCols.distinct == keyCols,
+      s"Upsert.commit: duplicate key columns in ${keyCols.mkString(", ")}")
     val fs = new HPath(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = Layout.listDataFiles(spark, tablePath)
     require(all.nonEmpty, s"Upsert.commit: no .parquet files under $tablePath")
@@ -517,19 +531,19 @@ object Upsert {
       if (!dvFs.exists(new HPath(dvP, "_SUCCESS"))) None
       else {
         val dvDf = spark.read.parquet(dvP.toString)
-        val dvCol = dvDf.schema.fieldNames.head
-        require(dvCol == keyCol,
+        val dvCols = dvDf.schema.fieldNames.toSeq
+        require(dvCols == keyCols,
           s"Upsert.commit: snapshot $tablePath carries a deletion vector " +
-            s"on '$dvCol' but this commit merges on '$keyCol' — a " +
-            "single-key commit can't fold a foreign-key DV; run " +
-            "Upsert.compactDeletes on the snapshot first")
-        Some(dvDf.select(col(dvCol)))
+            s"on '${dvCols.mkString(", ")}' but this commit merges on " +
+            s"'${keyCols.mkString(", ")}' — a commit can't fold a " +
+            "foreign-key DV; run Upsert.compactDeletes on the snapshot first")
+        Some(dvDf.select(keyCols.map(col): _*))
       }
     val dvBytes =
       if (dvKeys.isEmpty) 0L
       else dvFs.listStatus(dvP).filter(_.isFile).map(_.getLen).sum
     val evictAll = dvKeys match {
-      case Some(d) => evictKeys.select(col(keyCol)).unionByName(d)
+      case Some(d) => evictKeys.select(keyCols.map(col): _*).unionByName(d)
       case None => evictKeys
     }
     // DV key count estimated at 8 bytes/key from the sidecar size — an
@@ -538,34 +552,48 @@ object Upsert {
 
     // The table's LOGICAL schema (sidecar, or one bootstrap sweep —
     // callers that already resolved it pass it through, sparing legacy
-    // tables a repeat sweep): the key type comes from HERE, not from
+    // tables a repeat sweep): the key types come from HERE, not from
     // one arbitrary file's footer — a key column added by schema
     // evolution is absent from pre-evolution footers, and `all.head`
     // is typically the oldest linked file.
     val baseLogical = knownLogical.getOrElse(logicalSchema(spark, tablePath))
-    require(baseLogical.fieldNames.contains(keyCol),
-      s"Upsert.commit: key column '$keyCol' is not in the table's " +
-        s"schema (${baseLogical.fieldNames.mkString(", ")})")
-    val keyType = baseLogical(keyCol).dataType
-    requireSupportedKey(keyType, keyCol, "table")
-    requireSupportedKey(evictAll.schema(keyCol).dataType, keyCol, "updates")
-    require((keyType == StringType) ==
-        (evictAll.schema(keyCol).dataType == StringType),
-      s"Upsert: key column '$keyCol' is ${keyType.simpleString} in the table " +
-        s"but ${evictAll.schema(keyCol).dataType.simpleString} in the update " +
-        "batch — implicit casts here would corrupt pruning; align the types")
+    keyCols.foreach { k =>
+      require(baseLogical.fieldNames.contains(k),
+        s"Upsert.commit: key column '$k' is not in the table's " +
+          s"schema (${baseLogical.fieldNames.mkString(", ")})")
+    }
+    val keyTypes = keyCols.map(baseLogical(_).dataType)
+    keyCols.zip(keyTypes).foreach { case (k, t) =>
+      requireSupportedKey(t, k, "table")
+      requireSupportedKey(evictAll.schema(k).dataType, k, "updates")
+      require((t == StringType) == (evictAll.schema(k).dataType == StringType),
+        s"Upsert: key column '$k' is ${t.simpleString} in the table " +
+          s"but ${evictAll.schema(k).dataType.simpleString} in the update " +
+          "batch — implicit casts here would corrupt pruning; align the types")
+    }
+    val leadCol = keyCols.head
+    val leadType = keyTypes.head
 
-    // per-FILE key bounds: cached sidecar manifest, or footer stats
-    // (row-group stats aggregated up; no data pages read either way)
-    val manifest = keyBounds(spark, tablePath, keyCol, keyType)
+    // per-FILE key bounds of the LEADING key: cached sidecar manifest,
+    // or footer stats (row-group stats aggregated up; no data pages
+    // read either way)
+    val manifest = keyBounds(spark, tablePath, leadCol, leadType)
 
-    // a file is TOUCHED iff some evict key falls inside its bounds —
-    // manifest is small (one row per file), so it broadcasts against
-    // the distinct keys; bounds compare in the key's NATIVE type
-    val upKeys = evictAll.select(col(keyCol).cast(keyType).as("__k")).distinct()
+    // distinct key TUPLES, cast to native types, positionally renamed
+    // __k0..__kN — pruning consults the leading component, eviction the
+    // full tuple
+    val upKeys = evictAll.select(
+      keyCols.zip(keyTypes).zipWithIndex.map { case ((k, t), i) =>
+        col(k).cast(t).as(s"__k$i")
+      }: _*).distinct()
+
+    // a file is TOUCHED iff some evict tuple's LEADING component falls
+    // inside its bounds — manifest is small (one row per file), so it
+    // broadcasts against the distinct keys; bounds compare in the key's
+    // NATIVE type
     val touched = broadcast(manifest)
-      .join(upKeys,
-        col("__k").between(col("mn").cast(keyType), col("mx").cast(keyType)),
+      .join(upKeys.select(col("__k0")).distinct(),
+        col("__k0").between(col("mn").cast(leadType), col("mx").cast(leadType)),
         "left_semi")
       .select(col("file")).collect().map(_.getString(0)).toSet
     // classification is by BASENAME (what the manifest stores) — which
@@ -620,8 +648,13 @@ object Upsert {
         // MERGE batch anti-joins by shuffle instead of OOMing the
         // driver on the broadcast build
         val keySide = if (wantBroadcast) broadcast(upKeys) else upKeys
-        Some(touchedRows.join(keySide,
-          touchedRows(keyCol).cast(keyType) === col("__k"), "left_anti"))
+        // FULL-tuple eviction: a row survives unless every key component
+        // matches (a NULL component never equi-joins, so NULL-keyed rows
+        // always survive — same semantics at any arity)
+        val cond = keyCols.zip(keyTypes).zipWithIndex.map { case ((k, t), i) =>
+          touchedRows(k).cast(t) === col(s"__k$i")
+        }.reduce(_ && _)
+        Some(touchedRows.join(keySide, cond, "left_anti"))
       }
     // The append lands in FRESH parquet files whose physical types
     // must match the logical schema — a batch whose `v` is int on a
@@ -678,18 +711,27 @@ object Upsert {
     val untouchedNames = untouched.map(f => new HPath(f).getName).toSet
     // filter by the TOUCHED set (small by design) rather than the
     // untouched list, which is table-sized; manifest rows are already
-    // basenames, so linked files carry over verbatim
+    // basenames, so linked files carry over verbatim. The output
+    // manifest carries bounds for EVERY key column (pruning uses the
+    // leading one, but a later commit may lead with another component);
+    // non-leading bounds for a legacy table come from one footer sweep
+    // here (bootstrap price — carried forever after).
+    val carriedAll = keyCols.zip(keyTypes).map { case (k, t) =>
+      if (k == leadCol) manifest else keyBounds(spark, tablePath, k, t)
+    }.reduce(_ unionByName _)
     val carried =
-      if (touched.isEmpty) manifest
-      else manifest.filter(!col("file").isin(touched.toSeq: _*))
+      if (touched.isEmpty) carriedAll
+      else carriedAll.filter(!col("file").isin(touched.toSeq: _*))
     val freshFiles = Layout.listDataFiles(spark, outPath)
       .filterNot(f => untouchedNames.contains(new HPath(f).getName))
     val fresh =
       if (freshFiles.isEmpty) carried.limit(0)
-      else footerBounds(spark, freshFiles, keyCol, keyType)
+      else keyCols.zip(keyTypes).map { case (k, t) =>
+        footerBounds(spark, freshFiles, k, t)
+      }.reduce(_ unionByName _)
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
-    writeManifestKeys(spark, outPath, Seq(keyCol))
+    writeManifestKeys(spark, outPath, keyCols)
 
     // Bloom sidecar carry (Layout.writeBloomSidecar): when the source
     // snapshot ships per-file Bloom filters FOR THIS KEY, maintain them
@@ -702,23 +744,28 @@ object Upsert {
     // completeness require would trip — absent sidecar = rebuild.
     val bloomIn = new HPath(Layout.bloomSidecarDir(tablePath))
     if (fs.exists(new HPath(bloomIn, "_SUCCESS"))) {
-      val prevB = spark.read.parquet(bloomIn.toString)
-        .filter(col("key") === keyCol)
-      if (prevB.limit(1).count() > 0) {
-        val p = prevB.select("bits", "hashes").head()
-        val (bBits, bHashes) = (p.getInt(0), p.getInt(1))
-        val carriedB =
-          if (touched.isEmpty) prevB
-          else prevB.filter(!col("file").isin(touched.toSeq: _*))
-        val freshB =
-          if (freshFiles.isEmpty) carriedB.limit(0)
-          else Layout.bloomManifestFor(spark, freshFiles, keyCol, bBits, bHashes)
-            .select(substring_index(col("file"), "/", -1).as("file"),
-              lit(keyCol).as("key"), lit(bBits).as("bits"),
-              lit(bHashes).as("hashes"), col("bloom"))
-        carriedB.unionByName(freshB).coalesce(1)
-          .write.mode("overwrite").parquet(Layout.bloomSidecarDir(outPath))
+      val prevAll = spark.read.parquet(bloomIn.toString)
+      val perKey = keyCols.flatMap { k =>
+        val prevB = prevAll.filter(col("key") === k)
+        if (prevB.limit(1).count() == 0) None
+        else {
+          val p = prevB.select("bits", "hashes").head()
+          val (bBits, bHashes) = (p.getInt(0), p.getInt(1))
+          val carriedB =
+            if (touched.isEmpty) prevB
+            else prevB.filter(!col("file").isin(touched.toSeq: _*))
+          val freshB =
+            if (freshFiles.isEmpty) carriedB.limit(0)
+            else Layout.bloomManifestFor(spark, freshFiles, k, bBits, bHashes)
+              .select(substring_index(col("file"), "/", -1).as("file"),
+                lit(k).as("key"), lit(bBits).as("bits"),
+                lit(bHashes).as("hashes"), col("bloom"))
+          Some(carriedB.unionByName(freshB))
+        }
       }
+      if (perKey.nonEmpty)
+        perKey.reduce(_ unionByName _).coalesce(1)
+          .write.mode("overwrite").parquet(Layout.bloomSidecarDir(outPath))
     }
 
     // Schema sidecar: output logical schema = input's plus any new
@@ -742,11 +789,27 @@ object Upsert {
   def upsertByKey(
       spark: SparkSession, tablePath: String, outPath: String,
       updates: DataFrame, keyCol: String,
+      allowSchemaEvolution: Boolean = false): (Int, Int, Long) =
+    upsertByKeys(spark, tablePath, outPath, updates, Seq(keyCol),
+      allowSchemaEvolution)
+
+  /** [[upsertByKey]] on a COMPOSITE key: a row is replaced when its
+    * FULL `keyCols` tuple matches an update row's (the natural-grain
+    * MERGE — e.g. `(tree_ID, YEAR)` on the annualized table); file
+    * pruning uses the leading component's manifest bounds, so cluster
+    * the table by `keyCols.head` ([[Layout.writeRangeLayout]]) to keep
+    * commit cost ∝ touched files.
+    *
+    * @return (filesCopied, filesRewritten, updateRows) */
+  def upsertByKeys(
+      spark: SparkSession, tablePath: String, outPath: String,
+      updates: DataFrame, keyCols: Seq[String],
       allowSchemaEvolution: Boolean = false): (Int, Int, Long) = {
     val nUp = updates.count()
     val (c, r) = commit(spark, tablePath, outPath,
-      evictKeys = updates.select(col(keyCol)), append = Some(updates),
-      keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution,
+      evictKeys = updates.select(keyCols.map(col): _*),
+      append = Some(updates),
+      keyCols = keyCols, allowSchemaEvolution = allowSchemaEvolution,
       nKeysHint = nUp)
     writeCommitInfo(outPath, "MERGE", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
@@ -762,11 +825,20 @@ object Upsert {
     * @return (filesCopied, filesRewritten, keysRequested) */
   def deleteByKey(
       spark: SparkSession, tablePath: String, outPath: String,
-      keys: DataFrame, keyCol: String): (Int, Int, Long) = {
+      keys: DataFrame, keyCol: String): (Int, Int, Long) =
+    deleteByKeys(spark, tablePath, outPath, keys, Seq(keyCol))
+
+  /** [[deleteByKey]] on a COMPOSITE key: rows whose full `keyCols`
+    * tuple appears in `keys` vanish; pruning by the leading component.
+    *
+    * @return (filesCopied, filesRewritten, keysRequested) */
+  def deleteByKeys(
+      spark: SparkSession, tablePath: String, outPath: String,
+      keys: DataFrame, keyCols: Seq[String]): (Int, Int, Long) = {
     val n = keys.count()
     val (c, r) = commit(spark, tablePath, outPath,
-      evictKeys = keys.select(col(keyCol)), append = None,
-      keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = n)
+      evictKeys = keys.select(keyCols.map(col): _*), append = None,
+      keyCols = keyCols, allowSchemaEvolution = false, nKeysHint = n)
     writeCommitInfo(outPath, "DELETE", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
       "keys_requested" -> n))
@@ -789,7 +861,7 @@ object Upsert {
     val nDel = batch.filter(col(opCol) === "d").count()
     val (c, r) = commit(spark, tablePath, outPath,
       evictKeys = batch.select(col(keyCol)), append = Some(upserts),
-      keyCol = keyCol, allowSchemaEvolution = allowSchemaEvolution,
+      keyCols = Seq(keyCol), allowSchemaEvolution = allowSchemaEvolution,
       nKeysHint = nUp + nDel)
     writeCommitInfo(outPath, "CDC", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
@@ -833,6 +905,19 @@ object Upsert {
   def updateWhere(
       spark: SparkSession, tablePath: String, outPath: String,
       keyCol: String, predicate: Column,
+      assignments: Seq[(String, Column)]): (Int, Int, Long) =
+    updateWhereKeys(spark, tablePath, outPath, Seq(keyCol), predicate,
+      assignments)
+
+  /** [[updateWhere]] on a COMPOSITE key: matched rows' full `keyCols`
+    * tuples drive the eviction (rows sharing a whole tuple ride along),
+    * the payload scan pre-filters to the matched LEADING component's
+    * range, and a matched row with a NULL in ANY key component refuses.
+    *
+    * @return (filesCopied, filesRewritten, rowsMatched) */
+  def updateWhereKeys(
+      spark: SparkSession, tablePath: String, outPath: String,
+      keyCols: Seq[String], predicate: Column,
       assignments: Seq[(String, Column)]): (Int, Int, Long) = {
     require(assignments.nonEmpty, "updateWhere: at least one SET assignment")
     val dups = assignments.groupBy(_._1).collect {
@@ -848,13 +933,13 @@ object Upsert {
           schema.fieldNames.mkString(", "))
     }
     val (nMatched, nNullKey, mnK, mxK, mkeys) =
-      matchedStats(live, keyCol, predicate)
+      matchedStats(live, keyCols, predicate)
     try {
-      requireNoNullKeyMatches("updateWhere", keyCol, nNullKey)
+      requireNoNullKeyMatches("updateWhere", keyCols, nNullKey)
       if (nMatched == 0) {
         val (c0, r0) = commit(spark, tablePath, outPath,
-          evictKeys = live.select(col(keyCol)).limit(0), append = None,
-          keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L,
+          evictKeys = live.select(keyCols.map(col): _*).limit(0), append = None,
+          keyCols = keyCols, allowSchemaEvolution = false, nKeysHint = 0L,
           knownLogical = Some(schema))
         writeCommitInfo(outPath, "UPDATE", Seq(
           "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
@@ -864,13 +949,14 @@ object Upsert {
       val keys = mkeys.distinct() // cache-fed: no second predicate scan
       // fresh scan for the payload side (joining `live` with a frame
       // derived from itself trips Spark's ambiguous-self-join lineage),
-      // pre-filtered to the matched keys' RANGE: every evicted key lies
-      // within [mnK, mxK] by construction, so the filter is
-      // value-neutral and parquet row-group stats skip the rest
+      // pre-filtered to the matched LEADING keys' RANGE: every evicted
+      // tuple's head lies within [mnK, mxK] by construction, so the
+      // filter is value-neutral and parquet row-group stats skip the
+      // rest
       val sets = assignments.toMap
       val payloadSrc = readWithDeletes(spark, tablePath)
-        .filter(col(keyCol).between(lit(mnK), lit(mxK)))
-      val payload = payloadSrc.join(keys, Seq(keyCol), "left_semi").select(
+        .filter(col(keyCols.head).between(lit(mnK), lit(mxK)))
+      val payload = payloadSrc.join(keys, keyCols, "left_semi").select(
         schema.fields.map { f =>
           sets.get(f.name) match {
             case Some(e) =>
@@ -879,7 +965,7 @@ object Upsert {
           }
         }.toSeq: _*)
       val (c, r) = commit(spark, tablePath, outPath,
-        evictKeys = keys, append = Some(payload), keyCol = keyCol,
+        evictKeys = keys, append = Some(payload), keyCols = keyCols,
         allowSchemaEvolution = false, nKeysHint = nMatched,
         knownLogical = Some(schema))
       writeCommitInfo(outPath, "UPDATE", Seq(
@@ -910,7 +996,7 @@ object Upsert {
     * (`expr("rand() < .5")`, unresolved until analysis) are caught,
     * and before the optimizer folds the current-time literals in. */
   private def matchedStats(
-      live: DataFrame, keyCol: String, predicate: Column)
+      live: DataFrame, keyCols: Seq[String], predicate: Column)
       : (Long, Long, Any, Any, DataFrame) = {
     import org.apache.spark.sql.catalyst.expressions.{
       CurrentDate, CurrentTimestampLike, LocalTimestamp}
@@ -932,20 +1018,24 @@ object Upsert {
         "rows in each; materialize the choice first (evaluate the " +
         "cutoff to a literal, or stage the matched keys and use the " +
         "key-set verb)")
-    val mkeys = filtered.select(col(keyCol))
+    val mkeys = filtered.select(keyCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // min/max of the LEADING component (the range the payload scan
+    // pre-filters on); a NULL in ANY component disqualifies the row
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val lead = col(keyCols.head)
     val r = mkeys.agg(
-      count(lit(1)), count(when(col(keyCol).isNull, 1)),
-      min(col(keyCol)), max(col(keyCol))).head()
+      count(lit(1)), count(when(anyNull, 1)), min(lead), max(lead)).head()
     (r.getLong(0), r.getLong(1), r.get(2), r.get(3), mkeys)
   }
 
   private def requireNoNullKeyMatches(
-      verb: String, keyCol: String, nNullKey: Long): Unit =
+      verb: String, keyCols: Seq[String], nNullKey: Long): Unit =
     require(nNullKey == 0,
-      s"$verb: the predicate matches $nNullKey row(s) whose '$keyCol' " +
-        "is NULL — the key-pruned COW engine cannot address them " +
-        "(NULL never equi-joins); fill the key or rewrite the table")
+      s"$verb: the predicate matches $nNullKey row(s) with a NULL in " +
+        s"'${keyCols.mkString(", ")}' — the key-pruned COW engine " +
+        "cannot address them (NULL never equi-joins); fill the key or " +
+        "rewrite the table")
 
   /** Copy-on-write `DELETE ... WHERE <predicate>` — the general form
     * of [[deleteByKey]] (which takes an explicit key set). Matched
@@ -961,16 +1051,26 @@ object Upsert {
     * @return (filesCopied, filesRewritten, rowsDeleted) */
   def deleteWhere(
       spark: SparkSession, tablePath: String, outPath: String,
-      keyCol: String, predicate: Column): (Int, Int, Long) = {
+      keyCol: String, predicate: Column): (Int, Int, Long) =
+    deleteWhereKeys(spark, tablePath, outPath, Seq(keyCol), predicate)
+
+  /** [[deleteWhere]] on a COMPOSITE key — tuple-granular eviction,
+    * leading-component range pruning, same three-valued predicate and
+    * NULL-key refusal semantics.
+    *
+    * @return (filesCopied, filesRewritten, rowsDeleted) */
+  def deleteWhereKeys(
+      spark: SparkSession, tablePath: String, outPath: String,
+      keyCols: Seq[String], predicate: Column): (Int, Int, Long) = {
     val live = readWithDeletes(spark, tablePath)
     val (nMatched, nNullKey, mnK, mxK, mkeys) =
-      matchedStats(live, keyCol, predicate)
+      matchedStats(live, keyCols, predicate)
     try {
-      requireNoNullKeyMatches("deleteWhere", keyCol, nNullKey)
+      requireNoNullKeyMatches("deleteWhere", keyCols, nNullKey)
       if (nMatched == 0) {
         val (c0, r0) = commit(spark, tablePath, outPath,
-          evictKeys = live.select(col(keyCol)).limit(0), append = None,
-          keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = 0L,
+          evictKeys = live.select(keyCols.map(col): _*).limit(0), append = None,
+          keyCols = keyCols, allowSchemaEvolution = false, nKeysHint = 0L,
           knownLogical = Some(live.schema))
         writeCommitInfo(outPath, "DELETE", Seq(
           "files_copied" -> c0.toLong, "files_rewritten" -> r0.toLong,
@@ -980,14 +1080,14 @@ object Upsert {
       val keys = mkeys.distinct() // cache-fed: no second predicate scan
       // fresh scan pre-filtered to the matched key range; see updateWhere
       val payloadSrc = readWithDeletes(spark, tablePath)
-        .filter(col(keyCol).between(lit(mnK), lit(mxK)))
-      val survivors = payloadSrc.join(keys, Seq(keyCol), "left_semi")
+        .filter(col(keyCols.head).between(lit(mnK), lit(mxK)))
+      val survivors = payloadSrc.join(keys, keyCols, "left_semi")
         .filter(!coalesce(predicate, lit(false)))
       val nSurv = survivors.count()
       val (c, r) = commit(spark, tablePath, outPath,
         evictKeys = keys,
         append = if (nSurv == 0) None else Some(survivors),
-        keyCol = keyCol, allowSchemaEvolution = false, nKeysHint = nMatched,
+        keyCols = keyCols, allowSchemaEvolution = false, nKeysHint = nMatched,
         knownLogical = Some(live.schema))
       writeCommitInfo(outPath, "DELETE", Seq(
         "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,

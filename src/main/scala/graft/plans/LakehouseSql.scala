@@ -34,12 +34,12 @@ import graft.ops.{Layout, Upsert}
   * session can run, including temp views and graft's injected
   * functions):
   * {{{
-  * MERGE [WITH SCHEMA EVOLUTION] INTO '<table>' USING (<query>) ON <keyCol>
+  * MERGE [WITH SCHEMA EVOLUTION] INTO '<table>' USING (<query>) ON <key> [AND <key> ...]
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *              [INTO '<outPath>']
   * DELETE FROM '<table>' WHERE <keyCol> IN (<query>)  [INTO '<outPath>']
-  * DELETE FROM '<table>' ON <keyCol> WHERE <predicate>  [INTO '<outPath>']
-  * UPDATE '<table>' ON <keyCol> SET <col> = <expr> [, ...] WHERE <predicate>  [INTO '<outPath>']
+  * DELETE FROM '<table>' ON <key> [AND <key> ...] WHERE <predicate>  [INTO '<outPath>']
+  * UPDATE '<table>' ON <key> [AND <key> ...] SET <col> = <expr> [, ...] WHERE <predicate>  [INTO '<outPath>']
   * VACUUM '<tableDir>' RETAIN <n> SNAPSHOTS
   * VACUUM '<tableDir>' OLDER THAN <n> HOURS
   * OPTIMIZE '<table>' BY <sortCol> [TARGET <mb> MB]  [INTO '<outPath>']
@@ -70,19 +70,25 @@ import graft.ops.{Layout, Upsert}
   */
 object LakehouseSql {
 
+  // `ON a` or `ON a AND b AND ...` — composite keys join on the full
+  // tuple (pruning rides the leading component); [[splitKeys]] breaks
+  // the match back apart
+  private val keyList = """[\w.]+(?:\s+AND\s+[\w.]+)*"""
+  private[graft] def splitKeys(s: String): Seq[String] =
+    s.split("""(?i)\s+AND\s+""").map(_.trim).toSeq
   private val merge = (
-    """(?is)^\s*MERGE\s+(?:(WITH)\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+'([^']+)'\s+USING\s+\((.*)\)\s+ON\s+([\w.]+)\s+""" +
+    s"""(?is)^\\s*MERGE\\s+(?:(WITH)\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+'([^']+)'\\s+USING\\s+\\((.*)\\)\\s+ON\\s+($keyList)\\s+""" +
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""").r
   private val delete =
     """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+([\w.]+)\s+IN\s+\((.*)\)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
   private val deleteWhere =
-    """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+ON\s+([\w.]+)\s+WHERE\s+(.*?)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
+    s"""(?is)^\\s*DELETE\\s+FROM\\s+'([^']+)'\\s+ON\\s+($keyList)\\s+WHERE\\s+(.*?)\\s*(?:INTO\\s+'([^']+)')?\\s*;?\\s*$$""".r
   // the SET/WHERE boundary is found by [[indexOfTopLevelKeyword]], not
   // the regex — a SET string literal containing the word WHERE must
   // not split the clause early
   private val update =
-    """(?is)^\s*UPDATE\s+'([^']+)'\s+ON\s+([\w.]+)\s+SET\s+(.*?)\s*(?:INTO\s+'([^']+)')?\s*;?\s*$""".r
+    s"""(?is)^\\s*UPDATE\\s+'([^']+)'\\s+ON\\s+($keyList)\\s+SET\\s+(.*?)\\s*(?:INTO\\s+'([^']+)')?\\s*;?\\s*$$""".r
   private val assignRe = """(?s)^\s*([\w.]+)\s*=\s*(.+?)\s*$""".r
   private val vacuum =
     """(?is)^\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+SNAPSHOTS?\s*;?\s*$""".r
@@ -166,12 +172,12 @@ object LakehouseSql {
   /** The graft statement for `sqlText`, if it is one. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case merge(evo, tbl, src, key, out) =>
-      Some(GraftMergeCommand(tbl, Option(out), key, src,
+      Some(GraftMergeCommand(tbl, Option(out), splitKeys(key), src,
         schemaEvolution = evo != null))
     case delete(tbl, key, src, out) =>
       Some(GraftDeleteCommand(tbl, Option(out), key, src))
     case deleteWhere(tbl, key, pred, out) =>
-      Some(GraftDeleteWhereCommand(tbl, Option(out), key, pred))
+      Some(GraftDeleteWhereCommand(tbl, Option(out), splitKeys(key), pred))
     case update(tbl, key, body, out) =>
       val wi = indexOfTopLevelKeyword(body, "WHERE")
       if (wi < 0) throw new IllegalArgumentException(
@@ -183,7 +189,7 @@ object LakehouseSql {
         case bad => throw new IllegalArgumentException(
           s"UPDATE SET clause: expected <col> = <expr>, got '${bad.trim}'")
       }
-      Some(GraftUpdateCommand(tbl, Option(out), key, assigns, pred))
+      Some(GraftUpdateCommand(tbl, Option(out), splitKeys(key), assigns, pred))
     case vacuum(dir, keep) =>
       Some(GraftVacuumCommand(dir, keep.toInt))
     case vacuumAge(dir, hours) =>
@@ -371,22 +377,23 @@ object LakehouseSql {
 }
 
 /** `MERGE [WITH SCHEMA EVOLUTION] INTO` lowered onto
-  * [[graft.ops.Upsert.upsertByKey]]: the source query's rows upsert by
-  * `keyCol` into a new COW snapshot (file-granular manifest pruning;
-  * untouched files link). `WITH SCHEMA EVOLUTION` (Delta's clause)
-  * lets the source carry NEW columns — rows in byte-copied files
-  * surface them as null; without it, schema drift refuses. Returns
-  * the commit stats row. */
+  * [[graft.ops.Upsert.upsertByKeys]]: the source query's rows upsert
+  * by the `ON` key tuple (`ON a` or `ON a AND b` — the composite form
+  * matches on the FULL tuple and prunes on the leading component) into
+  * a new COW snapshot (file-granular manifest pruning; untouched files
+  * link). `WITH SCHEMA EVOLUTION` (Delta's clause) lets the source
+  * carry NEW columns — rows in byte-copied files surface them as null;
+  * without it, schema drift refuses. Returns the commit stats row. */
 case class GraftMergeCommand(
-    tablePath: String, outPath: Option[String], keyCol: String,
+    tablePath: String, outPath: Option[String], keyCols: Seq[String],
     sourceSql: String, schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_copied", "files_rewritten", "rows_merged")
   override def run(spark: SparkSession): Seq[Row] =
     LakehouseSql.withCow(tablePath, outPath, "MERGE") { (in, out) =>
-      val (c, r, n) = Upsert.upsertByKey(spark, in, out,
-        spark.sql(sourceSql), keyCol, allowSchemaEvolution = schemaEvolution)
+      val (c, r, n) = Upsert.upsertByKeys(spark, in, out,
+        spark.sql(sourceSql), keyCols, allowSchemaEvolution = schemaEvolution)
       Seq(Row(c.toLong, r.toLong, n))
     }
 }
@@ -410,13 +417,13 @@ case class GraftDeleteCommand(
   * [[graft.ops.Upsert.deleteWhere]] — the general-predicate form;
   * matched rows' keys bound the COW rewrite. */
 case class GraftDeleteWhereCommand(
-    tablePath: String, outPath: Option[String], keyCol: String,
+    tablePath: String, outPath: Option[String], keyCols: Seq[String],
     predicateSql: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_copied", "files_rewritten", "rows_deleted")
   override def run(spark: SparkSession): Seq[Row] =
     LakehouseSql.withCow(tablePath, outPath, "DELETE") { (in, out) =>
-      val (c, r, n) = Upsert.deleteWhere(spark, in, out, keyCol,
+      val (c, r, n) = Upsert.deleteWhereKeys(spark, in, out, keyCols,
         org.apache.spark.sql.functions.expr(predicateSql))
       Seq(Row(c.toLong, r.toLong, n))
     }
@@ -428,7 +435,7 @@ case class GraftDeleteWhereCommand(
   * column's existing type); the matched rows' keys bound the COW
   * rewrite and rows sharing a key ride along verbatim. */
 case class GraftUpdateCommand(
-    tablePath: String, outPath: Option[String], keyCol: String,
+    tablePath: String, outPath: Option[String], keyCols: Seq[String],
     assignments: Seq[(String, String)], predicateSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -436,7 +443,7 @@ case class GraftUpdateCommand(
   override def run(spark: SparkSession): Seq[Row] =
     LakehouseSql.withCow(tablePath, outPath, "UPDATE") { (in, out) =>
       val fx = org.apache.spark.sql.functions
-      val (c, r, n) = Upsert.updateWhere(spark, in, out, keyCol,
+      val (c, r, n) = Upsert.updateWhereKeys(spark, in, out, keyCols,
         fx.expr(predicateSql),
         assignments.map { case (cn, e) => (cn, fx.expr(e)) })
       Seq(Row(c.toLong, r.toLong, n))

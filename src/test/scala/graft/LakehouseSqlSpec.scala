@@ -541,6 +541,48 @@ class LakehouseSqlSpec extends AnyFunSuite {
       cd._3.toMap.get("dv_keys_folded").contains(50L), cd.toString)
   }
 
+  test("composite ON keys: MERGE / UPDATE / DELETE on the tuple grain") {
+    import spark.implicits._
+    val tbl = s"$base/composite"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(300)
+      .select(($"id" / 3).cast("long").as("k1"),
+        pmod($"id", lit(3L)).as("k2"), $"id".as("v"))
+      .repartitionByRange(4, $"k1", $"k2")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+
+    // MERGE on the full tuple: one replace + one brand-new tuple
+    Seq((5L, 1L, -1L), (5L, 9L, -7L)).toDF("k1", "k2", "v")
+      .createOrReplaceTempView("lakesql_comp_upd")
+    val m = spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM lakesql_comp_upd)
+         |ON k1 AND k2
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    assert(m.getLong(2) == 2, s"rows_merged: $m")
+    val v1 = spark.read.parquet(s"$tbl/v1")
+    assert(v1.count() == 301)
+    assert(v1.filter($"k1" === 5 && $"k2" === 1).select("v").as[Long].head() == -1L)
+    // the tuple sharing k1 = 5 but k2 = 0 rides along verbatim
+    assert(v1.filter($"k1" === 5 && $"k2" === 0).select("v").as[Long].head() == 15L)
+
+    // predicate UPDATE on the tuple grain
+    val u = spark.sql(
+      s"UPDATE '$tbl' ON k1 AND k2 SET v = v + 1000 WHERE k2 = 2 AND k1 < 3")
+      .collect()(0)
+    assert(u.getLong(2) == 3, s"rows_updated: $u")
+    val v2 = spark.read.parquet(s"$tbl/v2")
+    assert(v2.filter($"k1" === 1 && $"k2" === 2).select("v").as[Long].head() == 1005L)
+
+    // predicate DELETE on the tuple grain
+    val d = spark.sql(s"DELETE FROM '$tbl' ON k1 AND k2 WHERE v = -7")
+      .collect()(0)
+    assert(d.getLong(2) == 1, s"rows_deleted: $d")
+    assert(spark.read.parquet(s"$tbl/v3").count() == 300)
+  }
+
   test("near-miss grammar fails loudly; ordinary SQL delegates untouched") {
     // quoted-path MERGE that doesn't match the full grammar → our error,
     // not Spark's catalog error

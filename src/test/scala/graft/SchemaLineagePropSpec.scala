@@ -96,4 +96,56 @@ class SchemaLineagePropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("composite-key verb chains: sidecar read equals the footer sweep at every step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337L)
+    val keys = Seq("k1", "k2")
+
+    for (chain <- 0 until 2) {
+      val root = s"$base/comp$chain"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      spark.range(800)
+        .select(($"id" / 4).cast("long").as("k1"),
+          pmod($"id", lit(4L)).as("k2"), ($"id" * 2).as("v"))
+        .repartitionByRange(4, $"k1", $"k2")
+        .sortWithinPartitions($"k1", $"k2")
+        .write.mode("overwrite").parquet(s"$root/s0")
+      var cur = s"$root/s0"
+      var evolved = 0
+
+      for (step <- 1 to 6) {
+        val out = s"$root/s$step"
+        val verb = if (step == 1) 0 else rnd.nextInt(5)
+        verb match {
+          case 0 => // tuple upsert over the live view
+            val live = Upsert.readWithDeletes(spark, cur)
+            Upsert.upsertByKeys(spark, cur, out,
+              live.filter(pmod($"k1", lit(13L)) === (step % 13).toLong)
+                .withColumn("v", lit(-1L * step)),
+              keys)
+          case 1 => // schema-evolving tuple upsert: new column each time
+            evolved += 1
+            Upsert.upsertByKeys(spark, cur, out,
+              Seq((rnd.nextInt(200).toLong, rnd.nextInt(4).toLong, -2L,
+                s"e$evolved")).toDF("k1", "k2", "v", s"cc$evolved"),
+              keys, allowSchemaEvolution = true)
+          case 2 => // tuple delete
+            Upsert.deleteByKeys(spark, cur, out,
+              spark.range(rnd.nextInt(20) + 1)
+                .select(($"id" * 3 + rnd.nextInt(50)).as("k1"),
+                  pmod($"id", lit(4L)).as("k2")), keys)
+          case 3 => // predicate update on the tuple grain
+            Upsert.updateWhereKeys(spark, cur, out, keys,
+              $"k1" % (rnd.nextInt(7) + 2) === 0, Seq("v" -> ($"v" + 100L)))
+          case _ => // predicate delete, often matching nothing
+            // (exercises the zero-match pure-link commit)
+            Upsert.deleteWhereKeys(spark, cur, out, keys,
+              $"v" < lit(-1000L + rnd.nextInt(100)))
+        }
+        assertSameLogical(out, s"composite chain $chain step $step")
+        cur = out
+      }
+    }
+  }
 }

@@ -757,6 +757,73 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1005)
   }
 
+  test("composite-key upsert: full-tuple eviction, leading-key pruning") {
+    import spark.implicits._
+    val tbl = s"$base/comp"; val out = s"$base/comp_out"
+    // 8 files range-clustered by the LEADING key; tuple grain (k1, k2)
+    spark.range(4000)
+      .select(($"id" / 4).cast("long").as("k1"),
+        pmod($"id", lit(4L)).as("k2"), ($"id" * 3).as("v"))
+      .repartitionByRange(8, $"k1", $"k2").sortWithinPartitions($"k1", $"k2")
+      .write.mode("overwrite").parquet(tbl)
+
+    // updates hit tuples (k1 ∈ [10, 19], k2 = 1) plus NEW tuples with
+    // EXISTING leading keys (k2 = 9 doesn't exist) — tuple-granular
+    // eviction must leave the other k2 values of the same k1 untouched
+    val updates = spark.range(10, 20)
+      .select($"id".as("k1"), lit(1L).as("k2"), lit(-5L).as("v"))
+      .unionByName(spark.range(10, 20)
+        .select($"id".as("k1"), lit(9L).as("k2"), lit(-7L).as("v")))
+
+    val (nCopied, nRewritten, nUp) = Upsert.upsertByKeys(
+      spark, tbl, out, updates, Seq("k1", "k2"))
+    assert(nUp == 20)
+    assert(nRewritten >= 1 && nRewritten <= 2,
+      s"a contiguous leading-key slice must touch 1-2 of 8 files, got $nRewritten")
+    assert(nCopied == 8 - nRewritten)
+
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4000 + 10) // 10 replaced, 10 new tuples
+    // replaced tuple carries the new value
+    assert(got.filter($"k1" === 12 && $"k2" === 1).select("v")
+      .as[Long].head() == -5L)
+    // tuples SHARING the leading key ride along verbatim
+    assert(got.filter($"k1" === 12 && $"k2" === 2).select("v")
+      .as[Long].head() == 12 * 4 * 3 + 2 * 3)
+    // merge semantics equal the naive full-tuple rewrite
+    val naive = spark.read.parquet(tbl)
+      .join(updates.select($"k1", $"k2"), Seq("k1", "k2"), "left_anti")
+      .unionByName(updates)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("composite-key delete; foreign-key DV refuses a composite commit") {
+    import spark.implicits._
+    val tbl = s"$base/compdel"; val out = s"$base/compdel_out"
+    spark.range(400)
+      .select(($"id" / 4).cast("long").as("k1"),
+        pmod($"id", lit(4L)).as("k2"), $"id".as("v"))
+      .repartitionByRange(4, $"k1", $"k2")
+      .write.mode("overwrite").parquet(tbl)
+    val (_, _, n) = Upsert.deleteByKeys(spark, tbl, out,
+      Seq((5L, 0L), (5L, 1L)).toDF("k1", "k2"), Seq("k1", "k2"))
+    assert(n == 2)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 398)
+    assert(got.filter($"k1" === 5).count() == 2, "k2 ∈ {2,3} must survive")
+
+    // a single-column DV can't fold into a composite commit — refuse
+    // with the compaction remedy named
+    val dvOut = s"$base/compdel_dv"
+    Upsert.deleteByKeyDV(spark, out, dvOut,
+      Seq(7L).toDF("k1"), "k1")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertByKeys(spark, dvOut, s"$base/compdel_next",
+        Seq((8L, 0L, -1L)).toDF("k1", "k2", "v"), Seq("k1", "k2"))
+    }
+    assert(e.getMessage.contains("compactDeletes"))
+  }
+
   test("sidecar key-presence check is metadata-only: no Spark job") {
     import spark.implicits._
     val tbl = s"$base/keysmeta"

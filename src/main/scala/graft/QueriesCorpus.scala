@@ -942,6 +942,75 @@ object QueriesCorpus {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY l_returnflag""".stripMargin
 
+  // --- PARTITIONED-layout upsert (ops.Upsert.upsertByKeys over a Hive
+  //     partitionBy output — the engine's own production sink shape,
+  //     fia.Pipeline S4): the manifest keys files by snapshot-RELATIVE
+  //     path, the leading key is the PARTITION column (whose bounds
+  //     come from the directory names — partition pruning expressed as
+  //     manifest rows, zero footer reads), and fresh files land back
+  //     under partitionBy so the output reads as one consistent
+  //     partitioned table. The update batch doubles one partition's
+  //     low-key slice and appends 300 rows into a brand-new partition;
+  //     only the touched partition's low files may rewrite (asserted).
+  private def upsertPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_upsertpart"
+    val tbl = s"$base/table"; val out = s"$base/out"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tbl)
+      writeStageMarker(marker, dir, "orders")
+    }
+    val orders = s.read.parquet(tbl)
+    val cut = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
+    val updates = orders
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(
+        orders.orderBy(col("o_orderkey").desc).limit(300)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("o_orderstatus", lit("N")))
+    val (nCopied, nRewritten, _) = graft.ops.Upsert.upsertByKeys(
+      s, tbl, out, updates, Seq("o_orderstatus", "o_orderkey"))
+    val fFiles = graft.ops.Layout.parquetFileStats(s, tbl)
+      .select("file").distinct().collect()
+      .count(_.getString(0).contains("o_orderstatus=F"))
+    require(nRewritten > 0 && nRewritten <= fFiles && nCopied > 0,
+      s"partitioned upsert must rewrite only within the F partition " +
+        s"($fFiles files): copied=$nCopied rewritten=$nRewritten")
+    require(new java.io.File(s"$out/o_orderstatus=N").isDirectory,
+      "the new partition dir must exist in the output")
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val upsertPartitionedSql =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders
+      |  WHERE o_orderstatus = 'F'
+      |    AND o_orderkey <= (SELECT max(o_orderkey) / 8 FROM orders)
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+      |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 300)),
+      |merged AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders o WHERE NOT EXISTS (
+      |    SELECT 1 FROM upd u
+      |    WHERE u.o_orderstatus = o.o_orderstatus
+      |      AND u.o_orderkey = o.o_orderkey)
+      |  UNION ALL SELECT * FROM upd)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY o_orderstatus""".stripMargin
+
   // --- SQL composite MERGE (`ON a AND b` through the injected
   //     parser): the SAME delivery as q_upsert_composite driven by SQL
   //     text — shares its oracle, so the statement must land the
@@ -1717,6 +1786,7 @@ object QueriesCorpus {
     "q_cdf" -> (cdf _),
     "q_upsert" -> (upsert _),
     "q_upsert_composite" -> (upsertComposite _),
+    "q_upsert_partitioned" -> (upsertPartitioned _),
     "q_sql_merge" -> (sqlMerge _),
     "q_sql_merge_composite" -> (sqlMergeComposite _),
     "q_sql_delete" -> (sqlDelete _),
@@ -1767,6 +1837,7 @@ object QueriesCorpus {
     "q_cdf" -> cdfSql,
     "q_upsert" -> upsertSql,
     "q_upsert_composite" -> upsertCompositeSql,
+    "q_upsert_partitioned" -> upsertPartitionedSql,
     "q_sql_merge" -> upsertSql,
     "q_sql_merge_composite" -> upsertCompositeSql,
     "q_sql_delete" -> deleteSql,

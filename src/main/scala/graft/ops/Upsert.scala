@@ -33,22 +33,112 @@ object Upsert {
     * snapshot. Underscore-prefixed, so Spark's data reads skip it. */
   private def manifestDir(snapshot: String) = s"$snapshot/_manifest"
 
+  /** Snapshot-RELATIVE path of `file` under `root` — the manifest key.
+    * Equal to the basename on a flat layout (so legacy basename-keyed
+    * sidecars stay valid verbatim), and carries the partition
+    * directories on a Hive-partitioned layout
+    * (`STATECD=10/part-*.parquet`), which is what lets the commit
+    * verbs operate on the engine's own `partitionBy` output instead of
+    * refusing it. Scheme-proof: compares URI paths, not raw strings —
+    * `file:`-prefix drift between a cached manifest and a live listing
+    * must not mis-classify files. */
+  private[graft] def relPath(root: String, file: String): String = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val r = new HPath(root).toUri.getPath.stripSuffix("/")
+    val f = new HPath(file).toUri.getPath
+    require(f.startsWith(r + "/"),
+      s"relPath: $file is not under $root")
+    f.substring(r.length + 1)
+  }
+
+  /** Hive partition-directory value of `colName` in a relative path
+    * (`STATECD=10/part-x.parquet` → "10"), unescaping the `%xx` codes
+    * Spark's writer applies to special characters. None when the path
+    * carries no such segment. A `__HIVE_DEFAULT_PARTITION__` (null)
+    * value refuses loudly — a NULL key can never be addressed by the
+    * key-pruned engine. */
+  private def partitionValueOf(rel: String, colName: String): Option[String] =
+    rel.split('/').dropRight(1).collectFirst {
+      case seg if seg.startsWith(colName + "=") =>
+        val raw = seg.substring(colName.length + 1)
+        require(raw != "__HIVE_DEFAULT_PARTITION__",
+          s"partition column '$colName' has a null partition — the " +
+            "key-pruned engine cannot address NULL keys; fill the key")
+        unescapePathName(raw)
+    }
+
+  /** Inverse of Spark's `escapePathName` (%xx URI-style codes). */
+  private def unescapePathName(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** The Hive partition COLUMN sequence of a snapshot, derived from its
+    * files' relative paths (`a=1/b=2/part-x` → Seq(a, b)); empty for a
+    * flat layout. Every file must agree — a half-partitioned directory
+    * is not a table this engine can commit to. */
+  private def partitionColsOf(root: String, files: Seq[String]): Seq[String] = {
+    def colsOf(rel: String): Seq[String] =
+      rel.split('/').dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0,
+          s"snapshot $root mixes partition dirs with plain subdirs " +
+            s"('$seg' in '$rel') — not a layout the commit engine supports")
+        seg.substring(0, i)
+      }
+    val first = colsOf(relPath(root, files.head))
+    files.foreach { f =>
+      val c = colsOf(relPath(root, f))
+      require(c == first,
+        s"snapshot $root has an inconsistent partition layout: " +
+          s"${files.head} vs $f")
+    }
+    first
+  }
+
   /** Per-file key bounds aggregated from parquet FOOTERS (row-group
     * stats; no data pages) in the key's NATIVE type — a text min of
     * "9" vs "10" would invert numeric bounds — stored as text, keyed
-    * by file BASENAME. The single source of the manifest row shape
-    * ([[keyBounds]]' fallback, the commit engine's fresh-file rows,
-    * and [[writeManifestSidecar]] all build it here). */
+    * by snapshot-RELATIVE path (see [[relPath]]). A PARTITION column's
+    * value lives in the directory name, not in any footer, so when
+    * every file carries a `keyCol=` segment the bounds come from the
+    * path (mn = mx = the partition value; metadata-only, no footer
+    * read) — which is exactly partition pruning expressed as manifest
+    * rows. The single source of the manifest row shape ([[keyBounds]]'
+    * fallback, the commit engine's fresh-file rows, and
+    * [[writeManifestSidecar]] all build it here). */
   private def footerBounds(
       spark: SparkSession, files: Seq[String], keyCol: String,
-      keyType: DataType): DataFrame =
-    Layout.parquetFileStatsFor(spark, files)
-      .filter(col("column") === keyCol)
-      .groupBy(substring_index(col("file"), "/", -1).as("file"))
-      .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
-        max(col("max_value").cast(keyType)).cast("string").as("mx"))
-      .withColumn("key", lit(keyCol))
-      .select("file", "key", "mn", "mx")
+      keyType: DataType, root: String): DataFrame = {
+    import spark.implicits._
+    val rels = files.map(f => (f, relPath(root, f)))
+    val partVals = rels.map { case (_, rel) => partitionValueOf(rel, keyCol) }
+    if (partVals.nonEmpty && partVals.forall(_.isDefined))
+      rels.zip(partVals)
+        .map { case ((_, rel), v) => (rel, keyCol, v.get, v.get) }
+        .toDF("file", "key", "mn", "mx")
+    else
+      Layout.parquetFileStatsFor(spark, files)
+        .filter(col("column") === keyCol)
+        .join(broadcast(rels.toDF("file", "rel")), Seq("file"))
+        .groupBy(col("rel"))
+        .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
+          max(col("max_value").cast(keyType)).cast("string").as("mx"))
+        .withColumn("key", lit(keyCol))
+        .select(col("rel").as("file"), col("key"), col("mn"), col("mx"))
+  }
 
   /** `_manifest/_keys.json`: the key columns the sidecar carries rows
     * for, stamped by every manifest writer — a METADATA answer to "does
@@ -115,25 +205,27 @@ object Upsert {
   }
 
   /** Per-file (file, key, mn, mx) bounds for `keyCol`, where `file` is
-    * the BASENAME (unique within a snapshot; basenames survive the
-    * link/copy into the next snapshot unchanged and are scheme-proof —
-    * full paths from a cached manifest vs a live listing can differ in
-    * `file:` prefixing and would silently mis-classify every file).
-    * Bounds are STORED as type-faithful text (what the footer stats
-    * already are) and compared after casting back to the key's native
-    * type, so integral AND string keys prune correctly — a long-only
-    * manifest silently classified every file of a string-keyed table
-    * as untouched. Source: the cached sidecar when one exists FOR THIS
-    * KEY ([[cachedBounds]]), else aggregated from the parquet footers.
-    * The sidecar is what keeps a commit's cost ∝ touched files instead
-    * of ∝ table file count — the same role a table format's
-    * checkpoint/manifest plays. */
+    * the snapshot-RELATIVE path (the basename on a flat layout — so
+    * pre-existing basename-keyed sidecars remain valid; the
+    * partition-dir-qualified path on a Hive layout). Relative paths
+    * survive the link/copy into the next snapshot unchanged and are
+    * scheme-proof — full paths from a cached manifest vs a live
+    * listing can differ in `file:` prefixing and would silently
+    * mis-classify every file. Bounds are STORED as type-faithful text
+    * (what the footer stats already are) and compared after casting
+    * back to the key's native type, so integral AND string keys prune
+    * correctly — a long-only manifest silently classified every file
+    * of a string-keyed table as untouched. Source: the cached sidecar
+    * when one exists FOR THIS KEY ([[cachedBounds]]), else aggregated
+    * from the parquet footers. The sidecar is what keeps a commit's
+    * cost ∝ touched files instead of ∝ table file count — the same
+    * role a table format's checkpoint/manifest plays. */
   private def keyBounds(
       spark: SparkSession, tablePath: String, keyCol: String,
       keyType: DataType): DataFrame =
     cachedBounds(spark, tablePath, keyCol).getOrElse(
       footerBounds(spark, Layout.listDataFiles(spark, tablePath),
-        keyCol, keyType))
+        keyCol, keyType, tablePath))
 
   /** The key types the manifest can prune on: integral (footer stats
     * round-trip through text exactly) and string (parquet string stats
@@ -160,7 +252,8 @@ object Upsert {
     val keyType = spark.read.parquet(snapshotDir).schema(keyCol).dataType
     requireSupportedKey(keyType, keyCol, "manifest stamp")
     val bounds = footerBounds(spark,
-        Layout.listDataFiles(spark, snapshotDir), keyCol, keyType)
+        Layout.listDataFiles(spark, snapshotDir), keyCol, keyType,
+        snapshotDir)
       .cache()
     val n = bounds.count().toInt
     bounds.coalesce(1).write.mode("overwrite").parquet(manifestDir(snapshotDir))
@@ -177,11 +270,14 @@ object Upsert {
         "types don't round-trip through footer-stat text")
 
   /** Hard-link (same local filesystem; O(1) metadata each) or
-    * byte-copy `files` into `outDir`, keeping basenames. Shared by the
-    * COW commit's untouched-file pass, [[cloneSnapshot]], and the
-    * deletion-vector delete. */
+    * byte-copy `files` into `outDir`, keeping each file's path
+    * RELATIVE to `srcRoot` — so Hive partition directories carry
+    * through the copy-on-write link pass (flat layouts degenerate to
+    * basenames, as before). Shared by the COW commit's untouched-file
+    * pass, [[cloneSnapshot]], and the deletion-vector delete. */
   private def linkOrCopyAll(
-      spark: SparkSession, files: Seq[String], outDir: String): Unit = {
+      spark: SparkSession, files: Seq[String], srcRoot: String,
+      outDir: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     if (files.isEmpty) return
     val conf = spark.sparkContext.hadoopConfiguration
@@ -190,9 +286,13 @@ object Upsert {
     val ofs = out.getFileSystem(conf)
     if (!ofs.exists(out)) ofs.mkdirs(out)
     val localLink = fs.getScheme == "file" && ofs.getScheme == "file"
+    val madeDirs = scala.collection.mutable.Set.empty[String]
     files.foreach { f =>
       val src = new HPath(f)
-      val dst = new HPath(out, src.getName)
+      val dst = new HPath(out, relPath(srcRoot, f))
+      val parent = dst.getParent
+      if (parent != null && madeDirs.add(parent.toString) && !ofs.exists(parent))
+        ofs.mkdirs(parent)
       val linked = localLink && {
         try {
           java.nio.file.Files.createLink(
@@ -243,10 +343,10 @@ object Upsert {
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // empty existing dir = claimed version number (see commit); keep it
     if (ofs.exists(out) && ofs.listStatus(out).nonEmpty) ofs.delete(out, true)
-    linkOrCopyAll(spark, all, outPath)
+    linkOrCopyAll(spark, all, tablePath, outPath)
     for (sc <- Seq("_manifest", "_bloom", "_dv")) {
       val fs = sidecarFiles(spark, tablePath, sc)
-      if (fs.nonEmpty) linkOrCopyAll(spark, fs, s"$outPath/$sc")
+      if (fs.nonEmpty) linkOrCopyAll(spark, fs, s"$tablePath/$sc", s"$outPath/$sc")
     }
     readSchemaSidecar(tablePath).foreach(writeSchemaSidecar(outPath, _))
     all.size
@@ -379,10 +479,10 @@ object Upsert {
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (ofs.exists(out)) ofs.delete(out, true)
-    linkOrCopyAll(spark, all, outPath)
+    linkOrCopyAll(spark, all, tablePath, outPath)
     for (sc <- Seq("_manifest", "_bloom")) {
       val fs = sidecarFiles(spark, tablePath, sc)
-      if (fs.nonEmpty) linkOrCopyAll(spark, fs, s"$outPath/$sc")
+      if (fs.nonEmpty) linkOrCopyAll(spark, fs, s"$tablePath/$sc", s"$outPath/$sc")
     }
     // a DV commit never changes the logical schema — carry the sidecar
     readSchemaSidecar(tablePath).foreach(writeSchemaSidecar(outPath, _))
@@ -596,23 +696,22 @@ object Upsert {
         col("__k0").between(col("mn").cast(leadType), col("mx").cast(leadType)),
         "left_semi")
       .select(col("file")).collect().map(_.getString(0)).toSet
-    // classification is by BASENAME (what the manifest stores) — which
-    // requires basenames to be unique. A Hive-partitioned layout
-    // (dt=…/part-*.parquet) reuses part-NNNNN basenames across
-    // partition dirs; silently merging those manifest rows would
-    // misclassify files and collide on link/copy, so refuse it.
-    locally {
-      val dups = all.groupBy(f => new HPath(f).getName).collect {
-        case (name, paths) if paths.size > 1 => name
-      }
-      require(dups.isEmpty,
-        s"Upsert.commit: duplicate file basenames under $tablePath " +
-          s"(e.g. ${dups.take(3).mkString(", ")}) — partitioned layouts " +
-          "aren't supported by the basename-keyed manifest; compact to a " +
-          "flat snapshot first (Layout.compactSmallFiles/optimizeTable)")
+    // classification is by snapshot-RELATIVE path (what the manifest
+    // stores): unique by construction on any layout, including Hive
+    // partition dirs whose part-NNNNN basenames repeat across
+    // partitions. The partition COLUMN sequence (empty when flat)
+    // drives the rewrite's partitionBy below, so fresh files land in
+    // the same directory scheme the linked files keep.
+    val partCols = partitionColsOf(tablePath, all)
+    partCols.foreach { pc =>
+      require(baseLogical.fieldNames.contains(pc),
+        s"Upsert.commit: partition column '$pc' (from the directory " +
+          s"layout) is missing from the logical schema " +
+          s"(${baseLogical.fieldNames.mkString(", ")}) — read the table " +
+          "through its root so partition discovery surfaces it")
     }
-    val untouched = all.filterNot(f => touched.contains(new HPath(f).getName))
-    val touchedPaths = all.filter(f => touched.contains(new HPath(f).getName))
+    val untouched = all.filterNot(f => touched.contains(relPath(tablePath, f)))
+    val touchedPaths = all.filter(f => touched.contains(relPath(tablePath, f)))
 
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -629,7 +728,7 @@ object Upsert {
     // is what keeps commit cost ∝ touched files, not table size), else
     // byte-copy. Safe because this layout never mutates a shipped
     // parquet file — snapshots share immutable content.
-    linkOrCopyAll(spark, untouched, outPath)
+    linkOrCopyAll(spark, untouched, tablePath, outPath)
 
     // Decode touched files THROUGH the logical schema. After a
     // schema-evolving commit a snapshot mixes old- and new-schema
@@ -642,8 +741,10 @@ object Upsert {
     val survivors =
       if (touchedPaths.isEmpty) None
       else {
-        val touchedRows =
-          spark.read.schema(baseLogical).parquet(touchedPaths: _*)
+        // basePath keeps partition-directory columns alive on a direct
+        // file read of a Hive layout (harmless on a flat one)
+        val touchedRows = spark.read.option("basePath", tablePath)
+          .schema(baseLogical).parquet(touchedPaths: _*)
         // broadcast while the key batch is provably small; a huge
         // MERGE batch anti-joins by shuffle instead of OOMing the
         // driver on the broadcast build
@@ -699,19 +800,24 @@ object Upsert {
     // partition of the update union and every commit SHATTERS the
     // snapshot a little more (4 files became 9 in one commit when this
     // was missing), growing the manifest and defeating the layout
-    rewritten.foreach(
-      _.coalesce(math.max(1, touched.size))
-        .write.mode("append").parquet(outPath))
+    // a Hive layout keeps its directory scheme: fresh files land under
+    // the same partition dirs (partitionBy), so linked and rewritten
+    // files read back as ONE consistent partitioned table
+    rewritten.foreach { rw =>
+      val sized = rw.coalesce(math.max(1, touched.size))
+      if (partCols.isEmpty) sized.write.mode("append").parquet(outPath)
+      else sized.write.mode("append").partitionBy(partCols: _*).parquet(outPath)
+    }
 
     // Commit the NEW snapshot's manifest sidecar: bounds for the linked
     // files CARRY OVER (their bytes didn't change), and only the
     // freshly written part files get footer reads. This is the
     // incremental loop: after the first commit, no footer of an
     // unchanged file is ever read again.
-    val untouchedNames = untouched.map(f => new HPath(f).getName).toSet
+    val untouchedRels = untouched.map(f => relPath(tablePath, f)).toSet
     // filter by the TOUCHED set (small by design) rather than the
     // untouched list, which is table-sized; manifest rows are already
-    // basenames, so linked files carry over verbatim. The output
+    // relative paths, so linked files carry over verbatim. The output
     // manifest carries bounds for EVERY key column (pruning uses the
     // leading one, but a later commit may lead with another component);
     // non-leading bounds for a legacy table come from one footer sweep
@@ -723,11 +829,11 @@ object Upsert {
       if (touched.isEmpty) carriedAll
       else carriedAll.filter(!col("file").isin(touched.toSeq: _*))
     val freshFiles = Layout.listDataFiles(spark, outPath)
-      .filterNot(f => untouchedNames.contains(new HPath(f).getName))
+      .filterNot(f => untouchedRels.contains(relPath(outPath, f)))
     val fresh =
       if (freshFiles.isEmpty) carried.limit(0)
       else keyCols.zip(keyTypes).map { case (k, t) =>
-        footerBounds(spark, freshFiles, k, t)
+        footerBounds(spark, freshFiles, k, t, outPath)
       }.reduce(_ unionByName _)
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
@@ -742,8 +848,11 @@ object Upsert {
     // Other keys' filters are NOT carried: a fresh file without a
     // filter row would silently false-negative, and the probe's
     // completeness require would trip — absent sidecar = rebuild.
+    // (flat layouts only: the bloom sidecar convention is keyed by
+    // basename — Layout.writeBloomSidecar — and no partitioned table
+    // can carry one; absent sidecar = rebuild, per the probe contract)
     val bloomIn = new HPath(Layout.bloomSidecarDir(tablePath))
-    if (fs.exists(new HPath(bloomIn, "_SUCCESS"))) {
+    if (partCols.isEmpty && fs.exists(new HPath(bloomIn, "_SUCCESS"))) {
       val prevAll = spark.read.parquet(bloomIn.toString)
       val perKey = keyCols.flatMap { k =>
         val prevB = prevAll.filter(col("key") === k)
@@ -1272,18 +1381,21 @@ object Upsert {
   def changeDataFeed(
       spark: SparkSession, tableDir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
+    // files keyed by snapshot-RELATIVE path (identical across linked
+    // snapshots on any layout, partition dirs included)
     def files(v: Long): Map[String, String] = {
       val d = new java.io.File(s"$tableDir/v$v")
       require(d.isDirectory, s"snapshot v$v not found under $tableDir")
       Layout.listDataFiles(spark, d.toString)
-        .map(f => new org.apache.hadoop.fs.Path(f).getName -> f).toMap
+        .map(f => relPath(d.toString, f) -> f).toMap
     }
     val from = files(fromVersion); val to = files(toVersion)
     val fromOnly = (from.keySet -- to.keySet).toSeq.sorted.map(from)
     val toOnly = (to.keySet -- from.keySet).toSeq.sorted.map(to)
     // mergeSchema: one SIDE can already mix schemas (an interval
     // spanning the evolution point has pre- and post-evolution fresh
-    // files in its to-only set)
+    // files in its to-only set). basePath keeps partition-directory
+    // columns alive on the direct file reads of a Hive layout.
     def rows(fs: Seq[String], anySnapshot: String): DataFrame =
       if (fs.isEmpty)
         // schema-only: ONE footer, not a mergeSchema sweep of every
@@ -1292,7 +1404,8 @@ object Upsert {
         // single footer misses are null-filled by align(), whose
         // column set unions every leg INCLUDING the DV image source
         spark.read.parquet(s"$tableDir/v$anySnapshot").limit(0)
-      else spark.read.option("mergeSchema", "true").parquet(fs: _*)
+      else spark.read.option("mergeSchema", "true")
+        .option("basePath", s"$tableDir/v$anySnapshot").parquet(fs: _*)
     val before0 = rows(fromOnly, fromVersion.toString)
     val after0 = rows(toOnly, toVersion.toString)
     // ---- deletion-vector delta: the feed reflects the LOGICAL table
@@ -1338,28 +1451,31 @@ object Upsert {
       val kt = t.schema.head.dataType
       val sharedNames = from.keySet & to.keySet
       val sharedPaths = sharedNames.toSeq.sorted.map(to)
+      val toRoot = s"$tableDir/v$toVersion"
       val src =
         if (sharedPaths.isEmpty)
-          spark.read.parquet(s"$tableDir/v$toVersion").limit(0)
+          spark.read.parquet(toRoot).limit(0)
         else if (!isManifestKeyType(kt))
-          spark.read.option("mergeSchema", "true").parquet(sharedPaths: _*)
+          spark.read.option("mergeSchema", "true")
+            .option("basePath", toRoot).parquet(sharedPaths: _*)
         else {
           // bounds: the cached manifest filtered to the shared set, or
           // footers of ONLY the shared files — the fallback must not
           // footer-read the whole snapshot to then discard the rows
-          val bounds = cachedBounds(spark, s"$tableDir/v$toVersion", kc)
+          val bounds = cachedBounds(spark, toRoot, kc)
             .map(_.filter(col("file").isin(sharedNames.toSeq: _*)))
-            .getOrElse(footerBounds(spark, sharedPaths, kc, kt))
+            .getOrElse(footerBounds(spark, sharedPaths, kc, kt, toRoot))
           val candidates = broadcast(bounds)
             .join(newKeys.select(col(kc).cast(kt).as("__k")).distinct(),
               col("__k").between(col("mn").cast(kt), col("mx").cast(kt)),
               "left_semi")
             .select(col("file")).collect().map(_.getString(0)).toSet
           val cand = sharedPaths.filter(f =>
-            candidates.contains(new org.apache.hadoop.fs.Path(f).getName))
+            candidates.contains(relPath(toRoot, f)))
           if (cand.isEmpty)
-            spark.read.parquet(s"$tableDir/v$toVersion").limit(0)
-          else spark.read.option("mergeSchema", "true").parquet(cand: _*)
+            spark.read.parquet(toRoot).limit(0)
+          else spark.read.option("mergeSchema", "true")
+            .option("basePath", toRoot).parquet(cand: _*)
         }
       src.join(hint(newKeys, tSmall), Seq(kc), "left_semi")
     }

@@ -48,8 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_table: $what must be a non-null literal, got $other")
         }
-        val dir = String.valueOf(litVal(children.head, "dir"))
         val spark = org.apache.spark.sql.SparkSession.active
+        // a registered catalog name (CREATE GRAFT TABLE) or a path
+        val dir = graft.plans.LakehouseSql.resolveRef(spark,
+          String.valueOf(litVal(children.head, "dir")))
         val snap = children.lift(1) match {
           case Some(e) =>
             val v = litVal(e, "version") match {
@@ -64,12 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                 s"graft_table: second argument must be an integer version " +
                   s"or a timestamp string literal, got $other")
             }
-            val d = new java.io.File(s"$dir/v$v")
-            require(d.isDirectory,
+            val d = s"$dir/v$v"
+            require(graft.ops.Fs.of(d, spark)
+                .exists(new org.apache.hadoop.fs.Path(d)),
               s"graft_table: snapshot v$v not found under $dir (have: " +
                 s"${graft.ops.Upsert.snapshotVersions(dir).mkString(",")}) — " +
                 "vacuumed or never written")
-            d.toString
+            d
           case None =>
             graft.streaming.Streams.currentSnapshot(dir).getOrElse(dir)
         }
@@ -95,12 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_cdf: $what must be an integer literal, got $other")
         }
+        val spark = org.apache.spark.sql.SparkSession.active
         val dir = children.head match {
-          case Literal(v, _) if v != null => String.valueOf(v)
+          case Literal(v, _) if v != null =>
+            graft.plans.LakehouseSql.resolveRef(spark, String.valueOf(v))
           case other => throw new IllegalArgumentException(
             s"graft_cdf: dir must be a non-null string literal, got $other")
         }
-        val spark = org.apache.spark.sql.SparkSession.active
         graft.ops.Upsert.changeDataFeed(spark, dir,
           longLit(children(1), "fromVersion"), longLit(children(2), "toVersion"))
           .queryExecution.analyzed

@@ -32,10 +32,34 @@ import org.apache.spark.sql.SparkSession
 object Fs {
 
   def of(path: String, spark: SparkSession): FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    of(path, spark.sparkContext.hadoopConfiguration)
 
+  /** The filesystem for `path`. On the local scheme this is the RAW
+    * filesystem (no `.crc` checksum shadows): the lakehouse metadata
+    * files (CURRENT, `_commitinfo`, `_schema.json`) are also touched by
+    * non-Hadoop writers — test fixtures, external tooling, the engine's
+    * own pre-migration files — and a checksummed write here would leave
+    * a `.crc` that fails loudly the moment any such writer updates the
+    * data file without it. */
   def of(path: String, conf: Configuration): FileSystem =
-    new Path(path).getFileSystem(conf)
+    new Path(path).getFileSystem(conf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
+
+  /** The active session's Hadoop configuration (which carries
+    * fs.<scheme>.impl registrations and credentials), falling back to
+    * defaults off-session — lets path-only lakehouse APIs
+    * (snapshotVersions, vacuum, commitTimestamp…) resolve custom
+    * schemes without threading a SparkSession through every
+    * signature. */
+  def activeConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def of(path: String): FileSystem =
+    new Path(path).getFileSystem(activeConf())
 
   def readText(fs: FileSystem, path: Path): String = {
     val in = fs.open(path)

@@ -341,8 +341,11 @@ object Upsert {
     require(all.nonEmpty, s"cloneSnapshot: no .parquet files under $tablePath")
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // empty existing dir = claimed version number (see commit); keep it
-    if (ofs.exists(out) && ofs.listStatus(out).nonEmpty) ofs.delete(out, true)
+    // empty existing dir (or one holding only a remote-claim _CLAIM
+    // marker) = claimed version number (see commit); keep it
+    if (ofs.exists(out) &&
+        ofs.listStatus(out).exists(_.getPath.getName != "_CLAIM"))
+      ofs.delete(out, true)
     linkOrCopyAll(spark, all, tablePath, outPath)
     for (sc <- Seq("_manifest", "_bloom", "_dv")) {
       val fs = sidecarFiles(spark, tablePath, sc)
@@ -385,30 +388,19 @@ object Upsert {
     // of what the freshly written files claim
     val nullable = org.apache.spark.sql.types.StructType(
       schema.fields.map(_.copy(nullable = true)))
-    val dir = new java.io.File(snapshotDir)
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, "_schema.json.tmp")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try w.print(nullable.json) finally w.close()
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, "_schema.json").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.writeTextAtomic(Fs.of(snapshotDir),
+      new HPath(schemaSidecar(snapshotDir)), nullable.json)
   }
 
   private[graft] def readSchemaSidecar(
       snapshotDir: String): Option[org.apache.spark.sql.types.StructType] = {
-    val f = new java.io.File(schemaSidecar(snapshotDir))
-    if (!f.isFile) None
-    else {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      val txt = try src.mkString finally src.close()
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.readTextIfExists(Fs.of(snapshotDir), new HPath(schemaSidecar(snapshotDir)))
       // corrupt sidecar = foreign writer or torn copy — fail loudly,
       // never silently fall back to a sweep that may see other state
-      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+      .map(txt => org.apache.spark.sql.types.DataType.fromJson(txt)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    }
   }
 
   /** The snapshot's data read WITHOUT a per-read footer sweep when the
@@ -478,7 +470,9 @@ object Upsert {
     require(all.nonEmpty, s"deleteByKeyDV: no .parquet files under $tablePath")
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (ofs.exists(out)) ofs.delete(out, true)
+    if (ofs.exists(out) &&
+        ofs.listStatus(out).exists(_.getPath.getName != "_CLAIM"))
+      ofs.delete(out, true)
     linkOrCopyAll(spark, all, tablePath, outPath)
     for (sc <- Seq("_manifest", "_bloom")) {
       val fs = sidecarFiles(spark, tablePath, sc)
@@ -715,11 +709,14 @@ object Upsert {
 
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an EXISTING EMPTY dir is a claimed version number from the
+    // an EXISTING EMPTY dir (or one holding only a remote-claim
+    // _CLAIM marker) is a claimed version number from the
     // optimistic-concurrency protocol (plans.LakehouseSql) — deleting
     // and recreating it would reopen the claim race window, so only a
     // non-empty leftover from a previous run is cleared
-    if (ofs.exists(out) && ofs.listStatus(out).nonEmpty) ofs.delete(out, true)
+    if (ofs.exists(out) &&
+        ofs.listStatus(out).exists(_.getPath.getName != "_CLAIM"))
+      ofs.delete(out, true)
     ofs.mkdirs(out)
 
     // Untouched files: HARD-LINK when both ends are the local
@@ -1232,16 +1229,9 @@ object Upsert {
       .append("\",\"ts\":").append(System.currentTimeMillis())
     for ((k, v) <- stats) sb.append(",\"").append(k).append("\":").append(v)
     sb.append("}")
-    val dir = new java.io.File(snapshotDir)
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, "_commitinfo.tmp")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try w.print(sb.toString) finally w.close()
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, "_commitinfo").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.writeTextAtomic(Fs.of(snapshotDir),
+      new HPath(snapshotDir, "_commitinfo"), sb.toString)
   }
 
   private val commitInfoRe =
@@ -1253,21 +1243,19 @@ object Upsert {
     * corruption or a foreign writer — never silently drop audit). */
   def readCommitInfo(snapshotDir: String)
       : Option[(String, Long, Seq[(String, Long)])] = {
-    val f = new java.io.File(snapshotDir, "_commitinfo")
-    if (!f.isFile) None
-    else {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      val txt = try src.mkString.trim finally src.close()
-      txt match {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.readTextIfExists(Fs.of(snapshotDir),
+        new HPath(snapshotDir, "_commitinfo"))
+      .map(_.trim)
+      .map {
         case commitInfoRe(op, ts, rest) =>
           val statRe = """"([^"]+)":(-?\d+)""".r
-          Some((op, ts.toLong,
+          (op, ts.toLong,
             statRe.findAllMatchIn(rest)
-              .map(m => m.group(1) -> m.group(2).toLong).toSeq))
-        case _ => throw new IllegalStateException(
+              .map(m => m.group(1) -> m.group(2).toLong).toSeq)
+        case txt => throw new IllegalStateException(
           s"unparseable _commitinfo under $snapshotDir: ${txt.take(200)}")
       }
-    }
   }
 
   /** Commit timestamp of `v<version>`: the `_commitinfo` stamp when
@@ -1276,7 +1264,7 @@ object Upsert {
     * fallback Delta applies when commitInfo timestamps are absent). */
   def commitTimestamp(tableDir: String, version: Long): Long =
     readCommitInfo(s"$tableDir/v$version").map(_._2)
-      .getOrElse(new java.io.File(s"$tableDir/v$version").lastModified)
+      .getOrElse(dirMtime(s"$tableDir/v$version"))
 
   /** TIMESTAMP AS OF resolution: the newest COMPLETE version whose
     * commit timestamp is <= `tsMillis`.
@@ -1298,20 +1286,12 @@ object Upsert {
     val info = versions.map(v => v -> readCommitInfo(s"$tableDir/v$v")).toMap
     val oldestStamp = info.collect { case (v, Some(_)) => v }
       .minOption
-    val current = {
-      val cur = new java.io.File(s"$tableDir/CURRENT")
-      if (!cur.exists) None
-      else {
-        val src = scala.io.Source.fromFile(cur)
-        val v = try src.mkString.trim finally src.close()
-        Some(v.drop(1).toLong)
-      }
-    }
+    val current = currentVersion(tableDir)
     def ts(v: Long): Long = info(v).map(_._2)
-      .getOrElse(new java.io.File(s"$tableDir/v$v").lastModified)
+      .getOrElse(dirMtime(s"$tableDir/v$v"))
     def complete(v: Long): Boolean =
       info(v).isDefined || current.contains(v) ||
-        (oldestStamp.forall(v < _) && Layout.localDataFileExists(s"$tableDir/v$v"))
+        (oldestStamp.forall(v < _) && dataFileExists(s"$tableDir/v$v"))
     versions.sorted.reverseIterator
       .find(v => ts(v) <= tsMillis && complete(v))
       .getOrElse(throw new IllegalArgumentException(
@@ -1322,11 +1302,43 @@ object Upsert {
   }
 
   /** List snapshot versions of a versioned COW table, ascending. */
-  def snapshotVersions(tableDir: String): Seq[Long] =
-    Option(new java.io.File(tableDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong).sorted.toSeq
+  def snapshotVersions(tableDir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.listDirs(Fs.of(tableDir), new HPath(tableDir))
+      .map(_.getName)
+      .filter(_.matches("v\\d+"))
+      .map(_.drop(1).toLong).sorted
+  }
+
+  /** The version CURRENT points to, if the pointer exists. */
+  private[graft] def currentVersion(tableDir: String): Option[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.readTextIfExists(Fs.of(tableDir), new HPath(tableDir, "CURRENT"))
+      .map(_.trim.drop(1).toLong)
+  }
+
+  /** Directory mtime via the Hadoop FS (0 when absent — matching
+    * java.io.File.lastModified's convention for missing paths). */
+  private def dirMtime(dir: String): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = Fs.of(dir)
+    val p = new HPath(dir)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
+
+  /** At least one data file under `dir` — the local NIO fast path on
+    * `file:`, a Hadoop listing elsewhere. */
+  private def dataFileExists(dir: String): Boolean = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(dir)
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file")
+      Layout.localDataFileExists(p.toUri.getPath)
+    else
+      try Layout.listDataFiles(
+        org.apache.spark.sql.SparkSession.active, dir).nonEmpty
+      catch { case _: java.io.FileNotFoundException => false }
+  }
 
   /** Time travel: read the table AS OF `version` (a past snapshot is a
     * complete table — copy-on-write never mutates shipped files).
@@ -1336,11 +1348,13 @@ object Upsert {
     * (linked) and new-schema (rewritten) files, and a bare read would
     * pick one file's schema arbitrarily. */
   def readSnapshot(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
-    val d = new java.io.File(s"$tableDir/v$version")
-    require(d.isDirectory,
+    import org.apache.hadoop.fs.{Path => HPath}
+    val d = s"$tableDir/v$version"
+    val fs = Fs.of(d, spark)
+    require(fs.exists(new HPath(d)) && fs.getFileStatus(new HPath(d)).isDirectory,
       s"snapshot v$version not found under $tableDir " +
         s"(have: ${snapshotVersions(tableDir).mkString(",")}) — vacuumed or never written")
-    readSnapshotData(spark, d.toString)
+    readSnapshotData(spark, d)
   }
 
   /** Change data feed between two snapshots of a versioned COW table —
@@ -1384,10 +1398,12 @@ object Upsert {
     // files keyed by snapshot-RELATIVE path (identical across linked
     // snapshots on any layout, partition dirs included)
     def files(v: Long): Map[String, String] = {
-      val d = new java.io.File(s"$tableDir/v$v")
-      require(d.isDirectory, s"snapshot v$v not found under $tableDir")
-      Layout.listDataFiles(spark, d.toString)
-        .map(f => relPath(d.toString, f) -> f).toMap
+      import org.apache.hadoop.fs.{Path => HPath}
+      val d = s"$tableDir/v$v"
+      require(Fs.of(d, spark).exists(new HPath(d)),
+        s"snapshot v$v not found under $tableDir")
+      Layout.listDataFiles(spark, d)
+        .map(f => relPath(d, f) -> f).toMap
     }
     val from = files(fromVersion); val to = files(toVersion)
     val fromOnly = (from.keySet -- to.keySet).toSeq.sorted.map(from)
@@ -1431,10 +1447,11 @@ object Upsert {
     // (keys, small?) — broadcast the join side while the sidecar is
     // small, shuffle past it: the same bound readWithDeletes applies
     def dvKeysOf(v: Long): Option[(DataFrame, Boolean)] = {
-      val d = new java.io.File(s"$tableDir/v$v/_dv")
-      if (new java.io.File(d, "_SUCCESS").isFile) {
-        val bytes = Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(_.isFile).map(_.length).sum
+      import org.apache.hadoop.fs.{Path => HPath}
+      val d = new HPath(s"$tableDir/v$v/_dv")
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new HPath(d, "_SUCCESS"))) {
+        val bytes = fs.listStatus(d).filter(_.isFile).map(_.getLen).sum
         Some((spark.read.parquet(d.toString), bytes <= DvBroadcastMaxBytes))
       } else None
     }
@@ -1548,15 +1565,7 @@ object Upsert {
   def vacuum(tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least one snapshot")
     val versions = snapshotVersions(tableDir)
-    val current = {
-      val cur = new java.io.File(s"$tableDir/CURRENT")
-      if (!cur.exists) None
-      else {
-        val src = scala.io.Source.fromFile(cur)
-        val v = try src.mkString.trim finally src.close()
-        Some(v.drop(1).toLong)
-      }
-    }
+    val current = currentVersion(tableDir)
     val drop = versions.dropRight(keep).filterNot(current.contains)
     // Snapshots written by `commit` contain a `_manifest/` SUBDIRECTORY,
     // so the delete must be recursive — a flat file loop silently left
@@ -1564,9 +1573,10 @@ object Upsert {
     // readSnapshot then returned a broken read). Only versions whose
     // directory is verifiably GONE are reported deleted.
     val deleted = drop.filter { v =>
-      val d = new java.io.File(s"$tableDir/v$v")
-      org.apache.hadoop.fs.FileUtil.fullyDelete(d)
-      !d.exists
+      val d = new org.apache.hadoop.fs.Path(s"$tableDir/v$v")
+      val fs = Fs.of(tableDir)
+      fs.delete(d, true)
+      !fs.exists(d)
     }
     // Change-feed retention rides snapshot retention: `_cdf/v*` dirs
     // for versions older than the oldest snapshot still on disk are
@@ -1575,13 +1585,14 @@ object Upsert {
     // per commit ([[materializeCdf]]) but was never reclaimed. Feeds
     // for retained snapshots stay: a late subscriber may still replay
     // them.
-    val cdfRoot = new java.io.File(s"$tableDir/_cdf")
-    if (cdfRoot.isDirectory) {
+    locally {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val fs = Fs.of(tableDir)
       val oldestKept = snapshotVersions(tableDir).headOption.getOrElse(Long.MaxValue)
-      Option(cdfRoot.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      Fs.listDirs(fs, new HPath(s"$tableDir/_cdf"))
+        .filter(_.getName.matches("v\\d+"))
         .filter(_.getName.drop(1).toLong < oldestKept)
-        .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
+        .foreach(fs.delete(_, true))
     }
     deleted
   }
@@ -1601,15 +1612,7 @@ object Upsert {
       tableDir: String, maxAgeMs: Long, keepAtLeast: Int = 1): Seq[Long] = {
     require(keepAtLeast >= 1, "must keep at least one snapshot")
     val versions = snapshotVersions(tableDir)
-    val current = {
-      val cur = new java.io.File(s"$tableDir/CURRENT")
-      if (!cur.exists) None
-      else {
-        val src = scala.io.Source.fromFile(cur)
-        val v = try src.mkString.trim finally src.close()
-        Some(v.drop(1).toLong)
-      }
-    }
+    val current = currentVersion(tableDir)
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val protectedNewest = versions.takeRight(keepAtLeast).toSet
     val drop = versions
@@ -1621,17 +1624,19 @@ object Upsert {
       // snapshot was committed
       .filter(v => commitTimestamp(tableDir, v) < cutoff)
     val deleted = drop.filter { v =>
-      val d = new java.io.File(s"$tableDir/v$v")
-      org.apache.hadoop.fs.FileUtil.fullyDelete(d)
-      !d.exists
+      val d = new org.apache.hadoop.fs.Path(s"$tableDir/v$v")
+      val fs = Fs.of(tableDir)
+      fs.delete(d, true)
+      !fs.exists(d)
     }
-    val cdfRoot = new java.io.File(s"$tableDir/_cdf")
-    if (cdfRoot.isDirectory) {
+    locally {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val fs = Fs.of(tableDir)
       val oldestKept = snapshotVersions(tableDir).headOption.getOrElse(Long.MaxValue)
-      Option(cdfRoot.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      Fs.listDirs(fs, new HPath(s"$tableDir/_cdf"))
+        .filter(_.getName.matches("v\\d+"))
         .filter(_.getName.drop(1).toLong < oldestKept)
-        .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
+        .foreach(fs.delete(_, true))
     }
     deleted
   }

@@ -50,7 +50,14 @@ import graft.ops.{Layout, Upsert}
   * RESTORE '<tableDir>' TO VERSION <n>
   * RESTORE '<tableDir>' TO TIMESTAMP '<ts>'
   * CONVERT '<snapshotDir>' TO VERSIONED '<tableDir>'
+  * CREATE GRAFT TABLE <name> AT '<dir>'
+  * DROP GRAFT TABLE <name>
+  * SHOW GRAFT TABLES
   * }}}
+  * Every quoted `'<table>'` reference above (and the
+  * `graft_table`/`graft_cdf` TVF first argument) also accepts a NAME
+  * registered with `CREATE GRAFT TABLE` — a session-scoped alias map
+  * ([[GraftCatalog]]); paths remain the storage truth.
   * `RESTORE` follows Delta semantics: the restored state lands as a
   * NEW version (hard-linked clone of the target snapshot) and
   * `CURRENT` swaps to it — history is preserved, the restore is
@@ -69,6 +76,19 @@ import graft.ops.{Layout, Upsert}
   * pre-update row, schema never changes).
   */
 object LakehouseSql {
+
+  /** A verb's table reference: a registered catalog name resolves to
+    * its path; anything path-shaped (contains `/` or a scheme) passes
+    * through; a bare unregistered name refuses with the remedy named
+    * (falling through to "no parquet files under ./name" would send
+    * users chasing a phantom relative directory). */
+  private[graft] def resolveRef(spark: SparkSession, ref: String): String =
+    GraftCatalog.get(spark, ref).getOrElse {
+      if (ref.contains('/') || ref.contains(':')) ref
+      else throw new IllegalArgumentException(
+        s"unknown graft table name '$ref' — register it with " +
+          s"CREATE GRAFT TABLE $ref AT '<dir>', or pass a path")
+    }
 
   // `ON a` or `ON a AND b AND ...` — composite keys join on the full
   // tuple (pruning rides the leading component); [[splitKeys]] breaks
@@ -110,6 +130,12 @@ object LakehouseSql {
     """(?is)^\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*$""".r
   private val restoreTs =
     """(?is)^\s*RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'\s*;?\s*$""".r
+  private val createTbl =
+    """(?is)^\s*CREATE\s+GRAFT\s+TABLE\s+([A-Za-z_]\w*)\s+AT\s+'([^']+)'\s*;?\s*$""".r
+  private val dropTbl =
+    """(?is)^\s*DROP\s+GRAFT\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val showTbl =
+    """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   // a MERGE/DELETE that LOOKS like ours but doesn't match the grammar
   // must fail loudly, not fall through to Spark's parser (whose error
   // would point users at catalogs this engine doesn't use)
@@ -207,6 +233,9 @@ object LakehouseSql {
     case restoreTs(dir, ts) =>
       Some(GraftRestoreCommand(dir, -1L, Some(parseTsMillis(ts))))
     case convert(src, dst) => Some(GraftConvertCommand(src, dst))
+    case createTbl(name, dir) => Some(GraftCreateTableCommand(name, dir))
+    case dropTbl(name) => Some(GraftDropTableCommand(name))
+    case showTbl() => Some(GraftShowTablesCommand())
     case t if mergeish.matches(t) || deleteish.matches(t) ||
         optimizeish.matches(t) || updateish.matches(t) =>
       throw new IllegalArgumentException(
@@ -239,52 +268,91 @@ object LakehouseSql {
   // other non-retained versions.
 
   private[graft] def withCommitLock[T](tablePath: String)(body: => T): T =
-    // JVM-level serialization first: FileChannel.lock throws
-    // OverlappingFileLockException (it does NOT block) when another
-    // thread of the SAME process holds the lock — intern-synchronized
-    // makes same-process committers queue, the file lock covers
-    // cross-process
+    // JVM-level serialization first: intern-synchronized makes
+    // same-process committers queue; the cross-process mechanism is
+    // scheme-dispatched below
     tablePath.intern.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        new java.io.File(tablePath, "_COMMITLOCK").toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try body finally lock.release()
-      } finally ch.close()
+      val scheme = new org.apache.hadoop.fs.Path(tablePath).toUri.getScheme
+      if (scheme == null || scheme == "file") {
+        // local fast path: an OS file lock (FileChannel.lock throws —
+        // does NOT block — on same-process contention, which the
+        // intern-synchronized above already serializes)
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(
+            new org.apache.hadoop.fs.Path(s"$tablePath/_COMMITLOCK")
+              .toUri.getPath),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try body finally lock.release()
+        } finally ch.close()
+      } else {
+        // remote schemes: a create-exclusive LEASE file is the CAS
+        // primitive (atomic on HDFS; an object store without atomic
+        // create needs a real locking service, as Delta's S3 LogStore
+        // documents). Spin with a bounded timeout; the lease is
+        // deleted on release. Crash story: a stale lease blocks
+        // committers until an operator removes it — loud, not silent.
+        val fs = graft.ops.Fs.of(tablePath)
+        val lease = new org.apache.hadoop.fs.Path(tablePath, "_COMMITLOCK.lease")
+        val deadline = System.currentTimeMillis() + 60000
+        var held = false
+        while (!held) {
+          held = graft.ops.Fs.createExclusive(fs, lease,
+            s"pid=${ProcessHandle.current().pid()}")
+          if (!held) {
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"withCommitLock: could not acquire $lease within 60s — " +
+                  "a concurrent committer holds it, or a crashed one " +
+                  "left a stale lease (delete it to recover)")
+            Thread.sleep(50)
+          }
+        }
+        try body finally { fs.delete(lease, false); () }
+      }
     }
 
   /** Refuse to commit to a table owned by a streaming sink: the
     * sink's batch-id versioning would collide with claimed versions
     * (a replayed batch delete-recreates `v<id>`, destroying a SQL
     * commit that claimed the same number). One writer TYPE per table. */
-  private[graft] def requireNotStreamOwned(tablePath: String, verb: String): Unit = {
-    val ownerFile = new java.io.File(tablePath, "_WRITER")
-    if (ownerFile.exists) {
-      val src = scala.io.Source.fromFile(ownerFile)
-      val owner = try src.mkString.trim finally src.close()
-      if (owner.startsWith("stream:")) throw new IllegalStateException(
-        s"$verb: '$tablePath' is owned by a streaming sink ($owner) — " +
-          "stop the query and delete _WRITER to take ownership, or " +
-          "route the change through the stream")
-    }
-  }
+  private[graft] def requireNotStreamOwned(tablePath: String, verb: String): Unit =
+    graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(tablePath),
+        new org.apache.hadoop.fs.Path(tablePath, "_WRITER"))
+      .map(_.trim).filter(_.startsWith("stream:")).foreach { owner =>
+        throw new IllegalStateException(
+          s"$verb: '$tablePath' is owned by a streaming sink ($owner) — " +
+            "stop the query and delete _WRITER to take ownership, or " +
+            "route the change through the stream")
+      }
 
-  /** Atomically claim the next version number of a versioned table. */
+  /** Atomically claim the next version number of a versioned table.
+    * Local fast path: `Files.createDirectory` is the filesystem's
+    * compare-and-create. Remote schemes claim by CREATE-EXCLUSIVE of a
+    * `v<n>/_CLAIM` marker (atomic on HDFS) — the commit engine treats
+    * a dir holding only `_CLAIM` as claimed-empty, and the
+    * underscore-hidden marker is invisible to every reader. */
   private[graft] def claimNextVersion(tablePath: String): Long = {
+    val scheme = new org.apache.hadoop.fs.Path(tablePath).toUri.getScheme
+    val local = scheme == null || scheme == "file"
     var next = -1L
     var claimed = false
     while (!claimed) {
       next = Upsert.snapshotVersions(tablePath).maxOption.getOrElse(-1L) + 1
       claimed =
-        try {
-          java.nio.file.Files.createDirectory(
-            new java.io.File(s"$tablePath/v$next").toPath)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
+        if (local)
+          try {
+            java.nio.file.Files.createDirectory(java.nio.file.Paths.get(
+              new org.apache.hadoop.fs.Path(s"$tablePath/v$next").toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        else
+          graft.ops.Fs.createExclusive(graft.ops.Fs.of(tablePath),
+            new org.apache.hadoop.fs.Path(s"$tablePath/v$next/_CLAIM"), "")
     }
     next
   }
@@ -294,24 +362,17 @@ object LakehouseSql {
   private[graft] def publishOrAbort(
       tablePath: String, baseCurrent: String, next: Long, verb: String): Unit =
     withCommitLock(tablePath) {
-      val cur = new java.io.File(s"$tablePath/CURRENT")
-      val src = scala.io.Source.fromFile(cur)
-      val now = try src.mkString.trim finally src.close()
+      val fs = graft.ops.Fs.of(tablePath)
+      val cur = new org.apache.hadoop.fs.Path(tablePath, "CURRENT")
+      val now = graft.ops.Fs.readText(fs, cur).trim
       if (now != baseCurrent) {
-        org.apache.hadoop.fs.FileUtil.fullyDelete(
-          new java.io.File(s"$tablePath/v$next"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/v$next"), true)
         throw new IllegalStateException(
           s"$verb: concurrent commit detected on '$tablePath' — this " +
             s"commit read $baseCurrent but the table is now at $now; the " +
             s"claimed snapshot v$next was discarded — rebase on $now and retry")
       }
-      val tmp = new java.io.File(s"$tablePath/CURRENT.tmp")
-      val w = new java.io.PrintWriter(tmp, "UTF-8")
-      try w.print(s"v$next") finally w.close()
-      java.nio.file.Files.move(tmp.toPath, cur.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      ()
+      graft.ops.Fs.writeTextAtomic(fs, cur, s"v$next")
     }
 
   /** Resolve a path argument and run a COW verb against it: a
@@ -328,21 +389,21 @@ object LakehouseSql {
   private[plans] def withCow[T](
       tablePath: String, explicitOut: Option[String], verb: String)(
       body: (String, String) => T): T = {
-    val cur = new java.io.File(s"$tablePath/CURRENT")
-    if (cur.exists) {
+    val curTxt = graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(tablePath),
+      new org.apache.hadoop.fs.Path(tablePath, "CURRENT")).map(_.trim)
+    if (curTxt.isDefined) {
       require(explicitOut.isEmpty,
         s"$verb: '$tablePath' is a versioned table (CURRENT present) — " +
           "the commit lands as the next version; drop the INTO clause")
       requireNotStreamOwned(tablePath, verb)
-      val src = scala.io.Source.fromFile(cur)
-      val current = try src.mkString.trim finally src.close()
+      val current = curTxt.get
       val next = claimNextVersion(tablePath)
       val r =
         try body(s"$tablePath/$current", s"$tablePath/v$next")
         catch {
           case e: Throwable =>
-            org.apache.hadoop.fs.FileUtil.fullyDelete(
-              new java.io.File(s"$tablePath/v$next"))
+            graft.ops.Fs.of(tablePath).delete(
+              new org.apache.hadoop.fs.Path(s"$tablePath/v$next"), true)
             throw e
         }
       publishOrAbort(tablePath, current, next, verb)
@@ -376,6 +437,46 @@ object LakehouseSql {
     }
 }
 
+/** Session-scoped name → path catalog for graft tables: `CREATE GRAFT
+  * TABLE n AT '<dir>'` registers a name every SQL verb and the
+  * `graft_table`/`graft_cdf` TVFs then accept in place of the raw
+  * path. PATHS REMAIN THE STORAGE TRUTH — the catalog is a pure alias
+  * map (nothing is written to disk; a name dies with the session),
+  * which is exactly what a multi-statement session needs to stop
+  * repeating long paths. Scoped by `SparkSession.sessionUUID` so
+  * concurrent sessions in one JVM can't see each other's names. */
+object GraftCatalog {
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  // a lazily stamped per-session id in the (session-scoped) SQL conf —
+  // SparkSession exposes no public session UUID, and keying by the
+  // session object would pin it in this map forever
+  private def sessionId(spark: SparkSession): String = synchronized {
+    val k = "spark.graft.catalog.sessionId"
+    spark.conf.getOption(k).getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      spark.conf.set(k, id)
+      id
+    }
+  }
+  private def key(spark: SparkSession, name: String) =
+    (sessionId(spark), name.toLowerCase(java.util.Locale.ROOT))
+  def register(spark: SparkSession, name: String, path: String): Unit = {
+    tables.put(key(spark, name), path); ()
+  }
+  def drop(spark: SparkSession, name: String): Boolean =
+    tables.remove(key(spark, name)) != null
+  def get(spark: SparkSession, name: String): Option[String] =
+    Option(tables.get(key(spark, name)))
+  def list(spark: SparkSession): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val sid = sessionId(spark)
+    tables.asScala.collect {
+      case ((s0, n), p) if s0 == sid => (n, p)
+    }.toSeq.sortBy(_._1)
+  }
+}
+
 /** `MERGE [WITH SCHEMA EVOLUTION] INTO` lowered onto
   * [[graft.ops.Upsert.upsertByKeys]]: the source query's rows upsert
   * by the `ON` key tuple (`ON a` or `ON a AND b` — the composite form
@@ -391,7 +492,8 @@ case class GraftMergeCommand(
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_copied", "files_rewritten", "rows_merged")
   override def run(spark: SparkSession): Seq[Row] =
-    LakehouseSql.withCow(tablePath, outPath, "MERGE") { (in, out) =>
+    LakehouseSql.withCow(
+      LakehouseSql.resolveRef(spark, tablePath), outPath, "MERGE") { (in, out) =>
       val (c, r, n) = Upsert.upsertByKeys(spark, in, out,
         spark.sql(sourceSql), keyCols, allowSchemaEvolution = schemaEvolution)
       Seq(Row(c.toLong, r.toLong, n))
@@ -406,7 +508,8 @@ case class GraftDeleteCommand(
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_copied", "files_rewritten", "keys_requested")
   override def run(spark: SparkSession): Seq[Row] =
-    LakehouseSql.withCow(tablePath, outPath, "DELETE") { (in, out) =>
+    LakehouseSql.withCow(
+      LakehouseSql.resolveRef(spark, tablePath), outPath, "DELETE") { (in, out) =>
       val (c, r, n) =
         Upsert.deleteByKey(spark, in, out, spark.sql(sourceSql), keyCol)
       Seq(Row(c.toLong, r.toLong, n))
@@ -422,7 +525,8 @@ case class GraftDeleteWhereCommand(
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_copied", "files_rewritten", "rows_deleted")
   override def run(spark: SparkSession): Seq[Row] =
-    LakehouseSql.withCow(tablePath, outPath, "DELETE") { (in, out) =>
+    LakehouseSql.withCow(
+      LakehouseSql.resolveRef(spark, tablePath), outPath, "DELETE") { (in, out) =>
       val (c, r, n) = Upsert.deleteWhereKeys(spark, in, out, keyCols,
         org.apache.spark.sql.functions.expr(predicateSql))
       Seq(Row(c.toLong, r.toLong, n))
@@ -441,7 +545,8 @@ case class GraftUpdateCommand(
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_copied", "files_rewritten", "rows_updated")
   override def run(spark: SparkSession): Seq[Row] =
-    LakehouseSql.withCow(tablePath, outPath, "UPDATE") { (in, out) =>
+    LakehouseSql.withCow(
+      LakehouseSql.resolveRef(spark, tablePath), outPath, "UPDATE") { (in, out) =>
       val fx = org.apache.spark.sql.functions
       val (c, r, n) = Upsert.updateWhereKeys(spark, in, out, keyCols,
         fx.expr(predicateSql),
@@ -458,7 +563,8 @@ case class GraftVacuumCommand(tableDir: String, keep: Int)
   override val output: Seq[Attribute] = Seq(
     AttributeReference("versions_deleted", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(Upsert.vacuum(tableDir, keep).mkString(",")))
+    Seq(Row(Upsert.vacuum(
+      LakehouseSql.resolveRef(spark, tableDir), keep).mkString(",")))
 }
 
 /** `VACUUM ... OLDER THAN n HOURS` — time-based retention
@@ -469,7 +575,9 @@ case class GraftVacuumAgeCommand(tableDir: String, hours: Long)
   override val output: Seq[Attribute] = Seq(
     AttributeReference("versions_deleted", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(Upsert.vacuumOlderThan(tableDir, hours * 3600L * 1000L).mkString(",")))
+    Seq(Row(Upsert.vacuumOlderThan(
+      LakehouseSql.resolveRef(spark, tableDir),
+      hours * 3600L * 1000L).mkString(",")))
 }
 
 /** `OPTIMIZE ... BY col [INTO ...]` lowered onto
@@ -496,14 +604,16 @@ case class GraftOptimizeCommand(
       case other => throw new IllegalArgumentException(
         s"OPTIMIZE: 1 (BY) or 2 (ZORDER BY) cluster columns, got $other")
     }
-    LakehouseSql.withCow(inPath, explicitOut, "OPTIMIZE") { (src, out) =>
+    LakehouseSql.withCow(LakehouseSql.resolveRef(spark, inPath),
+        explicitOut, "OPTIMIZE") { (src, out) =>
       // A deletion-vector sidecar must not ride along: the cluster
       // pass reads data files only, so the rewritten layout would
       // silently DROP the _dv and resurrect soft-deleted rows —
       // refuse with the fold named. Checked INSIDE the claim against
       // the RESOLVED src (a pre-claim check races a concurrent
       // deleteByKeyDV publish); withCow discards the claim on refusal.
-      require(!new java.io.File(s"$src/_dv/_SUCCESS").exists,
+      require(!graft.ops.Fs.of(src, spark).exists(
+          new org.apache.hadoop.fs.Path(s"$src/_dv/_SUCCESS")),
         s"OPTIMIZE: '$src' carries a deletion-vector sidecar — run " +
           "Upsert.compactDeletes first (it deletes AND compacts)")
       val (i, o, b) =
@@ -515,17 +625,21 @@ case class GraftOptimizeCommand(
           // never deleted). The `.inprogress` suffix keeps the tmp
           // invisible to snapshotVersions' `v<id>` match.
           val tmp = s"$out.inprogress"
-          org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+          val fs = graft.ops.Fs.of(out, spark)
+          val tmpP = new org.apache.hadoop.fs.Path(tmp)
+          fs.delete(tmpP, true)
           val r =
             try cluster(src, tmp)
             catch { case e: Throwable =>
-              org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+              fs.delete(tmpP, true)
               throw e
             }
-          val dst = new java.io.File(out)
-          for (f <- Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty))
-            java.nio.file.Files.move(f.toPath, new java.io.File(dst, f.getName).toPath)
-          org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+          val dst = new org.apache.hadoop.fs.Path(out)
+          if (!fs.exists(dst)) fs.mkdirs(dst)
+          for (f <- fs.listStatus(tmpP))
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(dst, f.getPath.getName))
+          fs.delete(tmpP, true)
           // a single-key layout was JUST range-clustered — stamp its
           // manifest so the next MERGE prunes with zero footer reads
           // (skipped for ZORDER — the manifest is single-key — and for
@@ -549,7 +663,8 @@ case class GraftCloneCommand(srcPath: String, dstPath: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = LakehouseSql.longAttrs("files_cloned")
   override def run(spark: SparkSession): Seq[Row] = {
-    val n = Upsert.cloneSnapshot(spark, srcPath, dstPath)
+    val n = Upsert.cloneSnapshot(
+      spark, LakehouseSql.resolveRef(spark, srcPath), dstPath)
     Upsert.writeCommitInfo(dstPath, "CLONE", Seq("files_cloned" -> n.toLong))
     Seq(Row(n.toLong))
   }
@@ -562,7 +677,7 @@ case class GraftCloneCommand(srcPath: String, dstPath: String)
   * whose timestamp falls back to the directory mtime). Byte totals
   * count hard links at full size — the row answers "what does time
   * travel to v reach", not "unique bytes on disk". */
-case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
+case class GraftHistoryCommand(tableDirRef: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)(),
@@ -573,6 +688,7 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
     AttributeReference("commit_ts", org.apache.spark.sql.types.TimestampType,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val tableDir = LakehouseSql.resolveRef(spark, tableDirRef)
     val versions = Upsert.snapshotVersions(tableDir)
     require(versions.nonEmpty,
       s"DESCRIBE HISTORY: no v<id> snapshots under $tableDir")
@@ -586,7 +702,7 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
       Row(v, files.size.toLong, bytes, cur.contains(s"v$v"),
         info.map(_._1).orNull,
         new java.sql.Timestamp(info.map(_._2).getOrElse(
-          new java.io.File(s"$tableDir/v$v").lastModified)))
+          Upsert.commitTimestamp(tableDir, v))))
     }
   }
 }
@@ -597,7 +713,7 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
   * itself), and reports file/byte counts plus which sidecars ride the
   * resolved snapshot and who owns the table. Metadata-only — file
   * listings and size sums, no Spark job over data. */
-case class GraftDetailCommand(tableDir: String) extends LeafRunnableCommand {
+case class GraftDetailCommand(tableDirRef: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("location", StringType, nullable = false)(),
     AttributeReference("is_versioned", org.apache.spark.sql.types.BooleanType,
@@ -618,6 +734,7 @@ case class GraftDetailCommand(tableDir: String) extends LeafRunnableCommand {
     AttributeReference("last_commit_ts",
       org.apache.spark.sql.types.TimestampType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val tableDir = LakehouseSql.resolveRef(spark, tableDirRef)
     val cur = graft.streaming.Streams.currentSnapshot(tableDir)
     val versioned = cur.isDefined
     val snapshot = cur.getOrElse(tableDir)
@@ -628,21 +745,16 @@ case class GraftDetailCommand(tableDir: String) extends LeafRunnableCommand {
       s"DESCRIBE DETAIL: no CURRENT pointer and no .parquet files " +
         s"under '$tableDir' — not a graft table")
     val bytes = Layout.totalBytes(spark, files)
+    val sfs = graft.ops.Fs.of(snapshot, spark)
     def sidecar(name: String): Boolean =
-      new java.io.File(s"$snapshot/$name/_SUCCESS").isFile
+      sfs.exists(new org.apache.hadoop.fs.Path(s"$snapshot/$name/_SUCCESS"))
     val dvBytes = {
-      val d = new java.io.File(s"$snapshot/_dv")
-      if (!new java.io.File(d, "_SUCCESS").isFile) 0L
-      else d.listFiles().filter(_.isFile).map(_.length).sum
+      val d = new org.apache.hadoop.fs.Path(s"$snapshot/_dv")
+      if (!sfs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))) 0L
+      else sfs.listStatus(d).filter(_.isFile).map(_.getLen).sum
     }
-    val writer = {
-      val f = new java.io.File(tableDir, "_WRITER")
-      if (!f.isFile) None
-      else {
-        val src = scala.io.Source.fromFile(f)
-        try Some(src.mkString.trim) finally src.close()
-      }
-    }
+    val writer = graft.ops.Fs.readTextIfExists(sfs,
+      new org.apache.hadoop.fs.Path(tableDir, "_WRITER")).map(_.trim)
     val info = Upsert.readCommitInfo(snapshot)
     Seq(Row(
       tableDir, versioned,
@@ -651,7 +763,8 @@ case class GraftDetailCommand(tableDir: String) extends LeafRunnableCommand {
       if (versioned) Upsert.snapshotVersions(tableDir).size.toLong else 0L,
       files.size.toLong, bytes,
       sidecar("_manifest"), sidecar("_bloom"),
-      new java.io.File(s"$snapshot/_schema.json").isFile, dvBytes,
+      sfs.exists(new org.apache.hadoop.fs.Path(s"$snapshot/_schema.json")),
+      dvBytes,
       writer.orNull,
       info.map(_._1).orNull,
       info.map(i => new java.sql.Timestamp(i._2)).orNull))
@@ -664,11 +777,12 @@ case class GraftDetailCommand(tableDir: String) extends LeafRunnableCommand {
   * form resolves through the `_commitinfo` audit stamps at run time
   * ([[graft.ops.Upsert.versionAsOfTimestamp]]). */
 case class GraftRestoreCommand(
-    tableDir: String, versionArg: Long, tsMillis: Option[Long] = None)
+    tableDirRef: String, versionArg: Long, tsMillis: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("restored_version", "new_version", "files_linked")
   override def run(spark: SparkSession): Seq[Row] = {
+    val tableDir = LakehouseSql.resolveRef(spark, tableDirRef)
     val version = tsMillis
       .map(Upsert.versionAsOfTimestamp(tableDir, _)).getOrElse(versionArg)
     val versions = Upsert.snapshotVersions(tableDir)
@@ -693,8 +807,8 @@ case class GraftRestoreCommand(
       } catch { case e: Throwable =>
         // same contract as withCow: an in-process failure discards
         // the claim instead of leaving a half-built snapshot
-        org.apache.hadoop.fs.FileUtil.fullyDelete(
-          new java.io.File(s"$tableDir/v$next"))
+        graft.ops.Fs.of(tableDir, spark).delete(
+          new org.apache.hadoop.fs.Path(s"$tableDir/v$next"), true)
         throw e
       }
     LakehouseSql.publishOrAbort(tableDir, base, next, "RESTORE")
@@ -708,27 +822,58 @@ case class GraftRestoreCommand(
   * `CURRENT → v0`), from where MERGE/DELETE/RESTORE/time travel all
   * work. The SOURCE is never mutated (snapshots are immutable); a
   * pre-existing destination refuses rather than overwrites. */
-case class GraftConvertCommand(srcPath: String, dstPath: String)
+case class GraftConvertCommand(srcPathRef: String, dstPath: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     LakehouseSql.longAttrs("files_linked", "version")
   override def run(spark: SparkSession): Seq[Row] = {
-    require(!new java.io.File(s"$srcPath/CURRENT").exists,
+    val srcPath = LakehouseSql.resolveRef(spark, srcPathRef)
+    val sfs = graft.ops.Fs.of(srcPath, spark)
+    val dfs = graft.ops.Fs.of(dstPath, spark)
+    require(!sfs.exists(new org.apache.hadoop.fs.Path(s"$srcPath/CURRENT")),
       s"CONVERT: '$srcPath' is already a versioned table")
-    require(!new java.io.File(dstPath).exists,
+    require(!dfs.exists(new org.apache.hadoop.fs.Path(dstPath)),
       s"CONVERT: destination '$dstPath' already exists — refusing to overwrite")
     val n = Upsert.cloneSnapshot(spark, srcPath, s"$dstPath/v0")
     Upsert.writeCommitInfo(s"$dstPath/v0", "CONVERT", Seq(
       "files_linked" -> n.toLong))
-    val tmp = new java.io.File(s"$dstPath/CURRENT.tmp")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try w.print("v0") finally w.close()
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(s"$dstPath/CURRENT").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.ops.Fs.writeTextAtomic(dfs,
+      new org.apache.hadoop.fs.Path(dstPath, "CURRENT"), "v0")
     Seq(Row(n.toLong, 0L))
   }
+}
+
+
+/** `CREATE GRAFT TABLE <name> AT '<dir>'` — register a session-scoped
+  * alias in [[GraftCatalog]]. Re-creating an existing name repoints it
+  * (the catalog is an alias map, not storage). */
+case class GraftCreateTableCommand(name: String, path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.register(spark, name, path)
+    Seq(Row(name, path))
+  }
+}
+
+/** `DROP GRAFT TABLE <name>` — forget the alias (storage untouched). */
+case class GraftDropTableCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dropped", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftCatalog.drop(spark, name)))
+}
+
+/** `SHOW GRAFT TABLES` — the session's registered aliases. */
+case class GraftShowTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftCatalog.list(spark).map { case (n, p) => Row(n, p) }
 }
 
 /** Session parser wrapper: graft lakehouse statements lower to their

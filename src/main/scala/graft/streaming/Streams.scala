@@ -337,18 +337,16 @@ object Streams {
         // collide with future batch ids) a loud refusal instead of a
         // silent lost commit; a replay of THIS query (same
         // checkpoint) passes.
-        val ownerFile = new java.io.File(tableDir, "_WRITER")
+        val ownerPath = new org.apache.hadoop.fs.Path(tableDir, "_WRITER")
+        val ofs = graft.ops.Fs.of(tableDir, spark)
         val owner = s"stream:$checkpointDir"
-        if (ownerFile.exists) {
-          val src = scala.io.Source.fromFile(ownerFile)
-          val have = try src.mkString.trim finally src.close()
-          if (have != owner) throw new IllegalStateException(
+        graft.ops.Fs.readTextIfExists(ofs, ownerPath).map(_.trim) match {
+          case Some(have) if have != owner => throw new IllegalStateException(
             s"upsertSink: '$tableDir' is owned by '$have' — one writer " +
               s"per versioned table; this query is '$owner'")
-        } else {
-          new java.io.File(tableDir).mkdirs()
-          val ow = new java.io.PrintWriter(ownerFile, "UTF-8")
-          try ow.print(owner) finally ow.close()
+          case Some(_) => ()
+          case None =>
+            graft.ops.Fs.writeTextAtomic(ofs, ownerPath, owner)
         }
         // last row per key within the batch (CDC upsert convention)
         val w = org.apache.spark.sql.expressions.Window
@@ -364,10 +362,7 @@ object Streams {
         // swap already happened, and resolving CURRENT would feed
         // v<id> into its own rebuild (input deleted as output)
         val prev = {
-          val vs = Option(new java.io.File(tableDir).listFiles())
-            .getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-            .map(_.getName.drop(1).toLong).filter(_ < id)
+          val vs = graft.ops.Upsert.snapshotVersions(tableDir).filter(_ < id)
           if (vs.isEmpty) None else Some(s"$tableDir/v${vs.max}")
         }
         val next = s"$tableDir/v$id"
@@ -396,14 +391,8 @@ object Streams {
         if (cdf) graft.ops.Upsert.materializeCdf(spark, tableDir, id)
         // atomic pointer swap: write-then-rename so a reader sees the
         // old CURRENT or the new one, never a partial file
-        val tmp = new java.io.File(s"$tableDir/CURRENT.tmp")
-        val cur = new java.io.File(s"$tableDir/CURRENT")
-        val wtr = new java.io.PrintWriter(tmp, "UTF-8")
-        try wtr.print(s"v$id") finally wtr.close()
-        java.nio.file.Files.move(tmp.toPath, cur.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
+        graft.ops.Fs.writeTextAtomic(ofs,
+          new org.apache.hadoop.fs.Path(tableDir, "CURRENT"), s"v$id")
       }
       .start()
 
@@ -428,8 +417,9 @@ object Streams {
     // producer left at the default would otherwise hang on a silently
     // empty feed forever (a misconfigured producer/consumer pair must
     // fail loudly, not feed nothing).
-    val cdfRoot = new java.io.File(s"$tableDir/_cdf")
-    require(cdfRoot.isDirectory,
+    val cdfFs = graft.ops.Fs.of(tableDir, spark)
+    val cdfRoot = new org.apache.hadoop.fs.Path(s"$tableDir/_cdf")
+    require(cdfFs.exists(cdfRoot),
       s"cdfStream: $tableDir has no _cdf change feed — the producer is " +
         "not materializing it; pass cdf = true to Streams.upsertSink " +
         "(or call Upsert.materializeCdf per commit in a batch chain)")
@@ -439,11 +429,10 @@ object Streams {
     // replay those and then silently starve. A correctly configured
     // producer materializes every commit's feed, and vacuum never
     // reclaims CURRENT's, so CURRENT without a feed dir = cdf is off.
-    val cur = new java.io.File(s"$tableDir/CURRENT")
-    if (cur.isFile) {
-      val src = scala.io.Source.fromFile(cur, "UTF-8")
-      val v = try src.mkString.trim finally src.close()
-      require(new java.io.File(cdfRoot, v).isDirectory,
+    graft.ops.Fs.readTextIfExists(cdfFs,
+        new org.apache.hadoop.fs.Path(tableDir, "CURRENT"))
+      .map(_.trim).foreach { v =>
+      require(cdfFs.exists(new org.apache.hadoop.fs.Path(cdfRoot, v)),
         s"cdfStream: $tableDir's CURRENT ($v) has no materialized feed " +
           s"under _cdf — the producer stopped materializing the change " +
           "feed (restarted with cdf = false?); re-enable cdf = true on " +
@@ -516,13 +505,8 @@ object Streams {
   }
 
   /** Resolve the CURRENT snapshot path of an [[upsertSink]] table. */
-  def currentSnapshot(tableDir: String): Option[String] = {
-    val cur = new java.io.File(s"$tableDir/CURRENT")
-    if (!cur.exists) None
-    else {
-      val src = scala.io.Source.fromFile(cur)
-      val v = try src.mkString.trim finally src.close()
-      Some(s"$tableDir/$v")
-    }
-  }
+  def currentSnapshot(tableDir: String): Option[String] =
+    graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(tableDir),
+        new org.apache.hadoop.fs.Path(tableDir, "CURRENT"))
+      .map(v => s"$tableDir/${v.trim}")
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A Hadoop filesystem with a NON-`file` scheme that stores bytes
+  * locally — `graftmock:/tmp/x` resolves to `/tmp/x` through the
+  * Hadoop API only. Any lingering `java.io.File` call in the lakehouse
+  * layer would interpret the full `graftmock:/…` string as a RELATIVE
+  * local path (creating a literal `graftmock:` directory in the cwd)
+  * or simply miss the table — both detectable below. */
+class GraftMockFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FileStatus, Path}
+  override def getScheme: String = "graftmock"
+  override def getUri: java.net.URI = java.net.URI.create("graftmock:///")
+  // RawLocalFileSystem's DeprecatedRawLocalFileStatus loads permissions
+  // LAZILY via `new java.io.File(path.toUri)`, which rejects any scheme
+  // but `file` — materialize plain statuses (default permissions) so
+  // listings under the mock scheme don't trip Hadoop's own internals.
+  private def solid(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getPath)
+  override def getFileStatus(f: Path): FileStatus = solid(super.getFileStatus(f))
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(solid)
+}
+
+/** graft.ops.Fs + the lakehouse layer on a non-local scheme: every
+  * sidecar, pointer, claim, lock, and verb must route through the
+  * Hadoop FileSystem abstraction (VERDICT r10 #3 / ADVICE: sidecars
+  * written via java.io landed in a bogus local directory on hdfs/s3a
+  * paths). The mock keeps bytes on the local disk, so the spec can
+  * ALSO assert the artifacts landed where the scheme says they live. */
+class FsSubstrateSpec extends AnyFunSuite {
+
+  import graft.ops.Upsert
+
+  private lazy val spark = {
+    val s = GraftSession.local(4)
+    s.sparkContext.hadoopConfiguration.set(
+      "fs.graftmock.impl", classOf[GraftMockFileSystem].getName)
+    s
+  }
+
+  private val local = "/tmp/graft_fsmock"
+  private def base = s"graftmock:$local"
+
+  test("COW verb chain over a non-file scheme, artifacts land through the scheme") {
+    import spark.implicits._
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(local))
+    new java.io.File("graftmock:").delete() // stale bypass artifact, if any
+
+    spark.range(800).select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.parquet(s"$base/s0")
+
+    // MERGE commit: footer manifest, link→copy fallback (non-file
+    // scheme never hard-links), schema/manifest/commitinfo sidecars
+    val (c, r, n) = Upsert.upsertByKey(spark, s"$base/s0", s"$base/s1",
+      spark.range(100, 140).select($"id".as("k"), lit(-1L).as("v")), "k")
+    assert(n == 40 && c + r == 4 && r >= 1)
+    val s1 = Upsert.readWithDeletes(spark, s"$base/s1")
+    assert(s1.count() == 800)
+    assert(s1.filter($"v" === -1L).count() == 40)
+
+    // the sidecars live where the scheme stores bytes — and NOT in a
+    // bogus cwd-relative "graftmock:" directory (the java.io failure
+    // mode this spec exists to catch)
+    for (f <- Seq("_schema.json", "_commitinfo", "_manifest/_keys.json"))
+      assert(new java.io.File(s"$local/s1/$f").isFile, s"missing $f")
+    assert(!new java.io.File("graftmock:").exists,
+      "a raw java.io call resolved the scheme as a relative path")
+
+    // DV soft delete + fold
+    val (linked, dvN) = Upsert.deleteByKeyDV(spark, s"$base/s1", s"$base/s2",
+      spark.range(5).select(($"id" * 10).as("k")), "k")
+    assert(linked == 4 && dvN == 5)
+    assert(Upsert.readWithDeletes(spark, s"$base/s2").count() == 795)
+    val (_, _, folded) = Upsert.compactDeletes(spark, s"$base/s2", s"$base/s3")
+    assert(folded == 5)
+    assert(!new java.io.File(s"$local/s3/_dv").exists)
+
+    // clone + commit audit read-back through the scheme
+    assert(Upsert.cloneSnapshot(spark, s"$base/s3", s"$base/clone") > 0)
+    assert(Upsert.readCommitInfo(s"$base/s3").map(_._1).contains("COMPACT_DELETES"))
+  }
+
+  test("versioned SQL verbs over a non-file scheme: claim, lease lock, CAS publish") {
+    import spark.implicits._
+    val tblLocal = s"$local/versioned"
+    val tbl = s"graftmock:$tblLocal"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tblLocal))
+
+    spark.range(300).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(2, $"k").write.parquet(s"$base/convert_src")
+    spark.sql(s"CONVERT '$base/convert_src' TO VERSIONED '$tbl'")
+    assert(Upsert.snapshotVersions(tbl) == Seq(0L))
+
+    // MERGE claims the next version through the remote-claim branch
+    // (v1/_CLAIM create-exclusive) and publishes under the lease lock
+    spark.range(10).select($"id".as("k"), lit(-3L).as("v"))
+      .createOrReplaceTempView("fsmock_upd")
+    val stats = spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM fsmock_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    assert(stats.getLong(2) == 10)
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v1"))
+    assert(spark.read.parquet(s"$tbl/v1").filter($"v" === -3L).count() == 10)
+    // the claim marker is allowed to remain; it must be hidden from reads
+    assert(spark.read.parquet(s"$tbl/v1").columns.toSeq == Seq("k", "v"))
+
+    // DESCRIBE HISTORY / DETAIL / RESTORE / VACUUM all resolve the scheme
+    val hist = spark.sql(s"DESCRIBE HISTORY '$tbl'").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val detail = spark.sql(s"DESCRIBE DETAIL '$tbl'").collect()(0)
+    assert(detail.getBoolean(1) && detail.getLong(2) == 1L)
+    spark.sql(s"RESTORE '$tbl' TO VERSION 0")
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v2"))
+    assert(spark.read.parquet(s"$tbl/v2").filter($"v" === -3L).count() == 0)
+    val deleted = Upsert.vacuum(tbl, keep = 1)
+    assert(deleted == Seq(0L, 1L))
+    assert(!new java.io.File(s"$tblLocal/v0").exists)
+
+    // nothing leaked into a cwd-relative scheme-named directory
+    assert(!new java.io.File("graftmock:").exists,
+      "a raw java.io call resolved the scheme as a relative path")
+  }
+}

@@ -583,6 +583,54 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tbl/v3").count() == 300)
   }
 
+  test("catalog names: CREATE GRAFT TABLE, MERGE / SELECT / time-travel by name") {
+    import spark.implicits._
+    val tbl = s"$base/named"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(100).select($"id".as("k"), $"id".as("v"))
+      .repartitionByRange(2, $"k").write.parquet(s"$tbl/v0")
+    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
+    try w.print("v0") finally w.close()
+
+    val created = spark.sql(s"CREATE GRAFT TABLE mytbl AT '$tbl'").collect()(0)
+    assert(created.getString(0) == "mytbl" && created.getString(1) == tbl)
+    assert(spark.sql("SHOW GRAFT TABLES").collect()
+      .exists(r => r.getString(0) == "mytbl" && r.getString(1) == tbl))
+
+    // MERGE by name commits v1 through the same claim + CAS path
+    spark.range(3).select($"id".as("k"), lit(-1L).as("v"))
+      .createOrReplaceTempView("named_upd")
+    val stats = spark.sql(
+      """MERGE INTO 'mytbl' USING (SELECT * FROM named_upd) ON k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    assert(stats.getLong(2) == 3)
+    assert(Upsert.snapshotVersions(tbl) == Seq(0L, 1L))
+
+    // SELECT and time travel by name through the TVF
+    assert(spark.sql("SELECT * FROM graft_table('mytbl')")
+      .filter($"v" === -1L).count() == 3)
+    assert(spark.sql("SELECT * FROM graft_table('mytbl', 0)")
+      .filter($"v" === -1L).count() == 0)
+    // DESCRIBE HISTORY / RESTORE by name
+    assert(spark.sql("DESCRIBE HISTORY 'mytbl'").collect().length == 2)
+    spark.sql("RESTORE 'mytbl' TO VERSION 0")
+    assert(spark.sql("SELECT * FROM graft_table('mytbl')")
+      .filter($"v" === -1L).count() == 0)
+
+    // a bare unregistered name refuses with the remedy named
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("DESCRIBE HISTORY 'nosuchname'")
+    }
+    assert(e.getMessage.contains("CREATE GRAFT TABLE"), e.getMessage)
+
+    // DROP forgets the alias; storage untouched
+    assert(spark.sql("DROP GRAFT TABLE mytbl").collect()(0).getBoolean(0))
+    assert(new java.io.File(s"$tbl/v0").isDirectory)
+    assert(!spark.sql("SHOW GRAFT TABLES").collect()
+      .exists(_.getString(0) == "mytbl"))
+  }
+
   test("near-miss grammar fails loudly; ordinary SQL delegates untouched") {
     // quoted-path MERGE that doesn't match the full grammar → our error,
     // not Spark's catalog error

@@ -650,7 +650,20 @@ object QueriesCorpus {
   @volatile private var stagedFile: String = _
 
   private def fileStats(s: SparkSession, dir: String): DataFrame = {
-    val src = java.nio.file.Paths.get(s"$dir/orders.parquet")
+    val src0 = java.nio.file.Paths.get(s"$dir/orders.parquet")
+    // a directory-shaped table (multi-file scale tiers) stages ONE part
+    // file — stats are per-file, so a single footer is the whole gate,
+    // and the oracle reads the same staged file
+    val src =
+      if (!java.nio.file.Files.isDirectory(src0)) src0
+      else {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(src0)
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.toString).head
+        finally ls.close()
+      }
     val dst = stagingPath(dir)
     java.nio.file.Files.createDirectories(dst)
     val out = dst.resolve("orders.parquet")
@@ -716,7 +729,20 @@ object QueriesCorpus {
 
   private def stageToken(dir: String, srcTable: String): String = {
     val p = java.nio.file.Paths.get(s"$dir/$srcTable.parquet")
-    s"$dir:$srcTable:${java.nio.file.Files.size(p)}"
+    // directory-shaped tables (multi-file scale tiers) token on the SUM
+    // of file sizes — Files.size of a directory is the constant dirent
+    // size, which would serve stale staged bytes across regenerations
+    val sz =
+      if (!java.nio.file.Files.isDirectory(p)) java.nio.file.Files.size(p)
+      else {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(p)
+        try ls.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+        finally ls.close()
+      }
+    s"$dir:$srcTable:$sz"
   }
 
   private def writeStageMarker(marker: java.io.File, dir: String, srcTable: String): Unit = {
@@ -1059,6 +1085,36 @@ object QueriesCorpus {
          |INTO '$out'""".stripMargin).collect()(0)
     require(stats.getLong(0) > 0 && stats.getLong(1) > 0,
       s"SQL MERGE must split copy/rewrite: $stats")
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  // --- catalog-name MERGE (plans.GraftCatalog): q_sql_merge's exact
+  //     delivery addressed through a CREATE GRAFT TABLE alias instead
+  //     of the raw path — shares q_upsert's oracle, so name resolution
+  //     must be value-invisible.
+  private def sqlMergeNamed(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, cut) = stagedOrdersRange(s, dir, "_sqlmergenamed")
+    val out = bktBase(dir) + "_sqlmergenamed/out"
+    val orders = s.read.parquet(tbl)
+    orders.filter(col("o_orderkey") <= cut)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(
+        orders.orderBy(col("o_orderkey").desc).limit(500)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("o_orderstatus", lit("N")))
+      .createOrReplaceTempView("sqlmergenamed_updates")
+    s.sql(s"CREATE GRAFT TABLE merge_src AT '$tbl'")
+    val stats = s.sql(
+      s"""MERGE INTO 'merge_src' USING (SELECT * FROM sqlmergenamed_updates)
+         |ON o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |INTO '$out'""".stripMargin).collect()(0)
+    require(stats.getLong(0) > 0 && stats.getLong(1) > 0,
+      s"named SQL MERGE must split copy/rewrite: $stats")
     s.read.parquet(out)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),
@@ -1789,6 +1845,7 @@ object QueriesCorpus {
     "q_upsert_partitioned" -> (upsertPartitioned _),
     "q_sql_merge" -> (sqlMerge _),
     "q_sql_merge_composite" -> (sqlMergeComposite _),
+    "q_sql_merge_named" -> (sqlMergeNamed _),
     "q_sql_delete" -> (sqlDelete _),
     "q_sql_update" -> (sqlUpdate _),
     "q_sql_delete_where" -> (sqlDeleteWhere _),
@@ -1840,6 +1897,7 @@ object QueriesCorpus {
     "q_upsert_partitioned" -> upsertPartitionedSql,
     "q_sql_merge" -> upsertSql,
     "q_sql_merge_composite" -> upsertCompositeSql,
+    "q_sql_merge_named" -> upsertSql,
     "q_sql_delete" -> deleteSql,
     "q_sql_update" -> sqlUpdateSql,
     "q_sql_delete_where" -> sqlDeleteWhereSql,

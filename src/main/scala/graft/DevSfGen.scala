@@ -210,15 +210,25 @@ object DevSfGen {
       .withColumn("n_chars", length($"text"))
     write(docs, "documents")
 
-    // embeddings: 10 planted clusters in 64 dims — center + per-vector
-    // noise, so ANN/semantic-dedup neighbors are real, not uniform dust
+    // embeddings: WEAK cluster structure (0.25·center + unit noise —
+    // within-label cos ≈ 0.06, matching the sf0.1 shape where labels
+    // are near-tags) plus ~2% planted near-dups (vector 49 mod 50
+    // echoes its predecessor with ±0.05 noise). A first cut with TIGHT
+    // clusters (cos ≈ 0.94 within label) made every within-cell pair a
+    // semantic near-dup — 20M-edge connected components at 10× — which
+    // benchmarks the data shape, not the engine; planted pairs keep
+    // the dedup output real AND linear in corpus size.
     val nVec = 2000L * k
     val dim = 64
-    val lbl = pmod(h($"id" * 197L), lit(10L))
+    val vecDup = pmod($"id", lit(50L)) === 49L
+    val vecSrc = when(vecDup, $"id" - 1L).otherwise($"id")
+    val lbl = pmod(h(vecSrc * 197L), lit(10L))
     val emb = transform(sequence(lit(0), lit(dim - 1)), i => {
-      val center = (u(lbl * 64L + i.cast("long")) * 2.0 - 1.0)
-      val noise = (u($"id" * 211L + i.cast("long") * 199L) * 2.0 - 1.0) * 0.25
-      (center + noise).cast("float")
+      val center = (u(lbl * 64L + i.cast("long")) * 2.0 - 1.0) * 0.25
+      val noise = (u(vecSrc * 211L + i.cast("long") * 199L) * 2.0 - 1.0)
+      val dupJitter = when(vecDup,
+        (u($"id" * 223L + i.cast("long")) * 2.0 - 1.0) * 0.05).otherwise(0.0)
+      (center + noise + dupJitter).cast("float")
     })
     write(spark.range(nVec).select(
       $"id".as("vec_id"), emb.as("embedding"), lbl.cast("int").as("label")),

@@ -961,13 +961,24 @@ object Upsert {
   def applyCdcBatch(
       spark: SparkSession, tablePath: String, outPath: String,
       batch: DataFrame, keyCol: String, opCol: String,
+      allowSchemaEvolution: Boolean = false): (Int, Int, Long, Long) =
+    applyCdcBatchKeys(spark, tablePath, outPath, batch, Seq(keyCol), opCol,
+      allowSchemaEvolution)
+
+  /** [[applyCdcBatch]] on a COMPOSITE key — tuple-granular eviction,
+    * leading-component pruning, same one-commit CDC semantics.
+    *
+    * @return (filesCopied, filesRewritten, upsertRows, deleteRows) */
+  def applyCdcBatchKeys(
+      spark: SparkSession, tablePath: String, outPath: String,
+      batch: DataFrame, keyCols: Seq[String], opCol: String,
       allowSchemaEvolution: Boolean = false): (Int, Int, Long, Long) = {
     val upserts = batch.filter(col(opCol) =!= "d").drop(opCol)
     val nUp = upserts.count()
     val nDel = batch.filter(col(opCol) === "d").count()
     val (c, r) = commit(spark, tablePath, outPath,
-      evictKeys = batch.select(col(keyCol)), append = Some(upserts),
-      keyCols = Seq(keyCol), allowSchemaEvolution = allowSchemaEvolution,
+      evictKeys = batch.select(keyCols.map(col): _*), append = Some(upserts),
+      keyCols = keyCols, allowSchemaEvolution = allowSchemaEvolution,
       nKeysHint = nUp + nDel)
     writeCommitInfo(outPath, "CDC", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,

@@ -327,6 +327,19 @@ object Streams {
       keyCol: String, orderCol: String, opCol: Option[String] = None,
       dropCols: Seq[String] = Nil, cdf: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    upsertSinkKeys(df, tableDir, checkpointDir, Seq(keyCol), orderCol,
+      opCol, dropCols, cdf)
+
+  /** [[upsertSink]] on a COMPOSITE key: last-per-TUPLE within each
+    * batch, tuple-granular MERGE commits
+    * ([[graft.ops.Upsert.upsertByKeys]]) — the natural-grain CDC sink
+    * (e.g. a (tree_ID, YEAR) annualized table maintained from a
+    * stream). */
+  def upsertSinkKeys(
+      df: DataFrame, tableDir: String, checkpointDir: String,
+      keyCols: Seq[String], orderCol: String, opCol: Option[String] = None,
+      dropCols: Seq[String] = Nil, cdf: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
@@ -348,9 +361,9 @@ object Streams {
           case None =>
             graft.ops.Fs.writeTextAtomic(ofs, ownerPath, owner)
         }
-        // last row per key within the batch (CDC upsert convention)
+        // last row per key TUPLE within the batch (CDC upsert convention)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+          .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
         val perKey = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
@@ -368,9 +381,9 @@ object Streams {
         val next = s"$tableDir/v$id"
         (prev, opCol) match {
           case (Some(p), Some(op)) =>
-            graft.ops.Upsert.applyCdcBatch(spark, p, next, perKey, keyCol, op)
+            graft.ops.Upsert.applyCdcBatchKeys(spark, p, next, perKey, keyCols, op)
           case (Some(p), None) =>
-            graft.ops.Upsert.upsertByKey(spark, p, next, perKey, keyCol)
+            graft.ops.Upsert.upsertByKeys(spark, p, next, perKey, keyCols)
           case (None, Some(op)) =>
             val init = perKey.filter(col(op) =!= "d").drop(op)
             init.write.mode("overwrite").parquet(next)
@@ -463,6 +476,14 @@ object Streams {
   def mirrorFromCdf(
       spark: SparkSession, srcTableDir: String, dstTableDir: String,
       checkpointDir: String, keyCol: String, cdf: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    mirrorFromCdfKeys(spark, srcTableDir, dstTableDir, checkpointDir,
+      Seq(keyCol), cdf)
+
+  /** [[mirrorFromCdf]] on a COMPOSITE key. */
+  def mirrorFromCdfKeys(
+      spark: SparkSession, srcTableDir: String, dstTableDir: String,
+      checkpointDir: String, keyCols: Seq[String], cdf: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val feed = cdfStream(spark, srcTableDir)
       .withColumn("__op",
@@ -471,7 +492,7 @@ object Streams {
         col("_commit_version") * 2 +
           when(col("_change_type") === "insert", 1).otherwise(0))
       .drop("_change_type", "_commit_version")
-    upsertSink(feed, dstTableDir, checkpointDir, keyCol,
+    upsertSinkKeys(feed, dstTableDir, checkpointDir, keyCols,
       orderCol = "__ord", opCol = Some("__op"), dropCols = Seq("__ord"),
       cdf = cdf)
   }

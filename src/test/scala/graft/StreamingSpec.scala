@@ -440,6 +440,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(!cur.columns.contains("op"), "op column must not be stored")
   }
 
+  test("composite-key streaming CDC sink: tuple-granular merges and deletes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val tbl = java.nio.file.Files.createTempDirectory("cdccomp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdccompck").toString
+    val input = MemoryStream[(Long, Long, Long, String, String)]
+    val q = Streams.upsertSinkKeys(
+      input.toDF().toDF("k1", "k2", "seq", "v", "op"), tbl, ckpt,
+      keyCols = Seq("k1", "k2"), orderCol = "seq", opCol = Some("op"))
+    // batch 0: tuples sharing k1 but differing in k2 are DISTINCT keys
+    input.addData((1L, 0L, 1L, "a", "c"), (1L, 1L, 2L, "b", "c"),
+      (2L, 0L, 3L, "c", "c"))
+    q.processAllAvailable()
+    // batch 1: delete (1,0) only; update (1,1); same-batch last-per-TUPLE
+    // on (2,0); insert a new tuple reusing k1=2
+    input.addData((1L, 0L, 4L, null, "d"), (1L, 1L, 5L, "b2", "u"),
+      (2L, 0L, 6L, "mid", "u"), (2L, 0L, 7L, "c2", "u"),
+      (2L, 9L, 8L, "z", "c"))
+    q.processAllAvailable()
+    q.stop()
+    val cur = spark.read.parquet(Streams.currentSnapshot(tbl).get)
+    val state = cur.select($"k1", $"k2", $"v").as[(Long, Long, String)]
+      .collect().map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(state == Map((1L, 1L) -> "b2", (2L, 0L) -> "c2", (2L, 9L) -> "z"),
+      s"composite CDC state wrong: $state")
+  }
+
   test("table ownership: SQL commits refuse a stream-owned table; other writers refused") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

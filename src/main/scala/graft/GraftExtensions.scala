@@ -67,8 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                   s"or a timestamp string literal, got $other")
             }
             val d = s"$dir/v$v"
-            require(graft.ops.Fs.of(d, spark)
-                .exists(new org.apache.hadoop.fs.Path(d)),
+            val dp = new org.apache.hadoop.fs.Path(d)
+            val dfs = graft.ops.Fs.of(d, spark)
+            // isDirectory, not exists: a stray regular FILE named v<N>
+            // must get this message, not a parquet-reader error
+            require(dfs.exists(dp) && dfs.getFileStatus(dp).isDirectory,
               s"graft_table: snapshot v$v not found under $dir (have: " +
                 s"${graft.ops.Upsert.snapshotVersions(dir).mkString(",")}) — " +
                 "vacuumed or never written")

@@ -58,8 +58,7 @@ object Fs {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  def of(path: String): FileSystem =
-    new Path(path).getFileSystem(activeConf())
+  def of(path: String): FileSystem = of(path, activeConf())
 
   def readText(fs: FileSystem, path: Path): String = {
     val in = fs.open(path)
@@ -95,7 +94,10 @@ object Fs {
 
   /** Atomically create `path` with `text` IFF it does not exist —
     * the compare-and-set primitive the OCC commit protocol claims
-    * versions with. Returns false when someone else holds it. */
+    * versions with. Returns false ONLY on already-exists (someone else
+    * holds it); a genuine I/O failure (permissions, network, quota)
+    * rethrows — misreporting it as contention would send the operator
+    * hunting for a lease that was never created. */
   def createExclusive(fs: FileSystem, path: Path, text: String): Boolean = {
     val parent = path.getParent
     if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
@@ -103,7 +105,14 @@ object Fs {
       val out = fs.create(path, false)
       try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      // Hadoop's local create throws plain IOException("... already
+      // exists") on some builds — match the message, rethrow the rest
+      case e: java.io.IOException
+          if String.valueOf(e.getMessage).contains("already exists") => false
+    }
   }
 
   /** Child directories of `dir` (empty when `dir` is absent). */

@@ -46,9 +46,15 @@ object Upsert {
     import org.apache.hadoop.fs.{Path => HPath}
     val r = new HPath(root).toUri.getPath.stripSuffix("/")
     val f = new HPath(file).toUri.getPath
-    require(f.startsWith(r + "/"),
-      s"relPath: $file is not under $root")
-    f.substring(r.length + 1)
+    // a single-FILE parquet table lists itself (Layout.listDataFiles
+    // returns the file when tablePath IS a regular file) — its
+    // manifest key is its basename, same as the flat-dir convention
+    if (f == r) new HPath(f).getName
+    else {
+      require(f.startsWith(r + "/"),
+        s"relPath: $file is not under $root")
+      f.substring(r.length + 1)
+    }
   }
 
   /** Hive partition-directory value of `colName` in a relative path
@@ -121,23 +127,66 @@ object Upsert {
     * [[writeManifestSidecar]] all build it here). */
   private def footerBounds(
       spark: SparkSession, files: Seq[String], keyCol: String,
-      keyType: DataType, root: String): DataFrame = {
+      keyType: DataType, root: String): DataFrame =
+    footerBoundsMulti(spark, files, Seq(keyCol -> keyType), root)
+
+  /** [[footerBounds]] for SEVERAL key columns sharing ONE footer-stats
+    * pass — a composite-key commit must not re-read the identical
+    * fresh-file footers once per key. Partition-column keys resolve
+    * from the directory names (no read at all); the data-column keys
+    * aggregate out of a single [[Layout.parquetFileStatsFor]] frame via
+    * conditional min/max per key, then unpivot back to the manifest's
+    * (file, key, mn, mx) row shape. */
+  private def footerBoundsMulti(
+      spark: SparkSession, files: Seq[String],
+      keys: Seq[(String, DataType)], root: String): DataFrame = {
     import spark.implicits._
     val rels = files.map(f => (f, relPath(root, f)))
-    val partVals = rels.map { case (_, rel) => partitionValueOf(rel, keyCol) }
-    if (partVals.nonEmpty && partVals.forall(_.isDefined))
-      rels.zip(partVals)
-        .map { case ((_, rel), v) => (rel, keyCol, v.get, v.get) }
+    val (pKeys, dKeys) = keys.partition { case (k, _) =>
+      rels.nonEmpty &&
+        rels.forall { case (_, rel) => partitionValueOf(rel, k).isDefined }
+    }
+    val pParts = pKeys.map { case (k, _) =>
+      rels.map { case (_, rel) =>
+        val v = partitionValueOf(rel, k).get
+        (rel, k, v, v)
+      }.toDF("file", "key", "mn", "mx")
+    }
+    val dParts =
+      if (dKeys.isEmpty) Nil
+      else {
+        val agg = Layout.parquetFileStatsFor(spark, files)
+          .filter(col("column").isin(dKeys.map(_._1): _*))
+          .join(broadcast(rels.toDF("file", "rel")), Seq("file"))
+          .groupBy(col("rel"))
+          .agg(
+            dKeys.head match { case (k, t) =>
+              min(when(col("column") === k, col("min_value").cast(t)))
+                .cast("string").as(s"mn_$k")
+            },
+            dKeys.flatMap { case (k, t) =>
+              val mnE = min(when(col("column") === k, col("min_value").cast(t)))
+                .cast("string").as(s"mn_$k")
+              val mxE = max(when(col("column") === k, col("max_value").cast(t)))
+                .cast("string").as(s"mx_$k")
+              if (k == dKeys.head._1) Seq(mxE) else Seq(mnE, mxE)
+            }: _*)
+        dKeys.map { case (k, _) =>
+          agg
+            // a file with NO rows for this column gets no manifest row
+            // (parity with the old per-key groupBy-after-filter shape);
+            // all-null stats keep their row with null bounds, which the
+            // pruning `between` treats as never-touched either way
+            .filter(col(s"mn_$k").isNotNull || col(s"mx_$k").isNotNull)
+            .select(col("rel").as("file"), lit(k).as("key"),
+              col(s"mn_$k").as("mn"), col(s"mx_$k").as("mx"))
+        }
+      }
+    val parts = pParts ++ dParts
+    if (parts.isEmpty)
+      spark.emptyDataset[(String, String, String, String)]
         .toDF("file", "key", "mn", "mx")
-    else
-      Layout.parquetFileStatsFor(spark, files)
-        .filter(col("column") === keyCol)
-        .join(broadcast(rels.toDF("file", "rel")), Seq("file"))
-        .groupBy(col("rel"))
-        .agg(min(col("min_value").cast(keyType)).cast("string").as("mn"),
-          max(col("max_value").cast(keyType)).cast("string").as("mx"))
-        .withColumn("key", lit(keyCol))
-        .select(col("rel").as("file"), col("key"), col("mn"), col("mx"))
+    else parts.reduce(_ unionByName _)
   }
 
   /** `_manifest/_keys.json`: the key columns the sidecar carries rows
@@ -269,6 +318,20 @@ object Upsert {
         "compares footer min/max in the key's native type and other " +
         "types don't round-trip through footer-stat text")
 
+  /** Clear a previous crashed run's leftovers from a claimed output
+    * dir WITHOUT un-claiming it: children delete individually, the dir
+    * itself and a remote-claim `_CLAIM` marker survive. (Deleting the
+    * whole dir — the old behavior — made the version number invisible
+    * to a concurrent `claimNextVersion` for a moment, so two
+    * committers could build into the same directory.) */
+  private def clearLeftovers(
+      ofs: org.apache.hadoop.fs.FileSystem,
+      out: org.apache.hadoop.fs.Path): Unit =
+    if (ofs.exists(out))
+      ofs.listStatus(out)
+        .filterNot(_.getPath.getName == "_CLAIM")
+        .foreach(st => ofs.delete(st.getPath, true))
+
   /** Hard-link (same local filesystem; O(1) metadata each) or
     * byte-copy `files` into `outDir`, keeping each file's path
     * RELATIVE to `srcRoot` — so Hive partition directories carry
@@ -342,10 +405,11 @@ object Upsert {
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // empty existing dir (or one holding only a remote-claim _CLAIM
-    // marker) = claimed version number (see commit); keep it
-    if (ofs.exists(out) &&
-        ofs.listStatus(out).exists(_.getPath.getName != "_CLAIM"))
-      ofs.delete(out, true)
+    // marker) = claimed version number (see commit); keep it — and a
+    // crash-leftover dir clears its CONTENTS, never the dir or the
+    // marker (deleting either would momentarily un-claim the version
+    // and let a concurrent claimer grab the same number)
+    clearLeftovers(ofs, out)
     linkOrCopyAll(spark, all, tablePath, outPath)
     for (sc <- Seq("_manifest", "_bloom", "_dv")) {
       val fs = sidecarFiles(spark, tablePath, sc)
@@ -470,9 +534,7 @@ object Upsert {
     require(all.nonEmpty, s"deleteByKeyDV: no .parquet files under $tablePath")
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (ofs.exists(out) &&
-        ofs.listStatus(out).exists(_.getPath.getName != "_CLAIM"))
-      ofs.delete(out, true)
+    clearLeftovers(ofs, out)
     linkOrCopyAll(spark, all, tablePath, outPath)
     for (sc <- Seq("_manifest", "_bloom")) {
       val fs = sidecarFiles(spark, tablePath, sc)
@@ -709,14 +771,13 @@ object Upsert {
 
     val out = new HPath(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an EXISTING EMPTY dir (or one holding only a remote-claim
-    // _CLAIM marker) is a claimed version number from the
-    // optimistic-concurrency protocol (plans.LakehouseSql) — deleting
-    // and recreating it would reopen the claim race window, so only a
-    // non-empty leftover from a previous run is cleared
-    if (ofs.exists(out) &&
-        ofs.listStatus(out).exists(_.getPath.getName != "_CLAIM"))
-      ofs.delete(out, true)
+    // an EXISTING dir may be a claimed version number from the
+    // optimistic-concurrency protocol (plans.LakehouseSql): leftovers
+    // from a crashed previous run clear CONTENT-wise — the dir and any
+    // _CLAIM marker stay, because deleting either reopens the claim
+    // race window (a concurrent claimNextVersion would stop seeing the
+    // version and hand the same number to another committer)
+    clearLeftovers(ofs, out)
     ofs.mkdirs(out)
 
     // Untouched files: HARD-LINK when both ends are the local
@@ -739,9 +800,13 @@ object Upsert {
       if (touchedPaths.isEmpty) None
       else {
         // basePath keeps partition-directory columns alive on a direct
-        // file read of a Hive layout (harmless on a flat one)
-        val touchedRows = spark.read.option("basePath", tablePath)
-          .schema(baseLogical).parquet(touchedPaths: _*)
+        // file read of a Hive layout; only set there — Spark refuses a
+        // non-directory basePath, and a single-FILE table's path is one
+        val reader0 = spark.read.schema(baseLogical)
+        val reader =
+          if (partCols.isEmpty) reader0
+          else reader0.option("basePath", tablePath)
+        val touchedRows = reader.parquet(touchedPaths: _*)
         // broadcast while the key batch is provably small; a huge
         // MERGE batch anti-joins by shuffle instead of OOMing the
         // driver on the broadcast build
@@ -816,12 +881,20 @@ object Upsert {
     // untouched list, which is table-sized; manifest rows are already
     // relative paths, so linked files carry over verbatim. The output
     // manifest carries bounds for EVERY key column (pruning uses the
-    // leading one, but a later commit may lead with another component);
-    // non-leading bounds for a legacy table come from one footer sweep
-    // here (bootstrap price — carried forever after).
-    val carriedAll = keyCols.zip(keyTypes).map { case (k, t) =>
-      if (k == leadCol) manifest else keyBounds(spark, tablePath, k, t)
-    }.reduce(_ unionByName _)
+    // leading one, but a later commit may lead with another component).
+    // Non-leading bounds resolve from the cached sidecar when it covers
+    // them; ALL cache misses share one footer sweep (bootstrap price,
+    // paid once — and never once per key).
+    val nonLead = keyCols.zip(keyTypes).filter(_._1 != leadCol)
+    val (cachedKs, missingKs) = nonLead.partition { case (k, _) =>
+      cachedBounds(spark, tablePath, k).isDefined
+    }
+    val carriedAll = (
+      Seq(manifest) ++
+        cachedKs.map { case (k, _) => cachedBounds(spark, tablePath, k).get } ++
+        (if (missingKs.isEmpty) Nil
+         else Seq(footerBoundsMulti(spark, all, missingKs, tablePath)))
+    ).reduce(_ unionByName _)
     val carried =
       if (touched.isEmpty) carriedAll
       else carriedAll.filter(!col("file").isin(touched.toSeq: _*))
@@ -829,9 +902,7 @@ object Upsert {
       .filterNot(f => untouchedRels.contains(relPath(outPath, f)))
     val fresh =
       if (freshFiles.isEmpty) carried.limit(0)
-      else keyCols.zip(keyTypes).map { case (k, t) =>
-        footerBounds(spark, freshFiles, k, t, outPath)
-      }.reduce(_ unionByName _)
+      else footerBoundsMulti(spark, freshFiles, keyCols.zip(keyTypes), outPath)
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
     writeManifestKeys(spark, outPath, keyCols)

@@ -443,7 +443,12 @@ object LakehouseSql {
   * path. PATHS REMAIN THE STORAGE TRUTH — the catalog is a pure alias
   * map (nothing is written to disk; a name dies with the session),
   * which is exactly what a multi-statement session needs to stop
-  * repeating long paths. Scoped by `SparkSession.sessionUUID` so
+  * repeating long paths. Scope boundary: the id rides the session's
+  * SQL conf, so a CLONED session (newSession copies the conf) shares
+  * its parent's namespace by design — sibling sessions built from
+  * separate builders do not. Entries live as long as the JVM (the map
+  * holds name→path strings only — bytes, not resources — and a
+  * session's aliases are droppable with DROP GRAFT TABLE). Scoped by `SparkSession.sessionUUID` so
   * concurrent sessions in one JVM can't see each other's names. */
 object GraftCatalog {
   private val tables =
@@ -636,9 +641,15 @@ case class GraftOptimizeCommand(
             }
           val dst = new org.apache.hadoop.fs.Path(out)
           if (!fs.exists(dst)) fs.mkdirs(dst)
-          for (f <- fs.listStatus(tmpP))
-            fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(dst, f.getPath.getName))
+          for (f <- fs.listStatus(tmpP)) {
+            val to = new org.apache.hadoop.fs.Path(dst, f.getPath.getName)
+            // a silent rename failure followed by the tmp delete below
+            // would publish a snapshot MISSING data files — refuse loudly
+            if (!fs.rename(f.getPath, to))
+              throw new java.io.IOException(
+                s"OPTIMIZE: rename ${f.getPath} -> $to failed; " +
+                  "the claimed snapshot is incomplete and was not published")
+          }
           fs.delete(tmpP, true)
           // a single-key layout was JUST range-clustered — stamp its
           // manifest so the next MERGE prunes with zero footer reads

@@ -97,6 +97,61 @@ class SchemaLineagePropSpec extends AnyFunSuite {
     }
   }
 
+  test("PARTITIONED verb chains: sidecar read equals the footer sweep; partition values survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val keys = Seq("p", "k")
+
+    for (chain <- 0 until 2) {
+      val root = s"$base/part$chain"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      spark.range(600)
+        .select(pmod($"id", lit(3L)).cast("int").as("p"),
+          $"id".as("k"), ($"id" * 2).as("v"))
+        .repartitionByRange(2, $"k")
+        .write.partitionBy("p").parquet(s"$root/s0")
+      var cur = s"$root/s0"
+      var evolved = 0
+
+      for (step <- 1 to 6) {
+        val out = s"$root/s$step"
+        val verb = if (step == 1) 0 else rnd.nextInt(5)
+        verb match {
+          case 0 => // tuple upsert over the live view
+            val live = Upsert.readWithDeletes(spark, cur)
+            Upsert.upsertByKeys(spark, cur, out,
+              live.filter(pmod($"k", lit(11L)) === (step % 11).toLong)
+                .withColumn("v", lit(-1L * step)),
+              keys)
+          case 1 => // schema-evolving tuple upsert on the partitioned grain
+            evolved += 1
+            Upsert.upsertByKeys(spark, cur, out,
+              Seq((rnd.nextInt(3), rnd.nextInt(600).toLong, -2L,
+                s"e$evolved")).toDF("p", "k", "v", s"pc$evolved"),
+              keys, allowSchemaEvolution = true)
+          case 2 => // tuple delete
+            Upsert.deleteByKeys(spark, cur, out,
+              spark.range(rnd.nextInt(15) + 1)
+                .select(pmod($"id", lit(3L)).cast("int").as("p"),
+                  ($"id" * 5 + rnd.nextInt(40)).as("k")), keys)
+          case 3 => // predicate update, partition-led
+            Upsert.updateWhereKeys(spark, cur, out, keys,
+              $"p" === rnd.nextInt(3) && $"k" % 7 === 0,
+              Seq("v" -> ($"v" + 1000L)))
+          case _ => // shallow clone must carry partition dirs verbatim
+            Upsert.cloneSnapshot(spark, cur, out)
+        }
+        assertSameLogical(out, s"partitioned chain $chain step $step")
+        // the partition column never degrades: every row still carries
+        // a concrete p, and dir-derived values equal the stored grain
+        val got = Upsert.readWithDeletes(spark, out)
+        assert(got.filter($"p".isNull).count() == 0,
+          s"chain $chain step $step: partition values lost")
+        cur = out
+      }
+    }
+  }
+
   test("composite-key verb chains: sidecar read equals the footer sweep at every step") {
     import spark.implicits._
     val rnd = new scala.util.Random(1337L)

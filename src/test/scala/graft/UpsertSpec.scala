@@ -935,6 +935,28 @@ class UpsertSpec extends AnyFunSuite {
     assert(viaSidecar.count() == 890)
   }
 
+  test("single-FILE parquet table: commit verbs work (relPath identity edge)") {
+    import spark.implicits._
+    val dir = s"$base/singlefile_src"; val out = s"$base/singlefile_out"
+    spark.range(200).select($"id".as("k"), $"id".as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // point the verb at the FILE itself — Layout.listDataFiles returns
+    // the file when the table path IS a regular file, and relPath must
+    // key it by basename instead of refusing
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val (c, r, n) = Upsert.upsertByKey(spark, file, out,
+      Seq((5L, -5L), (1000L, -7L)).toDF("k", "v"), "k")
+    assert(n == 2 && c + r == 1)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 201)
+    assert(got.filter($"k" === 5).select("v").as[Long].head() == -5L)
+    // clone of a single-file table keeps the basename
+    val cl = s"$base/singlefile_clone"
+    assert(Upsert.cloneSnapshot(spark, file, cl) == 1)
+    assert(spark.read.parquet(cl).count() == 200)
+  }
+
   test("sidecar key-presence check is metadata-only: no Spark job") {
     import spark.implicits._
     val tbl = s"$base/keysmeta"

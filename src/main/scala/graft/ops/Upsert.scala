@@ -173,10 +173,14 @@ object Upsert {
             }: _*)
         dKeys.map { case (k, _) =>
           agg
-            // a file with NO rows for this column gets no manifest row
-            // (parity with the old per-key groupBy-after-filter shape);
-            // all-null stats keep their row with null bounds, which the
-            // pruning `between` treats as never-touched either way
+            // a file with NO footer stats rows for this column — absent
+            // from its files, or all-null so min AND max aggregate to
+            // null — gets NO manifest row (parity with the old per-key
+            // groupBy-after-filter shape). Absent row = "no non-null
+            // value of this column in the file": commit pruning treats
+            // the file as untouched (an evict key never equals NULL),
+            // and a comparison-predicate pruned read skips it (a
+            // comparison never matches NULL) — both correct
             .filter(col(s"mn_$k").isNotNull || col(s"mx_$k").isNotNull)
             .select(col("rel").as("file"), lit(k).as("key"),
               col(s"mn_$k").as("mn"), col(s"mx_$k").as("mx"))
@@ -220,10 +224,23 @@ object Upsert {
     * not shadow the footer fallback). Key membership comes from the
     * `_keys.json` stamp when present — a metadata read, NO Spark job
     * (the old `limit(1).count()` probe ran one empty-stage job per
-    * commit just to test presence); a legacy sidecar without the stamp
-    * pays the probe once more. */
+    * commit just to test presence).
+    *
+    * A LEGACY sidecar (no `_keys.json` stamp) is only trusted after
+    * its file keys prove a SUBSET of the live listing's relative
+    * paths: the pre-r11 writer stamped BASENAME keys without refusing
+    * Hive-partitioned layouts, and on such a table the basenames never
+    * match the relative-path classification — `touched` comes back
+    * empty and a MERGE appends duplicate keys / a DELETE removes
+    * nothing, silently. A mismatched legacy sidecar falls back to
+    * footers (correct, one sweep) instead. The subset probe is one
+    * small job over the sidecar (replacing the old one-row probe);
+    * `liveRels` lets callers that already listed the snapshot share
+    * the listing (null → list here, lazily — only the legacy path
+    * pays it). */
   private[graft] def cachedBounds(
-      spark: SparkSession, tablePath: String, keyCol: String)
+      spark: SparkSession, tablePath: String, keyCol: String,
+      liveRels: () => Set[String] = null)
       : Option[DataFrame] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val md = new HPath(manifestDir(tablePath))
@@ -243,13 +260,21 @@ object Upsert {
             .filter(col("key") === keyCol))
         }
       case None =>
-        // legacy sidecar (pre-_keys.json): inference + a one-row probe
+        // legacy sidecar (pre-_keys.json): inference + the subset probe
         val bounds = spark.read.parquet(md.toString)
           .filter(col("key") === keyCol)
           // pre-r9 sidecars stored long bounds; normalize to text
           .withColumn("mn", col("mn").cast("string"))
           .withColumn("mx", col("mx").cast("string"))
-        Some(bounds).filter(_.limit(1).count() > 0)
+        val sidecarFiles = bounds.select(col("file")).distinct()
+          .collect().map(_.getString(0))
+        if (sidecarFiles.isEmpty) None
+        else {
+          val live = Option(liveRels).map(_.apply()).getOrElse(
+            Layout.listDataFiles(spark, tablePath)
+              .map(f => relPath(tablePath, f)).toSet)
+          if (sidecarFiles.forall(live.contains)) Some(bounds) else None
+        }
     }
   }
 
@@ -271,8 +296,8 @@ object Upsert {
     * role a table format's checkpoint/manifest plays. */
   private def keyBounds(
       spark: SparkSession, tablePath: String, keyCol: String,
-      keyType: DataType): DataFrame =
-    cachedBounds(spark, tablePath, keyCol).getOrElse(
+      keyType: DataType, liveRels: () => Set[String] = null): DataFrame =
+    cachedBounds(spark, tablePath, keyCol, liveRels).getOrElse(
       footerBounds(spark, Layout.listDataFiles(spark, tablePath),
         keyCol, keyType, tablePath))
 
@@ -730,10 +755,15 @@ object Upsert {
     val leadCol = keyCols.head
     val leadType = keyTypes.head
 
+    // the live listing's relative paths, shared by every sidecar
+    // validation below (computed at most once, only when a legacy
+    // unstamped sidecar needs the subset probe)
+    lazy val liveRels: Set[String] = all.map(f => relPath(tablePath, f)).toSet
+
     // per-FILE key bounds of the LEADING key: cached sidecar manifest,
     // or footer stats (row-group stats aggregated up; no data pages
     // read either way)
-    val manifest = keyBounds(spark, tablePath, leadCol, leadType)
+    val manifest = keyBounds(spark, tablePath, leadCol, leadType, () => liveRels)
 
     // distinct key TUPLES, cast to native types, positionally renamed
     // __k0..__kN — pruning consults the leading component, eviction the
@@ -886,12 +916,30 @@ object Upsert {
     // them; ALL cache misses share one footer sweep (bootstrap price,
     // paid once — and never once per key).
     val nonLead = keyCols.zip(keyTypes).filter(_._1 != leadCol)
-    val (cachedKs, missingKs) = nonLead.partition { case (k, _) =>
-      cachedBounds(spark, tablePath, k).isDefined
+    // STATS columns — stamped manifest keys beyond this commit's
+    // keyCols ([[writeStatsSidecar]]) — carry through like key bounds:
+    // linked files' rows ride verbatim, fresh files get their bounds
+    // in the same single footer pass, and the new stamp keeps them, so
+    // general data skipping survives any number of commits. A stamped
+    // column absent from the logical schema (dropped by a rewrite)
+    // falls out of the stamp here.
+    val extraKeys: Seq[(String, DataType)] =
+      readManifestKeys(spark, tablePath)
+        .map(_ -- keyCols).getOrElse(Set.empty)
+        .toSeq.sorted
+        .flatMap(k => baseLogical.fields.find(_.name == k)
+          .map(f => k -> f.dataType))
+        .filter { case (_, t) => isManifestKeyType(t) }
+    // resolve each non-leading/extra key's cached sidecar ONCE — a
+    // legacy unstamped sidecar runs a probe job per cachedBounds call,
+    // and the old shape paid it twice per key (partition + get)
+    val resolvedCaches = (nonLead ++ extraKeys).map { case (k, t) =>
+      (k, t, cachedBounds(spark, tablePath, k, () => liveRels))
     }
+    val missingKs = resolvedCaches.collect { case (k, t, None) => (k, t) }
     val carriedAll = (
       Seq(manifest) ++
-        cachedKs.map { case (k, _) => cachedBounds(spark, tablePath, k).get } ++
+        resolvedCaches.collect { case (_, _, Some(df)) => df } ++
         (if (missingKs.isEmpty) Nil
          else Seq(footerBoundsMulti(spark, all, missingKs, tablePath)))
     ).reduce(_ unionByName _)
@@ -901,11 +949,38 @@ object Upsert {
     val freshFiles = Layout.listDataFiles(spark, outPath)
       .filterNot(f => untouchedRels.contains(relPath(outPath, f)))
     val fresh =
-      if (freshFiles.isEmpty) carried.limit(0)
-      else footerBoundsMulti(spark, freshFiles, keyCols.zip(keyTypes), outPath)
+      (if (freshFiles.isEmpty) carried.limit(0)
+       else footerBoundsMulti(spark, freshFiles,
+         keyCols.zip(keyTypes) ++ extraKeys, outPath)).cache()
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
-    writeManifestKeys(spark, outPath, keyCols)
+    writeManifestKeys(spark, outPath, keyCols ++ extraKeys.map(_._1))
+
+    // Transaction sidecar for conflict-aware OCC (see [[TxnInfo]]):
+    // the touched/fresh file sets fall out of the classification
+    // above; the fresh files' lead bounds ride the cached `fresh`
+    // frame (no extra footer pass), and the evict-key range is one
+    // agg over the distinct key tuples (evict-batch-scale).
+    val freshLead = fresh.filter(col("key") === leadCol)
+      .select("file", "mn", "mx").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    fresh.unpersist()
+    val evictRange =
+      if (nKeysHint == 0L) None
+      else {
+        val r = upKeys.agg(
+          min(col("__k0")).cast("string"), max(col("__k0")).cast("string"))
+          .head()
+        if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+      }
+    writeTxnInfo(outPath, TxnInfo(
+      keys = keyCols,
+      kind = if (leadType == StringType) "string" else "long",
+      mn = evictRange.map(_._1), mx = evictRange.map(_._2),
+      touched = touched,
+      fresh = freshFiles.map(f => relPath(outPath, f)),
+      freshBounds = freshLead))
 
     // Bloom sidecar carry (Layout.writeBloomSidecar): when the source
     // snapshot ships per-file Bloom filters FOR THIS KEY, maintain them
@@ -1340,6 +1415,227 @@ object Upsert {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Transaction sidecar (`_txn.json`) + commit log (`_commitlog/`):
+  // the conflict-detection substrate of the OCC protocol
+  // (plans.LakehouseSql). Every engine commit stamps its snapshot with
+  // the file set it REWROTE (`touched`), the files it WROTE (`fresh`,
+  // with the leading key's per-file bounds), and its evict-key range —
+  // enough for a losing committer to prove its change DISJOINT from
+  // the winners' and republish by relinking, without re-running the
+  // Spark job (Delta's logical conflict detection, derived from this
+  // engine's manifest machinery). The commit log is one
+  // create-exclusive JSON per PUBLISHED version: it makes the
+  // published chain walkable (each entry names its base), and its max
+  // entry doubles as the CURRENT resolution when the pointer file is
+  // mid-swap or lost — closing the rename absence window Fs.scala
+  // documents (readers take max(pointer, log); the log is written
+  // first, and a log entry always names a fully built snapshot).
+  // -------------------------------------------------------------------
+
+  /** What a commit changed, recorded for conflict detection.
+    *
+    * @param keys   the commit's key columns (head = pruning lead)
+    * @param kind   lead-key comparison domain: "long" | "string"
+    * @param mn     evict-key range over the lead component (text, in
+    * @param mx       `kind`'s domain); None for a pure-link commit
+    * @param touched snapshot-relative paths the commit REWROTE (these
+    *                files' rel paths vanish from its output)
+    * @param fresh   snapshot-relative paths the commit WROTE
+    * @param freshBounds (file, mn, mx) lead-key bounds of fresh files
+    *                    that carry a non-null lead value */
+  private[graft] case class TxnInfo(
+      keys: Seq[String], kind: String,
+      mn: Option[String], mx: Option[String],
+      touched: Set[String], fresh: Seq[String],
+      freshBounds: Seq[(String, String, String)])
+
+  private def jsonEsc(s: String) =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def jsonUnesc(s: String) =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  private def jsonArr(xs: Seq[String]): String =
+    xs.map(x => "\"" + jsonEsc(x) + "\"").mkString("[", ",", "]")
+
+  /** The `"name":[...]` string-array field of a flat JSON object —
+    * scans to the matching bracket respecting string escapes (file
+    * names may contain brackets). None when the field is absent. */
+  private def jsonArrField(txt: String, name: String): Option[Seq[String]] = {
+    val tag = "\"" + name + "\":["
+    val i = txt.indexOf(tag)
+    if (i < 0) None
+    else {
+      var j = i + tag.length
+      var inStr = false; var esc = false
+      val sb = new StringBuilder
+      var done = false
+      while (!done && j < txt.length) {
+        val c = txt.charAt(j)
+        if (esc) { sb.append(c); esc = false }
+        else if (inStr && c == '\\') { sb.append(c); esc = true }
+        else if (c == '"') { sb.append(c); inStr = !inStr }
+        else if (!inStr && c == ']') done = true
+        else sb.append(c)
+        j += 1
+      }
+      Some(jsonStringRe.findAllMatchIn(sb.toString)
+        .map(m => jsonUnesc(m.group(1))).toSeq)
+    }
+  }
+
+  private def jsonStrField(txt: String, name: String): Option[String] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(name) +
+      "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    re.findFirstMatchIn(txt).map(m => jsonUnesc(m.group(1)))
+  }
+
+  private def txnPath(snapshot: String) = s"$snapshot/_txn.json"
+
+  private[graft] def writeTxnInfo(snapshotDir: String, t: TxnInfo): Unit = {
+    val sb = new StringBuilder
+    sb.append("{\"keys\":").append(jsonArr(t.keys))
+      .append(",\"kind\":\"").append(t.kind).append("\"")
+    t.mn.foreach(v => sb.append(",\"mn\":\"").append(jsonEsc(v)).append("\""))
+    t.mx.foreach(v => sb.append(",\"mx\":\"").append(jsonEsc(v)).append("\""))
+    sb.append(",\"touched\":").append(jsonArr(t.touched.toSeq.sorted))
+      .append(",\"fresh\":").append(jsonArr(t.fresh.sorted))
+      .append(",\"fbFile\":").append(jsonArr(t.freshBounds.map(_._1)))
+      .append(",\"fbMn\":").append(jsonArr(t.freshBounds.map(_._2)))
+      .append(",\"fbMx\":").append(jsonArr(t.freshBounds.map(_._3)))
+      .append("}")
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.writeTextAtomic(Fs.of(snapshotDir),
+      new HPath(txnPath(snapshotDir)), sb.toString)
+  }
+
+  /** None when the snapshot was not written by the commit engine
+    * (OPTIMIZE/RESTORE/CONVERT/stream-init outputs carry no `_txn`) —
+    * the conflict resolver treats such commits as whole-table writes
+    * and refuses to rebase across them. */
+  private[graft] def readTxnInfo(snapshotDir: String): Option[TxnInfo] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.readTextIfExists(Fs.of(snapshotDir), new HPath(txnPath(snapshotDir)))
+      .map { txt =>
+        val files = jsonArrField(txt, "fbFile").getOrElse(Nil)
+        val mns = jsonArrField(txt, "fbMn").getOrElse(Nil)
+        val mxs = jsonArrField(txt, "fbMx").getOrElse(Nil)
+        require(files.length == mns.length && files.length == mxs.length,
+          s"corrupt _txn.json under $snapshotDir (ragged fresh-bounds arrays)")
+        TxnInfo(
+          keys = jsonArrField(txt, "keys").getOrElse(Nil),
+          kind = jsonStrField(txt, "kind").getOrElse("long"),
+          mn = jsonStrField(txt, "mn"), mx = jsonStrField(txt, "mx"),
+          touched = jsonArrField(txt, "touched").getOrElse(Nil).toSet,
+          fresh = jsonArrField(txt, "fresh").getOrElse(Nil),
+          freshBounds = files.lazyZip(mns).lazyZip(mxs).toSeq)
+      }
+  }
+
+  private def commitLogDir(tableDir: String) = s"$tableDir/_commitlog"
+
+  /** Record version `version` as PUBLISHED, naming its base — one
+    * create-exclusive JSON per version, written by the OCC publish
+    * path BEFORE the CURRENT pointer swap (the log is the durable
+    * truth; the pointer is the cache that closes to it). Create-
+    * exclusive: publishing the same version twice is a protocol bug
+    * and fails loudly. */
+  private[graft] def writeCommitLogEntry(
+      tableDir: String, version: Long, base: Long, verb: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(verb.forall(c => c != '"' && c != '\\' && c >= ' '),
+      s"writeCommitLogEntry: plain verb name required, got '$verb'")
+    val p = new HPath(s"${commitLogDir(tableDir)}/$version.json")
+    val txt = s"""{"version":$version,"base":$base,"verb":"$verb"""" +
+      s""","ts":${System.currentTimeMillis()}}"""
+    require(Fs.createExclusive(Fs.of(tableDir), p, txt),
+      s"commit log already holds an entry for v$version under $tableDir — " +
+        "the version was already published")
+  }
+
+  /** The published chain's base pointer for `version`, if logged. */
+  private[graft] def readCommitLogBase(
+      tableDir: String, version: Long): Option[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.readTextIfExists(Fs.of(tableDir),
+        new HPath(s"${commitLogDir(tableDir)}/$version.json"))
+      .flatMap(txt => """"base":(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong))
+  }
+
+  /** Highest version the commit log records as published. */
+  private[graft] def commitLogMax(tableDir: String): Option[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.listFiles(Fs.of(tableDir), new HPath(commitLogDir(tableDir)))
+      .map(_.getName).filter(_.matches("\\d+\\.json"))
+      .map(_.stripSuffix(".json").toLong).maxOption
+  }
+
+  /** Relink a LOSING commit's change on top of the table's CURRENT
+    * snapshot — the metadata half of conflict-aware OCC retry, called
+    * by the publish path AFTER conflict detection proved the change
+    * disjoint from every intervening winner. The rebased snapshot is
+    * `currentDir`'s file set minus the loser's `touched` rel paths,
+    * plus the loser's `fresh` files — all hard links (O(1) metadata
+    * per file; the loser's Spark job is NOT re-run). The manifest
+    * merges the same way (current's rows for its surviving files +
+    * the loser's rows for its fresh files, restricted to the stamp
+    * intersection); schema/audit/txn sidecars carry from the loser
+    * (the conflict check already proved the schemas equal). */
+  private[graft] def rebaseRelink(
+      spark: SparkSession, currentDir: String, loserDir: String,
+      outDir: String, touchedL: Set[String], freshL: Set[String]): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ofs = Fs.of(outDir, spark)
+    clearLeftovers(ofs, new HPath(outDir))
+    val curAll = Layout.listDataFiles(spark, currentDir)
+    val curRels = curAll.map(f => relPath(currentDir, f)).toSet
+    val missing = touchedL -- curRels
+    require(missing.isEmpty,
+      s"rebaseRelink: files this commit rewrote are gone from the " +
+        s"current snapshot (${missing.take(3).mkString(", ")}…) — " +
+        "conflict detection should have refused this rebase")
+    linkOrCopyAll(spark,
+      curAll.filterNot(f => touchedL.contains(relPath(currentDir, f))),
+      currentDir, outDir)
+    linkOrCopyAll(spark,
+      Layout.listDataFiles(spark, loserDir)
+        .filter(f => freshL.contains(relPath(loserDir, f))),
+      loserDir, outDir)
+    // manifest: both sides stamped → merge on the stamp intersection;
+    // anything else → no sidecar (the next commit pays one footer
+    // sweep — correct, never wrong)
+    val curKeys = readManifestKeys(spark, currentDir)
+    val loserKeys = readManifestKeys(spark, loserDir)
+    val curFs = Fs.of(currentDir, spark)
+    val haveBoth =
+      curFs.exists(new HPath(s"${manifestDir(currentDir)}/_SUCCESS")) &&
+        curFs.exists(new HPath(s"${manifestDir(loserDir)}/_SUCCESS"))
+    (curKeys, loserKeys) match {
+      case (Some(ck), Some(lk)) if haveBoth && (ck & lk).nonEmpty =>
+        val shared = (ck & lk).toSeq.sorted
+        val shape = org.apache.spark.sql.types.StructType.fromDDL(
+          "file string, key string, mn string, mx string")
+        val cm = spark.read.schema(shape).parquet(manifestDir(currentDir))
+          .filter(col("key").isin(shared: _*))
+          .filter(if (touchedL.isEmpty) lit(true)
+                  else !col("file").isin(touchedL.toSeq: _*))
+        val lm = spark.read.schema(shape).parquet(manifestDir(loserDir))
+          .filter(col("key").isin(shared: _*))
+          .filter(if (freshL.isEmpty) lit(false)
+                  else col("file").isin(freshL.toSeq: _*))
+        cm.unionByName(lm).coalesce(1)
+          .write.mode("overwrite").parquet(manifestDir(outDir))
+        writeManifestKeys(spark, outDir, shared)
+      case _ => ()
+    }
+    // no _bloom carry: absent sidecar = rebuild, per the probe contract
+    readSchemaSidecar(loserDir).foreach(writeSchemaSidecar(outDir, _))
+    readCommitInfo(loserDir).foreach { case (op, _, stats) =>
+      writeCommitInfo(outDir, op, stats)
+    }
+    readTxnInfo(loserDir).foreach(writeTxnInfo(outDir, _))
+  }
+
   /** Commit timestamp of `v<version>`: the `_commitinfo` stamp when
     * present, else the version directory's modification time (the
     * best available signal for pre-audit-trail snapshots — same
@@ -1392,11 +1688,20 @@ object Upsert {
       .map(_.drop(1).toLong).sorted
   }
 
-  /** The version CURRENT points to, if the pointer exists. */
+  /** The table's current version: max of the CURRENT pointer and the
+    * commit log's newest entry. The two agree except (a) mid-publish
+    * or after a crash between the log write and the pointer swap —
+    * the log is written first and always names a fully built
+    * snapshot, so the log wins — and (b) on rename-refuses-existing
+    * filesystems during the pointer's delete+rename window, where the
+    * log is what makes the table readable at all (the absence window
+    * `ops/Fs.scala` documents, closed here). Tables without a log
+    * (hand-staged, streaming-sink-owned) resolve by pointer alone. */
   private[graft] def currentVersion(tableDir: String): Option[Long] = {
     import org.apache.hadoop.fs.{Path => HPath}
-    Fs.readTextIfExists(Fs.of(tableDir), new HPath(tableDir, "CURRENT"))
+    val ptr = Fs.readTextIfExists(Fs.of(tableDir), new HPath(tableDir, "CURRENT"))
       .map(_.trim.drop(1).toLong)
+    (ptr.toSeq ++ commitLogMax(tableDir).toSeq).maxOption
   }
 
   /** Directory mtime via the Hadoop FS (0 when absent — matching
@@ -1561,7 +1866,7 @@ object Upsert {
           // bounds: the cached manifest filtered to the shared set, or
           // footers of ONLY the shared files — the fallback must not
           // footer-read the whole snapshot to then discard the rows
-          val bounds = cachedBounds(spark, toRoot, kc)
+          val bounds = cachedBounds(spark, toRoot, kc, () => to.keySet)
             .map(_.filter(col("file").isin(sharedNames.toSeq: _*)))
             .getOrElse(footerBounds(spark, sharedPaths, kc, kt, toRoot))
           val candidates = broadcast(bounds)

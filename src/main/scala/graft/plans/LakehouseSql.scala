@@ -357,23 +357,159 @@ object LakehouseSql {
     next
   }
 
-  /** Publish claimed `v<next>` as CURRENT iff the table still sits at
-    * `baseCurrent`; on conflict, discard the claim and refuse. */
+  /** The table's resolved current version name (`v<n>`): max of the
+    * CURRENT pointer and the commit log — see
+    * [[graft.ops.Upsert.currentVersion]]. */
+  private[graft] def resolveCurrentName(tablePath: String): Option[String] =
+    graft.ops.Upsert.currentVersion(tablePath).map(v => s"v$v")
+
+  /** Publish claimed `v<next>` as CURRENT. If the table still sits at
+    * `baseCurrent`, the publish is one commit-log append plus the
+    * pointer swap. If a concurrent commit won the race, CONFLICT
+    * DETECTION runs instead of a blanket abort: the loser's `_txn`
+    * sidecar (touched/fresh file sets + evict-key range) is checked
+    * against every intervening winner's, and when the changes are
+    * provably disjoint — no file both rewrote, no winner-appended
+    * file whose lead-key bounds intersect the loser's evict range,
+    * same lead key, same schema, no deletion vectors in play — the
+    * loser's change REBASES onto the new current snapshot by
+    * relinking ([[graft.ops.Upsert.rebaseRelink]]; metadata-only, the
+    * Spark job is NOT re-run) under a fresh claimed version and
+    * publishes. Anything unprovable aborts exactly as before, with
+    * the reason named. This is Delta's logical conflict resolution
+    * (two writers MERGEing disjoint partitions both succeed) built on
+    * this engine's manifest machinery. */
   private[graft] def publishOrAbort(
       tablePath: String, baseCurrent: String, next: Long, verb: String): Unit =
     withCommitLock(tablePath) {
       val fs = graft.ops.Fs.of(tablePath)
-      val cur = new org.apache.hadoop.fs.Path(tablePath, "CURRENT")
-      val now = graft.ops.Fs.readText(fs, cur).trim
-      if (now != baseCurrent) {
-        fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/v$next"), true)
+      val now = resolveCurrentName(tablePath).getOrElse(
         throw new IllegalStateException(
-          s"$verb: concurrent commit detected on '$tablePath' — this " +
-            s"commit read $baseCurrent but the table is now at $now; the " +
-            s"claimed snapshot v$next was discarded — rebase on $now and retry")
+          s"$verb: '$tablePath' lost its CURRENT pointer and commit " +
+            "log mid-commit"))
+      if (now == baseCurrent) publishLocked(fs, tablePath, next, now, verb)
+      else {
+        tryRebase(tablePath, baseCurrent, now, next) match {
+          case Right(rebased) =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/v$next"), true)
+            publishLocked(fs, tablePath, rebased, now, verb)
+          case Left(why) =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/v$next"), true)
+            throw new IllegalStateException(
+              s"$verb: concurrent commit detected on '$tablePath' — this " +
+                s"commit read $baseCurrent but the table is now at $now, " +
+                s"and a conflict-free rebase was not possible ($why); the " +
+                s"claimed snapshot v$next was discarded — rebase on $now " +
+                "and retry")
+        }
       }
-      graft.ops.Fs.writeTextAtomic(fs, cur, s"v$next")
     }
+
+  /** Commit-log append + pointer swap, under the held lock. Log
+    * first: a crash between the two leaves the log ahead of the
+    * pointer, and readers resolve max — the new snapshot (fully built
+    * before publish was called) becomes visible either way. */
+  private def publishLocked(
+      fs: org.apache.hadoop.fs.FileSystem, tablePath: String,
+      next: Long, base: String, verb: String): Unit = {
+    graft.ops.Upsert.writeCommitLogEntry(
+      tablePath, next, base.drop(1).toLong, verb)
+    graft.ops.Fs.writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(tablePath, "CURRENT"), s"v$next")
+  }
+
+  /** Conflict detection + rebase (see [[publishOrAbort]]). Returns
+    * the freshly claimed, fully relinked version to publish, or the
+    * reason the rebase is unsafe. Runs under the commit lock — the
+    * current version cannot move underneath it. */
+  private def tryRebase(
+      tablePath: String, baseCurrent: String, now: String,
+      next: Long): Either[String, Long] = {
+    import graft.ops.{Fs, Upsert}
+    val baseV = baseCurrent.drop(1).toLong
+    val nowV = now.drop(1).toLong
+    if (nowV <= baseV)
+      return Left(s"table moved backwards ($baseCurrent -> $now)")
+    // walk the published chain now -> base through the commit log;
+    // claimed-but-unpublished version numbers in the range are not on
+    // the chain and don't block
+    var v = nowV
+    val winners = scala.collection.mutable.ListBuffer.empty[Long]
+    while (v != baseV) {
+      Upsert.readCommitLogBase(tablePath, v) match {
+        case Some(b) if b < v && b >= baseV => winners += v; v = b
+        case Some(b) =>
+          return Left(s"commit chain of v$v points outside " +
+            s"($baseCurrent, v$nowV] (base v$b)")
+        case None =>
+          return Left(s"v$v has no commit-log entry (published before " +
+            "the log existed, or by a foreign writer)")
+      }
+    }
+    val loserDir = s"$tablePath/v$next"
+    val nowDir = s"$tablePath/$now"
+    val L = Upsert.readTxnInfo(loserDir).getOrElse(
+      return Left("this commit wrote no _txn sidecar (whole-table verb)"))
+    val fs = Fs.of(tablePath)
+    def hasDv(d: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_dv/_SUCCESS"))
+    if (hasDv(nowDir) || hasDv(loserDir))
+      return Left("a deletion vector is in play — fold it first")
+    def schemaTxt(d: String): Option[String] =
+      Fs.readTextIfExists(fs, new org.apache.hadoop.fs.Path(s"$d/_schema.json"))
+    if (schemaTxt(nowDir) != schemaTxt(loserDir))
+      return Left("concurrent schema change")
+    def le(a: String, b: String): Boolean =
+      if (L.kind == "long") a.toLong <= b.toLong else a <= b
+    for (w <- winners) {
+      val wDir = s"$tablePath/v$w"
+      val W = Upsert.readTxnInfo(wDir).getOrElse(
+        return Left(s"winner v$w wrote no _txn sidecar (whole-table verb)"))
+      val wActive = W.touched.nonEmpty || W.fresh.nonEmpty
+      if (wActive) {
+        val overlap = L.touched & W.touched
+        if (overlap.nonEmpty)
+          return Left(s"both commits rewrote ${overlap.head}" +
+            (if (overlap.size > 1) s" (+${overlap.size - 1} more)" else ""))
+        if (L.keys.headOption != W.keys.headOption || L.kind != W.kind)
+          return Left(s"different merge keys (${L.keys.headOption.getOrElse("?")}" +
+            s" vs ${W.keys.headOption.getOrElse("?")})")
+        // a winner-appended file whose lead bounds intersect the
+        // loser's evict range may hold keys the loser should have
+        // evicted — the loser's pruning ran against the OLD manifest
+        // and never saw it
+        (L.mn, L.mx) match {
+          case (Some(lm), Some(lx)) =>
+            val clash = try {
+              W.freshBounds.find { case (_, wm, wx) => le(wm, lx) && le(lm, wx) }
+            } catch {
+              case _: NumberFormatException =>
+                return Left("unparseable key bounds in a _txn sidecar")
+            }
+            clash.foreach { case (f, _, _) =>
+              return Left(s"winner v$w appended $f inside this commit's " +
+                s"key range [$lm, $lx]")
+            }
+          case _ => ()
+        }
+        if ((L.fresh.toSet & (W.fresh.toSet ++ W.touched)).nonEmpty)
+          return Left("fresh-file name collision across the commits")
+      }
+    }
+    // disjoint: claim a fresh version (strictly above nowV — v$nowV
+    // exists, so claimNextVersion can't hand back a smaller number;
+    // CURRENT stays monotonic) and relink — no Spark job re-run
+    val rebased = claimNextVersion(tablePath)
+    try {
+      Upsert.rebaseRelink(org.apache.spark.sql.SparkSession.active,
+        nowDir, loserDir, s"$tablePath/v$rebased", L.touched, L.fresh.toSet)
+      Right(rebased)
+    } catch {
+      case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/v$rebased"), true)
+        throw e
+    }
+  }
 
   /** Resolve a path argument and run a COW verb against it: a
     * versioned table dir (CURRENT pointer present) claims the next
@@ -389,8 +525,10 @@ object LakehouseSql {
   private[plans] def withCow[T](
       tablePath: String, explicitOut: Option[String], verb: String)(
       body: (String, String) => T): T = {
-    val curTxt = graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(tablePath),
-      new org.apache.hadoop.fs.Path(tablePath, "CURRENT")).map(_.trim)
+    // max(pointer, commit log) — a table whose pointer swap crashed
+    // after the log write must commit against the LOGGED version, not
+    // the stale pointer (the CAS would otherwise pass and lose it)
+    val curTxt = resolveCurrentName(tablePath)
     if (curTxt.isDefined) {
       require(explicitOut.isEmpty,
         s"$verb: '$tablePath' is a versioned table (CURRENT present) — " +

@@ -442,9 +442,8 @@ object Streams {
     // replay those and then silently starve. A correctly configured
     // producer materializes every commit's feed, and vacuum never
     // reclaims CURRENT's, so CURRENT without a feed dir = cdf is off.
-    graft.ops.Fs.readTextIfExists(cdfFs,
-        new org.apache.hadoop.fs.Path(tableDir, "CURRENT"))
-      .map(_.trim).foreach { v =>
+    graft.ops.Upsert.currentVersion(tableDir)
+      .map(v => s"v$v").foreach { v =>
       require(cdfFs.exists(new org.apache.hadoop.fs.Path(cdfRoot, v)),
         s"cdfStream: $tableDir's CURRENT ($v) has no materialized feed " +
           s"under _cdf — the producer stopped materializing the change " +
@@ -525,9 +524,23 @@ object Streams {
       .agg(max(col("rho")).as("m_j"))
   }
 
-  /** Resolve the CURRENT snapshot path of an [[upsertSink]] table. */
+  /** Resolve the current snapshot path of a versioned table: max of
+    * the CURRENT pointer and the `_commitlog` (see
+    * [[graft.ops.Upsert.currentVersion]] — the log closes the
+    * pointer's rename absence window). A directory holding `v<N>`
+    * snapshots but NO resolvable pointer refuses loudly: the old
+    * contract returned None and callers fell back to reading the
+    * table ROOT — every version at once — silently. None only for a
+    * genuinely unversioned directory (a plain snapshot). */
   def currentSnapshot(tableDir: String): Option[String] =
-    graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(tableDir),
-        new org.apache.hadoop.fs.Path(tableDir, "CURRENT"))
-      .map(v => s"$tableDir/${v.trim}")
+    graft.ops.Upsert.currentVersion(tableDir) match {
+      case Some(v) => Some(s"$tableDir/v$v")
+      case None =>
+        require(graft.ops.Upsert.snapshotVersions(tableDir).isEmpty,
+          s"$tableDir holds v<N> snapshot directories but no CURRENT " +
+            "pointer and no _commitlog — reading the table root would " +
+            "see every version at once; restore the pointer or publish " +
+            "through the commit protocol")
+        None
+    }
 }

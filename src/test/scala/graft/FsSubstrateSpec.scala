@@ -110,6 +110,26 @@ class FsSubstrateSpec extends AnyFunSuite {
     // the claim marker is allowed to remain; it must be hidden from reads
     assert(spark.read.parquet(s"$tbl/v1").columns.toSeq == Seq("k", "v"))
 
+    // the publish appended a commit-log entry THROUGH the scheme (the
+    // log is what closes the pointer's delete+rename absence window on
+    // exactly these rename-refuses-existing filesystems)
+    assert(new java.io.File(s"$tblLocal/_commitlog/1.json").isFile,
+      "commit-log entry must land where the scheme stores bytes")
+    assert(Upsert.readCommitLogBase(tbl, 1L).contains(0L))
+    // pointer gone mid-swap: the log still resolves the table, reads
+    // stay correct, all through the Hadoop API
+    val curPtr = new java.io.File(s"$tblLocal/CURRENT")
+    val ptrBytes = java.nio.file.Files.readAllBytes(curPtr.toPath)
+    assert(curPtr.delete())
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v1"))
+    assert(spark.read.parquet(
+      graft.streaming.Streams.currentSnapshot(tbl).get)
+      .filter($"v" === -3L).count() == 10)
+    java.nio.file.Files.write(curPtr.toPath, ptrBytes)
+    // conflict metadata stamped through the scheme as well
+    assert(new java.io.File(s"$tblLocal/v1/_txn.json").isFile)
+    assert(Upsert.readTxnInfo(s"$tbl/v1").exists(_.keys == Seq("k")))
+
     // DESCRIBE HISTORY / DETAIL / RESTORE / VACUUM all resolve the scheme
     val hist = spark.sql(s"DESCRIBE HISTORY '$tbl'").collect()
     assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))

@@ -653,4 +653,169 @@ class LakehouseSqlSpec extends AnyFunSuite {
     spark.sql("CREATE OR REPLACE TEMP VIEW lakesql_probe AS SELECT 41 AS x")
     assert(spark.sql("SELECT x + 1 FROM lakesql_probe").collect()(0).getInt(0) == 42)
   }
+
+  test("conflict-aware OCC: disjoint-partition writers both publish; overlap aborts") {
+    import spark.implicits._
+    import graft.plans.LakehouseSql
+    val root = s"$base/rebase"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val seed = s"$root/seed"; val tbl = s"$root/tbl"
+    // one file per partition dir, so same-partition writers provably
+    // collide and cross-partition writers provably don't
+    spark.range(200)
+      .select(($"id" % 2).as("dt"), $"id".as("k"), lit(0L).as("v"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("dt").parquet(seed)
+    spark.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
+
+    // two uncoordinated writers build against the same base — the
+    // decomposed protocol (claim → build → publish) makes the
+    // interleaving deterministic; the SQL MERGE path runs exactly this
+    val a = LakehouseSql.claimNextVersion(tbl)
+    val b = LakehouseSql.claimNextVersion(tbl)
+    assert(a == 1L && b == 2L)
+    val upA = spark.range(10)
+      .select(lit(0L).as("dt"), ($"id" * 2).as("k"), lit(-1L).as("v"))
+    val upB = spark.range(10)
+      .select(lit(1L).as("dt"), ($"id" * 2 + 1).as("k"), lit(-2L).as("v"))
+    Upsert.upsertByKeys(spark, s"$tbl/v0", s"$tbl/v$a", upA, Seq("dt", "k"))
+    Upsert.upsertByKeys(spark, s"$tbl/v0", s"$tbl/v$b", upB, Seq("dt", "k"))
+
+    LakehouseSql.publishOrAbort(tbl, "v0", a, "MERGE")
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v1"))
+    // B lost the race, but its change touched only partition dt=1 —
+    // publish REBASES (relink, no job re-run) instead of aborting
+    LakehouseSql.publishOrAbort(tbl, "v0", b, "MERGE")
+    val cur = graft.streaming.Streams.currentSnapshot(tbl).get
+    assert(cur.endsWith("/v3"), s"rebased publish must claim a fresh version: $cur")
+    assert(!new java.io.File(s"$tbl/v2").exists,
+      "the abandoned claim must be discarded")
+    val got = spark.read.parquet(cur)
+    assert(got.count() == 200)
+    assert(got.filter($"v" === -1L).count() == 10, "winner's change lost")
+    assert(got.filter($"v" === -2L).count() == 10, "rebased change lost")
+
+    // the rebase RELINKED: the winner's dt=0 rewrite rides into v3 as
+    // a hard link (same inode — zero bytes moved, no Spark job re-run)
+    val aTxn = Upsert.readTxnInfo(s"$tbl/v1").get
+    assert(aTxn.fresh.nonEmpty)
+    def ino(p: String): Any = java.nio.file.Files.getAttribute(
+      java.nio.file.Paths.get(p), "unix:ino")
+    aTxn.fresh.foreach { f =>
+      assert(ino(s"$tbl/v1/$f") == ino(s"$tbl/v3/$f"),
+        s"$f must be hard-linked into the rebased snapshot")
+    }
+    // manifest carried through the rebase: pruning stays metadata-only
+    assert(Upsert.cachedBounds(spark, s"$tbl/v3", "dt").isDefined)
+    // audit + txn sidecars restamped for the published version: the
+    // rebased snapshot carries B's change description (dt=1 only)
+    assert(Upsert.readCommitInfo(s"$tbl/v3").map(_._1).contains("MERGE"))
+    val bTxn = Upsert.readTxnInfo(s"$tbl/v3").get
+    assert(bTxn.touched.nonEmpty &&
+      bTxn.touched.forall(_.startsWith("dt=1/")), bTxn.touched.toString)
+
+    // OVERLAP: same-partition writers still conflict — the second
+    // publish aborts with the file named
+    val c = LakehouseSql.claimNextVersion(tbl)
+    val d = LakehouseSql.claimNextVersion(tbl)
+    val upC = spark.range(5)
+      .select(lit(0L).as("dt"), ($"id" * 2).as("k"), lit(-3L).as("v"))
+    val upD = spark.range(5)
+      .select(lit(0L).as("dt"), ($"id" * 2 + 100).as("k"), lit(-4L).as("v"))
+    Upsert.upsertByKeys(spark, s"$tbl/v3", s"$tbl/v$c", upC, Seq("dt", "k"))
+    Upsert.upsertByKeys(spark, s"$tbl/v3", s"$tbl/v$d", upD, Seq("dt", "k"))
+    LakehouseSql.publishOrAbort(tbl, "v3", c, "MERGE")
+    val e = intercept[IllegalStateException] {
+      LakehouseSql.publishOrAbort(tbl, "v3", d, "MERGE")
+    }
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    assert(e.getMessage.contains("rewrote"), e.getMessage)
+    assert(!new java.io.File(s"$tbl/v$d").exists)
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith(s"/v$c"))
+  }
+
+  test("conflict-aware OCC: a winner's append inside the loser's key range refuses") {
+    import spark.implicits._
+    import graft.plans.LakehouseSql
+    val root = s"$base/rebase_append"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val seed = s"$root/seed"; val tbl = s"$root/tbl"
+    spark.range(100).select($"id".as("k"), lit(0L).as("v"))
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(seed)
+    spark.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
+
+    // both writers PURE-APPEND new keys (no file both rewrote), but
+    // the winner's fresh file lands inside the loser's evict range —
+    // the loser's pruning ran against the old manifest and never saw
+    // it, so a rebase would commit a possible duplicate key
+    val a = LakehouseSql.claimNextVersion(tbl)
+    val b = LakehouseSql.claimNextVersion(tbl)
+    val upA = spark.range(200, 210).select($"id".as("k"), lit(-1L).as("v"))
+    val upB = spark.range(205, 215).select($"id".as("k"), lit(-2L).as("v"))
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v$a", upA, "k")
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v$b", upB, "k")
+    LakehouseSql.publishOrAbort(tbl, "v0", a, "MERGE")
+    val e = intercept[IllegalStateException] {
+      LakehouseSql.publishOrAbort(tbl, "v0", b, "MERGE")
+    }
+    assert(e.getMessage.contains("inside this commit's key range"), e.getMessage)
+    // DISJOINT key ranges rebase fine even on a flat table
+    val c = LakehouseSql.claimNextVersion(tbl)
+    val d = LakehouseSql.claimNextVersion(tbl)
+    Upsert.upsertByKey(spark, s"$tbl/v1", s"$tbl/v$c",
+      spark.range(300, 310).select($"id".as("k"), lit(-3L).as("v")), "k")
+    Upsert.upsertByKey(spark, s"$tbl/v1", s"$tbl/v$d",
+      spark.range(400, 410).select($"id".as("k"), lit(-4L).as("v")), "k")
+    LakehouseSql.publishOrAbort(tbl, "v1", c, "MERGE")
+    LakehouseSql.publishOrAbort(tbl, "v1", d, "MERGE")
+    val cur = spark.read.parquet(graft.streaming.Streams.currentSnapshot(tbl).get)
+    assert(cur.count() == 130) // 100 seed + A's, C's, D's appends
+    assert(cur.filter($"v" === -3L).count() == 10)
+    assert(cur.filter($"v" === -4L).count() == 10)
+  }
+
+  test("commit log: closes the pointer absence window, survives pointer loss") {
+    import spark.implicits._
+    val root = s"$base/commitlog"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val seed = s"$root/seed"; val tbl = s"$root/tbl"
+    spark.range(50).select($"id".as("k"), lit(0L).as("v"))
+      .write.mode("overwrite").parquet(seed)
+    spark.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
+    spark.range(5).select($"id".as("k"), lit(-1L).as("v"))
+      .createOrReplaceTempView("clog_upd")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM clog_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(new java.io.File(s"$tbl/_commitlog/1.json").isFile,
+      "every publish must append a commit-log entry")
+
+    // the pointer vanishes (the HDFS delete+rename window, or plain
+    // operator error): the log still resolves the table
+    assert(new java.io.File(s"$tbl/CURRENT").delete())
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v1"))
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$tbl') WHERE v = -1")
+      .collect()(0).getLong(0) == 5)
+    // and the NEXT commit publishes against the logged version — then
+    // heals the pointer
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM clog_upd) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v2"))
+    assert(scala.io.Source.fromFile(s"$tbl/CURRENT").mkString.trim == "v2")
+
+    // a table with v<N> dirs and NO pointer or log refuses loudly
+    // instead of silently reading the table root (every version at
+    // once) — the old getOrElse(dir) fallback
+    val tbl2 = s"$root/noptr"
+    spark.sql(s"CONVERT '$seed' TO VERSIONED '$tbl2'").collect()
+    assert(new java.io.File(s"$tbl2/CURRENT").delete())
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.currentSnapshot(tbl2)
+    }
+    assert(e.getMessage.contains("no CURRENT"), e.getMessage)
+  }
 }

@@ -1000,4 +1000,39 @@ class UpsertSpec extends AnyFunSuite {
     assert(Upsert.cachedBounds(spark, tbl, "k").isDefined)
     assert(Upsert.cachedBounds(spark, tbl, "no_such_key").isEmpty)
   }
+
+  test("legacy BASENAME-keyed sidecar on a partitioned layout is ignored, not trusted") {
+    import spark.implicits._
+    val tbl = s"$base/legacypart"; val out = s"$base/legacypart_out"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(100)
+      .select(($"id" % 2).as("dt"), $"id".as("k"), $"id".as("v"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("dt").parquet(tbl)
+    // forge the pre-r11 failure mode: a basename-keyed manifest with NO
+    // _keys.json stamp (the old writeManifestSidecar's output on a
+    // partitioned table it should have refused). Its basename keys can
+    // never match the live relative-path listing (dt=0/part-...), so
+    // trusting it classifies ZERO files as touched and a MERGE would
+    // silently append duplicate keys.
+    val dataFiles = graft.ops.Layout.listDataFiles(spark, tbl)
+    dataFiles.map(f => new org.apache.hadoop.fs.Path(f).getName)
+      .map(b => (b, "k", "0", "99")).toDF("file", "key", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tbl/_manifest")
+    new java.io.File(s"$tbl/_manifest/_keys.json").delete()
+
+    // the subset probe must reject the sidecar outright...
+    assert(Upsert.cachedBounds(spark, tbl, "k").isEmpty,
+      "a legacy sidecar whose file keys don't match the live listing " +
+        "must not be trusted")
+    // ...and the commit must fall back to footers: the update REPLACES
+    // its keys (no duplicates) instead of appending alongside them
+    val up = spark.range(5)
+      .select(($"id" % 2).as("dt"), $"id".as("k"), lit(-1L).as("v"))
+    val (_, r, n) = Upsert.upsertByKey(spark, tbl, out, up, "k")
+    assert(n == 5 && r >= 1)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 100, "duplicate keys = the sidecar was trusted")
+    assert(got.filter($"v" === -1L).count() == 5)
+  }
 }

@@ -745,6 +745,20 @@ object QueriesCorpus {
     s"$dir:$srcTable:$sz"
   }
 
+  /** Stage `seed` as a fresh versioned table (v0 + CURRENT) — through
+    * the Fs substrate: the bench harness must not be a sanctioned
+    * java.io bypass of the invariant FsSubstrateSpec's source gate
+    * guards (raw pointer writes were exactly the checksum-shadow
+    * failure class of round 11). */
+  private def stageVersionedFromSeed(
+      s: SparkSession, seed: String, tbl: String): Unit = {
+    val fs = graft.ops.Fs.of(tbl, s)
+    fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+    graft.ops.Upsert.cloneSnapshot(s, seed, s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+  }
+
   private def writeStageMarker(marker: java.io.File, dir: String, srcTable: String): Unit = {
     marker.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(marker, "UTF-8")
@@ -863,6 +877,47 @@ object QueriesCorpus {
       .agg(count(lit(1)).as("n_rows"),
         Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
   }
+
+  // --- GENERAL DATA SKIPPING (ops.Upsert.writeStatsSidecar +
+  //     readWhere): per-file bounds for a column that is NOT the
+  //     commit key, stamped into the `_manifest` and consulted at
+  //     read time — files whose bounds can't satisfy the predicate
+  //     are never opened (no footer read, no scan task). The staged
+  //     table is orders range-clustered by o_custkey, manifest-KEYED
+  //     on o_orderkey (the commit key, whose per-file bounds are
+  //     useless for this filter), with o_custkey stamped as a stats
+  //     column; the gate REQUIRES the pruning to bite (files read <
+  //     total) and aggregates the pruned read, so it passes only if
+  //     skipping never drops a matching row. The commit carry of the
+  //     stamp is pinned in UpsertSpec.
+  private def statsPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_statsprune"
+    val tbl = s"$base/table"
+    val marker = new java.io.File(s"$base/STAGED")
+    if (needsStaging(marker, dir, "orders")) {
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey"))
+        .write.mode("overwrite").parquet(tbl)
+      graft.ops.Upsert.writeManifestSidecar(s, tbl, "o_orderkey")
+      graft.ops.Upsert.writeStatsSidecar(s, tbl, Seq("o_custkey"))
+      writeStageMarker(marker, dir, "orders")
+    }
+    val pred = col("o_custkey").between(lit(100L), lit(400L))
+    val (cands, total) = graft.ops.Upsert.statsPrunedFiles(s, tbl, pred)
+    require(cands.nonEmpty && cands.size < total,
+      s"stats pruning must bite: ${cands.size}/$total files")
+    graft.ops.Upsert.readWhere(s, tbl, pred)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val statsPruneSql =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_custkey BETWEEN 100 AND 400
+      |GROUP BY o_orderstatus""".stripMargin
 
   private val upsertSql =
     """WITH upd AS (
@@ -1154,10 +1209,7 @@ object QueriesCorpus {
         .write.mode("overwrite").parquet(seed)
       writeStageMarker(marker, dir, "orders")
     }
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
-    graft.ops.Upsert.cloneSnapshot(s, seed, s"$tbl/v0")
-    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
-    try w.print("v0") finally w.close()
+    stageVersionedFromSeed(s, seed, tbl)
     tbl
   }
 
@@ -1253,10 +1305,7 @@ object QueriesCorpus {
         .write.mode("overwrite").parquet(seed)
       writeStageMarker(marker, dir, "orders")
     }
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
-    graft.ops.Upsert.cloneSnapshot(s, seed, s"$tbl/v0")
-    val w = new java.io.PrintWriter(s"$tbl/CURRENT", "UTF-8")
-    try w.print("v0") finally w.close()
+    stageVersionedFromSeed(s, seed, tbl)
 
     val opt = s.sql(s"OPTIMIZE '$tbl' BY o_orderkey TARGET 64 MB").collect()(0)
     require(opt.getLong(0) == 16 && opt.getLong(1) < 16,
@@ -1289,7 +1338,10 @@ object QueriesCorpus {
         .write.mode("overwrite").parquet(seed)
       writeStageMarker(marker, dir, "orders")
     }
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    locally { // fresh table dir, through the Fs substrate
+      val fs = graft.ops.Fs.of(tbl, s)
+      fs.delete(new org.apache.hadoop.fs.Path(tbl), true); ()
+    }
     s.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
     val cut = s.read.parquet(seed)
       .agg(max(col("o_orderkey"))).collect()(0).getLong(0) / 8
@@ -1841,6 +1893,7 @@ object QueriesCorpus {
     "q_dv_delete" -> (dvDelete _),
     "q_cdf" -> (cdf _),
     "q_upsert" -> (upsert _),
+    "q_stats_prune" -> (statsPrune _),
     "q_upsert_composite" -> (upsertComposite _),
     "q_upsert_partitioned" -> (upsertPartitioned _),
     "q_sql_merge" -> (sqlMerge _),
@@ -1893,6 +1946,7 @@ object QueriesCorpus {
     "q_dv_delete" -> dvDeleteSql,
     "q_cdf" -> cdfSql,
     "q_upsert" -> upsertSql,
+    "q_stats_prune" -> statsPruneSql,
     "q_upsert_composite" -> upsertCompositeSql,
     "q_upsert_partitioned" -> upsertPartitionedSql,
     "q_sql_merge" -> upsertSql,

@@ -58,9 +58,11 @@ object AnnIndex {
       .repartitionByRange(numRangePartitions, col("cell"))
       .sortWithinPartitions(col("cell"), col("id"))
       .write.mode("overwrite").parquet(s"$path/codes.parquet")
-    val marker = new java.io.PrintWriter(s"$path/INDEX_OK", "UTF-8")
-    try marker.print(s"numSub=${cb.length} codes=${cb(0).length}")
-    finally marker.close()
+    // through the Fs substrate (scheme-proof; FsSubstrateSpec's source
+    // gate forbids raw java.io writes in the ops layer)
+    Fs.writeTextAtomic(Fs.of(path),
+      new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"),
+      s"numSub=${cb.length} codes=${cb(0).length}")
   }
 
   /** Append a delta batch to a persisted index: encode the NEW vectors
@@ -78,7 +80,7 @@ object AnnIndex {
     * (AnnIndexSpec + `q_ann_append` vs the inline-fit oracle). */
   def append(delta: DataFrame, path: String,
       numRangePartitions: Int = 1): Unit = {
-    require(new java.io.File(s"$path/INDEX_OK").exists(),
+    require(Fs.of(path).exists(new org.apache.hadoop.fs.Path(s"$path/INDEX_OK")),
       s"AnnIndex.append: $path has no INDEX_OK marker — build the index first")
     val idx = read(delta.sparkSession, path)
     Similarity.pqEncode(
@@ -94,7 +96,7 @@ object AnnIndex {
   /** Load the index artifacts; refuses a directory without the marker
     * (a crashed build must fail loudly, not probe a partial corpus). */
   def read(spark: SparkSession, path: String): Index = {
-    require(new java.io.File(s"$path/INDEX_OK").exists(),
+    require(Fs.of(path).exists(new org.apache.hadoop.fs.Path(s"$path/INDEX_OK")),
       s"AnnIndex: $path has no INDEX_OK marker — missing or incomplete index")
     val cbRows = spark.read.parquet(s"$path/codebook.parquet")
       .select("subspace", "code", "vec")

@@ -451,9 +451,12 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
     tokens(history, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/tokens")
-    val w = new java.io.PrintWriter(s"$path/PARAMS", "UTF-8")
-    try w.print(s"$numPerms:$bandSize:${maxBucket.getOrElse(-1)}")
-    finally w.close()
+    // through the Fs substrate: the index may live on any scheme
+    // Hadoop mounts, and a raw java.io write in the ops layer is the
+    // bypass FsSubstrateSpec's source gate forbids
+    Fs.writeTextAtomic(Fs.of(path),
+      new org.apache.hadoop.fs.Path(s"$path/PARAMS"),
+      s"$numPerms:$bandSize:${maxBucket.getOrElse(-1)}")
   }
 
   /** Probe a persisted index with a new batch: identical semantics to
@@ -466,9 +469,9 @@ object Dedup {
       spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val src = scala.io.Source.fromFile(s"$path/PARAMS")
     val Array(numPerms, bandSize, cap) =
-      try src.mkString.trim.split(':') finally src.close()
+      Fs.readText(Fs.of(path),
+        new org.apache.hadoop.fs.Path(s"$path/PARAMS")).trim.split(':')
     val maxBucket = if (cap.toInt < 0) None else Some(cap.toInt)
     val hb = spark.read.parquet(s"$path/bands")
     val ht = spark.read.parquet(s"$path/tokens")

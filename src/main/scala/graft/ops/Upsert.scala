@@ -336,6 +336,222 @@ object Upsert {
     n
   }
 
+  // -------------------------------------------------------------------
+  // General data skipping: the `_manifest` is not limited to commit
+  // keys — [[writeStatsSidecar]] stamps per-file bounds for ANY
+  // declared column list (Delta's dataSkippingNumIndexedCols shape,
+  // restricted to the types whose footer stats round-trip through
+  // text: integral + string), the commit engine carries those rows
+  // through every commit like key bounds (linked files verbatim,
+  // fresh files in the same footer pass), and [[readWhere]] prunes a
+  // read's file set on any stamped column with ZERO footer reads —
+  // the manifest consultation is the only metadata touched. At 100 TB
+  // this is the difference between "Spark's row-group pruning after
+  // opening every footer" and "never opening the file at all".
+  // -------------------------------------------------------------------
+
+  /** Stamp per-file bounds for `cols` — STATS columns for general
+    * data skipping — into the snapshot's `_manifest`, PRESERVING any
+    * already-stamped keys (their bounds recompute in the same single
+    * footer-stats pass; partition columns resolve from directory
+    * names, no read). Subsequent commits carry the stamped columns
+    * forward automatically.
+    *
+    * @return number of manifest rows written */
+  def writeStatsSidecar(
+      spark: SparkSession, snapshotDir: String, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "writeStatsSidecar: name at least one column")
+    val schema = logicalSchema(spark, snapshotDir)
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"writeStatsSidecar: no column '$c' in " +
+          schema.fieldNames.mkString(", "))
+      requireSupportedKey(schema(c).dataType, c, "stats stamp")
+    }
+    // a stamped key no longer in the schema (dropped by a rewrite)
+    // falls out here, same as the commit carry
+    val allKeys = (readManifestKeys(spark, snapshotDir).getOrElse(Set.empty)
+        ++ cols).toSeq.sorted
+      .flatMap(k => schema.fields.find(_.name == k).map(f => k -> f.dataType))
+      .filter { case (_, t) => isManifestKeyType(t) }
+    val files = Layout.listDataFiles(spark, snapshotDir)
+    require(files.nonEmpty, s"writeStatsSidecar: no .parquet files under $snapshotDir")
+    val bounds = footerBoundsMulti(spark, files, allKeys, snapshotDir).cache()
+    val n = bounds.count().toInt
+    bounds.coalesce(1).write.mode("overwrite").parquet(manifestDir(snapshotDir))
+    bounds.unpersist()
+    writeManifestKeys(spark, snapshotDir, allKeys.map(_._1))
+    n
+  }
+
+  /** The comparison conjuncts of `predicate` the stamped manifest can
+    * prune on: (column, survives(mn, mx)) per usable conjunct. Handles
+    * `=`, `<`, `<=`, `>`, `>=`, `IN` and `AND` over a stamped column
+    * vs a literal (either side); everything else contributes no
+    * pruning (correct — pruning may only ever SHRINK the candidate
+    * set for predicates a skipped file provably cannot satisfy, and
+    * every handled form is comparison-based, which NULL values never
+    * satisfy). */
+  private def pruneChecks(
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      predicate: Column, stamped: Map[String, DataType])
+      : Seq[(String, (String, String) => Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // ANALYZE the predicate against the table's schema (an empty
+    // probe frame — no scan, no job) so the condition arrives as
+    // resolved catalyst comparisons, not Spark 4's opaque ColumnNode
+    // graph; analysis also type-checks it against the real schema
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      // a widening integral cast preserves comparison order in the
+      // long domain the checks compare in; any other cast (string→int
+      // etc) changes the ordering and must NOT prune
+      case c: Cast if integralTypes.contains(c.dataType) &&
+          integralTypes.contains(c.child.dataType) => nameOf(c.child)
+      case _ => None
+    }
+    // literal → text in the column's comparison domain; None = this
+    // conjunct can't prune (type mismatch, null, non-literal)
+    def txt(v: Any, t: DataType): Option[String] = v match {
+      case null => None
+      case s: org.apache.spark.unsafe.types.UTF8String
+          if t == StringType => Some(s.toString)
+      case s: String if t == StringType => Some(s)
+      case n: Byte if integralTypes(t) => Some(n.toString)
+      case n: Short if integralTypes(t) => Some(n.toString)
+      case n: Int if integralTypes(t) => Some(n.toString)
+      case n: Long if integralTypes(t) => Some(n.toString)
+      case _ => None
+    }
+    def cmp(t: DataType): (String, String) => Int =
+      if (t == StringType) (a, b) => a.compareTo(b)
+      else (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val cond = probe.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(return Nil)
+    def check(attr: Expression, v: Any, op: String)
+        : Option[(String, (String, String) => Boolean)] =
+      for {
+        n <- nameOf(attr)
+        t <- stamped.get(n)
+        lit <- txt(v, t)
+      } yield {
+        val c = cmp(t)
+        val ok: (String, String) => Boolean = op match {
+          case "eq" => (mn, mx) => c(mn, lit) <= 0 && c(lit, mx) <= 0
+          case "gt" => (_, mx) => c(mx, lit) > 0
+          case "ge" => (_, mx) => c(mx, lit) >= 0
+          case "lt" => (mn, _) => c(mn, lit) < 0
+          case "le" => (mn, _) => c(mn, lit) <= 0
+        }
+        n -> ok
+      }
+    conj(cond).flatMap {
+      case EqualTo(a, Literal(v, _)) => check(a, v, "eq")
+      case EqualTo(Literal(v, _), a) => check(a, v, "eq")
+      case GreaterThan(a, Literal(v, _)) => check(a, v, "gt")
+      case GreaterThan(Literal(v, _), a) => check(a, v, "lt")
+      case GreaterThanOrEqual(a, Literal(v, _)) => check(a, v, "ge")
+      case GreaterThanOrEqual(Literal(v, _), a) => check(a, v, "le")
+      case LessThan(a, Literal(v, _)) => check(a, v, "lt")
+      case LessThan(Literal(v, _), a) => check(a, v, "gt")
+      case LessThanOrEqual(a, Literal(v, _)) => check(a, v, "le")
+      case LessThanOrEqual(Literal(v, _), a) => check(a, v, "ge")
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val eqs = vs.flatMap(l =>
+          check(a, l.asInstanceOf[Literal].value, "eq"))
+        // all values must convert, else the conjunct can't prune
+        if (eqs.length == vs.length && eqs.nonEmpty)
+          Some(eqs.head._1 -> { (mn: String, mx: String) =>
+            eqs.exists(_._2(mn, mx)) })
+        else None
+      case _ => None
+    }
+  }
+
+  /** The data files of `tablePath` a read under `predicate` must
+    * open, decided from the stamped `_manifest` bounds alone — ZERO
+    * footer reads. Files without a manifest row for a checked column
+    * hold no non-null value of it (the writers' invariant:
+    * [[footerBoundsMulti]] drops exactly those rows), which no
+    * comparison predicate matches — skipped. Columns the predicate
+    * constrains but the manifest doesn't stamp simply don't prune.
+    *
+    * @return (candidate files, total file count) */
+  def statsPrunedFiles(
+      spark: SparkSession, tablePath: String, predicate: Column)
+      : (Seq[String], Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val all = Layout.listDataFiles(spark, tablePath)
+    val md = new HPath(manifestDir(tablePath))
+    val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(md, "_SUCCESS"))) return (all, all.size)
+    val stampedNames = readManifestKeys(spark, tablePath).getOrElse(Set.empty)
+    if (stampedNames.isEmpty) return (all, all.size)
+    val schema = logicalSchema(spark, tablePath)
+    val stamped = stampedNames.toSeq
+      .flatMap(k => schema.fields.find(_.name == k).map(f => k -> f.dataType))
+      .toMap
+    val checks = pruneChecks(spark, schema, predicate, stamped)
+    if (checks.isEmpty) return (all, all.size)
+    val shape = org.apache.spark.sql.types.StructType.fromDDL(
+      "file string, key string, mn string, mx string")
+    val rows = spark.read.schema(shape).parquet(md.toString)
+      .filter(col("key").isin(checks.map(_._1).distinct: _*))
+      .collect()
+    val byKey: Map[String, Map[String, (String, String)]] =
+      rows.groupBy(_.getString(1)).map { case (k, rs) =>
+        k -> rs.map(r => r.getString(0) -> (r.getString(2), r.getString(3)))
+          .toMap
+      }
+    val keep = all.filter { f =>
+      val rel = relPath(tablePath, f)
+      checks.forall { case (k, ok) =>
+        byKey.getOrElse(k, Map.empty).get(rel) match {
+          case Some((mn, mx)) if mn != null && mx != null => ok(mn, mx)
+          case _ => false
+        }
+      }
+    }
+    (keep, all.size)
+  }
+
+  /** Read a snapshot under `predicate` with manifest-level data
+    * skipping ([[statsPrunedFiles]]): files the stamped bounds prove
+    * irrelevant are never opened — no footer read, no scan task. The
+    * deletion vector is honored exactly as in [[readWithDeletes]],
+    * and the full predicate still applies to the surviving rows (the
+    * pruning is a file-set shrink, never a row filter). Falls back to
+    * the plain filtered read when nothing prunes. */
+  def readWhere(
+      spark: SparkSession, tablePath: String, predicate: Column): DataFrame = {
+    val (cands, total) = statsPrunedFiles(spark, tablePath, predicate)
+    if (cands.size == total)
+      return readWithDeletes(spark, tablePath).filter(predicate)
+    val schema = readSchemaSidecar(tablePath).getOrElse(
+      logicalSchema(spark, tablePath))
+    val data =
+      if (cands.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(
+            schema.fields.map(_.copy(nullable = true))))
+      else {
+        val partCols =
+          partitionColsOf(tablePath, Layout.listDataFiles(spark, tablePath))
+        val r0 = spark.read.schema(schema)
+        val r = if (partCols.isEmpty) r0 else r0.option("basePath", tablePath)
+        r.parquet(cands: _*)
+      }
+    subtractDv(spark, tablePath, data).filter(predicate)
+  }
+
   private def requireSupportedKey(dt: DataType, keyCol: String, side: String): Unit =
     require(integralTypes.contains(dt) || dt == StringType,
       s"Upsert: key column '$keyCol' ($side) has type ${dt.simpleString}; " +
@@ -607,9 +823,17 @@ object Upsert {
     * A snapshot without a `_dv` sidecar reads as-is. */
   def readWithDeletes(
       spark: SparkSession, tablePath: String,
+      broadcastMaxBytes: Long = DvBroadcastMaxBytes): DataFrame =
+    subtractDv(spark, tablePath,
+      readSnapshotData(spark, tablePath), broadcastMaxBytes)
+
+  /** Anti-join `data` with the snapshot's `_dv` sidecar, if any —
+    * the shared merge-on-read leg of [[readWithDeletes]] and
+    * [[readWhere]]. */
+  private def subtractDv(
+      spark: SparkSession, tablePath: String, data: DataFrame,
       broadcastMaxBytes: Long = DvBroadcastMaxBytes): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val data = readSnapshotData(spark, tablePath)
     val dv = new HPath(dvDir(tablePath))
     val fs = dv.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new HPath(dv, "_SUCCESS"))) data
@@ -1926,8 +2150,17 @@ object Upsert {
     * at-least-once; consumers key idempotence off `_commit_version`.
     *
     * @return the feed directory written */
+  /** @param feedFilesPerVersion bound the feed dir's parquet file
+    *   count (coalesce) — the admission-control contract with a
+    *   rate-limited subscriber: with k files per version,
+    *   [[graft.streaming.Streams.cdfStream]]'s `maxFilesPerTrigger =
+    *   k·m` admits at most m versions per micro-batch, so a
+    *   backlogged consumer catches up in bounded steps instead of one
+    *   giant batch. 0 (default) leaves the write's natural
+    *   parallelism — the right call for huge backfill commits. */
   def materializeCdf(
-      spark: SparkSession, tableDir: String, toVersion: Long): String = {
+      spark: SparkSession, tableDir: String, toVersion: Long,
+      feedFilesPerVersion: Int = 0): String = {
     val out = s"$tableDir/_cdf/v$toVersion"
     val prior = snapshotVersions(tableDir).filter(_ < toVersion)
     val feed =
@@ -1935,7 +2168,9 @@ object Upsert {
         readSnapshot(spark, tableDir, toVersion)
           .withColumn("_change_type", lit("insert"))
       else changeDataFeed(spark, tableDir, prior.max, toVersion)
-    feed.withColumn("_commit_version", lit(toVersion))
+    val sized =
+      if (feedFilesPerVersion > 0) feed.coalesce(feedFilesPerVersion) else feed
+    sized.withColumn("_commit_version", lit(toVersion))
       .write.mode("overwrite").parquet(out)
     out
   }

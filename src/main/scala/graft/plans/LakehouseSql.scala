@@ -575,20 +575,32 @@ object LakehouseSql {
     }
 }
 
-/** Session-scoped name → path catalog for graft tables: `CREATE GRAFT
-  * TABLE n AT '<dir>'` registers a name every SQL verb and the
+/** Name → path catalog for graft tables: `CREATE GRAFT TABLE n AT
+  * '<dir>'` registers a name every SQL verb and the
   * `graft_table`/`graft_cdf` TVFs then accept in place of the raw
   * path. PATHS REMAIN THE STORAGE TRUTH — the catalog is a pure alias
-  * map (nothing is written to disk; a name dies with the session),
-  * which is exactly what a multi-statement session needs to stop
-  * repeating long paths. Scope boundary: the id rides the session's
-  * SQL conf, so a CLONED session (newSession copies the conf) shares
-  * its parent's namespace by design — sibling sessions built from
-  * separate builders do not. Entries live as long as the JVM (the map
-  * holds name→path strings only — bytes, not resources — and a
-  * session's aliases are droppable with DROP GRAFT TABLE). Scoped by `SparkSession.sessionUUID` so
-  * concurrent sessions in one JVM can't see each other's names. */
+  * map.
+  *
+  * TWO MODES, switched by the `spark.graft.catalog.dir` conf:
+  *
+  *  - UNSET (default): session-scoped, in-memory — a name dies with
+  *    the session. Scope boundary: the id rides the session's SQL
+  *    conf, so a CLONED session shares its parent's namespace by
+  *    design; sibling sessions built from separate builders do not.
+  *  - SET to a warehouse root: DURABLE — each name is one small text
+  *    file `<dir>/<name>.tbl` holding the path, written through
+  *    [[graft.ops.Fs]] (atomic tmp+rename; any scheme Hadoop mounts).
+  *    The directory IS the catalog: names survive restarts and are
+  *    visible to every session and process sharing the conf, `DROP`
+  *    deletes durably, re-`CREATE` repoints atomically. The in-memory
+  *    map is bypassed entirely in this mode — one source of truth, no
+  *    staleness. Resolution costs one metadata read per name (the
+  *    same class of read every verb already does on CURRENT).
+  */
 object GraftCatalog {
+  /** Conf key: warehouse root for durable names (see scaladoc). */
+  val DirKey = "spark.graft.catalog.dir"
+
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   // a lazily stamped per-session id in the (session-scoped) SQL conf —
@@ -604,20 +616,50 @@ object GraftCatalog {
   }
   private def key(spark: SparkSession, name: String) =
     (sessionId(spark), name.toLowerCase(java.util.Locale.ROOT))
-  def register(spark: SparkSession, name: String, path: String): Unit = {
-    tables.put(key(spark, name), path); ()
-  }
+  private def durableDir(spark: SparkSession): Option[String] =
+    spark.conf.getOption(DirKey).filter(_.nonEmpty)
+  private def nameFile(dir: String, name: String) =
+    new org.apache.hadoop.fs.Path(dir,
+      name.toLowerCase(java.util.Locale.ROOT) + ".tbl")
+
+  def register(spark: SparkSession, name: String, path: String): Unit =
+    durableDir(spark) match {
+      case Some(d) =>
+        graft.ops.Fs.writeTextAtomic(
+          graft.ops.Fs.of(d, spark), nameFile(d, name), path)
+      case None => tables.put(key(spark, name), path); ()
+    }
   def drop(spark: SparkSession, name: String): Boolean =
-    tables.remove(key(spark, name)) != null
+    durableDir(spark) match {
+      case Some(d) =>
+        val fs = graft.ops.Fs.of(d, spark)
+        val p = nameFile(d, name)
+        fs.exists(p) && fs.delete(p, false)
+      case None => tables.remove(key(spark, name)) != null
+    }
   def get(spark: SparkSession, name: String): Option[String] =
-    Option(tables.get(key(spark, name)))
-  def list(spark: SparkSession): Seq[(String, String)] = {
-    import scala.jdk.CollectionConverters._
-    val sid = sessionId(spark)
-    tables.asScala.collect {
-      case ((s0, n), p) if s0 == sid => (n, p)
-    }.toSeq.sortBy(_._1)
-  }
+    durableDir(spark) match {
+      case Some(d) =>
+        graft.ops.Fs.readTextIfExists(
+          graft.ops.Fs.of(d, spark), nameFile(d, name)).map(_.trim)
+      case None => Option(tables.get(key(spark, name)))
+    }
+  def list(spark: SparkSession): Seq[(String, String)] =
+    durableDir(spark) match {
+      case Some(d) =>
+        val fs = graft.ops.Fs.of(d, spark)
+        graft.ops.Fs.listFiles(fs, new org.apache.hadoop.fs.Path(d))
+          .filter(_.getName.endsWith(".tbl"))
+          .map(p => p.getName.stripSuffix(".tbl") ->
+            graft.ops.Fs.readText(fs, p).trim)
+          .sortBy(_._1)
+      case None =>
+        import scala.jdk.CollectionConverters._
+        val sid = sessionId(spark)
+        tables.asScala.collect {
+          case ((s0, n), p) if s0 == sid => (n, p)
+        }.toSeq.sortBy(_._1)
+    }
 }
 
 /** `MERGE [WITH SCHEMA EVOLUTION] INTO` lowered onto

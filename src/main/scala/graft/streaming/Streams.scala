@@ -338,7 +338,8 @@ object Streams {
   def upsertSinkKeys(
       df: DataFrame, tableDir: String, checkpointDir: String,
       keyCols: Seq[String], orderCol: String, opCol: Option[String] = None,
-      dropCols: Seq[String] = Nil, cdf: Boolean = false)
+      dropCols: Seq[String] = Nil, cdf: Boolean = false,
+      cdfFilesPerVersion: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -401,7 +402,8 @@ object Streams {
         // swap (a reader following CURRENT always finds the feed
         // complete) — the write-side half of the CDC loop; cdfStream
         // is the subscription side
-        if (cdf) graft.ops.Upsert.materializeCdf(spark, tableDir, id)
+        if (cdf) graft.ops.Upsert.materializeCdf(
+          spark, tableDir, id, cdfFilesPerVersion)
         // atomic pointer swap: write-then-rename so a reader sees the
         // old CURRENT or the new one, never a partial file
         graft.ops.Fs.writeTextAtomic(ofs,
@@ -423,8 +425,23 @@ object Streams {
     * A downstream aggregate maintained from the feed equals a
     * recompute from the latest snapshot (StreamingSpec). Replayed
     * commits rewrite their feed dir, so delivery is at-least-once —
-    * consumers key idempotence off `_commit_version`. */
-  def cdfStream(spark: SparkSession, tableDir: String): DataFrame = {
+    * consumers key idempotence off `_commit_version`.
+    *
+    * ADMISSION CONTROL (`maxFilesPerTrigger`): a subscriber that
+    * attaches late — or falls behind — faces the whole backlog as ONE
+    * micro-batch, the 100 TB failure mode for any feed consumer (the
+    * first trigger shuffles months of changes at once). Passing a
+    * file cap bounds each micro-batch; with the producer writing k
+    * files per feed version ([[graft.ops.Upsert.materializeCdf]]'s
+    * `feedFilesPerVersion` / [[upsertSink]]'s `cdfFilesPerVersion`),
+    * a cap of k·m is exactly "max m versions per trigger", and a
+    * backlog of N versions drains over ⌈N/m⌉ bounded batches
+    * (StreamingSpec pins this arithmetic). Catch-up still converges:
+    * the file source checkpoints per-file offsets, so progress is
+    * monotone regardless of the cap. */
+  def cdfStream(
+      spark: SparkSession, tableDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // Refuse a table that is not materializing its feed — upsertSink's
     // `cdf` flag defaults to FALSE, and a subscriber pointed at a
     // producer left at the default would otherwise hang on a silently
@@ -455,7 +472,13 @@ object Streams {
     // file streams need an explicit schema; at least one materialized
     // feed version must exist (the table's first commit writes it)
     val schema = spark.read.parquet(glob).schema
-    spark.readStream.schema(schema).parquet(glob)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger
+      .foreach { k =>
+        require(k > 0, s"cdfStream: maxFilesPerTrigger must be positive, got $k")
+        reader.option("maxFilesPerTrigger", k)
+      }
+    reader.parquet(glob)
   }
 
   /** Maintain a DERIVED COW table purely from another table's change

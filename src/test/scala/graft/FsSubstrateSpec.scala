@@ -146,4 +146,41 @@ class FsSubstrateSpec extends AnyFunSuite {
     assert(!new java.io.File("graftmock:").exists,
       "a raw java.io call resolved the scheme as a relative path")
   }
+
+  test("source gate: no raw java.io writes in the lakehouse layer; no raw CURRENT writes anywhere") {
+    // The invariant this suite exists for, enforced at the SOURCE
+    // level so no sanctioned exception can creep back in: every
+    // sidecar/pointer/marker write in the ops/plans/streaming layer
+    // goes through graft.ops.Fs (scheme-proof, checksum-shadow-proof),
+    // and NOTHING in src/main — bench staging included — writes a
+    // CURRENT pointer with raw java.io.
+    import scala.jdk.CollectionConverters._
+    def sources(root: String): Seq[java.nio.file.Path] = {
+      val p = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.isDirectory(p)) return Seq.empty
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala.filter(_.toString.endsWith(".scala")).toList
+      finally st.close()
+    }
+    val layerBad = Seq("ops", "plans", "streaming")
+      .flatMap(d => sources(s"src/main/scala/graft/$d"))
+      .filterNot(_.getFileName.toString == "Fs.scala")
+      .flatMap { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        Seq("new java.io.PrintWriter", "new java.io.FileWriter",
+          "Source.fromFile", "FileUtil.fullyDelete")
+          .filter(txt.contains).map(hit => s"$f: $hit")
+      }
+    assert(layerBad.isEmpty,
+      s"raw java.io writes in the lakehouse layer:\n${layerBad.mkString("\n")}")
+    val ptrBad = sources("src/main/scala/graft").flatMap { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      if (txt.contains("PrintWriter") &&
+          """PrintWriter\([^)]*CURRENT""".r.findFirstIn(txt).isDefined)
+        Some(f.toString)
+      else None
+    }
+    assert(ptrBad.isEmpty,
+      s"raw CURRENT pointer writes outside ops.Fs:\n${ptrBad.mkString("\n")}")
+  }
 }

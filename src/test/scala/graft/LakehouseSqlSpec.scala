@@ -654,6 +654,50 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT x + 1 FROM lakesql_probe").collect()(0).getInt(0) == 42)
   }
 
+  test("durable catalog: names survive the session when spark.graft.catalog.dir is set") {
+    import spark.implicits._
+    import graft.plans.GraftCatalog
+    val root = s"$base/durcat"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    spark.range(10).select($"id".as("k"), $"id".as("v"))
+      .write.mode("overwrite").parquet(s"$root/data")
+    spark.conf.set(GraftCatalog.DirKey, s"$root/names")
+    try {
+      spark.sql(s"CREATE GRAFT TABLE durtbl AT '$root/data'").collect()
+      assert(new java.io.File(s"$root/names/durtbl.tbl").isFile,
+        "durable mode must persist the name to the warehouse root")
+
+      // a FRESH session — different in-memory namespace, same conf —
+      // resolves the name from disk
+      val s2 = spark.newSession()
+      s2.conf.set(GraftCatalog.DirKey, s"$root/names")
+      assert(s2.sql("SHOW GRAFT TABLES").collect()
+        .exists(r => r.getString(0) == "durtbl"))
+      assert(s2.sql("SELECT count(*) AS n FROM graft_table('durtbl')")
+        .collect()(0).getLong(0) == 10)
+
+      // re-CREATE repoints atomically; DROP removes durably for all
+      spark.range(3).select($"id".as("k"), $"id".as("v"))
+        .write.mode("overwrite").parquet(s"$root/data2")
+      s2.sql(s"CREATE GRAFT TABLE durtbl AT '$root/data2'").collect()
+      assert(spark.sql("SELECT count(*) AS n FROM graft_table('durtbl')")
+        .collect()(0).getLong(0) == 3)
+      s2.sql("DROP GRAFT TABLE durtbl").collect()
+      assert(!new java.io.File(s"$root/names/durtbl.tbl").exists)
+      assert(GraftCatalog.get(spark, "durtbl").isEmpty)
+
+      // without the conf, the same name is session-scoped as before
+      spark.conf.unset(GraftCatalog.DirKey)
+      spark.sql(s"CREATE GRAFT TABLE durtbl AT '$root/data'").collect()
+      assert(GraftCatalog.get(spark, "durtbl").isDefined)
+      assert(!new java.io.File(s"$root/names/durtbl.tbl").exists,
+        "in-memory mode must not write the warehouse root")
+      spark.sql("DROP GRAFT TABLE durtbl").collect()
+    } finally {
+      spark.conf.unset(GraftCatalog.DirKey)
+    }
+  }
+
   test("conflict-aware OCC: disjoint-partition writers both publish; overlap aborts") {
     import spark.implicits._
     import graft.plans.LakehouseSql

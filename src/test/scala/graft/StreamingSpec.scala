@@ -682,4 +682,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tbl/_cdf/v*")
       .select("_commit_version").distinct().count() == 3)
   }
+
+  test("rate-limited CDF catch-up: N backlogged versions drain in bounded micro-batches") {
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("cdfrate").toString + "/tbl"
+    // a backlog of 6 commits, each materializing a ONE-file feed
+    // version (the admission-control contract: k files/version ×
+    // maxFilesPerTrigger = versions/trigger)
+    spark.range(20).select($"id".as("k"), functions.lit(0L).as("v"))
+      .coalesce(1).write.parquet(s"$tbl/v0")
+    graft.ops.Upsert.writeCommitInfo(s"$tbl/v0", "STREAM_INIT")
+    graft.ops.Upsert.materializeCdf(spark, tbl, 0, feedFilesPerVersion = 1)
+    for (i <- 1 to 5) {
+      val up = spark.range(2).select(($"id" + i * 2).as("k"), functions.lit(i.toLong).as("v"))
+      graft.ops.Upsert.upsertByKey(spark, s"$tbl/v${i - 1}", s"$tbl/v$i", up, "k")
+      graft.ops.Upsert.materializeCdf(spark, tbl, i, feedFilesPerVersion = 1)
+    }
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v5")
+    for (i <- 0 to 5)
+      assert(new java.io.File(s"$tbl/_cdf/v$i").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1,
+        s"feedFilesPerVersion=1 must bound v$i's feed to one file")
+
+    // late subscriber with maxFilesPerTrigger=2: the 6-version backlog
+    // must drain over >= ceil(6/2) = 3 micro-batches, each admitting
+    // at most 2 versions — never one giant batch
+    val ckpt = java.nio.file.Files.createTempDirectory("cdfrateckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("cdfratesink").toString
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxVersionsInBatch = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Streams.cdfStream(spark, tbl, maxFilesPerTrigger = Some(2))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        val nv = b.select("_commit_version").distinct().count().toInt
+        if (nv > 0) {
+          batches.incrementAndGet()
+          maxVersionsInBatch.getAndUpdate(m => math.max(m, nv))
+          b.write.mode("append").parquet(sink)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.get >= 3, s"6 versions / cap 2 needs >=3 batches, got ${batches.get}")
+    assert(maxVersionsInBatch.get <= 2,
+      s"a micro-batch admitted ${maxVersionsInBatch.get} versions past the cap")
+
+    // catch-up parity: replaying the rate-limited feed reproduces the
+    // CURRENT snapshot exactly (last image per key wins)
+    val replay = spark.read.parquet(sink)
+      .withColumn("__ord", $"_commit_version" * 2 +
+        when($"_change_type" === "insert", 1).otherwise(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("__ord").desc)
+    val rebuilt = replay
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"__rn" === 1 && $"_change_type" === "insert")
+      .select("k", "v")
+    val want = spark.read.parquet(
+      Streams.currentSnapshot(tbl).get).select("k", "v")
+    assert(rebuilt.exceptAll(want).isEmpty && want.exceptAll(rebuilt).isEmpty,
+      "rate-limited replay must equal the snapshot")
+  }
 }

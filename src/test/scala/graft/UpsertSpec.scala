@@ -1001,6 +1001,49 @@ class UpsertSpec extends AnyFunSuite {
     assert(Upsert.cachedBounds(spark, tbl, "no_such_key").isEmpty)
   }
 
+  test("stats columns: zero-footer-read pruning; stamp carries through commits") {
+    import spark.implicits._
+    val tbl = s"$base/stats0"; val out = s"$base/stats1"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    // clustered by c (the stats column); commit-keyed by k
+    spark.range(8000)
+      .select($"id".as("k"), ($"id" / 4).cast("long").as("c"), lit(1L).as("v"))
+      .repartitionByRange(8, $"c").sortWithinPartitions($"c")
+      .write.mode("overwrite").parquet(tbl)
+    Upsert.writeManifestSidecar(spark, tbl, "k")
+    Upsert.writeStatsSidecar(spark, tbl, Seq("c"))
+
+    // pruning on the NON-key column: 8 files span c=0..1999 in ~250
+    // slices; [100, 200) lives in one file
+    val pred = $"c" >= 100L && $"c" < 200L
+    val (cands, total) = Upsert.statsPrunedFiles(spark, tbl, pred)
+    assert(total == 8 && cands.size == 1, s"${cands.size}/$total")
+    val got = Upsert.readWhere(spark, tbl, pred)
+    val want = spark.read.parquet(tbl).filter(pred)
+    assert(got.count() == 400 && got.exceptAll(want).isEmpty
+      && want.exceptAll(got).isEmpty)
+    // IN-list and equality prune too; an unstamped column doesn't
+    assert(Upsert.statsPrunedFiles(spark, tbl, $"c".isin(5L, 1900L))._1.size == 2)
+    assert(Upsert.statsPrunedFiles(spark, tbl, $"v" === 1L)._1.size == total)
+    // a predicate no file can satisfy reads empty without opening one
+    val (none, _) = Upsert.statsPrunedFiles(spark, tbl, $"c" === 123456L)
+    assert(none.isEmpty)
+    assert(Upsert.readWhere(spark, tbl, $"c" === 123456L).count() == 0)
+
+    // carry-through: a MERGE keyed on k keeps the c stamp; fresh files
+    // get c bounds in the same footer pass
+    val up = spark.range(10)
+      .select(($"id" + 4000L).as("k"), lit(9999L).as("c"), lit(-1L).as("v"))
+    Upsert.upsertByKey(spark, tbl, out, up, "k")
+    assert(Upsert.cachedBounds(spark, out, "c").isDefined,
+      "stats stamp must survive the commit")
+    val (c3, t3) = Upsert.statsPrunedFiles(spark, out, $"c" === 9999L)
+    assert(c3.size == 1 && t3 == total, s"${c3.size}/$t3") // 7 linked + 1 fresh
+    assert(Upsert.readWhere(spark, out, $"c" === 9999L).count() == 10)
+    assert(Upsert.readWhere(spark, out, $"c" === 150L).count() ==
+      spark.read.parquet(out).filter($"c" === 150L).count())
+  }
+
   test("legacy BASENAME-keyed sidecar on a partitioned layout is ignored, not trusted") {
     import spark.implicits._
     val tbl = s"$base/legacypart"; val out = s"$base/legacypart_out"

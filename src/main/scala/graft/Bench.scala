@@ -38,7 +38,25 @@ object Bench {
     // makes it very unlikely ALL runs of one query are hit, and the min
     // also sheds first-run plan/codegen cost. Engine cost is the stable
     // floor, which is what the number is for.
-    val ordered = SparkEntry.queries.toSeq
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name subset — the
+    // scale tiers' sampling knob (a 100x full suite costs hours of
+    // wall-clock; the heaviest gates carry the signal) and the warm
+    // re-probe harness (ONLY=q_x PASSES=3 = min-of-3 warm timing of
+    // one query). Unknown names refuse loudly. Unset = full suite —
+    // the driver's per-round runs never set it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = {
+      val all = SparkEntry.queries.toSeq
+      only match {
+        case Some(names) =>
+          val missing = names -- all.map(_._1).toSet
+          require(missing.isEmpty,
+            s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${missing.mkString(",")}")
+          all.filter(p => names.contains(p._1))
+        case None => all
+      }
+    }
     val times = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
     // Plan fingerprint per query: md5 of the canonicalized physical
@@ -137,6 +155,10 @@ object Bench {
       if (ok) {
         val dt = (System.nanoTime() - t0) / 1e9
         times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+        // stderr progress (the timed JSON goes to stdout/file): on the
+        // multi-hour scale tiers a silent run is indistinguishable from
+        // a hung one
+        System.err.println(f"[bench] $name%-28s ${dt}%9.3f s")
       }
     }
     // A query that failed in ANY pass reports "error", not a number — a

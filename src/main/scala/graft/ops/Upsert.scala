@@ -381,6 +381,12 @@ object Upsert {
     bounds.coalesce(1).write.mode("overwrite").parquet(manifestDir(snapshotDir))
     bounds.unpersist()
     writeManifestKeys(spark, snapshotDir, allKeys.map(_._1))
+    // stamp the schema sidecar while we hold the resolved schema: a
+    // stats-stamped table exists to be read through statsPrunedFiles/
+    // readWhere, and without `_schema.json` every such read pays a
+    // mergeSchema footer sweep — the exact cost the stamp eliminates
+    if (readSchemaSidecar(snapshotDir).isEmpty)
+      writeSchemaSidecar(snapshotDir, schema)
     n
   }
 

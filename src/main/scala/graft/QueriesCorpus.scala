@@ -1320,6 +1320,68 @@ object QueriesCorpus {
         Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
   }
 
+  // --- commit-log retention end-to-end: a versioned orders table takes
+  //     three MERGE commits (v1..v3, each doubling a disjoint eighth of
+  //     the key range), then VACUUM RETAIN 2 reclaims v0+v1 AND
+  //     truncates `_commitlog/` below the oldest retained snapshot
+  //     (checkpointed in `_base.json`) — the metadata-growth guard for
+  //     production commit rates, where the per-read log listing must be
+  //     bounded by RETENTION, not table age. The gate aggregates the
+  //     post-vacuum CURRENT; the oracle replays the three merges over
+  //     pristine orders, so it passes only if truncation left the
+  //     committed data and its resolution untouched. Log-shape
+  //     invariants (entries reclaimed, checkpoint advanced, resolution
+  //     intact) are require()d inline.
+  private def vacuumLog(s: SparkSession, dir: String): DataFrame = {
+    val base = bktBase(dir) + "_vaclog"
+    val tbl = stageVersionedOrders(s, dir, base)
+    val orders = s.read.parquet(s"$tbl/v0")
+    val mx = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    (1 to 3).foreach { i =>
+      // (mx*(i-1)/8, mx*i/8] in floor arithmetic, with the FIRST range
+      // open-ended below (the synthetic keyspace starts at 0, which
+      // `> 0` would drop) — the three ranges tile (-inf, floor(3*mx/8)]
+      // exactly, which is what the oracle's real-valued
+      // `o_orderkey <= 3*max/8` selects over integer keys
+      val lower = if (i == 1) lit(true)
+                  else col("o_orderkey") > mx * (i - 1) / 8
+      orders.filter(lower && col("o_orderkey") <= mx * i / 8)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .createOrReplaceTempView("vaclog_upd")
+      s.sql(
+        s"""MERGE INTO '$tbl' USING (SELECT * FROM vaclog_upd) ON o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    def logEntries = graft.ops.Fs.listFiles(graft.ops.Fs.of(tbl, s),
+        new org.apache.hadoop.fs.Path(s"$tbl/_commitlog"))
+      .map(_.getName).filter(_.matches("\\d+\\.json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+    require(logEntries == Seq(1L, 2L, 3L), s"3 publishes must log: $logEntries")
+    val vac = s.sql(s"VACUUM '$tbl' RETAIN 2 SNAPSHOTS").collect()(0)
+    require(vac.getString(0) == "0,1", s"vacuum must reclaim v0,v1: $vac")
+    require(logEntries == Seq(2L, 3L),
+      s"vacuum must truncate log entries below the oldest retained " +
+        s"snapshot — the listing every read pays must be bounded by " +
+        s"retention: $logEntries")
+    require(graft.ops.Upsert.commitLogCheckpoint(tbl).contains(1L),
+      "truncation must checkpoint its high-water mark")
+    val cur = graft.streaming.Streams.currentSnapshot(tbl).get
+    require(cur.endsWith("/v3"),
+      s"the truncated log + pointer must still resolve CURRENT: $cur")
+    s.read.parquet(cur)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Queries.dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val vacuumLogSql =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey <= 3 * (SELECT max(o_orderkey) FROM orders) / 8
+      |                     THEN o_totalprice * 2 ELSE o_totalprice END
+      |           AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   // --- SQL CONVERT + versioned DELETE: lift a plain snapshot into
   //     the versioned layout (`CONVERT ... TO VERSIONED` — the
   //     CONVERT-TO-DELTA analog), then DELETE FROM with NO INTO —
@@ -1905,6 +1967,7 @@ object QueriesCorpus {
     "q_sql_restore" -> (sqlRestore _),
     "q_sql_time_travel" -> (sqlTimeTravel _),
     "q_sql_optimize" -> (sqlOptimize _),
+    "q_vacuum_log" -> (vacuumLog _),
     "q_sql_convert" -> (sqlConvert _),
     "q_sql_cdf" -> (sqlCdf _),
     "q_pagerank" -> (pageRank _),
@@ -1958,6 +2021,7 @@ object QueriesCorpus {
     "q_sql_restore" -> sqlRestoreSql,
     "q_sql_time_travel" -> sqlRestoreSql,
     "q_sql_optimize" -> sqlRestoreSql,
+    "q_vacuum_log" -> vacuumLogSql,
     "q_sql_convert" -> deleteSql,
     "q_sql_cdf" -> cdfSql,
     "q_pagerank" -> pageRankSql,

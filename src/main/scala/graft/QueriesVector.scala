@@ -77,9 +77,16 @@ object QueriesVector {
   //     bucket restriction + quantized cosine threshold
   private def embNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // targetBucket=512 keeps expected bucket occupancy bounded as the
+    // corpus grows: <= 8,192 vectors (incl. sf0.01's 500 and sf0.1's
+    // 2,000 — the oracle tiers) resolve to exactly 4 planes, matching
+    // the fixed-resolution oracle SQL bit-for-bit; the 100x organic
+    // tier (200k vectors) resolves to 9 planes / 512 buckets, turning
+    // the within-bucket pair join from ~n^2/16 to ~n*512 — the fix for
+    // the one super-linear curve in the r12 100x scale run.
     Similarity.cosineNearDupPairs(
       emb(s, dir).select($"vec_id".as("id"), $"embedding"),
-      thresholdQ = 3000L, numPlanes = 4)
+      thresholdQ = 3000L, numPlanes = 4, targetBucket = Some(512L))
   }
 
   private val embNearDupSql: String = {

@@ -90,9 +90,44 @@ object Similarity {
     * are scored — candidates shrink ~2^numPlanes vs all-pairs, which is
     * what makes this runnable over a 100 TB corpus. Returns (i, j,
     * cos_q) with i < j and cos_q = floor(cosine * 1e4) >= the quantized
-    * threshold (quantized so results reproduce across engines). */
-  def cosineNearDupPairs(corpus: DataFrame, thresholdQ: Long, numPlanes: Int): DataFrame = {
-    val planes = hyperplane(numPlanes, 64)
+    * threshold (quantized so results reproduce across engines).
+    *
+    * A FIXED plane count is quadratic at scale: pair volume is
+    * ~n²/2^numPlanes, so growing the corpus 100× grows the within-bucket
+    * join 10,000×/2^p — the one super-linear curve the r12 100× tier
+    * exposed (0.67 s → 289 s). `targetBucket` is the production knob:
+    * when set, the plane count grows with the corpus so that expected
+    * bucket occupancy stays ~`targetBucket` (p = max(numPlanes,
+    * ceil(log2(n / target)))), making candidate volume ~n·target —
+    * linear in corpus size. Because [[hyperplane]] extends the plane
+    * set by PREFIX (plane p's coefficients do not depend on the total
+    * count), agreeing on p > numPlanes planes implies agreeing on the
+    * first numPlanes, so the adaptive output is always a SUBSET of the
+    * fixed-resolution output — monotone refinement, never new pairs.
+    * Corpora at or under target·2^numPlanes resolve to exactly
+    * `numPlanes` planes, so small-corpus results (and the sf0.01/sf0.1
+    * oracle contract) are bit-identical to the fixed form. Recall for
+    * true near-dups decays geometrically with p (a cos≈0.95 pair agrees
+    * per plane with prob ≈ 1 − θ/π ≈ 0.90) — single-band sign-LSH is
+    * recall-lossy by definition; when recall matters more than cost,
+    * OR over several independent plane bands (the
+    * [[graft.ops.Dedup.minHashLshPairs]] shape) at proportional cost. */
+  def cosineNearDupPairs(corpus: DataFrame, thresholdQ: Long, numPlanes: Int,
+      targetBucket: Option[Long] = None): DataFrame = {
+    val p = targetBucket match {
+      case Some(t) =>
+        require(t > 0, s"targetBucket must be positive, got $t")
+        // column-pruned count — parquet answers from footer metadata
+        val n = corpus.select(col("id")).count()
+        val grown =
+          if (n <= t) numPlanes
+          else math.ceil(math.log(n.toDouble / t.toDouble) / math.log(2.0)).toInt
+        // 20 planes = 1M buckets — far past any single-table corpus this
+        // runs over; keeps the bucket id comfortably inside a long
+        math.min(20, math.max(numPlanes, grown))
+      case None => numPlanes
+    }
+    val planes = hyperplane(p, 64)
     // norms computed once per vector, not per pair (1 dot/pair, not 3)
     val b = corpus.select(col("id"), col("embedding"))
       .withColumn("bucket", lshBucket(col("embedding"), planes))

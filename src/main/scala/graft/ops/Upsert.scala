@@ -1768,18 +1768,73 @@ object Upsert {
     * path BEFORE the CURRENT pointer swap (the log is the durable
     * truth; the pointer is the cache that closes to it). Create-
     * exclusive: publishing the same version twice is a protocol bug
-    * and fails loudly. */
+    * and fails loudly — including a version at or below the
+    * truncation checkpoint, whose entry create-exclusive alone could
+    * no longer catch (the entry was reclaimed). */
   private[graft] def writeCommitLogEntry(
       tableDir: String, version: Long, base: Long, verb: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     require(verb.forall(c => c != '"' && c != '\\' && c >= ' '),
       s"writeCommitLogEntry: plain verb name required, got '$verb'")
+    commitLogCheckpoint(tableDir).foreach(cp => require(version > cp,
+      s"commit log of $tableDir is truncated through v$cp — v$version " +
+        "was already published (and since reclaimed); publishing it " +
+        "again is a protocol bug"))
     val p = new HPath(s"${commitLogDir(tableDir)}/$version.json")
     val txt = s"""{"version":$version,"base":$base,"verb":"$verb"""" +
       s""","ts":${System.currentTimeMillis()}}"""
     require(Fs.createExclusive(Fs.of(tableDir), p, txt),
       s"commit log already holds an entry for v$version under $tableDir — " +
         "the version was already published")
+  }
+
+  /** Truncation checkpoint: every log entry at or below this version
+    * has been reclaimed by [[truncateCommitLog]]. Absent on tables
+    * that were never truncated. */
+  private[graft] def commitLogCheckpoint(tableDir: String): Option[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.readTextIfExists(Fs.of(tableDir),
+        new HPath(s"${commitLogDir(tableDir)}/_base.json"))
+      .flatMap(txt => """"version":(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong))
+  }
+
+  /** Reclaim commit-log entries for versions below `belowVersion` —
+    * the metadata half of retention. Without it the log grows one
+    * file per commit forever, and [[commitLogMax]]'s listing (paid by
+    * every [[currentVersion]] resolution) grows with TABLE AGE instead
+    * of retention: a streaming sink committing every 30 s is ~3k
+    * entries/day, and at 100 TB scale the per-read listing RPC is the
+    * first metadata bottleneck. Rides [[vacuum]]/[[vacuumOlderThan]]
+    * with `belowVersion` = the oldest retained snapshot, so an entry
+    * is only ever reclaimed once the snapshot it published is itself
+    * unreachable (time travel can't resolve it, and a conflict-rebase
+    * walk can only need entries newer than some live commit's base).
+    *
+    * Order matters: the `_base.json` checkpoint is advanced FIRST
+    * (atomic write), then entries are deleted — a crash in between
+    * leaves extra entries behind, which is harmless (the next
+    * truncation reclaims them), whereas the reverse order could
+    * re-admit a reclaimed version through [[writeCommitLogEntry]]'s
+    * create-exclusive check.
+    *
+    * @return versions whose entries were reclaimed */
+  private[graft] def truncateCommitLog(
+      tableDir: String, belowVersion: Long): Seq[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = Fs.of(tableDir)
+    val entries = Fs.listFiles(fs, new HPath(commitLogDir(tableDir)))
+      .map(_.getName).filter(_.matches("\\d+\\.json"))
+      .map(_.stripSuffix(".json").toLong)
+      .filter(_ < belowVersion).sorted
+    if (entries.nonEmpty) {
+      val cp = math.max(entries.max, commitLogCheckpoint(tableDir).getOrElse(Long.MinValue))
+      Fs.writeTextAtomic(fs, new HPath(s"${commitLogDir(tableDir)}/_base.json"),
+        s"""{"version":$cp,"ts":${System.currentTimeMillis()}}""")
+      entries.foreach(v =>
+        fs.delete(new HPath(s"${commitLogDir(tableDir)}/$v.json"), false))
+    }
+    entries
   }
 
   /** The published chain's base pointer for `version`, if logged. */
@@ -1792,12 +1847,18 @@ object Upsert {
         .map(_.group(1).toLong))
   }
 
-  /** Highest version the commit log records as published. */
+  /** Highest version the commit log records as published. Entries for
+    * retained snapshots always survive truncation (only versions below
+    * the oldest kept snapshot are reclaimed), so the listing is bounded
+    * by the retention window, not table age; the `_base.json`
+    * checkpoint is folded in as a backstop against hand-deleted
+    * entries. */
   private[graft] def commitLogMax(tableDir: String): Option[Long] = {
     import org.apache.hadoop.fs.{Path => HPath}
-    Fs.listFiles(Fs.of(tableDir), new HPath(commitLogDir(tableDir)))
+    (Fs.listFiles(Fs.of(tableDir), new HPath(commitLogDir(tableDir)))
       .map(_.getName).filter(_.matches("\\d+\\.json"))
-      .map(_.stripSuffix(".json").toLong).maxOption
+      .map(_.stripSuffix(".json").toLong) ++
+      commitLogCheckpoint(tableDir)).maxOption
   }
 
   /** Relink a LOSING commit's change on top of the table's CURRENT
@@ -2221,6 +2282,11 @@ object Upsert {
         .filter(_.getName.matches("v\\d+"))
         .filter(_.getName.drop(1).toLong < oldestKept)
         .foreach(fs.delete(_, true))
+      // commit-log retention rides snapshot retention the same way:
+      // entries for vacuumed versions are unreachable history, and
+      // keeping them makes every currentVersion listing pay for table
+      // AGE instead of the retention window
+      truncateCommitLog(tableDir, oldestKept)
     }
     deleted
   }
@@ -2265,6 +2331,7 @@ object Upsert {
         .filter(_.getName.matches("v\\d+"))
         .filter(_.getName.drop(1).toLong < oldestKept)
         .foreach(fs.delete(_, true))
+      truncateCommitLog(tableDir, oldestKept)
     }
     deleted
   }

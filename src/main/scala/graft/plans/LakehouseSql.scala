@@ -443,7 +443,8 @@ object LakehouseSql {
             s"($baseCurrent, v$nowV] (base v$b)")
         case None =>
           return Left(s"v$v has no commit-log entry (published before " +
-            "the log existed, or by a foreign writer)")
+            "the log existed, by a foreign writer, or reclaimed by a " +
+            "concurrent vacuum's log truncation)")
       }
     }
     val loserDir = s"$tablePath/v$next"

@@ -862,4 +862,57 @@ class LakehouseSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no CURRENT"), e.getMessage)
   }
+
+  test("vacuum truncates the commit log to the retention window; checkpoint blocks republish") {
+    import spark.implicits._
+    val root = s"$base/clogtrunc"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val seed = s"$root/seed"; val tbl = s"$root/tbl"
+    spark.range(50).select($"id".as("k"), lit(0L).as("v"))
+      .write.mode("overwrite").parquet(seed)
+    spark.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
+    (1 to 4).foreach { i =>
+      spark.range(i * 100, i * 100 + 5).select($"id".as("k"), lit(-i.toLong).as("v"))
+        .createOrReplaceTempView("trunc_upd")
+      spark.sql(
+        s"""MERGE INTO '$tbl' USING (SELECT * FROM trunc_upd) ON k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    def logEntries() = new java.io.File(s"$tbl/_commitlog").list()
+      .filter(_.matches("\\d+\\.json")).map(_.stripSuffix(".json").toLong).sorted.toSeq
+    assert(logEntries() == Seq(1L, 2L, 3L, 4L))
+
+    // vacuum keep=2 retains v3, v4 — log entries below v3 are reclaimed
+    // and the checkpoint records the truncation high-water mark
+    assert(Upsert.vacuum(tbl, keep = 2) == Seq(0L, 1L, 2L))
+    assert(logEntries() == Seq(3L, 4L),
+      "entries for vacuumed versions must be reclaimed — the listing " +
+        "every read pays must be bounded by retention, not table age")
+    assert(Upsert.commitLogCheckpoint(tbl).contains(2L))
+
+    // the table still resolves, reads, and time-travels over retained history
+    assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith("/v4"))
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$tbl')")
+      .collect()(0).getLong(0) == 70)
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$tbl', 3)")
+      .collect()(0).getLong(0) == 65)
+
+    // the next commit publishes normally past the checkpoint…
+    spark.range(900, 905).select($"id".as("k"), lit(-9L).as("v"))
+      .createOrReplaceTempView("trunc_upd2")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM trunc_upd2) ON k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(logEntries() == Seq(3L, 4L, 5L))
+
+    // …but republishing a RECLAIMED version is still caught: the
+    // checkpoint carries the duplicate-publish guard the deleted
+    // entries' create-exclusive can no longer provide
+    val dup = intercept[IllegalArgumentException] {
+      Upsert.writeCommitLogEntry(tbl, 1L, 0L, "MERGE")
+    }
+    assert(dup.getMessage.contains("truncated"), dup.getMessage)
+  }
 }

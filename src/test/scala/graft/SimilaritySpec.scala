@@ -309,4 +309,41 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
     assert(run(1 << 14) == run(Int.MaxValue))
   }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("cosineNearDupPairs targetBucket: at-or-under-target corpora are bit-identical to fixed resolution") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding")
+    // 500 vectors, target 512 -> n <= t -> plane count stays at the floor
+    val fixed = pairSet(Similarity.cosineNearDupPairs(corpus, 3000L, 4))
+    val adaptive = pairSet(Similarity.cosineNearDupPairs(corpus, 3000L, 4, Some(512L)))
+    assert(adaptive == fixed)
+    assert(fixed.nonEmpty, "fixture should produce near-dup pairs")
+  }
+
+  test("cosineNearDupPairs targetBucket: grown resolution is the fixed output refined by the extra prefix planes") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding")
+    // 500 vectors, target 16 -> p = max(4, ceil(log2(500/16))) = 5
+    val fixed = Similarity.cosineNearDupPairs(corpus, 3000L, 4)
+    val adaptive = pairSet(Similarity.cosineNearDupPairs(corpus, 3000L, 4, Some(16L)))
+    // hyperplane(p, d) extends by prefix, so the 5-plane bucket equals the
+    // 4-plane bucket plus one more sign bit: the adaptive output must be
+    // EXACTLY the fixed pairs whose two vectors also agree on plane 4
+    val b5 = corpus.select($"id", Similarity.lshBucket($"embedding",
+      Similarity.hyperplane(5, 64)).as("b5"))
+    val expected = pairSet(fixed
+      .join(b5.select($"id".as("i"), $"b5".as("bi")), "i")
+      .join(b5.select($"id".as("j"), $"b5".as("bj")), "j")
+      .filter($"bi" === $"bj")
+      .select($"i", $"j", $"cos_q"))
+    assert(adaptive == expected)
+    assert(adaptive.subsetOf(pairSet(fixed)), "refinement must never add pairs")
+    assert(adaptive.size < pairSet(fixed).size,
+      "5-plane refinement should split at least one 4-plane bucket on this fixture")
+  }
 }

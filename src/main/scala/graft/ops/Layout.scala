@@ -164,6 +164,12 @@ object Layout {
       val s = it.next()
       if (s.isFile && s.getPath.getName.endsWith(".parquet")) written += 1
     }
+    // carry the source's stamped manifest keys (plus the cluster
+    // column) through the rewrite — OPTIMIZE exists to RESTORE pruning,
+    // so it must not silently drop the zero-footer-read stamp. AFTER
+    // the output count: the manifest's own parquet must not count as a
+    // data file.
+    Upsert.restampAfterRewrite(spark, inPath, outPath, Seq(sortCol))
     (files.size, written, total)
   }
 
@@ -198,6 +204,10 @@ object Layout {
       val s = it.next()
       if (s.isFile && s.getPath.getName.endsWith(".parquet")) written += 1
     }
+    // same stamp carry as optimizeTable: both Z-order columns prune
+    // via the manifest after the rewrite, plus whatever was stamped
+    // (after the count — the manifest parquet is not a data file)
+    Upsert.restampAfterRewrite(spark, inPath, outPath, Seq(colA, colB))
     (files.size, written, total)
   }
 

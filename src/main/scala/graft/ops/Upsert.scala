@@ -390,6 +390,33 @@ object Upsert {
     n
   }
 
+  /** Re-stamp a REWRITTEN layout's manifest from its source's stamped
+    * key set plus the rewrite's own cluster columns — the OPTIMIZE/
+    * ZORDER carry. A layout rewrite replaces every file, so the old
+    * manifest rows are useless; without a fresh stamp the maintenance
+    * pass that exists to RESTORE pruning silently downgrades the table
+    * from zero-footer-read skipping back to footer sweeps (commit
+    * pruning pays one sweep and self-heals; `readWhere` never prunes
+    * again until someone re-stamps by hand). One footer pass over the
+    * new files — maintenance-cadence cost, same job the stamp saves
+    * every subsequent read. Columns whose type can't round-trip
+    * through footer-stat text are dropped silently (same rule as the
+    * commit carry); stamps nothing when nothing qualifies.
+    *
+    * @return manifest rows written (0 = nothing stampable) */
+  def restampAfterRewrite(
+      spark: SparkSession, srcPath: String, outPath: String,
+      clusterCols: Seq[String]): Int = {
+    val schema = logicalSchema(spark, outPath)
+    val want = (readManifestKeys(spark, srcPath).getOrElse(Set.empty)
+        ++ clusterCols)
+      .filter(k => schema.fields.find(_.name == k)
+        .exists(f => isManifestKeyType(f.dataType)))
+      .toSeq.sorted
+    if (want.isEmpty) 0
+    else writeStatsSidecar(spark, outPath, want)
+  }
+
   /** The comparison conjuncts of `predicate` the stamped manifest can
     * prune on: (column, survives(mn, mx)) per usable conjunct. Handles
     * `=`, `<`, `<=`, `>`, `>=`, `IN` and `AND` over a stamped column
@@ -516,14 +543,25 @@ object Upsert {
         k -> rs.map(r => r.getString(0) -> (r.getString(2), r.getString(3)))
           .toMap
       }
+    // files the manifest has NO row for under ANY key (vs "no row for
+    // this key", which the writers' invariant defines as all-null — see
+    // footerBoundsMulti): the stamp pass never saw them, so their
+    // contents are unknown and skipping them would silently drop data.
+    // Unreachable through the commit engine (every fresh file gets its
+    // own footer pass), but a hand-added file degrades to
+    // correct-but-scanned instead of wrong — the same defensive posture
+    // as the legacy-sidecar subset validation on the commit path.
+    val manFiles = spark.read.schema(shape).parquet(md.toString)
+      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val keep = all.filter { f =>
       val rel = relPath(tablePath, f)
-      checks.forall { case (k, ok) =>
-        byKey.getOrElse(k, Map.empty).get(rel) match {
-          case Some((mn, mx)) if mn != null && mx != null => ok(mn, mx)
-          case _ => false
+      !manFiles.contains(rel) ||
+        checks.forall { case (k, ok) =>
+          byKey.getOrElse(k, Map.empty).get(rel) match {
+            case Some((mn, mx)) if mn != null && mx != null => ok(mn, mx)
+            case _ => false
+          }
         }
-      }
     }
     (keep, all.size)
   }

@@ -1042,6 +1042,55 @@ class UpsertSpec extends AnyFunSuite {
     assert(Upsert.readWhere(spark, out, $"c" === 9999L).count() == 10)
     assert(Upsert.readWhere(spark, out, $"c" === 150L).count() ==
       spark.read.parquet(out).filter($"c" === 150L).count())
+
+    // a file the manifest has NO row for AT ALL (hand-added after the
+    // stamp — never seen by any footer pass) must be KEPT, not skipped:
+    // per-column absence means "all-null in that column" by the
+    // writers' invariant, but whole-file absence means "contents
+    // unknown", and pruning it away would silently drop its rows
+    val freshFile = graft.ops.Layout.listDataFiles(spark, out)
+      .find(f => spark.read.parquet(f).filter($"c" === 9999L).count() == 10).get
+    val foreign = new org.apache.hadoop.fs.Path(s"$out/part-foreign.parquet")
+    val ffs = foreign.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(ffs, new org.apache.hadoop.fs.Path(freshFile),
+      ffs, foreign, false, spark.sparkContext.hadoopConfiguration)
+    val (c4, t4) = Upsert.statsPrunedFiles(spark, out, $"c" === 9999L)
+    assert(t4 == total + 1 && c4.size == 2,
+      s"unstamped foreign file must stay in the candidate set: ${c4.size}/$t4")
+    assert(Upsert.readWhere(spark, out, $"c" === 9999L).count() == 20,
+      "foreign-file rows must surface (correct-but-scanned, never dropped)")
+  }
+
+  test("OPTIMIZE carries the stats stamp: zero-footer-read pruning survives the rewrite") {
+    import spark.implicits._
+    val tbl = s"$base/optstamp0"; val out = s"$base/optstamp1"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+    // fragmented layout (round-robin: every file spans the whole c
+    // domain), stamped for commit key k and stats column c
+    spark.range(8000)
+      .select($"id".as("k"), ($"id" / 4).cast("long").as("c"), lit(1L).as("v"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(tbl)
+    Upsert.writeManifestSidecar(spark, tbl, "k")
+    Upsert.writeStatsSidecar(spark, tbl, Seq("c"))
+    // pre-rewrite the stamp exists but prunes nothing (overlapping files)
+    val pred = $"c" >= 100L && $"c" < 200L
+    assert(Upsert.statsPrunedFiles(spark, tbl, pred)._1.size == 8)
+
+    // the rewrite that exists to restore pruning must not drop the stamp
+    val (_, nOut, _) = graft.ops.Layout.optimizeTable(
+      spark, tbl, out, "c", targetBytes = 64L << 10)
+    assert(nOut > 1, s"need a multi-file optimized layout, got $nOut")
+    assert(Upsert.cachedBounds(spark, out, "k").isDefined,
+      "the commit-key stamp must carry through OPTIMIZE")
+    val (cands, totalF) = Upsert.statsPrunedFiles(spark, out, pred)
+    assert(totalF == nOut && cands.size < totalF,
+      s"post-OPTIMIZE pruning must bite on the cluster column: ${cands.size}/$totalF")
+    val got = Upsert.readWhere(spark, out, pred)
+    val want = spark.read.parquet(out).filter(pred)
+    assert(got.count() == 400 && got.exceptAll(want).isEmpty
+      && want.exceptAll(got).isEmpty)
   }
 
   test("legacy BASENAME-keyed sidecar on a partitioned layout is ignored, not trusted") {

@@ -53,6 +53,7 @@ import graft.ops.{Layout, Upsert}
   * CREATE GRAFT TABLE <name> AT '<dir>'
   * DROP GRAFT TABLE <name>
   * SHOW GRAFT TABLES
+  * STAMP STATS ON '<table>' COLUMNS (<a>, <b>, ...)
   * }}}
   * Every quoted `'<table>'` reference above (and the
   * `graft_table`/`graft_cdf` TVF first argument) also accepts a NAME
@@ -136,6 +137,8 @@ object LakehouseSql {
     """(?is)^\s*DROP\s+GRAFT\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val showTbl =
     """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
+  private val stampStats =
+    """(?is)^\s*STAMP\s+STATS\s+ON\s+'([^']+)'\s+COLUMNS\s+\(\s*([\w.]+(?:\s*,\s*[\w.]+)*)\s*\)\s*;?\s*$""".r
   // a MERGE/DELETE that LOOKS like ours but doesn't match the grammar
   // must fail loudly, not fall through to Spark's parser (whose error
   // would point users at catalogs this engine doesn't use)
@@ -236,6 +239,9 @@ object LakehouseSql {
     case createTbl(name, dir) => Some(GraftCreateTableCommand(name, dir))
     case dropTbl(name) => Some(GraftDropTableCommand(name))
     case showTbl() => Some(GraftShowTablesCommand())
+    case stampStats(tbl, cols) =>
+      Some(GraftStampStatsCommand(tbl,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case t if mergeish.matches(t) || deleteish.matches(t) ||
         optimizeish.matches(t) || updateish.matches(t) =>
       throw new IllegalArgumentException(
@@ -764,6 +770,29 @@ case class GraftVacuumAgeCommand(tableDir: String, hours: Long)
     Seq(Row(Upsert.vacuumOlderThan(
       LakehouseSql.resolveRef(spark, tableDir),
       hours * 3600L * 1000L).mkString(",")))
+}
+
+/** `STAMP STATS ON '<table>' COLUMNS (a, b, ...)` lowered onto
+  * [[graft.ops.Upsert.writeStatsSidecar]] — the SQL face of general
+  * data skipping (Delta's ANALYZE-style stats collection): per-file
+  * bounds for the named columns land in the snapshot's `_manifest`,
+  * preserving already-stamped keys, and every subsequent commit
+  * carries them forward. On a versioned table the CURRENT snapshot is
+  * stamped in place — a sidecar enrichment, not a data change, so no
+  * commit is created (re-running after the next commit re-stamps the
+  * new current; fresh files of intermediate commits are stamped
+  * automatically by the carry). */
+case class GraftStampStatsCommand(tableDir: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifest_rows", LongType, nullable = false)(),
+    AttributeReference("columns", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = LakehouseSql.resolveRef(spark, tableDir)
+    val snap = graft.streaming.Streams.currentSnapshot(root).getOrElse(root)
+    val n = Upsert.writeStatsSidecar(spark, snap, cols)
+    Seq(Row(n.toLong, cols.mkString(",")))
+  }
 }
 
 /** `OPTIMIZE ... BY col [INTO ...]` lowered onto

@@ -328,6 +328,88 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(got == want, s"committed slices $want but read back $got")
   }
 
+  test("commit waves around vacuum: truncated log never breaks writers, readers, or rebase") {
+    import spark.implicits._
+    val tbl = s"$base/occ_vacuum"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(1000).select($"id".as("k"), lit(0L).as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/seed")
+    spark.sql(s"CONVERT '$tbl/seed' TO VERSIONED '$tbl/t'").collect()
+    val t = s"$tbl/t"
+
+    // NOTE on scope: vacuum between commit WAVES, not during — running
+    // retention shorter than in-flight commit duration is operator
+    // error in any OCC lakehouse (Delta's retentionDurationCheck exists
+    // for exactly this); what the engine DOES guarantee is that a
+    // truncated log is indistinguishable from an untruncated one for
+    // every writer, reader, and conflict-rebase that starts after it.
+    def wave(tag: String, lo: Int): Set[Long] = {
+      val committed = java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean]())
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val tasks = for (w <- 0 until 4; i <- 0 until 2) yield {
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val view = s"vacwave_${tag}_${w}_$i"
+            val slice = lo + w * 100 + i * 50
+            spark.range(slice, slice + 50)
+              .select($"id".as("k"), lit(slice.toLong + 1L).as("v"))
+              .createOrReplaceTempView(view)
+            try {
+              spark.sql(
+                s"""MERGE INTO '$t' USING (SELECT * FROM $view) ON k
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+              committed.add(slice.toLong + 1L); ()
+            } catch {
+              case e: IllegalStateException
+                  if e.getMessage.contains("concurrent commit") => ()
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      committed.asScala.map(Long.unbox).toSet
+    }
+    def logEntries() = new java.io.File(s"$t/_commitlog").list()
+      .filter(_.matches("\\d+\\.json")).map(_.stripSuffix(".json").toLong).sorted.toSeq
+
+    val wave1 = wave("a", 0)
+    assert(wave1.nonEmpty)
+    val afterW1 = Upsert.snapshotVersions(t).max
+    spark.sql(s"VACUUM '$t' RETAIN 2 SNAPSHOTS").collect()
+    val kept = Upsert.snapshotVersions(t)
+    assert(kept.size == 2 && logEntries().forall(_ >= kept.min),
+      s"log ${logEntries()} must hold retained versions only (kept $kept)")
+    // the checkpoint records the highest RECLAIMED entry — with claimed-
+    // but-never-published version numbers in the chain (lost CAS races)
+    // that may sit below kept.min - 1, never at or above kept.min
+    assert(Upsert.commitLogCheckpoint(t).exists(_ < kept.min),
+      s"checkpoint ${Upsert.commitLogCheckpoint(t)} vs kept $kept")
+
+    // wave 2 starts from the truncated log: claims, CAS, and the
+    // disjoint-merge rebase walk must all work exactly as before
+    val wave2 = wave("b", 1000)
+    assert(wave2.nonEmpty)
+    assert(Upsert.snapshotVersions(t).max > afterW1)
+
+    // every committed slice from BOTH waves survives; refused work
+    // left no trace
+    val cur = spark.read.parquet(graft.streaming.Streams.currentSnapshot(t).get)
+    val got = cur.filter($"v" =!= 0L).select($"v").distinct().as[Long].collect().toSet
+    assert(got == (wave1 ++ wave2), s"want ${wave1 ++ wave2}, got $got")
+
+    // final vacuum: the log shrinks to the retention window again
+    spark.sql(s"VACUUM '$t' RETAIN 1 SNAPSHOTS").collect()
+    val last = Upsert.snapshotVersions(t)
+    assert(last.size == 1 && logEntries() == Seq(last.head))
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$t')")
+      .collect()(0).getLong(0) == cur.count())
+  }
+
   test("OPTIMIZE on a versioned table commits in place; DV-carrying input refuses") {
     import spark.implicits._
     val tbl = s"$base/opt_versioned"
@@ -914,5 +996,39 @@ class LakehouseSqlSpec extends AnyFunSuite {
       Upsert.writeCommitLogEntry(tbl, 1L, 0L, "MERGE")
     }
     assert(dup.getMessage.contains("truncated"), dup.getMessage)
+  }
+
+  test("STAMP STATS ON: SQL-declared stats columns prune reads; versioned tables stamp CURRENT") {
+    import spark.implicits._
+    val root = s"$base/stampstats"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val seed = s"$root/seed"; val tbl = s"$root/tbl"
+    // clustered by c so per-file c-bounds are disjoint and pruning can bite
+    spark.range(8000)
+      .select($"id".as("k"), ($"id" / 4).cast("long").as("c"), lit(1L).as("v"))
+      .repartitionByRange(8, $"c").sortWithinPartitions($"c")
+      .write.mode("overwrite").parquet(seed)
+    spark.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
+
+    val r = spark.sql(s"STAMP STATS ON '$tbl' COLUMNS (c, k)").collect()(0)
+    assert(r.getLong(0) > 0 && r.getString(1) == "c,k", r.toString)
+    // the stamp landed on the CURRENT snapshot, not the table root
+    val cur = graft.streaming.Streams.currentSnapshot(tbl).get
+    assert(new java.io.File(s"$cur/_manifest/_keys.json").isFile)
+
+    val pred = $"c" >= 100L && $"c" < 200L
+    val (cands, total) = Upsert.statsPrunedFiles(spark, cur, pred)
+    assert(total == 8 && cands.size == 1, s"${cands.size}/$total")
+    assert(Upsert.readWhere(spark, cur, pred).count() == 400)
+
+    // works through a registered catalog name too
+    spark.sql(s"CREATE GRAFT TABLE stamp_stats_t AT '$tbl'").collect()
+    val r2 = spark.sql("STAMP STATS ON 'stamp_stats_t' COLUMNS (v)").collect()(0)
+    assert(r2.getLong(0) > 0)
+    // an unknown column refuses loudly
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql(s"STAMP STATS ON '$tbl' COLUMNS (nope)").collect()
+    }
+    assert(bad.getMessage.contains("no column"), bad.getMessage)
   }
 }

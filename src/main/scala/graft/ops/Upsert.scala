@@ -2312,21 +2312,50 @@ object Upsert {
     // per commit ([[materializeCdf]]) but was never reclaimed. Feeds
     // for retained snapshots stay: a late subscriber may still replay
     // them.
-    locally {
-      import org.apache.hadoop.fs.{Path => HPath}
-      val fs = Fs.of(tableDir)
-      val oldestKept = snapshotVersions(tableDir).headOption.getOrElse(Long.MaxValue)
-      Fs.listDirs(fs, new HPath(s"$tableDir/_cdf"))
-        .filter(_.getName.matches("v\\d+"))
-        .filter(_.getName.drop(1).toLong < oldestKept)
-        .foreach(fs.delete(_, true))
-      // commit-log retention rides snapshot retention the same way:
-      // entries for vacuumed versions are unreachable history, and
-      // keeping them makes every currentVersion listing pay for table
-      // AGE instead of the retention window
-      truncateCommitLog(tableDir, oldestKept)
-    }
+    reclaimMetadata(tableDir)
     deleted
+  }
+
+  /** The metadata half of retention, shared by both vacuum shapes:
+    * `_cdf` feed versions below the oldest retained snapshot are
+    * unreachable history and reclaim (stamping the feed's LOW
+    * WATERMARK first — see [[cdfLowWatermark]]), and the commit log
+    * truncates to the retention window ([[truncateCommitLog]]) so the
+    * per-read listing cost is bounded by retention, not table age. */
+  private def reclaimMetadata(tableDir: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = Fs.of(tableDir)
+    val oldestKept = snapshotVersions(tableDir).headOption.getOrElse(Long.MaxValue)
+    val feeds = Fs.listDirs(fs, new HPath(s"$tableDir/_cdf"))
+      .filter(_.getName.matches("v\\d+"))
+    val (drop, keep) = feeds.partition(_.getName.drop(1).toLong < oldestKept)
+    if (drop.nonEmpty) {
+      // LOW WATERMARK BEFORE the deletes: a subscriber that has not yet
+      // consumed a reclaimed feed version would otherwise just never
+      // see its files (a file-source lists what exists — a silent gap,
+      // the mirror diverges forever). The marker is what lets
+      // [[graft.streaming.Streams.mirrorFromCdf]] refuse loudly
+      // instead. Crash between the stamp and the deletes leaves a
+      // conservative watermark — safe (it can only over-refuse).
+      val survive = keep.map(_.getName.drop(1).toLong)
+      val wm = if (survive.nonEmpty) survive.min
+               else drop.map(_.getName.drop(1).toLong).max + 1
+      Fs.writeTextAtomic(fs, new HPath(s"$tableDir/_cdf/_low_watermark.json"),
+        s"""{"min_feed_version":$wm,"ts":${System.currentTimeMillis()}}""")
+      drop.foreach(fs.delete(_, true))
+    }
+    truncateCommitLog(tableDir, oldestKept)
+  }
+
+  /** Lowest change-feed version still on disk, per the vacuum stamp —
+    * feeds below it were reclaimed and can never be delivered again.
+    * None = no feed version was ever reclaimed. */
+  def cdfLowWatermark(tableDir: String): Option[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.readTextIfExists(Fs.of(tableDir),
+        new HPath(s"$tableDir/_cdf/_low_watermark.json"))
+      .flatMap(txt => """"min_feed_version":(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong))
   }
 
   /** Time-based retention ([[vacuum]]'s count-based twin — the shape
@@ -2361,16 +2390,7 @@ object Upsert {
       fs.delete(d, true)
       !fs.exists(d)
     }
-    locally {
-      import org.apache.hadoop.fs.{Path => HPath}
-      val fs = Fs.of(tableDir)
-      val oldestKept = snapshotVersions(tableDir).headOption.getOrElse(Long.MaxValue)
-      Fs.listDirs(fs, new HPath(s"$tableDir/_cdf"))
-        .filter(_.getName.matches("v\\d+"))
-        .filter(_.getName.drop(1).toLong < oldestKept)
-        .foreach(fs.delete(_, true))
-      truncateCommitLog(tableDir, oldestKept)
-    }
+    reclaimMetadata(tableDir)
     deleted
   }
 }

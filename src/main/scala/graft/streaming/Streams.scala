@@ -335,16 +335,46 @@ object Streams {
     * ([[graft.ops.Upsert.upsertByKeys]]) — the natural-grain CDC sink
     * (e.g. a (tree_ID, YEAR) annualized table maintained from a
     * stream). */
+  /** @param srcVersionCol when set (the CDC-mirror path), the column
+    *   holding each change image's SOURCE commit version. The sink
+    *   then (a) REFUSES a batch whose lowest version skips past the
+    *   last applied one — the fingerprint of feed versions reclaimed
+    *   by vacuum before delivery, which a file source would otherwise
+    *   swallow silently — and (b) records the applied high-water mark
+    *   in `<tableDir>/_cdf_applied.json` after each commit, which is
+    *   what makes the start-time gap check in [[mirrorFromCdf]]
+    *   possible at all. */
   def upsertSinkKeys(
       df: DataFrame, tableDir: String, checkpointDir: String,
       keyCols: Seq[String], orderCol: String, opCol: Option[String] = None,
       dropCols: Seq[String] = Nil, cdf: Boolean = false,
-      cdfFilesPerVersion: Int = 0)
+      cdfFilesPerVersion: Int = 0, srcVersionCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
+        // feed-gap guard (see @param srcVersionCol): versions must
+        // arrive as an unbroken prefix extension of what was applied
+        val appliedPath = new org.apache.hadoop.fs.Path(tableDir, "_cdf_applied.json")
+        val srcSpan: Option[(Long, Long)] = srcVersionCol.flatMap { c =>
+          val r = batch.agg(min(col(c)), max(col(c))).collect()(0)
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        }
+        srcSpan.foreach { case (mn, _) =>
+          val applied = graft.ops.Fs.readTextIfExists(
+              graft.ops.Fs.of(tableDir, spark), appliedPath)
+            .flatMap(t => """"applied":(-?\d+)""".r.findFirstMatchIn(t)
+              .map(_.group(1).toLong))
+          applied.foreach(a => require(mn <= a + 1,
+            s"upsertSink: change-feed gap — this mirror applied source " +
+              s"version $a but the next delivered batch starts at v$mn; " +
+              s"versions ${a + 1}..${mn - 1} were reclaimed (vacuumed) " +
+              "before delivery. The mirror can no longer catch up " +
+              "incrementally: rebuild it (drop the mirror table and its " +
+              "checkpoint, re-run before the feed is vacuumed, or raise " +
+              "the source's retention)"))
+        }
         // table ownership: batch-id versioning is only replay-safe
         // with ONE writer — this sink. The marker hands SQL/
         // programmatic committers (whose claimed versions would
@@ -408,6 +438,15 @@ object Streams {
         // old CURRENT or the new one, never a partial file
         graft.ops.Fs.writeTextAtomic(ofs,
           new org.apache.hadoop.fs.Path(tableDir, "CURRENT"), s"v$id")
+        // applied high-water AFTER the swap: a replayed batch re-stamps
+        // the same (monotone max) value — idempotent like the commit
+        srcSpan.foreach { case (_, mx) =>
+          val prev = graft.ops.Fs.readTextIfExists(ofs, appliedPath)
+            .flatMap(t => """"applied":(-?\d+)""".r.findFirstMatchIn(t)
+              .map(_.group(1).toLong)).getOrElse(Long.MinValue)
+          graft.ops.Fs.writeTextAtomic(ofs, appliedPath,
+            s"""{"applied":${math.max(prev, mx)},"ts":${System.currentTimeMillis()}}""")
+        }
       }
       .start()
 
@@ -507,16 +546,40 @@ object Streams {
       spark: SparkSession, srcTableDir: String, dstTableDir: String,
       checkpointDir: String, keyCols: Seq[String], cdf: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // start-time feed-gap check: feed versions below the source's low
+    // watermark were vacuumed and can NEVER be delivered — a file
+    // source would simply not see them, and the mirror would diverge
+    // silently and forever. A mirror is only attachable when its
+    // applied high-water mark reaches the watermark; in particular a
+    // FRESH mirror cannot attach to a feed whose history was already
+    // partially reclaimed (it would build from a torn prefix).
+    graft.ops.Upsert.cdfLowWatermark(srcTableDir).foreach { wm =>
+      val applied = graft.ops.Fs.readTextIfExists(
+          graft.ops.Fs.of(dstTableDir, spark),
+          new org.apache.hadoop.fs.Path(dstTableDir, "_cdf_applied.json"))
+        .flatMap(t => """"applied":(-?\d+)""".r.findFirstMatchIn(t)
+          .map(_.group(1).toLong))
+      require(applied.exists(_ + 1 >= wm),
+        s"mirrorFromCdf: $srcTableDir's change feed is truncated below " +
+          s"v$wm (vacuum), and this mirror has " +
+          applied.map(a => s"only applied through v$a").getOrElse("never consumed it") +
+          " — the reclaimed versions can never be delivered, so an " +
+          "incremental catch-up would silently diverge. Rebuild the " +
+          "mirror from scratch before the feed is vacuumed, or raise " +
+          "the source's retention")
+    }
     val feed = cdfStream(spark, srcTableDir)
       .withColumn("__op",
         when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
       .withColumn("__ord",
         col("_commit_version") * 2 +
           when(col("_change_type") === "insert", 1).otherwise(0))
-      .drop("_change_type", "_commit_version")
+      .withColumnRenamed("_commit_version", "__srcv")
+      .drop("_change_type")
     upsertSinkKeys(feed, dstTableDir, checkpointDir, keyCols,
-      orderCol = "__ord", opCol = Some("__op"), dropCols = Seq("__ord"),
-      cdf = cdf)
+      orderCol = "__ord", opCol = Some("__op"),
+      dropCols = Seq("__ord", "__srcv"), cdf = cdf,
+      srcVersionCol = Some("__srcv"))
   }
 
   /** Streaming approximate-distinct per event-time window, as the

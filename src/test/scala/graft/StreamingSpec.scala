@@ -630,6 +630,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dst/_cdf").isDirectory)
   }
 
+  test("vacuumed feed versions refuse the mirror loudly instead of silently diverging") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val src = java.nio.file.Files.createTempDirectory("gapsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gapsrcck").toString
+    val input = MemoryStream[(Long, Long, String, String)]
+    val q = Streams.upsertSink(
+      input.toDF().toDF("k", "seq", "v", "op"), src, ckpt,
+      keyCol = "k", orderCol = "seq", opCol = Some("op"), cdf = true)
+    (0 until 4).foreach { i =>
+      input.addData((i.toLong, i.toLong, s"x$i", "c"))
+      q.processAllAvailable()
+    }
+
+    // a mirror consumes everything; its applied high-water mark lands
+    // on the mirror table
+    val dst = java.nio.file.Files.createTempDirectory("gapdst").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("gapdstck").toString
+    val mq = Streams.mirrorFromCdf(spark, src, dst, ck2, keyCol = "k")
+    mq.processAllAvailable(); mq.stop()
+    assert(graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(dst, spark),
+        new org.apache.hadoop.fs.Path(dst, "_cdf_applied.json"))
+      .exists(_.contains("\"applied\":3")))
+
+    // two more commits, then vacuum down to ONE snapshot: feeds v0..v4
+    // reclaim, the low watermark stamps v5
+    (4 until 6).foreach { i =>
+      input.addData((i.toLong, i.toLong, s"x$i", "c"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(graft.ops.Upsert.vacuum(src, keep = 1).nonEmpty)
+    assert(graft.ops.Upsert.cdfLowWatermark(src).contains(5L))
+
+    // the stale mirror (applied v3, needs v4 first) must refuse at
+    // attach: v4's feed can never be delivered again
+    val stale = intercept[IllegalArgumentException] {
+      Streams.mirrorFromCdf(spark, src, dst, ck2, keyCol = "k")
+    }
+    assert(stale.getMessage.contains("truncated below"), stale.getMessage)
+    // a FRESH mirror can't attach to a torn prefix either
+    val fresh = intercept[IllegalArgumentException] {
+      Streams.mirrorFromCdf(spark, src,
+        java.nio.file.Files.createTempDirectory("gapdst2").toString,
+        java.nio.file.Files.createTempDirectory("gapdstck2").toString,
+        keyCol = "k")
+    }
+    assert(fresh.getMessage.contains("never consumed"), fresh.getMessage)
+
+    // the per-batch guard catches a gap even when the attach-time
+    // marker is bypassed: a delivered batch starting past applied+1
+    // fails the micro-batch loudly
+    val dst3 = java.nio.file.Files.createTempDirectory("gapdst3").toString
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(dst3, spark),
+      new org.apache.hadoop.fs.Path(dst3, "_cdf_applied.json"),
+      """{"applied":1,"ts":0}""")
+    val in2 = MemoryStream[(Long, Long, Long)] // k, __srcv, seq
+    val gq = Streams.upsertSinkKeys(
+      in2.toDF().toDF("k", "__srcv", "seq"), dst3,
+      java.nio.file.Files.createTempDirectory("gapck3").toString,
+      Seq("k"), orderCol = "seq", dropCols = Seq("__srcv"),
+      srcVersionCol = Some("__srcv"))
+    in2.addData((10L, 3L, 1L), (11L, 4L, 2L)) // versions 3,4 — but 2 never arrived
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gq.processAllAvailable()
+    }
+    assert(boom.getMessage.contains("change-feed gap") ||
+      Option(boom.getCause).exists(_.getMessage.contains("change-feed gap")),
+      boom.getMessage)
+    gq.stop()
+  }
+
   test("CDF stream: downstream aggregate maintained from the feed equals snapshot recompute") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

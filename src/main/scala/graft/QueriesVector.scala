@@ -109,6 +109,50 @@ object QueriesVector {
        |SELECT i, j, cos_q FROM p WHERE cos_q >= 3000""".stripMargin
   }
 
+  // --- banded (OR-construction) embedding near-dup: 3 independent
+  //     5-plane sign-LSH bands; a pair is a candidate when it collides
+  //     in ANY band, then the exact quantized-cosine filter applies.
+  //     The recall-restoring complement of q_emb_neardup's adaptive
+  //     single band (1-(1-r^5)^3 vs r^4 survival): recall rises with
+  //     bands at proportional candidate volume. targetBucket keeps the
+  //     per-band occupancy bounded at scale exactly as in the single-
+  //     band form; <= 8,192 vectors resolve to exactly 5 planes/band,
+  //     matching the oracle's fixed plane slices bit-for-bit.
+  private def embNearDupBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.cosineNearDupPairsBanded(
+      emb(s, dir).select($"vec_id".as("id"), $"embedding"),
+      thresholdQ = 3000L, planesPerBand = 5, bands = 3,
+      targetBucket = Some(512L))
+  }
+
+  private val embNearDupBandedSql: String = {
+    val all = Similarity.hyperplane(15, 64)
+    def bucketExpr(v: String, band: Int): String =
+      all.slice(band * 5, (band + 1) * 5).zipWithIndex.map { case (plane, p) =>
+        val lst = plane.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(CAST($v AS DOUBLE[]), CAST($lst AS DOUBLE[])) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id AS id, embedding,
+       |    ${bucketExpr("embedding", 0)} AS b0,
+       |    ${bucketExpr("embedding", 1)} AS b1,
+       |    ${bucketExpr("embedding", 2)} AS b2,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS i, r.id AS j
+       |  FROM b l JOIN b r
+       |    ON l.id < r.id AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2))
+       |SELECT i, j, cos_q FROM (
+       |  SELECT c.i, c.j,
+       |    CAST(floor(
+       |      list_dot_product(CAST(bi.embedding AS DOUBLE[]), CAST(bj.embedding AS DOUBLE[])) /
+       |        (bi.nrm * bj.nrm) * 10000.0) AS BIGINT) AS cos_q
+       |  FROM cand c JOIN b bi ON bi.id = c.i JOIN b bj ON bj.id = c.j)
+       |WHERE cos_q >= 3000""".stripMargin
+  }
+
   // --- IVF ANN: centroids = the first 8 corpus vectors (deterministic
   //     stand-in for a k-means fit); queries probe their 2 nearest cells
   private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
@@ -590,6 +634,7 @@ object QueriesVector {
     "q_cosine_topk" -> (cosineTopK _),
     "q_lsh_ann" -> (lshAnn _),
     "q_emb_neardup" -> (embNearDup _),
+    "q_emb_neardup_banded" -> (embNearDupBanded _),
     "q_ivf_ann" -> (ivfAnn _),
     "q_ivf_kmeans" -> (ivfKmeans _),
     "q_kmeans_step" -> (kmeansStep _))
@@ -605,6 +650,7 @@ object QueriesVector {
     "q_cosine_topk" -> cosineTopKSql,
     "q_lsh_ann" -> lshAnnSql,
     "q_emb_neardup" -> embNearDupSql,
+    "q_emb_neardup_banded" -> embNearDupBandedSql,
     "q_ivf_ann" -> ivfAnnSql,
     "q_ivf_kmeans" -> ivfKmeansSql,
     "q_kmeans_step" -> kmeansStepSql)

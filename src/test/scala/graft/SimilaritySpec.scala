@@ -346,4 +346,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(adaptive.size < pairSet(fixed).size,
       "5-plane refinement should split at least one 4-plane bucket on this fixture")
   }
+
+  test("cosineNearDupPairsBanded: keeps exactly the any-band collisions that clear the threshold") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding")
+    val banded = pairSet(Similarity.cosineNearDupPairsBanded(
+      corpus, 3000L, planesPerBand = 5, bands = 3))
+    // brute-force replay: all i<j pairs, any of the three 5-plane
+    // band buckets equal, quantized cosine over the threshold
+    val all = Similarity.hyperplane(15, 64)
+    val withB = corpus
+      .withColumn("b0", Similarity.lshBucket($"embedding", all.slice(0, 5)))
+      .withColumn("b1", Similarity.lshBucket($"embedding", all.slice(5, 10)))
+      .withColumn("b2", Similarity.lshBucket($"embedding", all.slice(10, 15)))
+      .withColumn("nrm", Similarity.norm($"embedding"))
+    val l = withB.select($"id".as("i"), $"embedding".as("e_i"), $"nrm".as("n_i"),
+      $"b0".as("l0"), $"b1".as("l1"), $"b2".as("l2"))
+    val r = withB.select($"id".as("j"), $"embedding".as("e_j"), $"nrm".as("n_j"),
+      $"b0".as("r0"), $"b1".as("r1"), $"b2".as("r2"))
+    val brute = pairSet(l.crossJoin(r).filter($"i" < $"j")
+      .filter($"l0" === $"r0" || $"l1" === $"r1" || $"l2" === $"r2")
+      .withColumn("cos_q", floor(
+        Similarity.dot($"e_i", $"e_j") / ($"n_i" * $"n_j") * 1e4).cast("long"))
+      .filter($"cos_q" >= 3000L)
+      .select($"i", $"j", $"cos_q"))
+    assert(banded == brute)
+    // the OR-construction's reason to exist: more true pairs survive
+    // than the single 4-plane band finds on the same fixture
+    val single = pairSet(Similarity.cosineNearDupPairs(corpus, 3000L, 4))
+    assert(banded.size > single.size,
+      s"banded ${banded.size} should out-recall single-band ${single.size}")
+  }
 }

@@ -162,10 +162,15 @@ object Similarity {
     * row ranges of one deterministic [[hyperplane]] matrix, so any
     * engine replays the exact candidate set.
     *
-    * One shuffle for the (band, bucket) self-join, one distinct on the
-    * pair set, then two broadcast-or-shuffle joins back to the
-    * embeddings for scoring — the cosine is computed ONCE per distinct
-    * candidate pair, not once per colliding band. */
+    * Dedup WITHOUT a distinct: a pair colliding in several bands is
+    * emitted only at its FIRST colliding band (band k's join requires
+    * every earlier band's buckets to DIFFER), so candidate pairs
+    * stream straight through the cosine filter exactly as in the
+    * single-band form — never shuffled, never materialized. The naive
+    * union+distinct alternative exchanges the whole candidate set
+    * (~n·target·bands rows, tens of GB of spill at the 100x tier on
+    * skewed buckets); this shape's only exchanges are of the corpus
+    * itself, once per band. */
   def cosineNearDupPairsBanded(
       corpus: DataFrame, thresholdQ: Long, planesPerBand: Int, bands: Int,
       targetBucket: Option[Long] = None): DataFrame = {
@@ -182,24 +187,24 @@ object Similarity {
       case None => planesPerBand
     }
     val all = hyperplane(bands * p, 64)
-    val sigs = corpus.select(col("id"),
-        explode(array((0 until bands).map { bi =>
-          struct(lit(bi).as("band"),
-            lshBucket(col("embedding"), all.slice(bi * p, (bi + 1) * p)).as("bucket"))
-        }: _*)).as("s"))
-      .select(col("id"), col("s.band").as("band"), col("s.bucket").as("bucket"))
-    val cand = sigs.as("l").join(sigs.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("i"), col("r.id").as("j"))
-      .distinct()
-    val e = corpus.select(col("id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    cand
-      .join(e.select(col("id").as("i"), col("embedding").as("e_i"),
-        col("nrm").as("n_i")), "i")
-      .join(e.select(col("id").as("j"), col("embedding").as("e_j"),
-        col("nrm").as("n_j")), "j")
+    val b = (0 until bands).foldLeft(
+        corpus.select(col("id"), col("embedding"))
+          .withColumn("nrm", norm(col("embedding")))) { (df, bi) =>
+      df.withColumn(s"b$bi",
+        lshBucket(col("embedding"), all.slice(bi * p, (bi + 1) * p)))
+    }
+    val perBand = (0 until bands).map { k =>
+      val l = b.select(Seq(col("id").as("i"), col("embedding").as("e_i"),
+        col("nrm").as("n_i")) ++ (0 to k).map(m => col(s"b$m").as(s"l$m")): _*)
+      val r = b.select(Seq(col("id").as("j"), col("embedding").as("e_j"),
+        col("nrm").as("n_j")) ++ (0 to k).map(m => col(s"b$m").as(s"r$m")): _*)
+      val firstCollision = (0 until k)
+        .map(m => col(s"l$m") =!= col(s"r$m"))
+        .foldLeft(col(s"l$k") === col(s"r$k") && col("i") < col("j"))(_ && _)
+      l.join(r, firstCollision)
+        .select(col("i"), col("j"), col("e_i"), col("e_j"), col("n_i"), col("n_j"))
+    }
+    perBand.reduce(_ unionByName _)
       .withColumn("cos_q",
         floor(dot(col("e_i"), col("e_j")) / (col("n_i") * col("n_j")) * 1e4).cast("long"))
       .filter(col("cos_q") >= thresholdQ)

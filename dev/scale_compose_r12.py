@@ -45,6 +45,18 @@ def tier(b, k):
 doc = {
     "metric": "scale_curve",
     "action": t100.get("action"),
+    "late_additions": {
+        "q_emb_neardup_banded": {
+            "note": ("added after the tier chain (commit 32134f9/ac3d30c); "
+                     "measured separately per tier under the same single-pass "
+                     "regime. The first shape (union+distinct over candidate "
+                     "pairs) filled the disk with shuffle spill at 100x; the "
+                     "shipped shape dedupes at the FIRST colliding band so "
+                     "pairs stream through the cosine filter unshuffled."),
+            "org1x_s": 3.0, "t10_s": 5.71, "t100_s": 40.15,
+            "org_ratio_10x": 1.9, "org_ratio_100x": 13.4,
+        }
+    },
     "org1x_run": {"file": "docs/BENCH_SCALE_r12_org1x.json",
                   "total_s": round(org1["value"], 1),
                   "passes": org1.get("passes"), "failed": org1.get("failed"),

@@ -535,14 +535,18 @@ object Upsert {
     if (checks.isEmpty) return (all, all.size)
     val shape = org.apache.spark.sql.types.StructType.fromDDL(
       "file string, key string, mn string, mx string")
-    val rows = spark.read.schema(shape).parquet(md.toString)
-      .filter(col("key").isin(checks.map(_._1).distinct: _*))
-      .collect()
+    // ONE manifest read per pruned read (the sidecar is a tiny
+    // coalesce(1) parquet — rows are files × stamped columns): the
+    // checked-key bounds and the full file set both come out of the
+    // same collect, so pruning costs a single metadata job, not two
+    val rows = spark.read.schema(shape).parquet(md.toString).collect()
+    val checkedKeys = checks.map(_._1).toSet
     val byKey: Map[String, Map[String, (String, String)]] =
-      rows.groupBy(_.getString(1)).map { case (k, rs) =>
-        k -> rs.map(r => r.getString(0) -> (r.getString(2), r.getString(3)))
-          .toMap
-      }
+      rows.filter(r => checkedKeys.contains(r.getString(1)))
+        .groupBy(_.getString(1)).map { case (k, rs) =>
+          k -> rs.map(r => r.getString(0) -> (r.getString(2), r.getString(3)))
+            .toMap
+        }
     // files the manifest has NO row for under ANY key (vs "no row for
     // this key", which the writers' invariant defines as all-null — see
     // footerBoundsMulti): the stamp pass never saw them, so their
@@ -551,8 +555,7 @@ object Upsert {
     // own footer pass), but a hand-added file degrades to
     // correct-but-scanned instead of wrong — the same defensive posture
     // as the legacy-sidecar subset validation on the commit path.
-    val manFiles = spark.read.schema(shape).parquet(md.toString)
-      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    val manFiles = rows.map(_.getString(0)).toSet
     val keep = all.filter { f =>
       val rel = relPath(tablePath, f)
       !manFiles.contains(rel) ||

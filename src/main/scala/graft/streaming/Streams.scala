@@ -355,17 +355,21 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
         // feed-gap guard (see @param srcVersionCol): versions must
-        // arrive as an unbroken prefix extension of what was applied
+        // arrive as an unbroken prefix extension of what was applied.
+        // The applied mark is read ONCE per batch and reused for the
+        // post-commit stamp below.
         val appliedPath = new org.apache.hadoop.fs.Path(tableDir, "_cdf_applied.json")
         val srcSpan: Option[(Long, Long)] = srcVersionCol.flatMap { c =>
           val r = batch.agg(min(col(c)), max(col(c))).collect()(0)
           if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
         }
-        srcSpan.foreach { case (mn, _) =>
-          val applied = graft.ops.Fs.readTextIfExists(
+        val applied: Option[Long] =
+          if (srcVersionCol.isEmpty) None
+          else graft.ops.Fs.readTextIfExists(
               graft.ops.Fs.of(tableDir, spark), appliedPath)
             .flatMap(t => """"applied":(-?\d+)""".r.findFirstMatchIn(t)
               .map(_.group(1).toLong))
+        srcSpan.foreach { case (mn, _) =>
           applied.foreach(a => require(mn <= a + 1,
             s"upsertSink: change-feed gap — this mirror applied source " +
               s"version $a but the next delivered batch starts at v$mn; " +
@@ -441,9 +445,7 @@ object Streams {
         // applied high-water AFTER the swap: a replayed batch re-stamps
         // the same (monotone max) value — idempotent like the commit
         srcSpan.foreach { case (_, mx) =>
-          val prev = graft.ops.Fs.readTextIfExists(ofs, appliedPath)
-            .flatMap(t => """"applied":(-?\d+)""".r.findFirstMatchIn(t)
-              .map(_.group(1).toLong)).getOrElse(Long.MinValue)
+          val prev = applied.getOrElse(Long.MinValue)
           graft.ops.Fs.writeTextAtomic(ofs, appliedPath,
             s"""{"applied":${math.max(prev, mx)},"ts":${System.currentTimeMillis()}}""")
         }

@@ -625,27 +625,39 @@ object GraftCatalog {
     (sessionId(spark), name.toLowerCase(java.util.Locale.ROOT))
   private def durableDir(spark: SparkSession): Option[String] =
     spark.conf.getOption(DirKey).filter(_.nonEmpty)
+  // Catalog names are plain identifiers (the CREATE grammar's charset).
+  // This is load-bearing for the durable branch: resolveRef probes
+  // `get` with PATH-shaped refs too, and Hadoop's Path(parent, child)
+  // resolves an absolute child ON ITS OWN — without this guard a stray
+  // `/data/x.tbl` file would hijack every `'/data/x'` path reference.
+  private def isIdent(name: String): Boolean =
+    name.nonEmpty && (name.head.isLetter || name.head == '_') &&
+      name.forall(c => c.isLetterOrDigit || c == '_')
   private def nameFile(dir: String, name: String) =
     new org.apache.hadoop.fs.Path(dir,
       name.toLowerCase(java.util.Locale.ROOT) + ".tbl")
 
-  def register(spark: SparkSession, name: String, path: String): Unit =
+  def register(spark: SparkSession, name: String, path: String): Unit = {
+    require(isIdent(name),
+      s"graft table name must be a plain identifier, got '$name'")
     durableDir(spark) match {
       case Some(d) =>
         graft.ops.Fs.writeTextAtomic(
           graft.ops.Fs.of(d, spark), nameFile(d, name), path)
       case None => tables.put(key(spark, name), path); ()
     }
+  }
   def drop(spark: SparkSession, name: String): Boolean =
-    durableDir(spark) match {
+    isIdent(name) && (durableDir(spark) match {
       case Some(d) =>
         val fs = graft.ops.Fs.of(d, spark)
         val p = nameFile(d, name)
         fs.exists(p) && fs.delete(p, false)
       case None => tables.remove(key(spark, name)) != null
-    }
+    })
   def get(spark: SparkSession, name: String): Option[String] =
-    durableDir(spark) match {
+    if (!isIdent(name)) None
+    else durableDir(spark) match {
       case Some(d) =>
         graft.ops.Fs.readTextIfExists(
           graft.ops.Fs.of(d, spark), nameFile(d, name)).map(_.trim)

@@ -768,6 +768,26 @@ class LakehouseSqlSpec extends AnyFunSuite {
       assert(!new java.io.File(s"$root/names/durtbl.tbl").exists)
       assert(GraftCatalog.get(spark, "durtbl").isEmpty)
 
+      // a PATH-shaped ref never consults the durable catalog: Hadoop's
+      // Path(parent, child) resolves an absolute child on its own, so
+      // without the identifier guard a stray '<abs>.tbl' file would
+      // hijack every '<abs>' path reference to its contents
+      val hijack = s"$root/victim"
+      spark.range(1).select($"id".as("k"), $"id".as("v"))
+        .write.mode("overwrite").parquet(hijack)
+      val w = new java.io.PrintWriter(s"$hijack.tbl", "UTF-8")
+      try w.print(s"$root/data2") finally w.close()
+      assert(GraftCatalog.get(spark, hijack).isEmpty,
+        "path-shaped names must never resolve through the catalog")
+      assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$hijack')")
+        .collect()(0).getLong(0) == 1,
+        "the path ref must read ITS OWN parquet, not the .tbl redirect")
+      // and programmatic registration refuses non-identifier names
+      val badName = intercept[IllegalArgumentException] {
+        GraftCatalog.register(spark, "../escape", "/nope")
+      }
+      assert(badName.getMessage.contains("identifier"), badName.getMessage)
+
       // without the conf, the same name is session-scoped as before
       spark.conf.unset(GraftCatalog.DirKey)
       spark.sql(s"CREATE GRAFT TABLE durtbl AT '$root/data'").collect()

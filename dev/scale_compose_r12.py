@@ -92,7 +92,13 @@ doc = {
         "Worst 100x ratios after the fix (q_winnow_fp 49, q_value_deciles 29, "
         "q_profile 24) are posting-list/pair-volume effects of the organic "
         "Zipf tail plus single-pass cold-scan bias on a 2.1 GB tier; all are "
-        "sub-linear vs the k=100 data scale and none trips the flag rule."),
+        "sub-linear vs the k=100 data scale and none trips the flag rule. "
+        "WARM ADJUDICATION (min-of-3 re-probe on 437aecf, /tmp/warm_100x): "
+        "q_winnow_fp 36.9s (ratio 39), q_value_deciles 11.8s (23), q_profile "
+        "37.0s (22), q_bloom_prune 13.9s (16), q_pq_ann 12.6s (16), "
+        "q_emb_neardup_banded 30.8s (10.3) — 10-25% below the cold "
+        "single-pass figures, confirming the bias direction; plan hashes "
+        "identical to the tier run."),
 }
 json.dump(doc, open("docs/BENCH_SCALE_r12.json", "w"), indent=1)
 t = doc["tiers"]

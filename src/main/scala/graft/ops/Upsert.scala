@@ -535,14 +535,20 @@ object Upsert {
     if (checks.isEmpty) return (all, all.size)
     val shape = org.apache.spark.sql.types.StructType.fromDDL(
       "file string, key string, mn string, mx string")
-    // ONE manifest read per pruned read (the sidecar is a tiny
-    // coalesce(1) parquet — rows are files × stamped columns): the
-    // checked-key bounds and the full file set both come out of the
-    // same collect, so pruning costs a single metadata job, not two
-    val rows = spark.read.schema(shape).parquet(md.toString).collect()
-    val checkedKeys = checks.map(_._1).toSet
+    // ONE metadata job per pruned read: the checked-key bounds and the
+    // full manifest file set come out of a single collect over a union
+    // (bounds rows for the checked keys + a null-key row per distinct
+    // file), so the driver holds files × (checked + 1) rows — not
+    // files × ALL stamped columns, which a whole-manifest collect
+    // would cost on a wide stamp at 100 TB file counts
+    val mf = spark.read.schema(shape).parquet(md.toString)
+    val rows = mf.filter(col("key").isin(checks.map(_._1).distinct: _*))
+      .unionByName(mf.select(col("file")).distinct()
+        .select(col("file"), lit(null).cast("string").as("key"),
+          lit(null).cast("string").as("mn"), lit(null).cast("string").as("mx")))
+      .collect()
     val byKey: Map[String, Map[String, (String, String)]] =
-      rows.filter(r => checkedKeys.contains(r.getString(1)))
+      rows.filter(!_.isNullAt(1))
         .groupBy(_.getString(1)).map { case (k, rs) =>
           k -> rs.map(r => r.getString(0) -> (r.getString(2), r.getString(3)))
             .toMap
@@ -555,7 +561,7 @@ object Upsert {
     // own footer pass), but a hand-added file degrades to
     // correct-but-scanned instead of wrong — the same defensive posture
     // as the legacy-sidecar subset validation on the commit path.
-    val manFiles = rows.map(_.getString(0)).toSet
+    val manFiles = rows.filter(_.isNullAt(1)).map(_.getString(0)).toSet
     val keep = all.filter { f =>
       val rel = relPath(tablePath, f)
       !manFiles.contains(rel) ||

@@ -389,13 +389,16 @@ object QueriesVector {
       cb, k = 3, probes = 2)
   }
 
-  private val ivfPqSql: String = {
+  // `corpusWhere` restricts the scoring corpus (q_ann_delete's
+  // surviving-rows oracle); artifacts (ct/cb — the vec_id<8 seeds) stay
+  // full-table because the persisted index's artifacts are immutable
+  private def ivfPqSqlWhere(corpusWhere: String): String = {
     val terms = (0 until 8).map { mi =>
       val qsv = s"CAST(list_slice(q_emb, ${mi * 8 + 1}, ${mi * 8 + 8}) AS DOUBLE[])"
       val cv = s"CAST(cb3[${mi + 1}][codes[${mi + 1}] + 1] AS DOUBLE[])"
       s"(list_dot_product($qsv, $qsv) - 2 * list_dot_product($qsv, $cv)) + list_dot_product($cv, $cv)"
     }.mkString(" + ")
-    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings),
+    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings$corpusWhere),
        |ct AS (SELECT vec_id AS cid, embedding AS ct_emb FROM embeddings WHERE vec_id < 8),
        |cb AS (
        |  SELECT cid, m, list_slice(embedding, m*8+1, m*8+8) AS cvec
@@ -448,6 +451,8 @@ object QueriesVector {
        |WHERE rank <= 3""".stripMargin
   }
 
+  private val ivfPqSql: String = ivfPqSqlWhere("")
+
   // --- Persisted ANN index (round-7 verdict #7): same workload as
   //     q_ivf_pq, but through AnnIndex write → read → probe. The real
   //     100 TB workflow builds the index once and probes many times;
@@ -495,6 +500,44 @@ object QueriesVector {
       e.filter($"vec_id" >= 10 && $"vec_id" < 30).select($"vec_id".as("qid"), $"embedding"),
       graft.ops.AnnIndex.read(s, path), k = 3, probes = 2)
   }
+
+  // --- Index staleness contract (round-13 verdict #2): the index is
+  //     built STAMPED to a versioned embeddings table; a versioned SQL
+  //     DELETE then moves the table PAST the stamp. topKLive
+  //     adjudicates (delete-only divergence), reconciles the encoded
+  //     corpus against the table's live ids, and the probe answers the
+  //     SURVIVING-rows inline-fit oracle exactly — a probe that served
+  //     the stamped (stale) corpus would return the deleted ids and
+  //     hash-mismatch. AnnIndexSpec covers the refusal arms (MERGE
+  //     past the stamp, unstamped index, restored-older table).
+  private def annDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val base = s"/tmp/graft_ann_delete_${System.getProperty("user.name", "u")}_$h"
+    val tbl = s"$base/table"; val path = s"$base/index"
+    // fresh per run: the gate commits a DELETE to its table
+    val fs = graft.ops.Fs.of(base, s)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    e.select($"vec_id".as("id"), $"embedding").write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    val corpus = s.read.parquet(s"$tbl/v0")
+    val cents = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    graft.ops.AnnIndex.write(corpus, cents, cb, path,
+      source = Some((tbl, "id")))
+    // a delete the index has NOT seen (seeds and queries survive)
+    s.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 3 = 1").collect()
+    graft.ops.AnnIndex.topKLive(s, path,
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30)
+        .select($"vec_id".as("qid"), $"embedding"),
+      k = 3, probes = 2)
+  }
+
+  private val annDeleteSql: String =
+    ivfPqSqlWhere(" WHERE NOT (vec_id >= 40 AND vec_id % 3 = 1)")
 
   // --- SemDeDup: coarse cells (centroids = the first 8 vectors, as
   //     q_ivf_ann) restrict the cosine pair search; pairs at or above
@@ -628,6 +671,7 @@ object QueriesVector {
     "q_rand_project" -> (randProject _),
     "q_ann_persist" -> (annPersist _),
     "q_ann_append" -> (annAppend _),
+    "q_ann_delete" -> (annDelete _),
     "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
     "q_ivf_pq" -> (ivfPq _),
@@ -644,6 +688,7 @@ object QueriesVector {
     "q_rand_project" -> randProjectSql,
     "q_ann_persist" -> ivfPqSql, // identical output to the inline fit by design
     "q_ann_append" -> ivfPqSql, // appended index == full rebuild, same artifacts
+    "q_ann_delete" -> annDeleteSql, // reconciled probe == surviving-rows inline fit
     "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,
     "q_ivf_pq" -> ivfPqSql,

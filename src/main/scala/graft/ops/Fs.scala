@@ -31,6 +31,41 @@ import org.apache.spark.sql.SparkSession
   */
 object Fs {
 
+  /** Opt-in metadata-op audit (DevCommitOps): counts every FS
+    * round-trip issued THROUGH this substrate, keyed by
+    * `op:artifact` (e.g. `create:_commitlog`, `rename:CURRENT`).
+    * Since the lakehouse layer is required to route all small-file
+    * metadata I/O through Fs (FsSubstrateSpec), this audits the
+    * commit protocol's per-publish RPC cost — the number that, on a
+    * real object store, IS the commit latency. Off by default; a
+    * single volatile read per op when disabled. */
+  object Audit {
+    @volatile private var on = false
+    private val counts =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    def enable(): Unit = { counts.clear(); on = true }
+    def disable(): Map[String, Long] = { on = false; snapshot() }
+    def snapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      counts.asScala.map { case (k, v) => k -> v.get }.toMap
+    }
+    /** Artifact class of a metadata path — the commit protocol's
+      * vocabulary, so the audit table reads as a protocol trace. */
+    private def cls(p: Path): String = {
+      val n = p.getName
+      val parent = Option(p.getParent).map(_.getName).getOrElse("")
+      if (parent == "_commitlog" || n == "_commitlog") "_commitlog"
+      else if (parent == "_cdf" || n == "_cdf") "_cdf"
+      else if (parent == "_manifest" && n != "_manifest") s"_manifest/$n"
+      else if (n.startsWith(".") && n.endsWith(".tmp"))
+        cls(new Path(p.getParent, n.stripPrefix(".").stripSuffix(".tmp")))
+      else n
+    }
+    private[ops] def rec(op: String, p: Path): Unit = if (on)
+      counts.computeIfAbsent(s"$op:${cls(p)}",
+        _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+  }
+
   def of(path: String, spark: SparkSession): FileSystem =
     of(path, spark.sparkContext.hadoopConfiguration)
 
@@ -61,6 +96,7 @@ object Fs {
   def of(path: String): FileSystem = of(path, activeConf())
 
   def readText(fs: FileSystem, path: Path): String = {
+    Audit.rec("open", path)
     val in = fs.open(path)
     try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -72,16 +108,20 @@ object Fs {
   }
 
   /** [[readText]] when `path` is a file, None otherwise. */
-  def readTextIfExists(fs: FileSystem, path: Path): Option[String] =
+  def readTextIfExists(fs: FileSystem, path: Path): Option[String] = {
+    Audit.rec("exists", path)
     if (fs.exists(path) && fs.getFileStatus(path).isFile)
       Some(readText(fs, path))
     else None
+  }
 
   /** Write `text` via tmp + rename (see durability notes above). */
   def writeTextAtomic(fs: FileSystem, path: Path, text: String): Unit = {
     val parent = path.getParent
+    if (parent != null) Audit.rec("exists", parent)
     if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
     val tmp = new Path(parent, s".${path.getName}.tmp")
+    Audit.rec("create", tmp); Audit.rec("rename", path)
     val out = fs.create(tmp, true)
     try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!fs.rename(tmp, path)) {
@@ -100,6 +140,8 @@ object Fs {
     * hunting for a lease that was never created. */
   def createExclusive(fs: FileSystem, path: Path, text: String): Boolean = {
     val parent = path.getParent
+    if (parent != null) Audit.rec("exists", parent)
+    Audit.rec("create", path)
     if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
     try {
       val out = fs.create(path, false)
@@ -116,12 +158,16 @@ object Fs {
   }
 
   /** Child directories of `dir` (empty when `dir` is absent). */
-  def listDirs(fs: FileSystem, dir: Path): Seq[Path] =
+  def listDirs(fs: FileSystem, dir: Path): Seq[Path] = {
+    Audit.rec("list", dir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath).toSeq
+  }
 
   /** Plain files directly under `dir` (empty when absent). */
-  def listFiles(fs: FileSystem, dir: Path): Seq[Path] =
+  def listFiles(fs: FileSystem, dir: Path): Seq[Path] = {
+    Audit.rec("list", dir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).filter(_.isFile).map(_.getPath).toSeq
+  }
 }

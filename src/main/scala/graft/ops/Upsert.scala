@@ -443,6 +443,20 @@ object Upsert {
           integralTypes.contains(c.child.dataType) => nameOf(c.child)
       case _ => None
     }
+    // analysis wraps the LITERAL side in a widening cast too when the
+    // column is the wider type (`col("longCol") > lit(100)` arrives as
+    // `> CAST(100 AS BIGINT)`); mirror nameOf's rule on the literal —
+    // fold an integral-widening Cast(Literal) to its value, and let
+    // any other cast fall through to "can't prune"
+    object LitV {
+      def unapply(e: Expression): Option[Any] = e match {
+        case Literal(v, _) => Option(v)
+        case c: Cast if integralTypes.contains(c.dataType) &&
+            c.child.isInstanceOf[Literal] &&
+            integralTypes.contains(c.child.dataType) => Option(c.eval(null))
+        case _ => None
+      }
+    }
     // literal → text in the column's comparison domain; None = this
     // conjunct can't prune (type mismatch, null, non-literal)
     def txt(v: Any, t: DataType): Option[String] = v match {
@@ -486,21 +500,21 @@ object Upsert {
         n -> ok
       }
     conj(cond).flatMap {
-      case EqualTo(a, Literal(v, _)) => check(a, v, "eq")
-      case EqualTo(Literal(v, _), a) => check(a, v, "eq")
-      case GreaterThan(a, Literal(v, _)) => check(a, v, "gt")
-      case GreaterThan(Literal(v, _), a) => check(a, v, "lt")
-      case GreaterThanOrEqual(a, Literal(v, _)) => check(a, v, "ge")
-      case GreaterThanOrEqual(Literal(v, _), a) => check(a, v, "le")
-      case LessThan(a, Literal(v, _)) => check(a, v, "lt")
-      case LessThan(Literal(v, _), a) => check(a, v, "gt")
-      case LessThanOrEqual(a, Literal(v, _)) => check(a, v, "le")
-      case LessThanOrEqual(Literal(v, _), a) => check(a, v, "ge")
-      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val eqs = vs.flatMap(l =>
-          check(a, l.asInstanceOf[Literal].value, "eq"))
-        // all values must convert, else the conjunct can't prune
-        if (eqs.length == vs.length && eqs.nonEmpty)
+      case EqualTo(a, LitV(v)) => check(a, v, "eq")
+      case EqualTo(LitV(v), a) => check(a, v, "eq")
+      case GreaterThan(a, LitV(v)) => check(a, v, "gt")
+      case GreaterThan(LitV(v), a) => check(a, v, "lt")
+      case GreaterThanOrEqual(a, LitV(v)) => check(a, v, "ge")
+      case GreaterThanOrEqual(LitV(v), a) => check(a, v, "le")
+      case LessThan(a, LitV(v)) => check(a, v, "lt")
+      case LessThan(LitV(v), a) => check(a, v, "gt")
+      case LessThanOrEqual(a, LitV(v)) => check(a, v, "le")
+      case LessThanOrEqual(LitV(v), a) => check(a, v, "ge")
+      case In(a, vs) if vs.nonEmpty =>
+        val lits = vs.flatMap(LitV.unapply)
+        val eqs = lits.flatMap(v => check(a, v, "eq"))
+        // all values must fold and convert, else the conjunct can't prune
+        if (lits.length == vs.length && eqs.length == vs.length && eqs.nonEmpty)
           Some(eqs.head._1 -> { (mn: String, mx: String) =>
             eqs.exists(_._2(mn, mx)) })
         else None
@@ -568,7 +582,12 @@ object Upsert {
         checks.forall { case (k, ok) =>
           byKey.getOrElse(k, Map.empty).get(rel) match {
             case Some((mn, mx)) if mn != null && mx != null => ok(mn, mx)
-            case _ => false
+            // a PRESENT row with a null bound is unknown, not all-null
+            // (the writers admit `mn.isNotNull || mx.isNotNull` rows):
+            // degrade to scanning the file, never to skipping it — only
+            // the ABSENT-row case below carries the all-null invariant
+            case Some(_) => true
+            case None => false
           }
         }
     }

@@ -384,7 +384,23 @@ object LakehouseSql {
     * publishes. Anything unprovable aborts exactly as before, with
     * the reason named. This is Delta's logical conflict resolution
     * (two writers MERGEing disjoint partitions both succeed) built on
-    * this engine's manifest machinery. */
+    * this engine's manifest machinery.
+    *
+    * ISOLATION LEVEL: WriteSerializable-equivalent (Delta's default),
+    * NOT Serializable. The conflict check tracks what the loser WROTE
+    * (touched/fresh files, evict-key range), not what it READ — so a
+    * commit whose source rows were DERIVED from reading the base
+    * snapshot can be rebased into a state no serial execution
+    * produces (write skew): two writers each read the other's
+    * partition and write their own, both rebase cleanly, and the
+    * combined result reflects neither serial order. Pipelines whose
+    * MERGE sources depend on reading the same table should force the
+    * pre-r12 abort-always behavior by setting the session conf
+    * `spark.graft.occ.rebase = false` around the statement (checked
+    * per publish — a per-statement opt-out): every lost race then
+    * aborts with the retry remedy, which restores Serializable at the
+    * cost of retrying the Spark job. */
+  private[graft] val RebaseConf = "spark.graft.occ.rebase"
   private[graft] def publishOrAbort(
       tablePath: String, baseCurrent: String, next: Long, verb: String): Unit =
     withCommitLock(tablePath) {
@@ -395,7 +411,13 @@ object LakehouseSql {
             "log mid-commit"))
       if (now == baseCurrent) publishLocked(fs, tablePath, next, now, verb)
       else {
-        tryRebase(tablePath, baseCurrent, now, next) match {
+        val rebaseOn = org.apache.spark.sql.SparkSession.active.conf
+          .get(RebaseConf, "true").toBoolean
+        val attempt =
+          if (rebaseOn) tryRebase(tablePath, baseCurrent, now, next)
+          else Left(s"$RebaseConf=false forces abort-always — " +
+            "Serializable isolation for read-dependent pipelines")
+        attempt match {
           case Right(rebased) =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/v$next"), true)
             publishLocked(fs, tablePath, rebased, now, verb)

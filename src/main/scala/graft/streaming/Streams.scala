@@ -338,17 +338,30 @@ object Streams {
   /** @param srcVersionCol when set (the CDC-mirror path), the column
     *   holding each change image's SOURCE commit version. The sink
     *   then (a) REFUSES a batch whose lowest version skips past the
-    *   last applied one — the fingerprint of feed versions reclaimed
-    *   by vacuum before delivery, which a file source would otherwise
-    *   swallow silently — and (b) records the applied high-water mark
-    *   in `<tableDir>/_cdf_applied.json` after each commit, which is
+    *   last applied one AND the skip is proven harmful — the
+    *   fingerprint of feed versions reclaimed by vacuum before
+    *   delivery, which a file source would otherwise swallow
+    *   silently — and (b) records the applied high-water mark in
+    *   `<tableDir>/_cdf_applied.json` after each commit, which is
     *   what makes the start-time gap check in [[mirrorFromCdf]]
-    *   possible at all. */
+    *   possible at all. Version numbers on a healthy feed are NOT
+    *   consecutive: an OCC rebase discards claimed versions (chain
+    *   1,3,4) and a zero-change commit materializes an EMPTY feed dir
+    *   that never advances the applied mark — so a gap is adjudicated
+    *   against the source's ground truth (via `srcTableDir`) instead
+    *   of arithmetic consecutiveness, refusing only versions that
+    *   were actually reclaimed, were published without a feed, or
+    *   hold undelivered change rows (out-of-order delivery).
+    * @param srcTableDir the feed's SOURCE table (set by
+    *   [[mirrorFromCdfKeys]]) — the ground truth a version gap is
+    *   adjudicated against. Without it a gap falls back to the strict
+    *   refusal (no evidence to prove it benign). */
   def upsertSinkKeys(
       df: DataFrame, tableDir: String, checkpointDir: String,
       keyCols: Seq[String], orderCol: String, opCol: Option[String] = None,
       dropCols: Seq[String] = Nil, cdf: Boolean = false,
-      cdfFilesPerVersion: Int = 0, srcVersionCol: Option[String] = None)
+      cdfFilesPerVersion: Int = 0, srcVersionCol: Option[String] = None,
+      srcTableDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -370,14 +383,23 @@ object Streams {
             .flatMap(t => """"applied":(-?\d+)""".r.findFirstMatchIn(t)
               .map(_.group(1).toLong))
         srcSpan.foreach { case (mn, _) =>
-          applied.foreach(a => require(mn <= a + 1,
-            s"upsertSink: change-feed gap — this mirror applied source " +
-              s"version $a but the next delivered batch starts at v$mn; " +
-              s"versions ${a + 1}..${mn - 1} were reclaimed (vacuumed) " +
-              "before delivery. The mirror can no longer catch up " +
-              "incrementally: rebuild it (drop the mirror table and its " +
-              "checkpoint, re-run before the feed is vacuumed, or raise " +
-              "the source's retention)"))
+          applied.foreach { a =>
+            val harm: Option[String] =
+              if (mn <= a + 1) None
+              else srcTableDir match {
+                case Some(src) => feedGapHarm(spark, src, a + 1, mn)
+                case None => Some(s"versions ${a + 1}..${mn - 1} were " +
+                  "skipped and no source table dir is available to prove " +
+                  "the gap benign")
+              }
+            harm.foreach(why => throw new IllegalStateException(
+              s"upsertSink: change-feed gap — this mirror applied source " +
+                s"version $a but the next delivered batch starts at v$mn, " +
+                s"and the gap is not benign: $why. The mirror cannot catch " +
+                "up incrementally: rebuild it (drop the mirror table and " +
+                "its checkpoint, re-run before the feed is vacuumed, or " +
+                "raise the source's retention)"))
+          }
         }
         // table ownership: batch-id versioning is only replay-safe
         // with ONE writer — this sink. The marker hands SQL/
@@ -451,6 +473,64 @@ object Streams {
         }
       }
       .start()
+
+  /** Adjudicate a delivered-version gap against the SOURCE table's
+    * ground truth — the feed listing, the commit log, and the vacuum
+    * low watermark — instead of arithmetic consecutiveness. Published
+    * version numbers legitimately skip (an OCC rebase discards the
+    * claimed numbers it lost with: chain 1,3,4) and a zero-change
+    * commit materializes an EMPTY feed dir whose delivery never
+    * advances the applied mark, so `mn > applied + 1` alone proves
+    * nothing. A skipped version `g` is benign iff
+    *   - its feed dir exists and holds ZERO rows (zero-change
+    *     commit), or
+    *   - its feed dir is absent AND it is above both reclaim
+    *     checkpoints AND neither a snapshot dir nor a commit-log
+    *     entry exists for it (the number was claimed but never
+    *     published — the OCC-rebase shape).
+    * and harmful iff
+    *   - it sits at or below the feed low watermark or the commit
+    *     log's truncation checkpoint (actually reclaimed — the
+    *     original vacuum fingerprint), or
+    *   - its feed dir holds undelivered change ROWS (out-of-order
+    *     delivery: applying later versions first would let these
+    *     stale images overwrite newer ones on arrival), or
+    *   - it was published (snapshot or log entry exists) but its feed
+    *     was never materialized (producer broke the cdf contract —
+    *     the mirror would silently miss its changes forever).
+    *
+    * @return Some(reason) naming the FIRST harmful version, None when
+    *   every version in [from, until) is provably benign */
+  private[graft] def feedGapHarm(
+      spark: SparkSession, srcTableDir: String,
+      from: Long, until: Long): Option[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = graft.ops.Fs.of(srcTableDir, spark)
+    val wm = graft.ops.Upsert.cdfLowWatermark(srcTableDir)
+    val logCp = graft.ops.Upsert.commitLogCheckpoint(srcTableDir)
+    // one listing each, reused across the gap — not one RPC per version
+    lazy val snapVs = graft.ops.Upsert.snapshotVersions(srcTableDir).toSet
+    (from until until).iterator.map { g =>
+      val feedDir = new HPath(s"$srcTableDir/_cdf/v$g")
+      if (wm.exists(g < _) || logCp.exists(g <= _))
+        Some(s"v$g was reclaimed (feed low watermark " +
+          s"${wm.fold("-")(w => s"v$w")}, commit-log checkpoint " +
+          s"${logCp.fold("-")(c => s"v$c")})")
+      else if (fs.exists(feedDir)) {
+        val hasRows = graft.ops.Fs.listFiles(fs, feedDir)
+          .exists(_.getName.endsWith(".parquet")) &&
+          !spark.read.parquet(feedDir.toString).isEmpty
+        if (hasRows)
+          Some(s"v$g's feed is materialized WITH change rows but was " +
+            "not delivered before this batch (out-of-order delivery)")
+        else None // zero-change commit: nothing to apply, nothing missed
+      } else if (snapVs.contains(g) ||
+          graft.ops.Upsert.readCommitLogBase(srcTableDir, g).isDefined)
+        Some(s"v$g was published but its feed was never materialized " +
+          "(the producer stopped calling materializeCdf?)")
+      else None // claimed-but-never-published number (OCC rebase discard)
+    }.collectFirst { case Some(why) => why }
+  }
 
   /** Subscribe to a versioned COW table's change data feed as a STREAM
     * — the READ-side half of the CDC loop ([[upsertSink]] writes the
@@ -581,7 +661,7 @@ object Streams {
     upsertSinkKeys(feed, dstTableDir, checkpointDir, keyCols,
       orderCol = "__ord", opCol = Some("__op"),
       dropCols = Seq("__ord", "__srcv"), cdf = cdf,
-      srcVersionCol = Some("__srcv"))
+      srcVersionCol = Some("__srcv"), srcTableDir = Some(srcTableDir))
   }
 
   /** Streaming approximate-distinct per event-time window, as the

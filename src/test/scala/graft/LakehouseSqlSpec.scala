@@ -880,6 +880,43 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith(s"/v$c"))
   }
 
+  test("OCC opt-out: spark.graft.occ.rebase=false forces abort-always (Serializable)") {
+    import spark.implicits._
+    import graft.plans.LakehouseSql
+    val root = s"$base/rebase_optout"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val seed = s"$root/seed"; val tbl = s"$root/tbl"
+    spark.range(200)
+      .select(($"id" % 2).as("dt"), $"id".as("k"), lit(0L).as("v"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("dt").parquet(seed)
+    spark.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
+    val a = LakehouseSql.claimNextVersion(tbl)
+    val b = LakehouseSql.claimNextVersion(tbl)
+    val upA = spark.range(10)
+      .select(lit(0L).as("dt"), ($"id" * 2).as("k"), lit(-1L).as("v"))
+    val upB = spark.range(10)
+      .select(lit(1L).as("dt"), ($"id" * 2 + 1).as("k"), lit(-2L).as("v"))
+    Upsert.upsertByKeys(spark, s"$tbl/v0", s"$tbl/v$a", upA, Seq("dt", "k"))
+    Upsert.upsertByKeys(spark, s"$tbl/v0", s"$tbl/v$b", upB, Seq("dt", "k"))
+    LakehouseSql.publishOrAbort(tbl, "v0", a, "MERGE")
+    // these changes are provably disjoint — WITH rebase on, B would
+    // publish (the previous test). A read-dependent pipeline that
+    // needs Serializable opts out per statement: the same race now
+    // aborts with the retry remedy.
+    spark.conf.set(LakehouseSql.RebaseConf, "false")
+    try {
+      val e = intercept[IllegalStateException] {
+        LakehouseSql.publishOrAbort(tbl, "v0", b, "MERGE")
+      }
+      assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+      assert(e.getMessage.contains("abort-always"), e.getMessage)
+      assert(!new java.io.File(s"$tbl/v$b").exists,
+        "the claimed snapshot must be discarded on abort")
+      assert(graft.streaming.Streams.currentSnapshot(tbl).get.endsWith(s"/v$a"))
+    } finally spark.conf.unset(LakehouseSql.RebaseConf)
+  }
+
   test("conflict-aware OCC: a winner's append inside the loser's key range refuses") {
     import spark.implicits._
     import graft.plans.LakehouseSql

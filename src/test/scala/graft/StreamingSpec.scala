@@ -702,6 +702,103 @@ class StreamingSpec extends AnyFunSuite {
     gq.stop()
   }
 
+  test("feed-gap adjudication: rebase-skipped and zero-change versions are benign; reclaimed, undelivered and unfed versions are harmful") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("adjsrc").toString
+    val fs = graft.ops.Fs.of(src, spark)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a minimal healthy source: snapshot v1 + its feed
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$src/v1")
+    Seq((1L, "a", "insert", 1L)).toDF("k", "v", "_change_type", "_commit_version")
+      .write.parquet(s"$src/_cdf/v1")
+    graft.ops.Fs.writeTextAtomic(fs, hp(s"$src/CURRENT"), "v1")
+    // v2: claimed but never published (OCC rebase discard) — no
+    // snapshot, no feed, no log entry → benign
+    assert(Streams.feedGapHarm(spark, src, 2L, 3L).isEmpty,
+      "a never-published version number must be benign")
+    // v2: zero-change commit — feed dir exists with ZERO rows → benign
+    Seq.empty[(Long, String, String, Long)]
+      .toDF("k", "v", "_change_type", "_commit_version")
+      .write.parquet(s"$src/_cdf/v2")
+    assert(Streams.feedGapHarm(spark, src, 2L, 3L).isEmpty,
+      "an empty materialized feed must be benign")
+    // v2: feed holds UNDELIVERED rows → harmful (out-of-order delivery)
+    Seq((2L, "b", "insert", 2L)).toDF("k", "v", "_change_type", "_commit_version")
+      .write.mode("overwrite").parquet(s"$src/_cdf/v2")
+    assert(Streams.feedGapHarm(spark, src, 2L, 3L)
+      .exists(_.contains("out-of-order")), "undelivered rows must refuse")
+    // v2: published (snapshot dir) but feed never materialized → harmful
+    fs.delete(hp(s"$src/_cdf/v2"), true)
+    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$src/v2")
+    assert(Streams.feedGapHarm(spark, src, 2L, 3L)
+      .exists(_.contains("never materialized")),
+      "a published version with no feed must refuse")
+    fs.delete(hp(s"$src/v2"), true)
+    // v2: at/below the reclaim checkpoints → harmful
+    graft.ops.Fs.writeTextAtomic(fs, hp(s"$src/_cdf/_low_watermark.json"),
+      """{"min_feed_version":3,"ts":0}""")
+    assert(Streams.feedGapHarm(spark, src, 2L, 3L)
+      .exists(_.contains("reclaimed")), "a vacuumed version must refuse")
+  }
+
+  test("a mirror survives a feed whose version numbers skip (OCC-rebase shape) instead of wedging") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // source ground truth: published chain v1, v3 (v2 claimed and
+    // discarded by a rebase), feeds materialized for both
+    val src = java.nio.file.Files.createTempDirectory("skipsrc").toString
+    val fs = graft.ops.Fs.of(src, spark)
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$src/v1")
+    Seq((1L, "a", "insert", 1L)).toDF("k", "v", "_change_type", "_commit_version")
+      .write.parquet(s"$src/_cdf/v1")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$src/v3")
+    Seq((2L, "b", "insert", 3L)).toDF("k", "v", "_change_type", "_commit_version")
+      .write.parquet(s"$src/_cdf/v3")
+    graft.ops.Fs.writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(s"$src/CURRENT"), "v3")
+    // mirror already applied v1; the next delivery starts at v3 —
+    // before the ground-truth adjudication this wedged with a false
+    // "reclaimed (vacuumed)" refusal on a healthy, complete feed
+    val dst = java.nio.file.Files.createTempDirectory("skipdst").toString
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(dst, spark),
+      new org.apache.hadoop.fs.Path(dst, "_cdf_applied.json"),
+      """{"applied":1,"ts":0}""")
+    val in = MemoryStream[(Long, String, Long, Long)] // k, v, __srcv, seq
+    val q = Streams.upsertSinkKeys(
+      in.toDF().toDF("k", "v", "__srcv", "seq"), dst,
+      java.nio.file.Files.createTempDirectory("skipck").toString,
+      Seq("k"), orderCol = "seq", dropCols = Seq("__srcv", "seq"),
+      srcVersionCol = Some("__srcv"), srcTableDir = Some(src))
+    in.addData((2L, "b", 3L, 1L))
+    q.processAllAvailable() // must NOT throw
+    q.stop()
+    assert(graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(dst, spark),
+        new org.apache.hadoop.fs.Path(dst, "_cdf_applied.json"))
+      .exists(_.contains("\"applied\":3")), "applied mark must advance past the skip")
+    // and a HARMFUL gap through the same path still refuses: v2 feed
+    // appears later holding rows that were never delivered
+    Seq((9L, "z", "insert", 2L)).toDF("k", "v", "_change_type", "_commit_version")
+      .write.parquet(s"$src/_cdf/v2")
+    val dst2 = java.nio.file.Files.createTempDirectory("skipdst2").toString
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(dst2, spark),
+      new org.apache.hadoop.fs.Path(dst2, "_cdf_applied.json"),
+      """{"applied":1,"ts":0}""")
+    val in2 = MemoryStream[(Long, String, Long, Long)]
+    val q2 = Streams.upsertSinkKeys(
+      in2.toDF().toDF("k", "v", "__srcv", "seq"), dst2,
+      java.nio.file.Files.createTempDirectory("skipck2").toString,
+      Seq("k"), orderCol = "seq", dropCols = Seq("__srcv", "seq"),
+      srcVersionCol = Some("__srcv"), srcTableDir = Some(src))
+    in2.addData((2L, "b", 3L, 1L))
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(boom.getMessage.contains("change-feed gap") ||
+      Option(boom.getCause).exists(_.getMessage.contains("change-feed gap")),
+      boom.getMessage)
+    q2.stop()
+  }
+
   test("CDF stream: downstream aggregate maintained from the feed equals snapshot recompute") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

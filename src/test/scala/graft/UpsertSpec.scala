@@ -1061,6 +1061,64 @@ class UpsertSpec extends AnyFunSuite {
       "foreign-file rows must surface (correct-but-scanned, never dropped)")
   }
 
+  test("stats pruning: analysis-cast literals prune; a partial-bound manifest row degrades to scan") {
+    import spark.implicits._
+    val tbl = s"$base/statscast"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tbl))
+    spark.range(8000)
+      .select($"id".as("k"), ($"id" / 4).cast("long").as("c"), lit(1L).as("v"))
+      .repartitionByRange(8, $"c").sortWithinPartitions($"c")
+      .write.mode("overwrite").parquet(tbl)
+    Upsert.writeManifestSidecar(spark, tbl, "k")
+    Upsert.writeStatsSidecar(spark, tbl, Seq("c"))
+    // an INT literal against the LONG column arrives from analysis as
+    // `c >= CAST(100 AS BIGINT)` — the widening cast must fold and
+    // prune exactly like the explicit long literal (the most common
+    // hand-written predicate shape)
+    val predInt = $"c" >= 100 && $"c" < 200        // Int literals
+    val predLong = $"c" >= 100L && $"c" < 200L     // Long literals
+    val wantSize = Upsert.statsPrunedFiles(spark, tbl, predLong)._1.size
+    assert(wantSize == 1, s"baseline long-literal prune broke: $wantSize")
+    assert(Upsert.statsPrunedFiles(spark, tbl, predInt)._1.size == wantSize,
+      "int-literal predicate must prune like the long-literal one")
+    assert(Upsert.statsPrunedFiles(spark, tbl, $"c".isin(5, 1900))._1.size == 2,
+      "int IN-list must prune like the long IN-list")
+    assert(Upsert.readWhere(spark, tbl, predInt).count() == 400)
+    // a string→long cast must NOT prune (ordering changes) — still
+    // correct, just unpruned
+    assert(Upsert.statsPrunedFiles(
+      spark, tbl, $"c" > lit("100").cast("long"))._1.size == 8)
+
+    // a manifest row with ONE null bound (foreign/hand-written stamp —
+    // the writers admit `mn.isNotNull || mx.isNotNull`): unknown
+    // bounds must degrade to SCANNING the file, never to skipping it
+    val mdir = s"$tbl/_manifest"
+    val man = spark.read.parquet(mdir).collect()
+    val hit = Upsert.statsPrunedFiles(spark, tbl, predLong)._1
+      .map(f => f.split('/').takeRight(1).head)
+    val edited = spark.createDataFrame(
+      spark.sparkContext.parallelize(man.toSeq.map { r =>
+        if (r.getString(1) == "c" && hit.exists(r.getString(0).endsWith))
+          org.apache.spark.sql.Row(r.getString(0), r.getString(1), null, r.getString(3))
+        else r
+      }), spark.read.parquet(mdir).schema)
+    val tmp = s"$base/statscast_man_tmp"
+    edited.write.mode("overwrite").parquet(tmp)
+    val keysJson = graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(tbl),
+      new org.apache.hadoop.fs.Path(s"$mdir/_keys.json"))
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(mdir))
+    org.apache.hadoop.fs.FileUtil.copy(new java.io.File(tmp),
+      graft.ops.Fs.of(tbl), new org.apache.hadoop.fs.Path(mdir), false,
+      spark.sparkContext.hadoopConfiguration)
+    keysJson.foreach(t => graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl),
+      new org.apache.hadoop.fs.Path(s"$mdir/_keys.json"), t))
+    val (cands, _) = Upsert.statsPrunedFiles(spark, tbl, predLong)
+    assert(cands.exists(f => hit.exists(f.endsWith)),
+      "the null-bound file must stay in the candidate set")
+    assert(Upsert.readWhere(spark, tbl, predLong).count() == 400,
+      "rows behind a partial-bound stamp must surface, not silently drop")
+  }
+
   test("OPTIMIZE carries the stats stamp: zero-footer-read pruning survives the rewrite") {
     import spark.implicits._
     val tbl = s"$base/optstamp0"; val out = s"$base/optstamp1"

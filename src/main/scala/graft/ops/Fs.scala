@@ -107,19 +107,31 @@ object Fs {
     } finally in.close()
   }
 
-  /** [[readText]] when `path` is a file, None otherwise. */
-  def readTextIfExists(fs: FileSystem, path: Path): Option[String] = {
-    Audit.rec("exists", path)
-    if (fs.exists(path) && fs.getFileStatus(path).isFile)
-      Some(readText(fs, path))
-    else None
-  }
+  /** [[readText]] when `path` is a file, None otherwise. ONE round
+    * trip on both the present and the absent path (open + catch),
+    * not the old exists → getFileStatus → open triple — this helper
+    * sits under every CURRENT/sidecar/checkpoint resolution, so on an
+    * object store the triple tripled the metadata RPCs of every read
+    * and every publish (DevCommitOps). A directory maps to None (the
+    * old `isFile` contract); any other I/O failure on a regular file
+    * still rethrows. */
+  def readTextIfExists(fs: FileSystem, path: Path): Option[String] =
+    try Some(readText(fs, path))
+    catch {
+      case _: java.io.FileNotFoundException => None
+      case e: java.io.IOException =>
+        // scheme-specific "is a directory" shapes land here; only a
+        // genuine regular-file failure may propagate
+        if (fs.exists(path) && fs.getFileStatus(path).isFile) throw e
+        else None
+    }
 
-  /** Write `text` via tmp + rename (see durability notes above). */
+  /** Write `text` via tmp + rename (see durability notes above).
+    * No explicit parent mkdirs: Hadoop's recursive `create` makes
+    * missing parents itself — the old exists+mkdirs pair was one
+    * wasted round-trip per write (DevCommitOps). */
   def writeTextAtomic(fs: FileSystem, path: Path, text: String): Unit = {
     val parent = path.getParent
-    if (parent != null) Audit.rec("exists", parent)
-    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
     val tmp = new Path(parent, s".${path.getName}.tmp")
     Audit.rec("create", tmp); Audit.rec("rename", path)
     val out = fs.create(tmp, true)
@@ -132,6 +144,23 @@ object Fs {
     }
   }
 
+  /** Single-round-trip overwrite create — for metadata files in a
+    * snapshot directory NO READER CAN RESOLVE YET (pre-publish build
+    * outputs: `_txn.json`, `_commitinfo`, `_schema.json`, a fresh
+    * commit's `_manifest/_keys.json`): the publish itself (commit-log
+    * append + pointer swap) is the atomic visibility point, so the
+    * tmp+rename dance buys nothing there and costs two extra FS
+    * round-trips per file — on an object store, two extra RPCs per
+    * commit per sidecar (DevCommitOps measures the difference). Files
+    * a concurrent reader may resolve (CURRENT, live-snapshot stamps)
+    * must keep [[writeTextAtomic]]. Hadoop `create` makes parent
+    * directories itself. */
+  def createText(fs: FileSystem, path: Path, text: String): Unit = {
+    Audit.rec("create", path)
+    val out = fs.create(path, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
   /** Atomically create `path` with `text` IFF it does not exist —
     * the compare-and-set primitive the OCC commit protocol claims
     * versions with. Returns false ONLY on already-exists (someone else
@@ -139,10 +168,7 @@ object Fs {
     * rethrows — misreporting it as contention would send the operator
     * hunting for a lease that was never created. */
   def createExclusive(fs: FileSystem, path: Path, text: String): Boolean = {
-    val parent = path.getParent
-    if (parent != null) Audit.rec("exists", parent)
     Audit.rec("create", path)
-    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
     try {
       val out = fs.create(path, false)
       try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()

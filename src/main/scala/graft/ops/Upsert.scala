@@ -199,11 +199,13 @@ object Upsert {
     * a Spark job. Hand-rolled JSON string array (no deps), names
     * escaped. */
   private def writeManifestKeys(
-      spark: SparkSession, snapshotDir: String, keys: Seq[String]): Unit = {
+      spark: SparkSession, snapshotDir: String, keys: Seq[String],
+      atomic: Boolean = true): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val p = new HPath(s"${manifestDir(snapshotDir)}/_keys.json")
-    Fs.writeTextAtomic(Fs.of(snapshotDir, spark), p,
+    val write = if (atomic) Fs.writeTextAtomic _ else Fs.createText _
+    write(Fs.of(snapshotDir, spark), p,
       keys.distinct.map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]"))
   }
 
@@ -240,13 +242,17 @@ object Upsert {
     * pays it). */
   private[graft] def cachedBounds(
       spark: SparkSession, tablePath: String, keyCol: String,
-      liveRels: () => Set[String] = null)
+      liveRels: () => Set[String] = null,
+      keysStamp: () => Option[Set[String]] = null)
       : Option[DataFrame] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val md = new HPath(manifestDir(tablePath))
     val fs = md.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new HPath(md, "_SUCCESS"))) None
-    else readManifestKeys(spark, tablePath) match {
+    // `keysStamp` lets a commit that probes several keys share ONE
+    // `_keys.json` read (null → read here)
+    else Option(keysStamp).map(_.apply())
+        .getOrElse(readManifestKeys(spark, tablePath)) match {
       case Some(keys) =>
         if (!keys.contains(keyCol)) None
         else {
@@ -296,8 +302,9 @@ object Upsert {
     * role a table format's checkpoint/manifest plays. */
   private def keyBounds(
       spark: SparkSession, tablePath: String, keyCol: String,
-      keyType: DataType, liveRels: () => Set[String] = null): DataFrame =
-    cachedBounds(spark, tablePath, keyCol, liveRels).getOrElse(
+      keyType: DataType, liveRels: () => Set[String] = null,
+      keysStamp: () => Option[Set[String]] = null): DataFrame =
+    cachedBounds(spark, tablePath, keyCol, liveRels, keysStamp).getOrElse(
       footerBounds(spark, Layout.listDataFiles(spark, tablePath),
         keyCol, keyType, tablePath))
 
@@ -386,7 +393,7 @@ object Upsert {
     // readWhere, and without `_schema.json` every such read pays a
     // mergeSchema footer sweep — the exact cost the stamp eliminates
     if (readSchemaSidecar(snapshotDir).isEmpty)
-      writeSchemaSidecar(snapshotDir, schema)
+      writeSchemaSidecar(snapshotDir, schema, atomic = true) // live dir
     n
   }
 
@@ -758,15 +765,22 @@ object Upsert {
 
   private def schemaSidecar(snapshot: String) = s"$snapshot/_schema.json"
 
+  /** @param atomic true ONLY when stamping a LIVE (published) snapshot
+    *   a concurrent reader may resolve — [[writeStatsSidecar]]'s
+    *   stamp-CURRENT path; every commit-build call site writes into a
+    *   pre-publish dir where the publish is the visibility point and
+    *   the tmp+rename round-trips are pure overhead (DevCommitOps). */
   private[graft] def writeSchemaSidecar(
-      snapshotDir: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+      snapshotDir: String, schema: org.apache.spark.sql.types.StructType,
+      atomic: Boolean = false): Unit = {
     // top-level nullable: linked pre-evolution files surface the new
     // columns as null, so the LOGICAL schema is nullable regardless
     // of what the freshly written files claim
     val nullable = org.apache.spark.sql.types.StructType(
       schema.fields.map(_.copy(nullable = true)))
     import org.apache.hadoop.fs.{Path => HPath}
-    Fs.writeTextAtomic(Fs.of(snapshotDir),
+    val write = if (atomic) Fs.writeTextAtomic _ else Fs.createText _
+    write(Fs.of(snapshotDir),
       new HPath(schemaSidecar(snapshotDir)), nullable.json)
   }
 
@@ -1056,10 +1070,16 @@ object Upsert {
     // unstamped sidecar needs the subset probe)
     lazy val liveRels: Set[String] = all.map(f => relPath(tablePath, f)).toSet
 
+    // the source's `_keys.json` stamp, read ONCE per commit and shared
+    // by lead-key pruning, the non-lead carries, and the stats-column
+    // carry below (each used to pay its own read — DevCommitOps)
+    lazy val srcStamp: Option[Set[String]] = readManifestKeys(spark, tablePath)
+
     // per-FILE key bounds of the LEADING key: cached sidecar manifest,
     // or footer stats (row-group stats aggregated up; no data pages
     // read either way)
-    val manifest = keyBounds(spark, tablePath, leadCol, leadType, () => liveRels)
+    val manifest = keyBounds(spark, tablePath, leadCol, leadType,
+      () => liveRels, () => srcStamp)
 
     // distinct key TUPLES, cast to native types, positionally renamed
     // __k0..__kN — pruning consults the leading component, eviction the
@@ -1220,7 +1240,7 @@ object Upsert {
     // column absent from the logical schema (dropped by a rewrite)
     // falls out of the stamp here.
     val extraKeys: Seq[(String, DataType)] =
-      readManifestKeys(spark, tablePath)
+      srcStamp
         .map(_ -- keyCols).getOrElse(Set.empty)
         .toSeq.sorted
         .flatMap(k => baseLogical.fields.find(_.name == k)
@@ -1230,7 +1250,7 @@ object Upsert {
     // legacy unstamped sidecar runs a probe job per cachedBounds call,
     // and the old shape paid it twice per key (partition + get)
     val resolvedCaches = (nonLead ++ extraKeys).map { case (k, t) =>
-      (k, t, cachedBounds(spark, tablePath, k, () => liveRels))
+      (k, t, cachedBounds(spark, tablePath, k, () => liveRels, () => srcStamp))
     }
     val missingKs = resolvedCaches.collect { case (k, t, None) => (k, t) }
     val carriedAll = (
@@ -1250,7 +1270,8 @@ object Upsert {
          keyCols.zip(keyTypes) ++ extraKeys, outPath)).cache()
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
-    writeManifestKeys(spark, outPath, keyCols ++ extraKeys.map(_._1))
+    writeManifestKeys(spark, outPath, keyCols ++ extraKeys.map(_._1),
+      atomic = false) // pre-publish dir
 
     // Transaction sidecar for conflict-aware OCC (see [[TxnInfo]]):
     // the touched/fresh file sets fall out of the classification
@@ -1683,7 +1704,8 @@ object Upsert {
     for ((k, v) <- stats) sb.append(",\"").append(k).append("\":").append(v)
     sb.append("}")
     import org.apache.hadoop.fs.{Path => HPath}
-    Fs.writeTextAtomic(Fs.of(snapshotDir),
+    // pre-publish snapshot dir: publish is the visibility point
+    Fs.createText(Fs.of(snapshotDir),
       new HPath(snapshotDir, "_commitinfo"), sb.toString)
   }
 
@@ -1800,7 +1822,8 @@ object Upsert {
       .append(",\"fbMx\":").append(jsonArr(t.freshBounds.map(_._3)))
       .append("}")
     import org.apache.hadoop.fs.{Path => HPath}
-    Fs.writeTextAtomic(Fs.of(snapshotDir),
+    // pre-publish snapshot dir: publish is the visibility point
+    Fs.createText(Fs.of(snapshotDir),
       new HPath(txnPath(snapshotDir)), sb.toString)
   }
 
@@ -1913,6 +1936,19 @@ object Upsert {
         .map(_.group(1).toLong))
   }
 
+  /** The PUBLISH timestamp the commit log recorded for `version`, if
+    * logged — a durable, copy-stable signal ([[versionAsOfTimestamp]]
+    * prefers it over directory mtime, which resets on any cp/rsync/
+    * restore of the table). */
+  private[graft] def readCommitLogTs(
+      tableDir: String, version: Long): Option[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.readTextIfExists(Fs.of(tableDir),
+        new HPath(s"${commitLogDir(tableDir)}/$version.json"))
+      .flatMap(txt => """"ts":(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong))
+  }
+
   /** Highest version the commit log records as published. Entries for
     * retained snapshots always survive truncation (only versions below
     * the oldest kept snapshot are reclaimed), so the listing is bounded
@@ -1921,10 +1957,16 @@ object Upsert {
     * entries. */
   private[graft] def commitLogMax(tableDir: String): Option[Long] = {
     import org.apache.hadoop.fs.{Path => HPath}
-    (Fs.listFiles(Fs.of(tableDir), new HPath(commitLogDir(tableDir)))
+    val entries = Fs.listFiles(Fs.of(tableDir), new HPath(commitLogDir(tableDir)))
       .map(_.getName).filter(_.matches("\\d+\\.json"))
-      .map(_.stripSuffix(".json").toLong) ++
-      commitLogCheckpoint(tableDir)).maxOption
+      .map(_.stripSuffix(".json").toLong)
+    // the `_base.json` checkpoint backstop (hand-deleted entries) only
+    // matters when the listing is EMPTY: truncation's invariant keeps
+    // every surviving entry above the checkpoint, so a nonempty listing
+    // already dominates it — skipping the read saves one FS round-trip
+    // on every CURRENT resolution (DevCommitOps)
+    if (entries.nonEmpty) Some(entries.max)
+    else commitLogCheckpoint(tableDir)
   }
 
   /** Relink a LOSING commit's change on top of the table's CURRENT
@@ -1982,7 +2024,7 @@ object Upsert {
                   else col("file").isin(freshL.toSeq: _*))
         cm.unionByName(lm).coalesce(1)
           .write.mode("overwrite").parquet(manifestDir(outDir))
-        writeManifestKeys(spark, outDir, shared)
+        writeManifestKeys(spark, outDir, shared, atomic = false) // pre-publish
       case _ => ()
     }
     // no _bloom carry: absent sidecar = rebuild, per the probe contract
@@ -1994,11 +2036,14 @@ object Upsert {
   }
 
   /** Commit timestamp of `v<version>`: the `_commitinfo` stamp when
-    * present, else the version directory's modification time (the
-    * best available signal for pre-audit-trail snapshots — same
-    * fallback Delta applies when commitInfo timestamps are absent). */
+    * present, else the commit-log entry's publish timestamp (durable
+    * across copies/restores, unlike mtime), else the version
+    * directory's modification time (the best available signal for
+    * pre-audit-trail snapshots — same fallback Delta applies when
+    * commitInfo timestamps are absent). */
   def commitTimestamp(tableDir: String, version: Long): Long =
     readCommitInfo(s"$tableDir/v$version").map(_._2)
+      .orElse(readCommitLogTs(tableDir, version))
       .getOrElse(dirMtime(s"$tableDir/v$version"))
 
   /** TIMESTAMP AS OF resolution: the newest COMPLETE version whose
@@ -2019,13 +2064,21 @@ object Upsert {
     require(versions.nonEmpty,
       s"versionAsOfTimestamp: no v<id> snapshots under $tableDir")
     val info = versions.map(v => v -> readCommitInfo(s"$tableDir/v$v")).toMap
+    // the commit log outranks mtime: a copied/restored table resets
+    // every directory's mtime, but the log entries (and their publish
+    // timestamps) ride the copy — an unstamped-but-logged version
+    // resolves identically before and after the copy, and a LOGGED
+    // version is by construction complete (the entry is written after
+    // the build, at publish)
+    val logTs = versions.map(v => v -> readCommitLogTs(tableDir, v)).toMap
     val oldestStamp = info.collect { case (v, Some(_)) => v }
       .minOption
     val current = currentVersion(tableDir)
     def ts(v: Long): Long = info(v).map(_._2)
+      .orElse(logTs(v))
       .getOrElse(dirMtime(s"$tableDir/v$v"))
     def complete(v: Long): Boolean =
-      info(v).isDefined || current.contains(v) ||
+      info(v).isDefined || logTs(v).isDefined || current.contains(v) ||
         (oldestStamp.forall(v < _) && dataFileExists(s"$tableDir/v$v"))
     versions.sorted.reverseIterator
       .find(v => ts(v) <= tsMillis && complete(v))

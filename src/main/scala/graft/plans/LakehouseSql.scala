@@ -419,9 +419,11 @@ object LakehouseSql {
             "Serializable isolation for read-dependent pipelines")
         attempt match {
           case Right(rebased) =>
+            RebaseStats.rebases.incrementAndGet()
             fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/v$next"), true)
             publishLocked(fs, tablePath, rebased, now, verb)
           case Left(why) =>
+            RebaseStats.aborts.incrementAndGet()
             fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/v$next"), true)
             throw new IllegalStateException(
               s"$verb: concurrent commit detected on '$tablePath' — this " +
@@ -446,6 +448,33 @@ object LakehouseSql {
       new org.apache.hadoop.fs.Path(tablePath, "CURRENT"), s"v$next")
   }
 
+  /** Session conf capping the winners-chain walk a losing commit may
+    * pay before rebasing (default 64). A loser's walk reads one
+    * `_txn.json` per intervening winner, so under a sustained loss
+    * streak the per-retry cost grows with how far behind the loser
+    * fell; past the cap the publish aborts with the retry remedy —
+    * rebuilding against fresh CURRENT is then cheaper than walking
+    * (and the abort path's cost is bounded by construction).
+    * DevRebaseProbe measures commits/sec and walk lengths under
+    * contention. */
+  private[graft] val MaxRebaseWalkConf = "spark.graft.occ.maxRebaseWalk"
+
+  /** Rebase-walk telemetry, updated on every conflict adjudication —
+    * how DevRebaseProbe reports mean/max chain length without
+    * touching the publish path's behavior. */
+  private[graft] object RebaseStats {
+    import java.util.concurrent.atomic.AtomicLong
+    val walks = new AtomicLong; val walked = new AtomicLong
+    val maxWalk = new AtomicLong
+    val rebases = new AtomicLong; val aborts = new AtomicLong
+    def record(n: Int): Unit = {
+      walks.incrementAndGet(); walked.addAndGet(n.toLong)
+      maxWalk.accumulateAndGet(n.toLong, math.max(_, _))
+    }
+    def reset(): Unit =
+      Seq(walks, walked, maxWalk, rebases, aborts).foreach(_.set(0L))
+  }
+
   /** Conflict detection + rebase (see [[publishOrAbort]]). Returns
     * the freshly claimed, fully relinked version to publish, or the
     * reason the rebase is unsafe. Runs under the commit lock — the
@@ -458,12 +487,19 @@ object LakehouseSql {
     val nowV = now.drop(1).toLong
     if (nowV <= baseV)
       return Left(s"table moved backwards ($baseCurrent -> $now)")
+    val maxWalk = org.apache.spark.sql.SparkSession.active.conf
+      .get(MaxRebaseWalkConf, "64").toInt
     // walk the published chain now -> base through the commit log;
     // claimed-but-unpublished version numbers in the range are not on
     // the chain and don't block
     var v = nowV
     val winners = scala.collection.mutable.ListBuffer.empty[Long]
     while (v != baseV) {
+      if (winners.size >= maxWalk)
+        return Left(s"more than $maxWalk commits intervened since this " +
+          s"commit's base $baseCurrent (walk capped by $MaxRebaseWalkConf) " +
+          "— rebuilding against the current snapshot is cheaper than " +
+          "walking the chain")
       Upsert.readCommitLogBase(tablePath, v) match {
         case Some(b) if b < v && b >= baseV => winners += v; v = b
         case Some(b) =>
@@ -475,6 +511,7 @@ object LakehouseSql {
             "concurrent vacuum's log truncation)")
       }
     }
+    RebaseStats.record(winners.size)
     val loserDir = s"$tablePath/v$next"
     val nowDir = s"$tablePath/$now"
     val L = Upsert.readTxnInfo(loserDir).getOrElse(

@@ -917,6 +917,80 @@ class LakehouseSqlSpec extends AnyFunSuite {
     } finally spark.conf.unset(LakehouseSql.RebaseConf)
   }
 
+  test("TIMESTAMP AS OF prefers commit-log timestamps: a copied table (mtimes reset) resolves identically") {
+    import spark.implicits._
+    val root = s"$base/ttcopy"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val tbl = s"$root/tbl"
+    // three unstamped (no _commitinfo — pre-audit/foreign shape)
+    // versions, each published through the commit log
+    for (v <- 0L to 2L) {
+      spark.range(10 * (v + 1)).toDF("k").write.parquet(s"$tbl/v$v")
+      Upsert.writeCommitLogEntry(tbl, v, math.max(0, v - 1), "MERGE")
+      Thread.sleep(5) // distinct publish timestamps
+    }
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v2")
+    val cut = Upsert.readCommitLogTs(tbl, 1L).get
+    assert(Upsert.versionAsOfTimestamp(tbl, cut) == 1L)
+
+    // copy the whole table — every directory mtime resets to NOW, the
+    // signal the old dirMtime fallback keyed on
+    val copy = s"$root/copy"
+    org.apache.hadoop.fs.FileUtil.copy(
+      graft.ops.Fs.of(tbl, spark), new org.apache.hadoop.fs.Path(tbl),
+      graft.ops.Fs.of(copy, spark), new org.apache.hadoop.fs.Path(copy),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(Upsert.versionAsOfTimestamp(copy, cut) == 1L,
+      "a copied table must resolve TIMESTAMP AS OF via its commit log, not mtime")
+    assert(Upsert.commitTimestamp(copy, 1L) == cut)
+    // and cross-check: with mtime alone every version would look
+    // newer than the cut — the require below documents the hazard
+    val mtime = new java.io.File(s"$copy/v1").lastModified
+    assert(mtime > cut, "precondition: the copy actually reset mtimes")
+  }
+
+  test("OCC walk cap: a loser too far behind aborts with the retry remedy instead of walking") {
+    import spark.implicits._
+    import graft.plans.LakehouseSql
+    val root = s"$base/rebase_cap"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val seed = s"$root/seed"; val tbl = s"$root/tbl"
+    spark.range(300)
+      .select(($"id" % 3).as("dt"), $"id".as("k"), lit(0L).as("v"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("dt").parquet(seed)
+    spark.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
+    def up(dt: Long, v: Long) = spark.range(10)
+      .select(lit(dt).as("dt"), ($"id" * 3 + dt).as("k"), lit(v).as("v"))
+    // two winners publish chained commits; the loser built against v0
+    val w1 = LakehouseSql.claimNextVersion(tbl)
+    val w2 = LakehouseSql.claimNextVersion(tbl)
+    val l = LakehouseSql.claimNextVersion(tbl)
+    Upsert.upsertByKeys(spark, s"$tbl/v0", s"$tbl/v$w1", up(0, -1), Seq("dt", "k"))
+    LakehouseSql.publishOrAbort(tbl, "v0", w1, "MERGE")
+    Upsert.upsertByKeys(spark, s"$tbl/v$w1", s"$tbl/v$w2", up(1, -2), Seq("dt", "k"))
+    LakehouseSql.publishOrAbort(tbl, s"v$w1", w2, "MERGE")
+    Upsert.upsertByKeys(spark, s"$tbl/v0", s"$tbl/v$l", up(2, -3), Seq("dt", "k"))
+    // walk = 2 intervening winners; cap 1 forces the bounded abort
+    spark.conf.set(LakehouseSql.MaxRebaseWalkConf, "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        LakehouseSql.publishOrAbort(tbl, "v0", l, "MERGE")
+      }
+      assert(e.getMessage.contains("walk capped"), e.getMessage)
+      assert(!new java.io.File(s"$tbl/v$l").exists)
+    } finally spark.conf.unset(LakehouseSql.MaxRebaseWalkConf)
+    // with the default cap the same shape rebases fine (disjoint dt)
+    val l2 = LakehouseSql.claimNextVersion(tbl)
+    Upsert.upsertByKeys(spark, s"$tbl/v0", s"$tbl/v$l2", up(2, -3), Seq("dt", "k"))
+    LakehouseSql.publishOrAbort(tbl, "v0", l2, "MERGE")
+    val got = spark.read.parquet(graft.streaming.Streams.currentSnapshot(tbl).get)
+    assert(got.filter($"v" === -1L).count() == 10)
+    assert(got.filter($"v" === -2L).count() == 10)
+    assert(got.filter($"v" === -3L).count() == 10)
+  }
+
   test("conflict-aware OCC: a winner's append inside the loser's key range refuses") {
     import spark.implicits._
     import graft.plans.LakehouseSql

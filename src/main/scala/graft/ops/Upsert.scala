@@ -1949,6 +1949,18 @@ object Upsert {
         .map(_.group(1).toLong))
   }
 
+  /** The verb the commit log recorded for `version`, if logged —
+    * DESCRIBE HISTORY's fallback when a snapshot carries no
+    * `_commitinfo`. */
+  private[graft] def readCommitLogVerb(
+      tableDir: String, version: Long): Option[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.readTextIfExists(Fs.of(tableDir),
+        new HPath(s"${commitLogDir(tableDir)}/$version.json"))
+      .flatMap(txt => """"verb":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)))
+  }
+
   /** Highest version the commit log records as published. Entries for
     * retained snapshots always survive truncation (only versions below
     * the oldest kept snapshot are reclaimed), so the listing is bounded

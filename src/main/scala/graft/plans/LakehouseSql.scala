@@ -991,8 +991,11 @@ case class GraftHistoryCommand(tableDirRef: String) extends LeafRunnableCommand 
       val files = Layout.listDataFiles(spark, s"$tableDir/v$v")
       val bytes = Layout.totalBytes(spark, files)
       val info = Upsert.readCommitInfo(s"$tableDir/v$v")
+      // no _commitinfo (foreign/pre-audit snapshot): the commit-log
+      // entry still knows the verb and the publish timestamp — a
+      // copied table's history reads the same as the original's
       Row(v, files.size.toLong, bytes, cur.contains(s"v$v"),
-        info.map(_._1).orNull,
+        info.map(_._1).orElse(Upsert.readCommitLogVerb(tableDir, v)).orNull,
         new java.sql.Timestamp(info.map(_._2).getOrElse(
           Upsert.commitTimestamp(tableDir, v))))
     }

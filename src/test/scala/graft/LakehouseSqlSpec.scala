@@ -948,6 +948,13 @@ class LakehouseSqlSpec extends AnyFunSuite {
     // newer than the cut — the require below documents the hazard
     val mtime = new java.io.File(s"$copy/v1").lastModified
     assert(mtime > cut, "precondition: the copy actually reset mtimes")
+    // DESCRIBE HISTORY on the copy reads the verb + ts from the log
+    // (these snapshots carry no _commitinfo)
+    val hist = spark.sql(s"DESCRIBE HISTORY '$copy'").collect()
+      .map(r => r.getLong(0) -> (r.getString(4), r.getTimestamp(5).getTime))
+      .toMap
+    assert(hist(1L)._1 == "MERGE", s"history verb from log: ${hist(1L)}")
+    assert(hist(1L)._2 == cut, "history ts must be the log's publish ts")
   }
 
   test("OCC walk cap: a loser too far behind aborts with the retry remedy instead of walking") {

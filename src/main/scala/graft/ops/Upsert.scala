@@ -2039,7 +2039,38 @@ object Upsert {
         writeManifestKeys(spark, outDir, shared, atomic = false) // pre-publish
       case _ => ()
     }
-    // no _bloom carry: absent sidecar = rebuild, per the probe contract
+    // _bloom: same merge as the manifest when BOTH sides ship one and
+    // the filter params agree per shared key — linked files keep their
+    // filter words verbatim, the loser's fresh files bring theirs (the
+    // loser's own commit already aggregated them). The sidecar is
+    // basename-keyed and flat-layout-only, so the merge requires a
+    // flat rel-path set; anything unprovable falls back to NO carry
+    // (absent = rebuild, the probe contract) — never a silently
+    // incomplete filter. Before this, every rebase silently cost the
+    // next bloom probe a full rebuild.
+    val bloomOk =
+      curFs.exists(new HPath(s"${Layout.bloomSidecarDir(currentDir)}/_SUCCESS")) &&
+        curFs.exists(new HPath(s"${Layout.bloomSidecarDir(loserDir)}/_SUCCESS")) &&
+        (touchedL ++ freshL).forall(!_.contains('/'))
+    if (bloomOk) {
+      val cb = spark.read.parquet(Layout.bloomSidecarDir(currentDir))
+      val lb = spark.read.parquet(Layout.bloomSidecarDir(loserDir))
+      def params(df: org.apache.spark.sql.DataFrame) =
+        df.select("key", "bits", "hashes").distinct().collect()
+          .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val (cp, lp) = (params(cb), params(lb))
+      val shared = (cp.keySet & lp.keySet).filter(k => cp(k) == lp(k)).toSeq.sorted
+      if (shared.nonEmpty) {
+        val keep = cb.filter(col("key").isin(shared: _*))
+          .filter(if (touchedL.isEmpty) lit(true)
+                  else !col("file").isin(touchedL.toSeq: _*))
+        val freshRows = lb.filter(col("key").isin(shared: _*))
+          .filter(if (freshL.isEmpty) lit(false)
+                  else col("file").isin(freshL.toSeq: _*))
+        keep.unionByName(freshRows).coalesce(1)
+          .write.mode("overwrite").parquet(Layout.bloomSidecarDir(outDir))
+      }
+    }
     readSchemaSidecar(loserDir).foreach(writeSchemaSidecar(outDir, _))
     readCommitInfo(loserDir).foreach { case (op, _, stats) =>
       writeCommitInfo(outDir, op, stats)

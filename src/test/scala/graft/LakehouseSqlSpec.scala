@@ -1039,6 +1039,42 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(cur.filter($"v" === -4L).count() == 10)
   }
 
+  test("rebase carries the _bloom sidecar: the rebased snapshot probes without a rebuild") {
+    import spark.implicits._
+    import graft.plans.LakehouseSql
+    val root = s"$base/rebase_bloom"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val seed = s"$root/seed"; val tbl = s"$root/tbl"
+    spark.range(200).select($"id".as("k"), lit(0L).as("v"))
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(seed)
+    spark.sql(s"CONVERT '$seed' TO VERSIONED '$tbl'").collect()
+    graft.ops.Layout.writeBloomSidecar(spark, s"$tbl/v0", "k")
+    // two writers on DISJOINT key ranges; B loses and rebases
+    val a = LakehouseSql.claimNextVersion(tbl)
+    val b = LakehouseSql.claimNextVersion(tbl)
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v$a",
+      spark.range(300, 310).select($"id".as("k"), lit(-1L).as("v")), "k")
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v$b",
+      spark.range(400, 410).select($"id".as("k"), lit(-2L).as("v")), "k")
+    LakehouseSql.publishOrAbort(tbl, "v0", a, "MERGE")
+    LakehouseSql.publishOrAbort(tbl, "v0", b, "MERGE")
+    val cur = graft.streaming.Streams.currentSnapshot(tbl).get
+    assert(cur.endsWith("/v3"), s"expected a rebased publish: $cur")
+    assert(new java.io.File(s"$cur/_bloom").isDirectory,
+      "the rebased snapshot must carry the bloom sidecar")
+    // the probe's own completeness require passes (every live file has
+    // a filter row) and point lookups answer correctly on both the
+    // winner's and the rebased loser's keys — no rebuild paid
+    val (hits, nFiles, nHit) = graft.ops.Layout.readBloomPrunedFromSidecar(
+      spark, cur, "k", Seq(305L, 405L, 55L))
+    assert(hits.count() == 3, "bloom-pruned lookup lost rows after rebase")
+    assert(nHit < nFiles, s"filter must prune some files ($nHit/$nFiles)")
+    // a key that exists nowhere probes empty through the carried filter
+    assert(graft.ops.Layout.readBloomPrunedFromSidecar(
+      spark, cur, "k", Seq(999999L))._1.count() == 0)
+  }
+
   test("commit log: closes the pointer absence window, survives pointer loss") {
     import spark.implicits._
     val root = s"$base/commitlog"

@@ -86,12 +86,27 @@ object AnnIndex {
       new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"), markerText(cb, stamp))
   }
 
+  // The stamp line is JSON; a table path (or id column) containing a
+  // quote or backslash must round-trip through it, or readStamp would
+  // silently return None and a stamped index would degrade to
+  // unstamped — the misleading "built from an ad-hoc corpus" refusal.
+  private def jesc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def junesc(s: String): String =
+    s.replaceAll("""\\(.)""", "$1")
+  // a JSON string body with escapes: runs of non-quote/non-backslash
+  // or backslash-escaped pairs
+  private val jstr = """((?:[^"\\]|\\.)*)"""
+
   private def markerText(
       cb: Array[Array[Array[Float]]],
-      stamp: Option[(String, Long, String)]): String =
+      stamp: Option[(String, Long, String)],
+      advance: Option[String] = None): String =
     s"numSub=${cb.length} codes=${cb(0).length}" +
       stamp.fold("") { case (tbl, v, idCol) =>
-        s"""\n{"src":"$tbl","srcVersion":$v,"idCol":"$idCol"}""" }
+        val adv = advance.fold("")(a => s""","advance":"$a"""")
+        s"""\n{"src":"${jesc(tbl)}","srcVersion":$v,"idCol":"${jesc(idCol)}"$adv}"""
+      }
 
   /** The (tableDir, version, idCol) source stamp of a persisted
     * index, when it was built from a versioned table. */
@@ -100,11 +115,68 @@ object AnnIndex {
         new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"))
       .flatMap { txt =>
         for {
-          src <- """"src":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+          src <- s""""src":"$jstr"""".r.findFirstMatchIn(txt).map(m => junesc(m.group(1)))
           v <- """"srcVersion":(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-          idc <- """"idCol":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+          idc <- s""""idCol":"$jstr"""".r.findFirstMatchIn(txt).map(m => junesc(m.group(1)))
         } yield (src, v, idc)
       }
+
+  /** How the stamp last advanced: "verified" (every intervening
+    * commit's effect was proved insert-only and covered by the
+    * appended delta, via the source's change feed) or "assumed" (some
+    * intervening commit had no materialized feed, so the advance is
+    * the caller's assertion — recorded, not hidden). Absent on a
+    * freshly built index. */
+  def readStampAdvance(path: String): Option[String] =
+    Fs.readTextIfExists(Fs.of(path),
+        new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"))
+      .flatMap(txt => """"advance":"(\w+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)))
+
+  // Commit verbs whose row-set effect the index layer understands.
+  // delete-shaped: rows only ever removed — the encoded corpus stays a
+  // SUPERSET of the live rows, so a probe reconciles via a live-id
+  // semi-join. row-preserving: files rewritten, row set identical
+  // (compaction/clustering) — nothing for the index to see.
+  private val deleteShaped = Set("DELETE", "DELETE_DV", "COMPACT_DELETES")
+  private val rowPreserving = Set("OPTIMIZE")
+  // verbs that may add rows and, when the commit's change feed is
+  // materialized, can be VERIFIED insert-only + delta-covered
+  private val appendable = Set("MERGE", "CDC")
+
+  /** Verb evidence for `v` of `tbl`: the snapshot's `_commitinfo`
+    * first, the commit-log entry second — the log entry survives a
+    * vacuum that reclaimed the snapshot directory (until truncation),
+    * so a vacuumed published version still adjudicates by verb instead
+    * of masquerading as a claimed-but-never-published number. */
+  private def verbEvidence(tbl: String, v: Long): Option[String] =
+    Upsert.readCommitInfo(s"$tbl/v$v").map(_._1)
+      .orElse(Upsert.readCommitLogVerb(tbl, v))
+
+  /** Refuse when the gap (stamped, current] extends below the table's
+    * reclaim horizon — the commit-log truncation checkpoint, or the
+    * oldest retained snapshot — where every evidence trail (snapshot
+    * dir, `_commitinfo`, commit-log entry) has been reclaimed and
+    * benign-vs-harmful is UNPROVABLE. Without this guard a vacuumed
+    * published MERGE is indistinguishable from an OCC-discarded
+    * number and the walk would silently pass it — probes then miss
+    * its rows forever, the exact silent-divergence class the contract
+    * exists to refuse (mirrors [[graft.streaming.Streams.feedGapHarm]]'s
+    * ground-truth rule: versions at or below a reclaim checkpoint
+    * refuse). */
+  private def requireProvableGap(
+      who: String, path: String, tbl: String, stamped: Long): Unit = {
+    val cp = Upsert.commitLogCheckpoint(tbl)
+    lazy val oldestKept = Upsert.snapshotVersions(tbl).headOption
+    if (cp.exists(stamped < _) || oldestKept.exists(stamped + 1 < _))
+      throw new IllegalStateException(
+        s"$who: index at $path was stamped at v$stamped of '$tbl' but " +
+          "versions in the gap were RECLAIMED (commit-log checkpoint " +
+          cp.fold("-")(c => s"v$c") + ", oldest retained snapshot " +
+          oldestKept.fold("-")(o => s"v$o") + ") — whether a vacuumed " +
+          "in-between version changed rows the index has not seen is no " +
+          "longer provable. Remedy: rebuild with AnnIndex.write")
+  }
 
   /** Append a delta batch to a persisted index: encode the NEW vectors
     * with the index's EXISTING centroids and codebook (one delta-sized
@@ -118,12 +190,45 @@ object AnnIndex {
     * small appends re-cluster with [[Layout.optimizeTable]] like any
     * other table. A probe after append is bit-identical to a probe of
     * an index rebuilt over the full corpus with the same artifacts
-    * (AnnIndexSpec + `q_ann_append` vs the inline-fit oracle). */
+    * (AnnIndexSpec + `q_ann_append` vs the inline-fit oracle).
+    *
+    * A STAMPED index's append VERIFIES the stamp advance against the
+    * source's ground truth instead of trusting the caller (round-13
+    * verdict #2 — the last trust-the-caller edge): the walk over
+    * (stamp, CURRENT] refuses delete-shaped and UPDATE verbs outright
+    * (append cannot express either — the old encoded row for an id
+    * would survive in codes.parquet), and for MERGE/CDC versions whose
+    * change feed is materialized it proves the commit insert-only and
+    * the delta COMPLETE (a delivery-sized anti-join: every inserted id
+    * must appear in the delta, and — when every gap version verified —
+    * every delta id must be one the gap inserted, so an append can
+    * neither miss new rows nor double-encode existing ones). Versions
+    * with no feed keep the caller's assertion, but the marker records
+    * `advance: assumed` instead of hiding it. The adjudication runs
+    * BEFORE any file lands, so a refused append leaves the index
+    * untouched. */
   def append(delta: DataFrame, path: String,
       numRangePartitions: Int = 1): Unit = {
     require(Fs.of(path).exists(new org.apache.hadoop.fs.Path(s"$path/INDEX_OK")),
       s"AnnIndex.append: $path has no INDEX_OK marker — build the index first")
-    val idx = read(delta.sparkSession, path)
+    val spark = delta.sparkSession
+    val idx = read(spark, path)
+    val advance: Option[(String, Long, String, String)] =
+      idx.stamp.map { case (tbl, stamped, idCol) =>
+        val cur = Upsert.currentVersion(tbl).getOrElse(
+          throw new IllegalStateException(
+            s"AnnIndex.append: indexed source '$tbl' is gone or lost its " +
+              "CURRENT pointer — rebuild the index"))
+        if (cur < stamped)
+          throw new IllegalStateException(
+            s"AnnIndex.append: index at $path was stamped at v$stamped of " +
+              s"'$tbl' but the table is now at v$cur (restored to an older " +
+              "version?) — rebuild the index")
+        val mode =
+          if (cur == stamped) "verified" // nothing intervened
+          else adjudicateAppend(spark, path, tbl, stamped, cur, idCol, delta)
+        (tbl, cur, idCol, mode)
+      }
     Similarity.pqEncode(
         Similarity.nearestCell(
           delta.select(col("id"), col("embedding")), idx.centroids),
@@ -132,17 +237,107 @@ object AnnIndex {
       .repartitionByRange(numRangePartitions, col("cell"))
       .sortWithinPartitions(col("cell"), col("id"))
       .write.mode("append").parquet(s"$path/codes.parquet")
-    // a stamped index's append advances the stamp to the source's
-    // CURRENT version — the delta is the caller's assertion that the
-    // index now reflects everything up to it (the same applied-mark
-    // move the CDC sink makes after each commit)
-    idx.stamp.foreach { case (tbl, _, idCol) =>
-      Upsert.currentVersion(tbl).foreach { v =>
-        Fs.writeTextAtomic(Fs.of(path),
-          new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"),
-          markerText(idx.codebook, Some((tbl, v, idCol))))
+    advance.foreach { case (tbl, v, idCol, mode) =>
+      Fs.writeTextAtomic(Fs.of(path),
+        new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"),
+        markerText(idx.codebook, Some((tbl, v, idCol)), Some(mode)))
+    }
+  }
+
+  /** The verification walk behind [[append]]'s stamp advance. Returns
+    * "verified" when every gap version's row-set effect was proved
+    * (insert-only + delta-covered via its change feed, or inherently
+    * row-preserving), "assumed" when some MERGE/CDC version had no
+    * materialized feed; throws on anything append cannot express. */
+  private def adjudicateAppend(
+      spark: SparkSession, path: String, tbl: String,
+      stamped: Long, cur: Long, idCol: String, delta: DataFrame): String = {
+    requireProvableGap("AnnIndex.append", path, tbl, stamped)
+    var allVerified = true
+    val feedDirs = Seq.newBuilder[String]
+    ((stamped + 1) to cur).foreach { v =>
+      val verb = verbEvidence(tbl, v)
+      val published = verb.isDefined ||
+        Fs.of(tbl).exists(new org.apache.hadoop.fs.Path(s"$tbl/v$v"))
+      if (published) verb match {
+        case Some(w) if deleteShaped(w) =>
+          throw new IllegalStateException(
+            s"AnnIndex.append: v$v of '$tbl' committed a $w — append " +
+              "cannot express row removal (the encoded rows would " +
+              "survive in codes.parquet). Remedy: probe with topKLive " +
+              "(delete-only divergence reconciles without an append) " +
+              "or rebuild with AnnIndex.write")
+        case Some("UPDATE") =>
+          throw new IllegalStateException(
+            s"AnnIndex.append: v$v of '$tbl' committed an UPDATE — " +
+              "append cannot express changed embeddings (the old " +
+              "encoding for the id would survive in codes.parquet and " +
+              "probes would score both). Remedy: rebuild with " +
+              "AnnIndex.write")
+        case Some(w) if rowPreserving(w) => () // row set unchanged
+        case Some(w) if appendable(w) =>
+          val feed = s"$tbl/_cdf/v$v"
+          if (Fs.of(tbl).exists(new org.apache.hadoop.fs.Path(feed)))
+            feedDirs += feed
+          else allVerified = false // no ground truth — caller's word
+        case Some(w) =>
+          throw new IllegalStateException(
+            s"AnnIndex.append: v$v of '$tbl' committed a $w — append " +
+              "cannot prove its row-set effect. Remedy: rebuild with " +
+              "AnnIndex.write")
+        case None =>
+          throw new IllegalStateException(
+            s"AnnIndex.append: v$v of '$tbl' exists but carries no " +
+              "_commitinfo and no commit-log entry (foreign-written?) — " +
+              "append cannot prove its row-set effect. Remedy: rebuild " +
+              "with AnnIndex.write")
+      } // an unpublished claimed number is an OCC-rebase discard: benign
+    }
+    val dirs = feedDirs.result()
+    if (dirs.nonEmpty) {
+      // ONE read over every verifiable gap version's change images
+      // (delivery-sized), not a Spark job per version
+      val changes = spark.read.parquet(dirs: _*)
+      // an update materializes as delete+insert in the feed — either
+      // half is something append cannot express
+      if (!changes.filter(col("_change_type") === "delete").isEmpty)
+        throw new IllegalStateException(
+          s"AnnIndex.append: the gap (v${stamped + 1}..v$cur] of '$tbl' " +
+            "carries delete-type change images (an UPDATE or DELETE " +
+            "inside a MERGE/CDC commit) — append cannot express row " +
+            "removal or changed embeddings. Remedy: rebuild with " +
+            "AnnIndex.write")
+      val inserted = changes.filter(col("_change_type") === "insert")
+        .select(col(idCol).as("id")).distinct()
+      val deltaIds = delta.select(col("id")).distinct()
+      val missing = inserted.except(deltaIds)
+      if (!missing.isEmpty) {
+        val sample = missing.limit(5).collect().map(_.get(0)).mkString(", ")
+        throw new IllegalStateException(
+          s"AnnIndex.append: the delta MISSES rows the gap " +
+            s"(v${stamped + 1}..v$cur] of '$tbl' inserted (e.g. ids " +
+            s"$sample) — advancing the stamp would legitimize an index " +
+            "that silently never returns them. Remedy: append the full " +
+            "set of new vectors, or rebuild with AnnIndex.write")
+      }
+      if (allVerified) {
+        // with ground truth for EVERY gap version, a delta id the gap
+        // never inserted is either already encoded (the append would
+        // double-encode it) or not in the table at all
+        val ghost = deltaIds.except(inserted)
+        if (!ghost.isEmpty) {
+          val sample = ghost.limit(5).collect().map(_.get(0)).mkString(", ")
+          throw new IllegalStateException(
+            s"AnnIndex.append: the delta carries ids the gap " +
+              s"(v${stamped + 1}..v$cur] of '$tbl' never inserted (e.g. " +
+              s"$sample) — they are either already encoded (the append " +
+              "would create duplicate encodings) or absent from the " +
+              "table. Remedy: append exactly the new vectors, or " +
+              "rebuild with AnnIndex.write")
+        }
       }
     }
+    if (allVerified) "verified" else "assumed"
   }
 
   /** Load the index artifacts; refuses a directory without the marker
@@ -168,12 +363,23 @@ object AnnIndex {
   /** Probe a (re)loaded index: same contract as
     * [[Similarity.ivfPqTopK]] — (qid, id, rank 1..k) by ADC asc.
     * NO staleness check (the Index handle may be unstamped) — the
-    * versioned-table contract lives in [[topKLive]]. */
+    * versioned-table contract lives in [[topKLive]].
+    *
+    * @param keepIds optional one-column (`id`) allow-list — the ids
+    *   satisfying a caller's metadata predicate (language, license,
+    *   date…). Pushed into the encoded corpus BEFORE ranking, so the
+    *   top-k fills from the FILTERED corpus; post-filtering an
+    *   unfiltered top-k instead silently under-fills k (round-13
+    *   verdict #4). The semi-join is the same mechanism [[topKLive]]
+    *   reconciles deletes with. */
   def topK(queries: DataFrame, index: Index, k: Int, probes: Int,
-      saltBuckets: Int = 8): DataFrame =
+      saltBuckets: Int = 8, keepIds: Option[DataFrame] = None): DataFrame = {
+    val encoded = keepIds.fold(index.encoded)(keep =>
+      index.encoded.join(keep.select(col("id")), Seq("id"), "left_semi"))
     Similarity.ivfPqTopKEncoded(
-      queries, index.encoded, index.centroids, index.codebook,
+      queries, encoded, index.centroids, index.codebook,
       k, probes, saltBuckets)
+  }
 
   /** Probe a persisted index WITH its staleness contract — the entry
     * point for indexes stamped with a versioned source ([[write]]'s
@@ -187,14 +393,26 @@ object AnnIndex {
     *     ids (deletion vectors honored) before scoring, so the probe
     *     returns exactly the index of the surviving corpus — a
     *     delivery-sized fix instead of a rebuild;
-    *   - anything else (MERGE/UPDATE/unknown verb, a vacuumed
-    *     in-between version, an unstamped index passed here) →
-    *     REFUSE loudly, naming the remedy — the failure this closes
-    *     is a probe silently serving deleted or stale ids after the
-    *     table moved (AnnIndexSpec; `q_ann_delete` pins the
-    *     reconciled probe against the surviving-rows oracle). */
+    *   - anything else (MERGE/UPDATE/unknown verb, an unstamped
+    *     index passed here) → REFUSE loudly, naming the remedy — the
+    *     failure this closes is a probe silently serving deleted or
+    *     stale ids after the table moved (AnnIndexSpec; `q_ann_delete`
+    *     pins the reconciled probe against the surviving-rows oracle).
+    *
+    * The walk's evidence is vacuum-proof (round-13 verdict #1): a gap
+    * that extends below the table's reclaim horizon (commit-log
+    * truncation checkpoint / oldest retained snapshot) REFUSES — below
+    * it, a vacuumed published MERGE and an OCC-discarded number are
+    * indistinguishable — and a version whose snapshot dir was vacuumed
+    * but whose commit-log entry survives adjudicates by the logged
+    * verb instead of passing as never-published.
+    *
+    * @param keepIds optional metadata-predicate allow-list, as in
+    *   [[topK]] — composed with the staleness reconcile (the filter
+    *   and the live-id semi-join stack). */
   def topKLive(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, probes: Int, saltBuckets: Int = 8): DataFrame = {
+      k: Int, probes: Int, saltBuckets: Int = 8,
+      keepIds: Option[DataFrame] = None): DataFrame = {
     val idx = read(spark, path)
     val (tbl, stamped, idCol) = idx.stamp.getOrElse(
       throw new IllegalStateException(
@@ -213,22 +431,25 @@ object AnnIndex {
             s"'$tbl' but the table is now at v$cur (restored to an older " +
             "version?) — rebuild the index")
       else {
-        val deleteShaped = Set("DELETE", "DELETE_DV", "COMPACT_DELETES")
+        requireProvableGap("AnnIndex.topKLive", path, tbl, stamped)
         ((stamped + 1) to cur).foreach { v =>
-          val verb = Upsert.readCommitInfo(s"$tbl/v$v").map(_._1)
+          // _commitinfo first, surviving commit-log entry second — a
+          // vacuumed snapshot still adjudicates by its logged verb
+          val verb = verbEvidence(tbl, v)
           // a claimed-but-never-published number is not on the chain
-          val published = Fs.of(tbl).exists(
-            new org.apache.hadoop.fs.Path(s"$tbl/v$v")) ||
-            verb.isDefined
-          if (published && !verb.exists(deleteShaped))
+          val published = verb.isDefined || Fs.of(tbl).exists(
+            new org.apache.hadoop.fs.Path(s"$tbl/v$v"))
+          if (published && !verb.exists(deleteShaped) &&
+              !verb.exists(rowPreserving))
             throw new IllegalStateException(
               s"AnnIndex.topKLive: index at $path was built at v$stamped " +
                 s"of '$tbl' but v$v committed " +
-                verb.fold("an unknown change (no _commitinfo — vacuumed " +
-                  "or foreign-written)")(w => s"a $w") +
+                verb.fold("an unknown change (no _commitinfo and no " +
+                  "commit-log entry — foreign-written)")(w => s"a $w") +
                 " — the index has not seen its rows and a probe would " +
                 "silently return stale results. Remedy: AnnIndex.append " +
-                "the new/changed vectors (advances the stamp), or " +
+                "the new/changed vectors (verified against the change " +
+                "feed when materialized; advances the stamp), or " +
                 "rebuild with AnnIndex.write")
         }
         // delete-only divergence: the encoded corpus is a superset of
@@ -238,7 +459,9 @@ object AnnIndex {
           .select(col(idCol).as("id"))
         idx.encoded.join(live, Seq("id"), "left_semi")
       }
+    val filtered = keepIds.fold(encoded)(keep =>
+      encoded.join(keep.select(col("id")), Seq("id"), "left_semi"))
     Similarity.ivfPqTopKEncoded(
-      queries, encoded, idx.centroids, idx.codebook, k, probes, saltBuckets)
+      queries, filtered, idx.centroids, idx.codebook, k, probes, saltBuckets)
   }
 }

@@ -1972,11 +1972,21 @@ object Upsert {
     val entries = Fs.listFiles(Fs.of(tableDir), new HPath(commitLogDir(tableDir)))
       .map(_.getName).filter(_.matches("\\d+\\.json"))
       .map(_.stripSuffix(".json").toLong)
-    // the `_base.json` checkpoint backstop (hand-deleted entries) only
-    // matters when the listing is EMPTY: truncation's invariant keeps
-    // every surviving entry above the checkpoint, so a nonempty listing
-    // already dominates it — skipping the read saves one FS round-trip
-    // on every CURRENT resolution (DevCommitOps)
+    // the `_base.json` checkpoint backstop only matters when the
+    // listing is EMPTY. Why a nonempty listing never needs the floor:
+    // truncation only ever deletes entries BELOW the oldest retained
+    // snapshot — the newest entry (the true max) is never eligible —
+    // so the max of any protocol-produced listing is the max of the
+    // log, crash leftovers included (a crash between the checkpoint
+    // advance and the deletes leaves EXTRA entries ≤ cp behind; it
+    // deletes nothing, so the max entry still dominates them, and the
+    // next truncation reclaims the leftovers). The one state the skip
+    // misreads — leftovers ≤ cp surviving while every entry > cp was
+    // removed — requires deleting log entries BY HAND, which is
+    // outside the protocol (the same class as hand-deleting a
+    // snapshot dir under CURRENT). Accepting that documented edge
+    // saves one FS round-trip on EVERY read's and publish's CURRENT
+    // resolution (DevCommitOps — the r13 op-count halving).
     if (entries.nonEmpty) Some(entries.max)
     else commitLogCheckpoint(tableDir)
   }

@@ -510,26 +510,53 @@ object Streams {
     val logCp = graft.ops.Upsert.commitLogCheckpoint(srcTableDir)
     // one listing each, reused across the gap — not one RPC per version
     lazy val snapVs = graft.ops.Upsert.snapshotVersions(srcTableDir).toSet
-    (from until until).iterator.map { g =>
-      val feedDir = new HPath(s"$srcTableDir/_cdf/v$g")
+    val feedVs = graft.ops.Fs.listDirs(fs, new HPath(s"$srcTableDir/_cdf"))
+      .filter(_.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).toSet
+    // Metadata-only classification first; feed dirs that hold parquet
+    // files are row-checked afterwards in ONE Spark job for the WHOLE
+    // gap. (The old shape read each version's feed separately — a long
+    // benign gap paid a Spark job per version inside a micro-batch
+    // commit; round-13 verdict #5. A zero-change commit materializes
+    // only zero-row parquet footers, so "has undelivered rows" needs a
+    // read, but never more than one.)
+    val metaHarm = scala.collection.mutable.Map.empty[Long, String]
+    val rowCheck = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (from until until).foreach { g =>
       if (wm.exists(g < _) || logCp.exists(g <= _))
-        Some(s"v$g was reclaimed (feed low watermark " +
+        metaHarm(g) = s"v$g was reclaimed (feed low watermark " +
           s"${wm.fold("-")(w => s"v$w")}, commit-log checkpoint " +
-          s"${logCp.fold("-")(c => s"v$c")})")
-      else if (fs.exists(feedDir)) {
-        val hasRows = graft.ops.Fs.listFiles(fs, feedDir)
-          .exists(_.getName.endsWith(".parquet")) &&
-          !spark.read.parquet(feedDir.toString).isEmpty
-        if (hasRows)
-          Some(s"v$g's feed is materialized WITH change rows but was " +
-            "not delivered before this batch (out-of-order delivery)")
-        else None // zero-change commit: nothing to apply, nothing missed
+          s"${logCp.fold("-")(c => s"v$c")})"
+      else if (feedVs.contains(g)) {
+        if (graft.ops.Fs.listFiles(fs, new HPath(s"$srcTableDir/_cdf/v$g"))
+            .exists(_.getName.endsWith(".parquet")))
+          rowCheck += g
+        // no parquet files at all: zero-change commit, nothing missed
       } else if (snapVs.contains(g) ||
           graft.ops.Upsert.readCommitLogBase(srcTableDir, g).isDefined)
-        Some(s"v$g was published but its feed was never materialized " +
-          "(the producer stopped calling materializeCdf?)")
-      else None // claimed-but-never-published number (OCC rebase discard)
-    }.collectFirst { case Some(why) => why }
+        metaHarm(g) = s"v$g was published but its feed was never " +
+          "materialized (the producer stopped calling materializeCdf?)"
+      // else: claimed-but-never-published number (OCC rebase discard)
+    }
+    if (rowCheck.nonEmpty) {
+      // one read over every candidate dir; a file only surfaces here if
+      // it holds ≥1 row, and its PATH names the feed version — no trust
+      // in column contents needed
+      val vOf = """/_cdf/v(\d+)/""".r
+      val filesWithRows = spark.read
+        .parquet(rowCheck.map(g => s"$srcTableDir/_cdf/v$g").toSeq: _*)
+        .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .distinct().collect().map(_.getString(0))
+      filesWithRows
+        .flatMap(f => vOf.findFirstMatchIn(f).map(_.group(1).toLong))
+        .foreach { g =>
+          if (!metaHarm.contains(g))
+            metaHarm(g) = s"v$g's feed is materialized WITH change rows " +
+              "but was not delivered before this batch (out-of-order " +
+              "delivery)"
+        }
+    }
+    metaHarm.keys.minOption.map(metaHarm)
   }
 
   /** Subscribe to a versioned COW table's change data feed as a STREAM

@@ -134,8 +134,19 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("MERGE") &&
       e1.getMessage.contains("AnnIndex.append"), e1.getMessage)
 
-    // append advances the stamp to CURRENT → probes work again
-    AnnIndex.append(corpus.filter($"id" < 4), idxDir)
+    // append across a gap containing the DELETE refuses too (r14): the
+    // deleted rows' encodings would survive in codes.parquet, and a
+    // stamp==CURRENT index serves them with no reconcile — the trust-
+    // the-caller heal this used to permit was exactly the hole
+    val eApp = intercept[IllegalStateException](
+      AnnIndex.append(corpus.filter($"id" < 4), idxDir))
+    assert(eApp.getMessage.contains("DELETE"), eApp.getMessage)
+    // the honest remedy — rebuild from the CURRENT live rows — re-stamps
+    // and probes work again
+    val liveNow = graft.ops.Upsert.readWithDeletes(spark,
+      graft.streaming.Streams.currentSnapshot(tbl).get)
+      .select($"id", $"embedding")
+    AnnIndex.write(liveNow, cents, cb, idxDir, source = Some((tbl, "id")))
     assert(AnnIndex.readStamp(idxDir).exists(_._2 > 0L))
     AnnIndex.topKLive(spark, idxDir, queries, 3, 2).collect()
 
@@ -156,6 +167,202 @@ class AnnIndexSpec extends AnyFunSuite {
         AnnIndex.topKLive(spark, idxDir, queries, 3, 2))
       assert(e3.getMessage.contains("restored"), e3.getMessage)
     }
+  }
+
+  test("vacuum in the gap: reclaimed evidence refuses instead of silently reconciling") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_vacgap").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+
+    // v1: a MERGE inserting rows the index has never seen
+    corpus.filter($"id" < 10).select(($"id" + 1000).as("id"), $"embedding")
+      .createOrReplaceTempView("ann_vacgap_ins")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM ann_vacgap_ins) ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // v2, v3: delete-only commits — the arm the reconcile path accepts
+    spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 7 = 1").collect()
+    spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 7 = 2").collect()
+    // vacuum reclaims v0 and v1 — dir, _commitinfo, AND commit-log
+    // entry — so the MERGE at v1 is now indistinguishable from an
+    // OCC-discarded number by per-version evidence alone. The old walk
+    // classified it benign, reconciled against the delete-only tail,
+    // and every probe silently missed the merged vectors forever
+    // (round-13 verdict #1).
+    assert(graft.ops.Upsert.vacuum(tbl, keep = 2).contains(1L))
+    assert(graft.ops.Upsert.commitLogCheckpoint(tbl).exists(_ >= 1L))
+    val e = intercept[IllegalStateException](
+      AnnIndex.topKLive(spark, idxDir, queries, 3, 2))
+    assert(e.getMessage.contains("RECLAIMED") &&
+      e.getMessage.contains("rebuild"), e.getMessage)
+    // append across the same unprovable gap refuses identically
+    val e2 = intercept[IllegalStateException](
+      AnnIndex.append(corpus.filter($"id" < 10)
+        .select(($"id" + 1000).as("id"), $"embedding"), idxDir))
+    assert(e2.getMessage.contains("RECLAIMED"), e2.getMessage)
+  }
+
+  test("vacuumed snapshot dir with a surviving commit-log entry adjudicates by the logged verb") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_logverb").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+    corpus.filter($"id" < 10).select(($"id" + 1000).as("id"), $"embedding")
+      .createOrReplaceTempView("ann_logverb_ins")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM ann_logverb_ins) ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 7 = 3").collect()
+    // simulate the vacuum crash window: v1's dir (and its _commitinfo)
+    // reclaimed, but its commit-log entry not yet truncated — the
+    // SECOND evidence trail must still name the MERGE
+    graft.ops.Fs.of(tbl, spark)
+      .delete(new org.apache.hadoop.fs.Path(s"$tbl/v1"), true)
+    assert(graft.ops.Upsert.readCommitLogVerb(tbl, 1L).contains("MERGE"))
+    val e = intercept[IllegalStateException](
+      AnnIndex.topKLive(spark, idxDir, queries, 3, 2))
+    assert(e.getMessage.contains("MERGE"), e.getMessage)
+  }
+
+  test("append verifies the stamp advance against the change feed instead of trusting the caller") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_verify").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+
+    // v1: insert-only MERGE with its change feed materialized
+    val fresh = corpus.filter($"id" < 10)
+      .select(($"id" + 1000).as("id"), $"embedding")
+    fresh.createOrReplaceTempView("ann_verify_ins")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM ann_verify_ins) ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    graft.ops.Upsert.materializeCdf(spark, tbl, 1L)
+
+    // an append that MISSES some of the MERGE's rows refuses — the old
+    // behavior advanced the stamp on the caller's word and the index
+    // silently never returned the missed vectors (round-13 verdict #2)
+    val e1 = intercept[IllegalStateException](
+      AnnIndex.append(fresh.filter($"id" % 2 === 0), idxDir))
+    assert(e1.getMessage.contains("MISSES"), e1.getMessage)
+    // a refused append must leave the index untouched (no partial files)
+    assert(AnnIndex.readStamp(idxDir).contains((tbl, 0L, "id")))
+    assert(AnnIndex.read(spark, idxDir).encoded
+      .filter($"id" >= 1000).count() == 0)
+
+    // a delta with ids the gap never inserted (already-encoded rows)
+    // refuses: it would double-encode them
+    val e2 = intercept[IllegalStateException](
+      AnnIndex.append(fresh.unionAll(corpus.filter($"id" < 2)), idxDir))
+    assert(e2.getMessage.contains("never inserted"), e2.getMessage)
+
+    // the COMPLETE delta verifies and advances, and says so
+    AnnIndex.append(fresh, idxDir)
+    assert(AnnIndex.readStamp(idxDir).contains((tbl, 1L, "id")))
+    assert(AnnIndex.readStampAdvance(idxDir).contains("verified"))
+    assert(AnnIndex.topKLive(spark, idxDir, queries, 3, 2).count() > 0)
+
+    // v2: an UPDATE past the stamp — append cannot express changed
+    // rows, with or without a feed
+    spark.sql(s"UPDATE '$tbl' ON id SET embedding = embedding WHERE id < 2").collect()
+    val e3 = intercept[IllegalStateException](
+      AnnIndex.append(fresh.limit(1), idxDir))
+    assert(e3.getMessage.contains("UPDATE"), e3.getMessage)
+  }
+
+  test("append without a materialized feed advances but records the assumption; deletes refuse") {
+    import spark.implicits._
+    val (corpus, cents, _) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_assume").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+    val fresh = corpus.filter($"id" < 6)
+      .select(($"id" + 2000).as("id"), $"embedding")
+    fresh.createOrReplaceTempView("ann_assume_ins")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM ann_assume_ins) ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // no materializeCdf: nothing to verify against — the advance stays
+    // the caller's assertion, but the marker RECORDS that
+    AnnIndex.append(fresh, idxDir)
+    assert(AnnIndex.readStamp(idxDir).contains((tbl, 1L, "id")))
+    assert(AnnIndex.readStampAdvance(idxDir).contains("assumed"))
+
+    // a DELETE in the gap refuses regardless of feeds: append cannot
+    // remove encodings — the remedy is topKLive's reconcile or rebuild
+    spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 2000").collect()
+    val e = intercept[IllegalStateException](
+      AnnIndex.append(fresh.limit(1), idxDir))
+    assert(e.getMessage.contains("DELETE") &&
+      e.getMessage.contains("topKLive"), e.getMessage)
+  }
+
+  test("stamp marker round-trips a table path containing quotes and backslashes") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_esc").toString
+    // legal on POSIX; unescaped it breaks the stamp JSON and the index
+    // silently degrades to unstamped (round-13 advice)
+    val tbl = base + """/we"ird\dir/table"""
+    val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+    assert(AnnIndex.readStamp(idxDir).contains((tbl, 0L, "id")),
+      "the stamp must survive JSON-hostile characters in the table path")
+    // and the contract actually engages: fresh probe works
+    assert(AnnIndex.topKLive(spark, idxDir, queries, 3, 2).count() > 0)
+  }
+
+  test("filtered probe: metadata allow-list fills k from the filtered corpus") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ann_filter").toString
+    AnnIndex.write(corpus, cents, cb, dir)
+    val keep = corpus.filter($"id" % 3 =!= 1).select($"id")
+    val got = AnnIndex.topK(queries, AnnIndex.read(spark, dir), 3, 2,
+        keepIds = Some(keep))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // oracle: the inline fit over the pre-filtered corpus with the
+    // SAME immutable artifacts — k fills from the filtered corpus
+    val want = Similarity.ivfPqTopK(queries,
+        corpus.filter($"id" % 3 =!= 1), cents, cb, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    assert(!got.exists(_._2 % 3 == 1), "filtered ids must never rank")
+    // post-filtering the unfiltered top-k instead UNDER-FILLS k — the
+    // failure mode the pushed predicate exists to close
+    val post = AnnIndex.topK(queries, AnnIndex.read(spark, dir), 3, 2)
+      .filter($"id" % 3 =!= 1)
+    assert(post.count() < got.size,
+      "precondition: post-filtering must actually under-fill at this scale")
   }
 
   test("the persisted codes table is cell-clustered (skippable row groups)") {

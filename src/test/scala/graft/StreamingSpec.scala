@@ -741,6 +741,55 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.contains("reclaimed")), "a vacuumed version must refuse")
   }
 
+  test("feed-gap adjudication pays ONE Spark job for the whole gap, not one per version") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("adjbatch").toString
+    val fs = graft.ops.Fs.of(src, spark)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$src/v1")
+    Seq((1L, "a", "insert", 1L)).toDF("k", "v", "_change_type", "_commit_version")
+      .write.parquet(s"$src/_cdf/v1")
+    graft.ops.Fs.writeTextAtomic(fs, hp(s"$src/CURRENT"), "v1")
+    // a LONG benign gap: v2..v6 are all zero-change commits — feed dirs
+    // with zero-row parquet footers, so "has undelivered rows" needs a
+    // read, but never more than one for the whole gap (the old shape
+    // paid one Spark job PER version inside the micro-batch commit)
+    for (g <- 2L to 6L)
+      Seq.empty[(Long, String, String, Long)]
+        .toDF("k", "v", "_change_type", "_commit_version")
+        .write.parquet(s"$src/_cdf/v$g")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(Streams.feedGapHarm(spark, src, 2L, 7L).isEmpty,
+        "five zero-change versions must all be benign")
+      // let the async listener bus drain before counting
+      val deadline = System.nanoTime() + 5e9.toLong
+      var last = -1
+      while (System.nanoTime() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(200)
+      }
+      assert(jobs.get() <= 2,
+        s"a 5-version gap must row-check in one batched read, " +
+          s"ran ${jobs.get()} jobs (the per-version shape runs 5+)")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // and the FIRST harmful version still wins when classes mix:
+    // v3 holds undelivered rows, v4 was published but never fed
+    Seq((3L, "c", "insert", 3L)).toDF("k", "v", "_change_type", "_commit_version")
+      .write.mode("overwrite").parquet(s"$src/_cdf/v3")
+    fs.delete(hp(s"$src/_cdf/v4"), true)
+    Seq((4L, "d")).toDF("k", "v").write.parquet(s"$src/v4")
+    val why = Streams.feedGapHarm(spark, src, 2L, 7L)
+    assert(why.exists(w => w.contains("v3") && w.contains("out-of-order")),
+      s"the FIRST harmful version (v3) must be named, got $why")
+  }
+
   test("a mirror survives a feed whose version numbers skip (OCC-rebase shape) instead of wedging") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

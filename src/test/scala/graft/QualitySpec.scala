@@ -27,17 +27,22 @@ class QualitySpec extends AnyFunSuite {
     assert(m("n_short_text") == 1L)
   }
 
-  test("profileNumeric: exact stats for all columns from ONE scan") {
+  test("profileNumeric: exact stats, no Expand fan-out, column-pruned branches") {
     import spark.implicits._
     val df = Seq(
       (1L, Some(10.0)), (2L, Some(10.0)), (3L, None), (4L, Some(-2.5)))
       .toDF("id", "x")
     val prof = Quality.profileNumeric(df, Seq("id", "x"))
-    // one table scan total — multi-distinct combines via Expand
+    // two-level per-column aggregation: the old combined multi-distinct
+    // planned through Expand, which fanned every row to (N cols + 1)
+    // copies before the partial aggregate — 41 s warm at the 100× tier.
+    // The union of per-column branches must NOT Expand, and each branch
+    // reads exactly one column (columnar parquet: N one-column scans ==
+    // one N-column scan in bytes)
     val plan = prof.queryExecution.executedPlan.toString
-    assert(plan.contains("Expand"), s"expected Expand-based multi-distinct:\n$plan")
-    assert("LocalTableScan|Scan ".r.findAllIn(plan).length <= 2,
-      s"profile must not scan per column:\n$plan")
+    assert(!plan.contains("Expand"), s"profile must not Expand the scan:\n$plan")
+    assert("LocalTableScan|Scan parquet".r.findAllIn(plan).length <= 2,
+      s"one branch (and one scan) per column, no more:\n$plan")
     val rows = prof.collect().map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
     assert(rows("id") == ((4L, 0L, 4L, 1.0, 4.0, 10.0)))

@@ -539,6 +539,36 @@ object QueriesVector {
   private val annDeleteSql: String =
     ivfPqSqlWhere(" WHERE NOT (vec_id >= 40 AND vec_id % 3 = 1)")
 
+  // --- Filtered ANN probe (round-13 verdict #4): real retrieval
+  //     workloads filter by metadata (language, license, date) BEFORE
+  //     top-k — post-filtering an unfiltered top-k silently under-fills
+  //     k. The allow-list (ids satisfying the caller's predicate) is
+  //     pushed into the encoded corpus ahead of ADC ranking, so k fills
+  //     from the FILTERED corpus; the index artifacts (centroids,
+  //     codebook) stay full-table because they are immutable. Oracle:
+  //     the inline-fit replay over the pre-filtered corpus with the
+  //     SAME seeds — exact through both IVF and PQ stages.
+  private def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val corpus = e.select($"vec_id".as("id"), $"embedding")
+    val cents = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_ann_filtered_${System.getProperty("user.name", "u")}_$h"
+    graft.ops.AnnIndex.write(corpus, cents, cb, path)
+    // the metadata predicate: the allow-listed ids, pushed pre-ranking
+    val keep = corpus.filter($"id" % 3 =!= 1).select($"id")
+    graft.ops.AnnIndex.topK(
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30).select($"vec_id".as("qid"), $"embedding"),
+      graft.ops.AnnIndex.read(s, path), k = 3, probes = 2,
+      keepIds = Some(keep))
+  }
+
+  private val annFilteredSql: String =
+    ivfPqSqlWhere(" WHERE vec_id % 3 != 1")
+
   // --- SemDeDup: coarse cells (centroids = the first 8 vectors, as
   //     q_ivf_ann) restrict the cosine pair search; pairs at or above
   //     the quantized threshold merge into duplicate components
@@ -672,6 +702,7 @@ object QueriesVector {
     "q_ann_persist" -> (annPersist _),
     "q_ann_append" -> (annAppend _),
     "q_ann_delete" -> (annDelete _),
+    "q_ann_filtered" -> (annFiltered _),
     "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
     "q_ivf_pq" -> (ivfPq _),
@@ -689,6 +720,7 @@ object QueriesVector {
     "q_ann_persist" -> ivfPqSql, // identical output to the inline fit by design
     "q_ann_append" -> ivfPqSql, // appended index == full rebuild, same artifacts
     "q_ann_delete" -> annDeleteSql, // reconciled probe == surviving-rows inline fit
+    "q_ann_filtered" -> annFilteredSql, // pushed predicate == pre-filtered inline fit
     "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,
     "q_ivf_pq" -> ivfPqSql,

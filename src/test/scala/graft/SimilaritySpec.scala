@@ -181,6 +181,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("filtered probe with a SELECTIVE predicate: k fills from the filtered corpus") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = e.select($"vec_id".as("id"), $"embedding")
+    val centroids = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("sim_filtered").toString
+    graft.ops.AnnIndex.write(corpus, centroids, cb, dir)
+    // ~10% survive the metadata predicate — selective enough that an
+    // unfiltered top-3 post-filtered keeps almost nothing
+    val keep = corpus.filter($"id" % 10 === 0).select($"id")
+    val got = graft.ops.AnnIndex.topK(queries,
+        graft.ops.AnnIndex.read(spark, dir), k = 3, probes = 2,
+        keepIds = Some(keep))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // every result satisfies the predicate, and k fills wherever the
+    // probed cells hold >= 3 allow-listed candidates — the inline fit
+    // over the pre-filtered corpus is the exact expectation
+    val want = Similarity.ivfPqTopK(queries,
+        corpus.filter($"id" % 10 === 0), centroids, cb, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(_._2 % 10 == 0))
+    // post-filtering the unfiltered ranking under-fills k — the failure
+    // mode the pushed predicate closes
+    val post = graft.ops.AnnIndex.topK(queries,
+        graft.ops.AnnIndex.read(spark, dir), k = 3, probes = 2)
+      .filter($"id" % 10 === 0).count()
+    assert(post < got.size,
+      s"precondition: post-filter must under-fill (post=$post, pushed=${got.size})")
+  }
+
   test("semanticDedup: within-cell pairs merge transitively; min id is the representative") {
     import spark.implicits._
     val t = 0.1

@@ -340,6 +340,75 @@ object AnnIndex {
     if (allVerified) "verified" else "assumed"
   }
 
+  /** Materialize the delete reconcile ONCE: restrict the codes table
+    * to the source's live ids and re-stamp at CURRENT. After heavy
+    * deletes, [[topKLive]] pays the live-id semi-join on EVERY probe
+    * (correct, delivery-sized — but forever); reconcile is the
+    * maintenance move that converts that recurring cost into one
+    * codes-table rewrite, the same economics as COMPACT_DELETES
+    * folding deletion vectors. Refuses unless the divergence is
+    * provably delete-shaped-or-row-preserving — the exact walk
+    * [[topKLive]] runs, reclaim-horizon guard included. Crash-safe via
+    * the marker contract: INDEX_OK is removed BEFORE the rewrite and
+    * re-written (with the advanced stamp) only after it, so a crash
+    * mid-rewrite leaves an index that refuses to load instead of one
+    * that silently probes a half-written corpus.
+    *
+    * @return number of encoded rows dropped */
+  def reconcile(spark: SparkSession, path: String,
+      numRangePartitions: Int = 4): Long = {
+    val idx = read(spark, path)
+    val (tbl, stamped, idCol) = idx.stamp.getOrElse(
+      throw new IllegalStateException(
+        s"AnnIndex.reconcile: index at $path carries no source stamp — " +
+          "nothing to reconcile against; rebuild with write(source = ...)"))
+    val cur = Upsert.currentVersion(tbl).getOrElse(
+      throw new IllegalStateException(
+        s"AnnIndex.reconcile: indexed source '$tbl' is gone or lost its " +
+          "CURRENT pointer — rebuild the index"))
+    if (cur < stamped)
+      throw new IllegalStateException(
+        s"AnnIndex.reconcile: index at $path was built at v$stamped of " +
+          s"'$tbl' but the table is now at v$cur (restored to an older " +
+          "version?) — rebuild the index")
+    if (cur == stamped) return 0L
+    requireProvableGap("AnnIndex.reconcile", path, tbl, stamped)
+    ((stamped + 1) to cur).foreach { v =>
+      val verb = verbEvidence(tbl, v)
+      val published = verb.isDefined || Fs.of(tbl).exists(
+        new org.apache.hadoop.fs.Path(s"$tbl/v$v"))
+      if (published && !verb.exists(deleteShaped) && !verb.exists(rowPreserving))
+        throw new IllegalStateException(
+          s"AnnIndex.reconcile: v$v of '$tbl' committed " +
+            verb.fold("an unknown change")(w => s"a $w") +
+            " — reconcile only materializes DELETE-shaped divergence. " +
+            "Remedy: AnnIndex.append the new vectors or rebuild with " +
+            "AnnIndex.write")
+    }
+    val live = Upsert.readWithDeletes(spark, s"$tbl/v$cur")
+      .select(col(idCol).as("id"))
+    val kept = idx.encoded.join(live, Seq("id"), "left_semi")
+      .select(col("id"), col("cell"), col("codes"))
+      .repartitionByRange(numRangePartitions, col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+    val before = idx.encoded.count()
+    val fs = Fs.of(path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/INDEX_OK")
+    fs.delete(marker, false) // unreadable during the rewrite — loud, not stale
+    // write-new-then-swap: the source frame reads the dir being
+    // replaced, so land the rewrite beside it first
+    kept.write.mode("overwrite").parquet(s"$path/codes.parquet.new")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes.parquet"), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes.parquet.new"),
+        new org.apache.hadoop.fs.Path(s"$path/codes.parquet")))
+      throw new java.io.IOException(
+        s"AnnIndex.reconcile: swap of $path/codes.parquet failed")
+    val after = spark.read.parquet(s"$path/codes.parquet").count()
+    Fs.writeTextAtomic(fs, marker,
+      markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified")))
+    before - after
+  }
+
   /** Load the index artifacts; refuses a directory without the marker
     * (a crashed build must fail loudly, not probe a partial corpus). */
   def read(spark: SparkSession, path: String): Index = {

@@ -365,6 +365,77 @@ class AnnIndexSpec extends AnyFunSuite {
       "precondition: post-filtering must actually under-fill at this scale")
   }
 
+  test("topKLive composes the metadata filter with the delete reconcile") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_livefilter").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+    // delete-only divergence AND a caller predicate: the live-id
+    // semi-join and the allow-list stack — the probe is the index of
+    // (surviving ∩ allowed)
+    spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 3 = 1").collect()
+    val keep = corpus.filter($"id" % 2 === 0).select($"id")
+    val got = AnnIndex.topKLive(spark, idxDir, queries, 3, 2,
+        keepIds = Some(keep))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val want = Similarity.ivfPqTopK(queries,
+        corpus.filter(!($"id" >= 40 && $"id" % 3 === 1) && $"id" % 2 === 0),
+        cents, cb, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(t => t._2 % 2 == 0 && !(t._2 >= 40 && t._2 % 3 == 1)))
+  }
+
+  test("reconcile materializes the delete divergence once and re-stamps at CURRENT") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_reconcile").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+    spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 3 = 1").collect()
+
+    val deleted = corpus.filter($"id" >= 40 && $"id" % 3 === 1).count()
+    assert(AnnIndex.reconcile(spark, idxDir) == deleted,
+      "reconcile must drop exactly the deleted rows' encodings")
+    // stamp advanced to CURRENT, recorded as verified — every later
+    // probe takes the stamp==cur fast path (no per-probe semi-join)
+    assert(AnnIndex.readStamp(idxDir).contains((tbl, 1L, "id")))
+    assert(AnnIndex.readStampAdvance(idxDir).contains("verified"))
+    assert(AnnIndex.read(spark, idxDir).encoded
+      .filter($"id" >= 40 && $"id" % 3 === 1).count() == 0)
+    // the materialized index answers exactly like the surviving-rows
+    // rebuild with the same immutable artifacts
+    val got = AnnIndex.topKLive(spark, idxDir, queries, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("ann_rec_want").toString
+    AnnIndex.write(corpus.filter(!($"id" >= 40 && $"id" % 3 === 1)),
+      cents, cb, rebuilt)
+    val want = AnnIndex.topK(queries, AnnIndex.read(spark, rebuilt), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // idempotent: a second reconcile at stamp==CURRENT is a no-op
+    assert(AnnIndex.reconcile(spark, idxDir) == 0L)
+    // and a MERGE past the new stamp refuses — reconcile only
+    // materializes delete-shaped divergence
+    corpus.filter($"id" < 3).select(($"id" + 3000).as("id"), $"embedding")
+      .createOrReplaceTempView("ann_rec_ins")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM ann_rec_ins) ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val e = intercept[IllegalStateException](AnnIndex.reconcile(spark, idxDir))
+    assert(e.getMessage.contains("MERGE"), e.getMessage)
+  }
+
   test("the persisted codes table is cell-clustered (skippable row groups)") {
     val (corpus, cents, _) = fixture
     val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)

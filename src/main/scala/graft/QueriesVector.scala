@@ -539,6 +539,40 @@ object QueriesVector {
   private val annDeleteSql: String =
     ivfPqSqlWhere(" WHERE NOT (vec_id >= 40 AND vec_id % 3 = 1)")
 
+  // --- Materialized reconcile (round-14): same divergence as
+  //     q_ann_delete, but the index is RECONCILED once (codes table
+  //     rewritten to the surviving ids, stamp re-advanced verified) and
+  //     the probe then rides the stamp==CURRENT fast path — no
+  //     per-probe semi-join. Must answer the identical surviving-rows
+  //     oracle: materializing the reconcile is invisible to results.
+  private def annReconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val base = s"/tmp/graft_ann_reconcile_${System.getProperty("user.name", "u")}_$h"
+    val tbl = s"$base/table"; val path = s"$base/index"
+    val fs = graft.ops.Fs.of(base, s)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    e.select($"vec_id".as("id"), $"embedding").write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    val corpus = s.read.parquet(s"$tbl/v0")
+    val cents = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    graft.ops.AnnIndex.write(corpus, cents, cb, path,
+      source = Some((tbl, "id")))
+    s.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 4 = 2").collect()
+    graft.ops.AnnIndex.reconcile(s, path)
+    graft.ops.AnnIndex.topKLive(s, path,
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30)
+        .select($"vec_id".as("qid"), $"embedding"),
+      k = 3, probes = 2)
+  }
+
+  private val annReconcileSql: String =
+    ivfPqSqlWhere(" WHERE NOT (vec_id >= 40 AND vec_id % 4 = 2)")
+
   // --- Filtered ANN probe (round-13 verdict #4): real retrieval
   //     workloads filter by metadata (language, license, date) BEFORE
   //     top-k — post-filtering an unfiltered top-k silently under-fills
@@ -703,6 +737,7 @@ object QueriesVector {
     "q_ann_append" -> (annAppend _),
     "q_ann_delete" -> (annDelete _),
     "q_ann_filtered" -> (annFiltered _),
+    "q_ann_reconcile" -> (annReconcile _),
     "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
     "q_ivf_pq" -> (ivfPq _),
@@ -721,6 +756,7 @@ object QueriesVector {
     "q_ann_append" -> ivfPqSql, // appended index == full rebuild, same artifacts
     "q_ann_delete" -> annDeleteSql, // reconciled probe == surviving-rows inline fit
     "q_ann_filtered" -> annFilteredSql, // pushed predicate == pre-filtered inline fit
+    "q_ann_reconcile" -> annReconcileSql, // materialized reconcile == surviving-rows inline fit
     "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,
     "q_ivf_pq" -> ivfPqSql,

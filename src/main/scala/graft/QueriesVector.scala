@@ -392,13 +392,19 @@ object QueriesVector {
   // `corpusWhere` restricts the scoring corpus (q_ann_delete's
   // surviving-rows oracle); artifacts (ct/cb — the vec_id<8 seeds) stay
   // full-table because the persisted index's artifacts are immutable
-  private def ivfPqSqlWhere(corpusWhere: String): String = {
+  private def ivfPqSqlWhere(corpusWhere: String): String =
+    ivfPqSqlCorpus(s"SELECT vec_id AS id, embedding FROM embeddings$corpusWhere")
+
+  // `corpusSelect` is the full corpus CTE body — q_ann_update's oracle
+  // needs to MODIFY embeddings (replay the versioned UPDATE), not just
+  // restrict rows
+  private def ivfPqSqlCorpus(corpusSelect: String): String = {
     val terms = (0 until 8).map { mi =>
       val qsv = s"CAST(list_slice(q_emb, ${mi * 8 + 1}, ${mi * 8 + 8}) AS DOUBLE[])"
       val cv = s"CAST(cb3[${mi + 1}][codes[${mi + 1}] + 1] AS DOUBLE[])"
       s"(list_dot_product($qsv, $qsv) - 2 * list_dot_product($qsv, $cv)) + list_dot_product($cv, $cv)"
     }.mkString(" + ")
-    s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings$corpusWhere),
+    s"""WITH corpus AS ($corpusSelect),
        |ct AS (SELECT vec_id AS cid, embedding AS ct_emb FROM embeddings WHERE vec_id < 8),
        |cb AS (
        |  SELECT cid, m, list_slice(embedding, m*8+1, m*8+8) AS cvec
@@ -573,6 +579,55 @@ object QueriesVector {
   private val annReconcileSql: String =
     ivfPqSqlWhere(" WHERE NOT (vec_id >= 40 AND vec_id % 4 = 2)")
 
+  // --- Incremental maintenance for the shapes append/reconcile refuse
+  //     (round-14): a versioned UPDATE that CHANGES embeddings plus a
+  //     DELETE move the table past the stamp. AnnIndex.applyCdf diffs
+  //     the stamped snapshot against CURRENT (changeDataFeed — cost ∝
+  //     changed files, never a corpus rescan), drops every touched
+  //     id's old encoding, re-encodes the final images with the
+  //     immutable centroids/codebook, and re-stamps verified; the
+  //     probe then rides the stamp==CURRENT fast path and must answer
+  //     the inline-fit oracle over the UPDATED corpus exactly — a
+  //     half-applied index would score the stale encodings and
+  //     hash-mismatch. (Float negation is a sign-bit flip: exact in
+  //     both engines, so the replayed UPDATE is bit-reproducible.)
+  private def annUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val base = s"/tmp/graft_ann_update_${System.getProperty("user.name", "u")}_$h"
+    val tbl = s"$base/table"; val path = s"$base/index"
+    val fs = graft.ops.Fs.of(base, s)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    e.select($"vec_id".as("id"), $"embedding").write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    val corpus = s.read.parquet(s"$tbl/v0")
+    val cents = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    graft.ops.AnnIndex.write(corpus, cents, cb, path,
+      source = Some((tbl, "id")))
+    // divergence the stamp has NOT seen, in the shapes append cannot
+    // express (seeds and queries survive both arms)
+    s.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+      "transform(embedding, x -> -x) WHERE id >= 40 AND id % 5 = 2").collect()
+    s.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 5 = 4").collect()
+    graft.ops.AnnIndex.applyCdf(s, path)
+    graft.ops.AnnIndex.topKLive(s, path,
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30)
+        .select($"vec_id".as("qid"), $"embedding"),
+      k = 3, probes = 2)
+  }
+
+  private val annUpdateSql: String = ivfPqSqlCorpus(
+    """SELECT vec_id AS id,
+      |    CASE WHEN vec_id >= 40 AND vec_id % 5 = 2
+      |         THEN list_transform(embedding, x -> -x)
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings
+      |  WHERE NOT (vec_id >= 40 AND vec_id % 5 = 4)""".stripMargin)
+
   // --- Filtered ANN probe (round-13 verdict #4): real retrieval
   //     workloads filter by metadata (language, license, date) BEFORE
   //     top-k — post-filtering an unfiltered top-k silently under-fills
@@ -738,6 +793,7 @@ object QueriesVector {
     "q_ann_delete" -> (annDelete _),
     "q_ann_filtered" -> (annFiltered _),
     "q_ann_reconcile" -> (annReconcile _),
+    "q_ann_update" -> (annUpdate _),
     "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
     "q_ivf_pq" -> (ivfPq _),
@@ -757,6 +813,7 @@ object QueriesVector {
     "q_ann_delete" -> annDeleteSql, // reconciled probe == surviving-rows inline fit
     "q_ann_filtered" -> annFilteredSql, // pushed predicate == pre-filtered inline fit
     "q_ann_reconcile" -> annReconcileSql, // materialized reconcile == surviving-rows inline fit
+    "q_ann_update" -> annUpdateSql, // applied net divergence == updated-corpus inline fit
     "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,
     "q_ivf_pq" -> ivfPqSql,

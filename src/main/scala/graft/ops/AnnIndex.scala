@@ -265,15 +265,15 @@ object AnnIndex {
             s"AnnIndex.append: v$v of '$tbl' committed a $w — append " +
               "cannot express row removal (the encoded rows would " +
               "survive in codes.parquet). Remedy: probe with topKLive " +
-              "(delete-only divergence reconciles without an append) " +
-              "or rebuild with AnnIndex.write")
+              "(delete-only divergence reconciles without an append), " +
+              "AnnIndex.applyCdf, or rebuild with AnnIndex.write")
         case Some("UPDATE") =>
           throw new IllegalStateException(
             s"AnnIndex.append: v$v of '$tbl' committed an UPDATE — " +
               "append cannot express changed embeddings (the old " +
               "encoding for the id would survive in codes.parquet and " +
-              "probes would score both). Remedy: rebuild with " +
-              "AnnIndex.write")
+              "probes would score both). Remedy: AnnIndex.applyCdf, or " +
+              "rebuild with AnnIndex.write")
         case Some(w) if rowPreserving(w) => () // row set unchanged
         case Some(w) if appendable(w) =>
           val feed = s"$tbl/_cdf/v$v"
@@ -305,8 +305,8 @@ object AnnIndex {
           s"AnnIndex.append: the gap (v${stamped + 1}..v$cur] of '$tbl' " +
             "carries delete-type change images (an UPDATE or DELETE " +
             "inside a MERGE/CDC commit) — append cannot express row " +
-            "removal or changed embeddings. Remedy: rebuild with " +
-            "AnnIndex.write")
+            "removal or changed embeddings. Remedy: AnnIndex.applyCdf, " +
+            "or rebuild with AnnIndex.write")
       val inserted = changes.filter(col("_change_type") === "insert")
         .select(col(idCol).as("id")).distinct()
       val deltaIds = delta.select(col("id")).distinct()
@@ -382,7 +382,8 @@ object AnnIndex {
           s"AnnIndex.reconcile: v$v of '$tbl' committed " +
             verb.fold("an unknown change")(w => s"a $w") +
             " — reconcile only materializes DELETE-shaped divergence. " +
-            "Remedy: AnnIndex.append the new vectors or rebuild with " +
+            "Remedy: AnnIndex.applyCdf (any CDF-expressible shape), " +
+            "AnnIndex.append the new vectors, or rebuild with " +
             "AnnIndex.write")
     }
     val live = Upsert.readWithDeletes(spark, s"$tbl/v$cur")
@@ -407,6 +408,106 @@ object AnnIndex {
     Fs.writeTextAtomic(fs, marker,
       markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified")))
     before - after
+  }
+
+  /** Apply the source table's NET divergence since the stamp —
+    * inserts, updates, AND deletes — in one maintenance pass, and
+    * re-stamp verified. [[append]] expresses insert-only gaps and
+    * [[reconcile]] delete-only ones; this is the general move for the
+    * shapes both refuse (MERGE upserts, UPDATEs that changed
+    * embeddings): diff the STAMPED snapshot against CURRENT with
+    * [[Upsert.changeDataFeed]] (row-level change images computed from
+    * only the files the commits actually changed — cost ∝ changed
+    * data, never a corpus rescan), drop every touched id's old
+    * encoding, encode the final insert images with the index's
+    * immutable centroids + codebook, and swap the codes table. No
+    * per-version verb walk is needed: the ENDPOINT diff is the ground
+    * truth (an intervening delete+reinsert nets to its final image by
+    * construction, an update surfaces as delete+insert of the same
+    * id), so the advance is recorded `verified`. The quantization
+    * artifacts are NOT refit — IVF's standard contract; an update
+    * wave that drifted the embedding distribution itself degrades
+    * recall until a rebuild, which is a retrain decision, not an
+    * index-consistency one.
+    *
+    * Crash-safe via the same marker contract as [[reconcile]]:
+    * INDEX_OK is removed before the rewrite and re-written (stamped
+    * at CURRENT) only after the swap, so a crash mid-apply leaves an
+    * index that refuses to load instead of one that silently probes a
+    * half-applied corpus.
+    *
+    * Refuses when the stamped snapshot was vacuumed — the diff has no
+    * base and the divergence is unprovable (the reclaim-horizon rule
+    * the walk-based paths enforce, expressed over snapshots instead
+    * of commit-log evidence).
+    *
+    * @param embCol the embedding column's name IN THE SOURCE TABLE
+    * @return (encodings dropped, encodings appended) */
+  def applyCdf(spark: SparkSession, path: String,
+      embCol: String = "embedding",
+      numRangePartitions: Int = 4): (Long, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val idx = read(spark, path)
+    val (tbl, stamped, idCol) = idx.stamp.getOrElse(
+      throw new IllegalStateException(
+        s"AnnIndex.applyCdf: index at $path carries no source stamp — " +
+          "nothing to diff against; rebuild with write(source = ...)"))
+    val cur = Upsert.currentVersion(tbl).getOrElse(
+      throw new IllegalStateException(
+        s"AnnIndex.applyCdf: indexed source '$tbl' is gone or lost its " +
+          "CURRENT pointer — rebuild the index"))
+    if (cur < stamped)
+      throw new IllegalStateException(
+        s"AnnIndex.applyCdf: index at $path was stamped at v$stamped of " +
+          s"'$tbl' but the table is now at v$cur (restored to an older " +
+          "version?) — rebuild the index")
+    if (cur == stamped) return (0L, 0L)
+    if (!Fs.of(tbl).exists(new HPath(s"$tbl/v$stamped")))
+      throw new IllegalStateException(
+        s"AnnIndex.applyCdf: the stamped snapshot v$stamped of '$tbl' " +
+          "was RECLAIMED (vacuumed) — the divergence since the stamp " +
+          "has no diff base and is unprovable. Remedy: rebuild with " +
+          "AnnIndex.write")
+    // delivery-sized; localCheckpoint so the file-diff excepts run
+    // once, not once per downstream use
+    val feed = Upsert.changeDataFeed(spark, tbl, stamped, cur)
+      .select(col(idCol).as("id"), col(embCol).as("embedding"),
+        col("_change_type"))
+      .localCheckpoint()
+    require(feed.filter(col("id").isNull).isEmpty,
+      s"AnnIndex.applyCdf: change images of '$tbl' carry a NULL $idCol " +
+        "— the index cannot address them; fix the key, then rebuild")
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(col("id"), col("embedding"))
+    require(ins.filter(col("embedding").isNull).isEmpty,
+      s"AnnIndex.applyCdf: insert images of '$tbl' carry a NULL " +
+        s"$embCol (schema-evolution backfill?) — encoding needs the " +
+        "vector; rebuild with AnnIndex.write once the column is " +
+        "populated")
+    val touched = feed.select(col("id")).distinct()
+    val dropped = idx.encoded.join(touched, Seq("id"), "left_semi").count()
+    val appended = ins.count()
+    val newCodes = Similarity.pqEncode(
+        Similarity.nearestCell(ins, idx.centroids), "embedding",
+        idx.codebook)
+      .select(col("id"), col("cell"), col("codes"))
+    val rewritten = idx.encoded.join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"), col("codes"))
+      .unionByName(newCodes)
+      .repartitionByRange(numRangePartitions, col("cell"))
+      .sortWithinPartitions(col("cell"), col("id"))
+    val fs = Fs.of(path)
+    val marker = new HPath(s"$path/INDEX_OK")
+    fs.delete(marker, false) // unreadable during the rewrite — loud, not stale
+    rewritten.write.mode("overwrite").parquet(s"$path/codes.parquet.new")
+    fs.delete(new HPath(s"$path/codes.parquet"), true)
+    if (!fs.rename(new HPath(s"$path/codes.parquet.new"),
+        new HPath(s"$path/codes.parquet")))
+      throw new java.io.IOException(
+        s"AnnIndex.applyCdf: swap of $path/codes.parquet failed")
+    Fs.writeTextAtomic(fs, marker,
+      markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified")))
+    (dropped, appended)
   }
 
   /** Load the index artifacts; refuses a directory without the marker
@@ -516,10 +617,12 @@ object AnnIndex {
                 verb.fold("an unknown change (no _commitinfo and no " +
                   "commit-log entry — foreign-written)")(w => s"a $w") +
                 " — the index has not seen its rows and a probe would " +
-                "silently return stale results. Remedy: AnnIndex.append " +
-                "the new/changed vectors (verified against the change " +
-                "feed when materialized; advances the stamp), or " +
-                "rebuild with AnnIndex.write")
+                "silently return stale results. Remedy: AnnIndex.applyCdf " +
+                "(applies the net insert/update/delete divergence by " +
+                "diffing the stamped snapshot against CURRENT), " +
+                "AnnIndex.append for insert-only deltas (verified " +
+                "against the change feed when materialized), or rebuild " +
+                "with AnnIndex.write")
         }
         // delete-only divergence: the encoded corpus is a superset of
         // the live rows — restrict to live ids (DV honored) and the

@@ -436,6 +436,72 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MERGE"), e.getMessage)
   }
 
+  test("applyCdf applies insert+update+delete net divergence; probe == rebuild over CURRENT") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_apply").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    val idxDir2 = s"$base/index2" // second stamp for the vacuum arm
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+    AnnIndex.write(corpus, cents, cb, idxDir2, source = Some((tbl, "id")))
+
+    // three shapes in the gap, two of which append/reconcile refuse:
+    // changed embeddings, removed rows, brand-new rows
+    spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+      "transform(embedding, x -> -x) WHERE id >= 40 AND id % 5 = 2").collect()
+    spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 5 = 4").collect()
+    corpus.filter($"id" < 3)
+      .select(($"id" + 5000).as("id"), reverse($"embedding").as("embedding"))
+      .createOrReplaceTempView("ann_apply_ins")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM ann_apply_ins) ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+
+    // the probe path names applyCdf as the incremental remedy
+    val eLive = intercept[IllegalStateException](
+      AnnIndex.topKLive(spark, idxDir, queries, 3, 2))
+    assert(eLive.getMessage.contains("applyCdf"), eLive.getMessage)
+
+    val nUpd = corpus.filter($"id" >= 40 && $"id" % 5 === 2).count()
+    val nDel = corpus.filter($"id" >= 40 && $"id" % 5 === 4).count()
+    val (dropped, appended) = AnnIndex.applyCdf(spark, idxDir)
+    assert(dropped == nUpd + nDel,
+      s"dropped $dropped, want updated $nUpd + deleted $nDel")
+    assert(appended == nUpd + 3,
+      s"appended $appended, want re-encoded $nUpd + 3 merged inserts")
+    assert(AnnIndex.readStamp(idxDir).contains((tbl, 3L, "id")))
+    assert(AnnIndex.readStampAdvance(idxDir).contains("verified"))
+
+    // fast path now; answers exactly like a rebuild over CURRENT with
+    // the same immutable artifacts
+    val got = AnnIndex.topKLive(spark, idxDir, queries, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("ann_apply_want").toString
+    AnnIndex.write(
+      graft.ops.Upsert.readWithDeletes(spark, s"$tbl/v3")
+        .select($"id", $"embedding"),
+      cents, cb, rebuilt)
+    val want = AnnIndex.topK(queries, AnnIndex.read(spark, rebuilt), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want && got.nonEmpty,
+      "applied index must answer probes exactly like the rebuild")
+    // idempotent at stamp==CURRENT
+    assert(AnnIndex.applyCdf(spark, idxDir) == ((0L, 0L)))
+
+    // vacuum arm: the second index is still stamped v0; reclaiming v0
+    // removes the diff base, so applyCdf refuses instead of guessing
+    spark.sql(s"VACUUM '$tbl' RETAIN 1 SNAPSHOTS").collect()
+    val eVac = intercept[IllegalStateException](
+      AnnIndex.applyCdf(spark, idxDir2))
+    assert(eVac.getMessage.contains("RECLAIMED") &&
+      eVac.getMessage.contains("rebuild"), eVac.getMessage)
+  }
+
   test("the persisted codes table is cell-clustered (skippable row groups)") {
     val (corpus, cents, _) = fixture
     val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)

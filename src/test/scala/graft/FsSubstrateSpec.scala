@@ -200,12 +200,22 @@ class FsSubstrateSpec extends AnyFunSuite {
     }
     mergeOnce(1000) // warm: JIT, codegen, FS instance init
     try {
-      // one MERGE publish with no delay: the op counts + compute floor
-      GraftMockFileSystem.reset(); GraftMockFileSystem.opDelayMs = 0
-      val m0 = System.nanoTime(); mergeOnce(2000)
-      val t0 = (System.nanoTime() - m0) / 1e6
-      val d0 = GraftMockFileSystem.driverOps.get
-      val a0 = d0 + GraftMockFileSystem.taskOps.get
+      // Differencing two wall-times is only as stable as the noisier
+      // side — one host burst during either pass fakes a
+      // (de)coupling verdict. min-of-3 per condition: the fastest
+      // pass is each floor's contention-free estimate (the same
+      // adjudication rule the bench artifacts use), paired with its
+      // own op counts.
+      def timedMerge(lo: Long, delay: Long): (Double, Long, Long) = {
+        GraftMockFileSystem.reset(); GraftMockFileSystem.opDelayMs = delay
+        val m = System.nanoTime(); mergeOnce(lo)
+        val t = (System.nanoTime() - m) / 1e6
+        (t, GraftMockFileSystem.driverOps.get,
+          GraftMockFileSystem.driverOps.get + GraftMockFileSystem.taskOps.get)
+      }
+      // MERGE publish with no delay: the op counts + compute floor
+      val bases = (0 until 3).map(i => timedMerge(2000 + 10 * i, 0))
+      val (t0, d0, a0) = bases.minBy(_._1)
       // REGRESSION GUARD: the total RPC budget of one small MERGE
       // publish through the mock (driver protocol + task data I/O +
       // Spark's own listings). DevCommitOps counts the Fs-substrate
@@ -222,11 +232,8 @@ class FsSubstrateSpec extends AnyFunSuite {
       // sequential — their sleeps ADD — so they floor it; task ops
       // overlap across executor threads — they only bound it above)
       val rtt = 25L
-      GraftMockFileSystem.reset(); GraftMockFileSystem.opDelayMs = rtt
-      val m1 = System.nanoTime(); mergeOnce(3000)
-      val t1 = (System.nanoTime() - m1) / 1e6
-      val d1 = GraftMockFileSystem.driverOps.get
-      val a1 = d1 + GraftMockFileSystem.taskOps.get
+      val delayeds = (0 until 3).map(i => timedMerge(3000 + 10 * i, rtt))
+      val (t1, d1, a1) = delayeds.minBy(_._1)
       val extra = t1 - t0
       info(f"MERGE publish: driverOps=$d1 allOps=$a1 rtt=${rtt}ms " +
         f"base=$t0%.0fms delayed=$t1%.0fms extra=$extra%.0fms")
@@ -238,12 +245,17 @@ class FsSubstrateSpec extends AnyFunSuite {
           f"(${a1 * rtt}ms) — something else dominates")
       // pure-metadata read path: CURRENT resolution is sequential
       // driver ops only, so wall-time ~= ops x RTT TIGHTLY
-      GraftMockFileSystem.opDelayMs = 0; GraftMockFileSystem.reset()
+      GraftMockFileSystem.opDelayMs = 0
       val n = 20
-      val r0 = System.nanoTime()
-      (1 to n).foreach(_ =>
-        assert(graft.ops.Upsert.currentVersion(tbl).isDefined))
-      val tr0 = (System.nanoTime() - r0) / 1e6
+      // min-of-3 on the no-delay side too — it is the subtrahend, and
+      // a burst there would push rextra below the coupling band
+      val tr0 = (0 until 3).map { _ =>
+        GraftMockFileSystem.reset()
+        val r0 = System.nanoTime()
+        (1 to n).foreach(_ =>
+          assert(graft.ops.Upsert.currentVersion(tbl).isDefined))
+        (System.nanoTime() - r0) / 1e6
+      }.min
       val cr0 = GraftMockFileSystem.driverOps.get
       GraftMockFileSystem.opDelayMs = rtt; GraftMockFileSystem.reset()
       val r1 = System.nanoTime()

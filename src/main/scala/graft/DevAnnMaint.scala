@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnIndex, Similarity, Upsert}
+
+/** Dev probe: incremental ANN maintenance economics (round-14
+  * `AnnIndex.applyCdf`).
+  *
+  * Claim probed: after an UPDATE+DELETE wave on the indexed table,
+  * `applyCdf` pays one codes-table rewrite (the codes table is ~30×
+  * smaller than the float corpus: 8 one-byte codes + id vs 64×4-byte
+  * floats per row) plus a DELTA-sized re-encode — while a rebuild
+  * pays the full corpus scan, the codebook REFIT (k-means over every
+  * subvector), and the full-corpus encode. The ratio should grow
+  * with corpus size and be insensitive to wave size.
+  *
+  * Prints one JSON line per run:
+  * {"n":…, "touched":…, "fit_s":…, "write_s":…, "apply_s":…,
+  *  "rebuild_fit_s":…, "rebuild_write_s":…, "dropped":…, "appended":…}
+  *
+  * Usage: runMain graft.DevAnnMaint <sfDir> [mod]
+  *   mod: the wave touches ids ≡3 (update) and ≡5 (delete) mod `mod`
+  *   — default 100, i.e. ~2% of the corpus.
+  */
+object DevAnnMaint {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mod = args.lift(1).map(_.toLong).getOrElse(100L)
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val base = s"/tmp/graft_ann_maint_${System.getProperty("user.name", "u")}"
+    val fs = graft.ops.Fs.of(base, spark)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val tbl = s"$base/table"; val idx = s"$base/index"
+    e.select($"vec_id".as("id"), $"embedding")
+      .repartition(32).write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    val corpus = spark.read.parquet(s"$tbl/v0")
+    val cents = e.filter($"vec_id" < 32)
+      .select($"vec_id".as("cid"), $"embedding")
+
+    // REBUILD cost, leg by leg: codebook refit + full encode/write
+    val (cb, tFit) = time(
+      Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8))
+    val (_, tWrite) = time(AnnIndex.write(corpus, cents, cb, idx,
+      numRangePartitions = 8, source = Some((tbl, "id"))))
+
+    // the wave: ~n/mod updates + ~n/mod deletes past the stamp
+    spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+      s"transform(embedding, x -> -x) WHERE id % $mod = 3").collect()
+    spark.sql(s"DELETE FROM '$tbl' ON id WHERE id % $mod = 5").collect()
+
+    val ((dropped, appended), tApply) = time(AnnIndex.applyCdf(spark, idx))
+
+    // what the wave would have cost as a rebuild, on the same table
+    val cur = Upsert.currentVersion(tbl).get
+    val live = Upsert.readWithDeletes(spark, s"$tbl/v$cur")
+      .select($"id", $"embedding")
+    val (cb2, tFit2) = time(
+      Similarity.pqCodebook(live, "id", "embedding", numSub = 8, codes = 8))
+    val (_, tWrite2) = time(AnnIndex.write(live, cents, cb2, s"$base/index2",
+      numRangePartitions = 8, source = Some((tbl, "id"))))
+
+    println(f"""{"n":$n,"touched":${dropped + appended},""" +
+      f""""fit_s":$tFit%.2f,"write_s":$tWrite%.2f,""" +
+      f""""apply_s":$tApply%.2f,""" +
+      f""""rebuild_fit_s":$tFit2%.2f,"rebuild_write_s":$tWrite2%.2f,""" +
+      f""""dropped":$dropped,"appended":$appended}""")
+    spark.stop()
+  }
+}

@@ -691,6 +691,53 @@ object Streams {
       srcVersionCol = Some("__srcv"), srcTableDir = Some(srcTableDir))
   }
 
+  /** Keep a persisted ANN index ([[graft.ops.AnnIndex]]) continuously
+    * CURRENT against its source table — the CDC loop closed over the
+    * vector index instead of a mirror table: [[upsertSink]] (or any
+    * batch chain materializing its feed) commits the source,
+    * [[cdfStream]] subscribes, and each micro-batch triggers ONE
+    * [[graft.ops.AnnIndex.applyCdf]] maintenance pass, after which
+    * probes ride the stamp==CURRENT fast path with no per-probe
+    * staleness work.
+    *
+    * The feed batch is a TRIGGER SIGNAL, not the applied data:
+    * `applyCdf` reads its own ground truth (the stamped-snapshot diff
+    * against CURRENT), so at-least-once delivery, replayed batches,
+    * and multi-commit batches are all safe — a replay finds
+    * stamp==CURRENT and is a no-op, a batch spanning k commits is one
+    * maintenance pass instead of k. The price of that safety is the
+    * same contract applyCdf enforces in batch: the stamped snapshot
+    * must outlive the gap (vacuum ahead of the maintainer refuses
+    * loudly with the rebuild remedy, never serves stale probes).
+    *
+    * @param maxFilesPerTrigger admission control, as [[cdfStream]] —
+    *   bounds how many backlogged feed versions one maintenance pass
+    *   absorbs (each pass's cost is one codes rewrite regardless, so
+    *   LARGER batches amortize better; cap only to bound the diff's
+    *   change volume) */
+  def annIndexMaintainer(
+      spark: SparkSession, srcTableDir: String, indexPath: String,
+      checkpointDir: String, embCol: String = "embedding",
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // a maintainer wired to the wrong table (or to an unstamped index)
+    // must refuse at attach, not on the first commit
+    val stamp = graft.ops.AnnIndex.readStamp(indexPath)
+    require(stamp.exists(_._1 == srcTableDir),
+      s"annIndexMaintainer: index at $indexPath is " +
+        stamp.fold("unstamped (built from an ad-hoc corpus)")(s =>
+          s"stamped to '${s._1}'") +
+        s" — it cannot follow '$srcTableDir'; build it with " +
+        "AnnIndex.write(source = (tableDir, idCol))")
+    cdfStream(spark, srcTableDir, maxFilesPerTrigger).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: Dataset[Row], _: Long) =>
+        graft.ops.AnnIndex.applyCdf(spark, indexPath, embCol)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming approximate-distinct per event-time window, as the
     * engine-exact HLL register table ([[graft.ops.Sketches]]): the
     * register update `max(rho)` is a MERGEABLE aggregate, so Structured

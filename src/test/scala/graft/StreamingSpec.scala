@@ -965,4 +965,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(rebuilt.exceptAll(want).isEmpty && want.exceptAll(rebuilt).isEmpty,
       "rate-limited replay must equal the snapshot")
   }
+
+  test("streaming ANN maintainer: the index follows the table through a commit wave") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.select($"vec_id".as("id"), $"embedding")
+    val cents = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 30)
+      .select($"vec_id".as("qid"), $"embedding")
+    val base = java.nio.file.Files.createTempDirectory("annmaint").toString
+    val tbl = s"$base/table"; val idx = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    graft.ops.Upsert.materializeCdf(spark, tbl, 0L)
+    val cb = graft.ops.Similarity.pqCodebook(
+      corpus, "id", "embedding", numSub = 8, codes = 8)
+    graft.ops.AnnIndex.write(corpus, cents, cb, idx, source = Some((tbl, "id")))
+
+    // wired to the wrong table: refuses at attach, not on first commit
+    val eAtt = intercept[IllegalArgumentException](
+      Streams.annIndexMaintainer(spark, s"$base/other", idx, s"$base/ck0"))
+    assert(eAtt.getMessage.contains("stamped to"), eAtt.getMessage)
+
+    val mq = Streams.annIndexMaintainer(spark, tbl, idx, s"$base/ck")
+    try {
+      mq.processAllAvailable() // v0's own feed: stamp==CURRENT, no-op
+      assert(graft.ops.AnnIndex.readStamp(idx).contains((tbl, 0L, "id")))
+      // an embedding-changing UPDATE, then a DELETE — shapes append
+      // cannot express; each commit's feed triggers one applyCdf pass
+      spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+        "transform(embedding, x -> -x) WHERE id >= 40 AND id % 5 = 2").collect()
+      graft.ops.Upsert.materializeCdf(spark, tbl, 1L)
+      mq.processAllAvailable()
+      assert(graft.ops.AnnIndex.readStamp(idx).contains((tbl, 1L, "id")),
+        "maintainer must advance the stamp with the commit")
+      spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 5 = 4").collect()
+      graft.ops.Upsert.materializeCdf(spark, tbl, 2L)
+      mq.processAllAvailable()
+    } finally mq.stop()
+    assert(graft.ops.AnnIndex.readStamp(idx).contains((tbl, 2L, "id")))
+    assert(graft.ops.AnnIndex.readStampAdvance(idx).contains("verified"))
+
+    // probes ride the stamp==CURRENT fast path and answer exactly like
+    // a rebuild over the table's current state with the same artifacts
+    val got = graft.ops.AnnIndex.topKLive(spark, idx, queries, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("annmaint_want").toString
+    graft.ops.AnnIndex.write(
+      graft.ops.Upsert.readWithDeletes(spark, s"$tbl/v2")
+        .select($"id", $"embedding"),
+      cents, cb, rebuilt)
+    val want = graft.ops.AnnIndex.topK(
+        queries, graft.ops.AnnIndex.read(spark, rebuilt), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want && got.nonEmpty,
+      "maintained index must answer probes exactly like the rebuild")
+  }
 }

@@ -61,7 +61,7 @@ doc = {
     "tiers": [tier(t10, 10.0), tier(t100, 100.0)],
     "embcold_note": embcold,
     "method": (
-        "Organic scale curve, full 165-query suite (q_ann_filtered IN-CHAIN "
+        "Organic scale curve, full 166-query suite (q_ann_update + q_ann_reconcile IN-CHAIN "
         "this round; q_profile restructured to per-column two-level aggs — "
         "no Expand — so its curve is REAL plan change, not noise): 1x -> 10x "
         "-> 100x tiers from the same generator (DevSfGen, unchanged from "

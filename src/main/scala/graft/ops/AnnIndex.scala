@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * [[Similarity.ivfPqTopKEncoded]] — the same scoring code the inline
   * fit uses, so a reloaded index returns bit-identical top-k
   * (AnnIndexSpec asserts equality against [[Similarity.ivfPqTopK]]).
+  *
+  * MUTATOR CONCURRENCY: [[append]], [[reconcile]] and [[applyCdf]]
+  * serialize under a per-index `_MAINTLOCK`
+  * ([[Fs.withPathLock]] — the same OS-lock/lease primitive the
+  * lakehouse CURRENT swap uses). Without it, an append landing files
+  * into `codes.parquet` while a concurrent rewrite deletes-and-swaps
+  * that directory would silently drop the appended rows; under the
+  * lock the loser of a maintenance race simply observes
+  * stamp==CURRENT and no-ops. Readers never take the lock — the
+  * INDEX_OK marker is the visibility point.
   */
 object AnnIndex {
 
@@ -208,7 +218,11 @@ object AnnIndex {
     * BEFORE any file lands, so a refused append leaves the index
     * untouched. */
   def append(delta: DataFrame, path: String,
-      numRangePartitions: Int = 1): Unit = {
+      numRangePartitions: Int = 1): Unit =
+    Fs.withPathLock(path, "_MAINTLOCK")(appendLocked(delta, path, numRangePartitions))
+
+  private def appendLocked(delta: DataFrame, path: String,
+      numRangePartitions: Int): Unit = {
     require(Fs.of(path).exists(new org.apache.hadoop.fs.Path(s"$path/INDEX_OK")),
       s"AnnIndex.append: $path has no INDEX_OK marker — build the index first")
     val spark = delta.sparkSession
@@ -356,7 +370,12 @@ object AnnIndex {
     *
     * @return number of encoded rows dropped */
   def reconcile(spark: SparkSession, path: String,
-      numRangePartitions: Int = 4): Long = {
+      numRangePartitions: Int = 4): Long =
+    Fs.withPathLock(path, "_MAINTLOCK")(
+      reconcileLocked(spark, path, numRangePartitions))
+
+  private def reconcileLocked(spark: SparkSession, path: String,
+      numRangePartitions: Int): Long = {
     val idx = read(spark, path)
     val (tbl, stamped, idCol) = idx.stamp.getOrElse(
       throw new IllegalStateException(
@@ -445,7 +464,12 @@ object AnnIndex {
     * @return (encodings dropped, encodings appended) */
   def applyCdf(spark: SparkSession, path: String,
       embCol: String = "embedding",
-      numRangePartitions: Int = 4): (Long, Long) = {
+      numRangePartitions: Int = 4): (Long, Long) =
+    Fs.withPathLock(path, "_MAINTLOCK")(
+      applyCdfLocked(spark, path, embCol, numRangePartitions))
+
+  private def applyCdfLocked(spark: SparkSession, path: String,
+      embCol: String, numRangePartitions: Int): (Long, Long) = {
     import org.apache.hadoop.fs.{Path => HPath}
     val idx = read(spark, path)
     val (tbl, stamped, idCol) = idx.stamp.getOrElse(

@@ -183,6 +183,57 @@ object Fs {
     }
   }
 
+  /** Serialize the MUTATORS of a directory-rooted artifact — a
+    * versioned table's publish (the OCC CURRENT swap), an ANN index's
+    * maintenance rewrite — across threads and processes. JVM-level
+    * first (interned-path synchronized queues same-process callers),
+    * then scheme-dispatched: an exclusive OS file lock on the local
+    * scheme (`FileChannel.lock`), a create-exclusive LEASE file with a
+    * bounded spin on remote schemes (atomic on HDFS; an object store
+    * without atomic create needs a real locking service, as Delta's
+    * S3 LogStore documents). The lease is deleted on release; a
+    * crashed holder leaves a stale lease that blocks callers LOUDLY
+    * (the error names the file to delete) instead of letting two
+    * mutators interleave silently. Readers never take this lock —
+    * visibility is the artifact's own atomic pointer/marker swap. */
+  def withPathLock[T](dirPath: String, lockName: String = "_COMMITLOCK")
+      (body: => T): T =
+    s"$dirPath/$lockName".intern.synchronized {
+      val scheme = new Path(dirPath).toUri.getScheme
+      if (scheme == null || scheme == "file") {
+        // local fast path: an OS file lock (FileChannel.lock throws —
+        // does NOT block — on same-process contention, which the
+        // intern-synchronized above already serializes)
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(
+            new Path(s"$dirPath/$lockName").toUri.getPath),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try body finally lock.release()
+        } finally ch.close()
+      } else {
+        val fs = Fs.of(dirPath)
+        val lease = new Path(dirPath, s"$lockName.lease")
+        val deadline = System.currentTimeMillis() + 60000
+        var held = false
+        while (!held) {
+          held = createExclusive(fs, lease,
+            s"pid=${ProcessHandle.current().pid()}")
+          if (!held) {
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"withPathLock: could not acquire $lease within 60s — " +
+                  "a concurrent mutator holds it, or a crashed one " +
+                  "left a stale lease (delete it to recover)")
+            Thread.sleep(50)
+          }
+        }
+        try body finally { fs.delete(lease, false); () }
+      }
+    }
+
   /** Child directories of `dir` (empty when `dir` is absent). */
   def listDirs(fs: FileSystem, dir: Path): Seq[Path] = {
     Audit.rec("list", dir)

@@ -274,51 +274,12 @@ object LakehouseSql {
   // other non-retained versions.
 
   private[graft] def withCommitLock[T](tablePath: String)(body: => T): T =
-    // JVM-level serialization first: intern-synchronized makes
-    // same-process committers queue; the cross-process mechanism is
-    // scheme-dispatched below
-    tablePath.intern.synchronized {
-      val scheme = new org.apache.hadoop.fs.Path(tablePath).toUri.getScheme
-      if (scheme == null || scheme == "file") {
-        // local fast path: an OS file lock (FileChannel.lock throws —
-        // does NOT block — on same-process contention, which the
-        // intern-synchronized above already serializes)
-        val ch = java.nio.channels.FileChannel.open(
-          java.nio.file.Paths.get(
-            new org.apache.hadoop.fs.Path(s"$tablePath/_COMMITLOCK")
-              .toUri.getPath),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock()
-          try body finally lock.release()
-        } finally ch.close()
-      } else {
-        // remote schemes: a create-exclusive LEASE file is the CAS
-        // primitive (atomic on HDFS; an object store without atomic
-        // create needs a real locking service, as Delta's S3 LogStore
-        // documents). Spin with a bounded timeout; the lease is
-        // deleted on release. Crash story: a stale lease blocks
-        // committers until an operator removes it — loud, not silent.
-        val fs = graft.ops.Fs.of(tablePath)
-        val lease = new org.apache.hadoop.fs.Path(tablePath, "_COMMITLOCK.lease")
-        val deadline = System.currentTimeMillis() + 60000
-        var held = false
-        while (!held) {
-          held = graft.ops.Fs.createExclusive(fs, lease,
-            s"pid=${ProcessHandle.current().pid()}")
-          if (!held) {
-            if (System.currentTimeMillis() > deadline)
-              throw new IllegalStateException(
-                s"withCommitLock: could not acquire $lease within 60s — " +
-                  "a concurrent committer holds it, or a crashed one " +
-                  "left a stale lease (delete it to recover)")
-            Thread.sleep(50)
-          }
-        }
-        try body finally { fs.delete(lease, false); () }
-      }
-    }
+    // the generic mutator lock ([[graft.ops.Fs.withPathLock]]):
+    // JVM-level intern-synchronized queueing, then an OS file lock on
+    // the local scheme / a create-exclusive lease on remote ones —
+    // shared with the ANN index's maintenance rewrites, which need the
+    // identical single-mutator guarantee
+    graft.ops.Fs.withPathLock(tablePath)(body)
 
   /** Refuse to commit to a table owned by a streaming sink: the
     * sink's batch-id versioning would collide with claimed versions

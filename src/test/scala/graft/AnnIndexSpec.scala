@@ -502,6 +502,48 @@ class AnnIndexSpec extends AnyFunSuite {
       eVac.getMessage.contains("rebuild"), eVac.getMessage)
   }
 
+  test("maintenance mutators serialize: racing applyCdf passes have exactly-once effect") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_race").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+    spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+      "transform(embedding, x -> -x) WHERE id >= 40 AND id % 7 = 2").collect()
+
+    // four racing maintainers: without the _MAINTLOCK serialization
+    // their marker-delete/rewrite/swap sequences interleave (an index
+    // left unreadable at best, a marker stamped over foreign bytes at
+    // worst); with it exactly ONE pass applies and the losers observe
+    // stamp==CURRENT and no-op
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 4).map(_ => Future(AnnIndex.applyCdf(spark, idxDir)))),
+      5.minutes)
+    val nUpd = corpus.filter($"id" >= 40 && $"id" % 7 === 2).count()
+    assert(results.map(_._1).sum == nUpd && results.map(_._2).sum == nUpd,
+      s"racing passes must have exactly-once effect, got $results (want one ($nUpd, $nUpd))")
+    assert(results.count(_ == ((0L, 0L))) == 3)
+    assert(AnnIndex.readStamp(idxDir).contains((tbl, 1L, "id")))
+    // the index is readable and correct after the race
+    val got = AnnIndex.topKLive(spark, idxDir, queries, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("ann_race_want").toString
+    AnnIndex.write(
+      graft.ops.Upsert.readWithDeletes(spark, s"$tbl/v1")
+        .select($"id", $"embedding"),
+      cents, cb, rebuilt)
+    val want = AnnIndex.topK(queries, AnnIndex.read(spark, rebuilt), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("the persisted codes table is cell-clustered (skippable row groups)") {
     val (corpus, cents, _) = fixture
     val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)

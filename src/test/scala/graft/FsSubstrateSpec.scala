@@ -188,7 +188,8 @@ class FsSubstrateSpec extends AnyFunSuite {
     val tbl = s"graftmock:$tblLocal"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tblLocal))
     spark.range(200).select($"id".as("k"), $"id".as("v"))
-      .repartitionByRange(2, $"k").write.parquet(s"$base/lat_src")
+      .repartitionByRange(2, $"k")
+      .write.mode("overwrite").parquet(s"$base/lat_src") // prior-run leftover
     spark.sql(s"CONVERT '$base/lat_src' TO VERSIONED '$tbl'")
     def mergeOnce(lo: Long): Unit = {
       spark.range(lo, lo + 8).select($"id".as("k"), lit(-9L).as("v"))

@@ -227,6 +227,25 @@ object AnnIndex {
       s"AnnIndex.append: $path has no INDEX_OK marker — build the index first")
     val spark = delta.sparkSession
     val idx = read(spark, path)
+    // Already-encoded adjudication (one index-bounded semi-join,
+    // maintenance-time): a delta FULLY encoded already is a RETRY of
+    // an append that landed its rows but crashed before the marker
+    // advance — recover by re-verifying and re-stamping, never by
+    // re-encoding (duplicate encodings collapse in the scorer's
+    // candidate distinct while the bytes match, but they bloat the
+    // codes table and a later divergence would leave the stale twin
+    // scoring). A PARTIAL overlap has no safe interpretation.
+    val deltaIds = delta.select(col("id")).distinct()
+    val nDelta = deltaIds.count()
+    val nAlready = idx.encoded.join(deltaIds, Seq("id"), "left_semi")
+      .select(col("id")).distinct().count()
+    require(nAlready == 0 || nAlready == nDelta, {
+      s"AnnIndex.append: ${nAlready} of the delta's $nDelta ids are " +
+        s"already encoded in $path — a partial overlap is neither a " +
+        "fresh delta nor a clean retry of a crashed append. Remedy: " +
+        "append exactly the new vectors, or rebuild with AnnIndex.write"
+    })
+    val retryOfLanded = nAlready == nDelta && nDelta > 0
     val advance: Option[(String, Long, String, String)] =
       idx.stamp.map { case (tbl, stamped, idCol) =>
         val cur = Upsert.currentVersion(tbl).getOrElse(
@@ -238,19 +257,29 @@ object AnnIndex {
             s"AnnIndex.append: index at $path was stamped at v$stamped of " +
               s"'$tbl' but the table is now at v$cur (restored to an older " +
               "version?) — rebuild the index")
+        if (cur == stamped && nDelta > 0 && !retryOfLanded)
+          throw new IllegalStateException(
+            s"AnnIndex.append: index at $path is already stamped at " +
+              s"'$tbl''s CURRENT (v$cur) but the delta carries ids the " +
+              "index has never encoded — the table has not moved, so " +
+              "appending them would make probes return GHOST ids the " +
+              "table does not hold (and stamp the lie 'verified'). " +
+              "Remedy: commit the rows to the table first, or rebuild " +
+              "with AnnIndex.write")
         val mode =
           if (cur == stamped) "verified" // nothing intervened
           else adjudicateAppend(spark, path, tbl, stamped, cur, idCol, delta)
         (tbl, cur, idCol, mode)
       }
-    Similarity.pqEncode(
-        Similarity.nearestCell(
-          delta.select(col("id"), col("embedding")), idx.centroids),
-        "embedding", idx.codebook)
-      .select(col("id"), col("cell"), col("codes"))
-      .repartitionByRange(numRangePartitions, col("cell"))
-      .sortWithinPartitions(col("cell"), col("id"))
-      .write.mode("append").parquet(s"$path/codes.parquet")
+    if (!retryOfLanded)
+      Similarity.pqEncode(
+          Similarity.nearestCell(
+            delta.select(col("id"), col("embedding")), idx.centroids),
+          "embedding", idx.codebook)
+        .select(col("id"), col("cell"), col("codes"))
+        .repartitionByRange(numRangePartitions, col("cell"))
+        .sortWithinPartitions(col("cell"), col("id"))
+        .write.mode("append").parquet(s"$path/codes.parquet")
     advance.foreach { case (tbl, v, idCol, mode) =>
       Fs.writeTextAtomic(Fs.of(path),
         new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"),

@@ -269,10 +269,18 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.read(spark, idxDir).encoded
       .filter($"id" >= 1000).count() == 0)
 
-    // a delta with ids the gap never inserted (already-encoded rows)
-    // refuses: it would double-encode them
-    val e2 = intercept[IllegalStateException](
+    // already-encoded contamination refuses UP FRONT (partial overlap
+    // is neither a fresh delta nor a clean retry — re-encoding the
+    // encoded rows would land duplicate encodings)
+    val e2a = intercept[IllegalArgumentException](
       AnnIndex.append(fresh.unionAll(corpus.filter($"id" < 2)), idxDir))
+    assert(e2a.getMessage.contains("already encoded"), e2a.getMessage)
+
+    // a delta with ids the gap never inserted AND the index never saw
+    // refuses in the walk: they are absent from the table entirely
+    val e2 = intercept[IllegalStateException](
+      AnnIndex.append(fresh.unionAll(corpus.filter($"id" < 2)
+        .select(($"id" + 9999).as("id"), $"embedding")), idxDir))
     assert(e2.getMessage.contains("never inserted"), e2.getMessage)
 
     // the COMPLETE delta verifies and advances, and says so
@@ -280,6 +288,22 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.readStamp(idxDir).contains((tbl, 1L, "id")))
     assert(AnnIndex.readStampAdvance(idxDir).contains("verified"))
     assert(AnnIndex.topKLive(spark, idxDir, queries, 3, 2).count() > 0)
+
+    // retrying the SAME append is IDEMPOTENT: the rows already landed
+    // (the crashed-before-marker shape), so the retry re-verifies and
+    // re-stamps without re-encoding — the codes table must not grow
+    val nCodes = AnnIndex.read(spark, idxDir).encoded.count()
+    AnnIndex.append(fresh, idxDir)
+    assert(AnnIndex.read(spark, idxDir).encoded.count() == nCodes,
+      "a retry of a landed append must not re-encode")
+    assert(AnnIndex.readStamp(idxDir).contains((tbl, 1L, "id")))
+
+    // at stamp==CURRENT a delta of NEW ids is a GHOST append — probes
+    // would return ids the table does not hold, stamped 'verified'
+    val eGhost = intercept[IllegalStateException](
+      AnnIndex.append(corpus.filter($"id" < 2)
+        .select(($"id" + 7777).as("id"), $"embedding"), idxDir))
+    assert(eGhost.getMessage.contains("GHOST"), eGhost.getMessage)
 
     // v2: an UPDATE past the stamp — append cannot express changed
     // rows, with or without a feed

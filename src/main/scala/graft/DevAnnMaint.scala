@@ -72,11 +72,15 @@ object DevAnnMaint {
     val (_, tWrite2) = time(AnnIndex.write(live, cents, cb2, s"$base/index2",
       numRangePartitions = 8, source = Some((tbl, "id"))))
 
-    println(f"""{"n":$n,"touched":${dropped + appended},""" +
-      f""""fit_s":$tFit%.2f,"write_s":$tWrite%.2f,""" +
-      f""""apply_s":$tApply%.2f,""" +
-      f""""rebuild_fit_s":$tFit2%.2f,"rebuild_write_s":$tWrite2%.2f,""" +
-      f""""dropped":$dropped,"appended":$appended}""")
+    // Locale.ROOT: the f-interpolator is default-locale-sensitive — a
+    // comma-decimal locale (de/tr/fr) would emit invalid JSON
+    println(String.format(java.util.Locale.ROOT,
+      """{"n":%d,"touched":%d,"fit_s":%.2f,"write_s":%.2f,""" +
+        """"apply_s":%.2f,"rebuild_fit_s":%.2f,"rebuild_write_s":%.2f,""" +
+        """"dropped":%d,"appended":%d}""",
+      Long.box(n), Long.box(dropped + appended), Double.box(tFit),
+      Double.box(tWrite), Double.box(tApply), Double.box(tFit2),
+      Double.box(tWrite2), Long.box(dropped), Long.box(appended)))
     spark.stop()
   }
 }

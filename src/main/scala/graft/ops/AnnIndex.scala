@@ -246,6 +246,37 @@ object AnnIndex {
         "append exactly the new vectors, or rebuild with AnnIndex.write"
     })
     val retryOfLanded = nAlready == nDelta && nDelta > 0
+    if (retryOfLanded) {
+      // The retry interpretation must not rest on id overlap alone: a
+      // caller re-appending the SAME ids with CHANGED embedding values
+      // (the later-divergence case) would otherwise get a silent no-op
+      // and the stale encodings would keep scoring under a 'verified'
+      // stamp. Re-encode the (delta-sized) vectors with the immutable
+      // artifacts and compare against the stored bytes — a clean retry
+      // reproduces them exactly (the encode is deterministic); any
+      // mismatch is divergence and refuses loudly.
+      val fresh = Similarity.pqEncode(
+          Similarity.nearestCell(
+            delta.select(col("id"), col("embedding")), idx.centroids),
+          "embedding", idx.codebook)
+        .select(col("id"), col("cell").as("c1"), col("codes").as("k1"))
+      val stored = idx.encoded.join(deltaIds, Seq("id"), "left_semi")
+        .select(col("id"), col("cell").as("c0"), col("codes").as("k0"))
+      val diverged = stored.join(fresh, Seq("id"))
+        .filter(!(col("c0") <=> col("c1") && col("k0") <=> col("k1")))
+      if (!diverged.isEmpty) {
+        val sample = diverged.select(col("id")).distinct().limit(5)
+          .collect().map(_.get(0)).mkString(", ")
+        throw new IllegalStateException(
+          s"AnnIndex.append: the delta's ids are all already encoded in " +
+            s"$path but their stored encodings DIVERGE from the delta's " +
+            s"vectors (e.g. ids $sample) — this is not a retry of a " +
+            "crashed append; the embeddings changed since they were " +
+            "encoded. Remedy: commit the changed vectors to the source " +
+            "table and run AnnIndex.applyCdf, or rebuild with " +
+            "AnnIndex.write")
+      }
+    }
     val advance: Option[(String, Long, String, String)] =
       idx.stamp.map { case (tbl, stamped, idCol) =>
         val cur = Upsert.currentVersion(tbl).getOrElse(
@@ -257,15 +288,28 @@ object AnnIndex {
             s"AnnIndex.append: index at $path was stamped at v$stamped of " +
               s"'$tbl' but the table is now at v$cur (restored to an older " +
               "version?) — rebuild the index")
-        if (cur == stamped && nDelta > 0 && !retryOfLanded)
-          throw new IllegalStateException(
-            s"AnnIndex.append: index at $path is already stamped at " +
-              s"'$tbl''s CURRENT (v$cur) but the delta carries ids the " +
-              "index has never encoded — the table has not moved, so " +
-              "appending them would make probes return GHOST ids the " +
-              "table does not hold (and stamp the lie 'verified'). " +
-              "Remedy: commit the rows to the table first, or rebuild " +
-              "with AnnIndex.write")
+        if (cur == stamped && nDelta > 0 && !retryOfLanded) {
+          // The table has not moved, so a never-encoded delta id is
+          // EITHER a ghost (absent from the table — appending it would
+          // make probes return ids the table does not hold, stamped
+          // 'verified') OR a legitimate backfill of an index built
+          // over a SUBSET of the corpus. Adjudicate against the
+          // table's CURRENT snapshot instead of refusing both: only
+          // ids genuinely absent refuse.
+          val live = Upsert.readWithDeletes(spark, s"$tbl/v$cur")
+            .select(col(idCol).as("id"))
+          val ghosts = deltaIds.join(live, Seq("id"), "left_anti")
+          if (!ghosts.isEmpty) {
+            val sample = ghosts.limit(5).collect().map(_.get(0)).mkString(", ")
+            throw new IllegalStateException(
+              s"AnnIndex.append: index at $path is already stamped at " +
+                s"'$tbl''s CURRENT (v$cur) and the delta carries ids the " +
+                s"table does not hold (e.g. $sample) — appending them " +
+                "would make probes return GHOST ids (and stamp the lie " +
+                "'verified'). Remedy: commit the rows to the table " +
+                "first, or rebuild with AnnIndex.write")
+          }
+        }
         val mode =
           if (cur == stamped) "verified" // nothing intervened
           else adjudicateAppend(spark, path, tbl, stamped, cur, idCol, delta)

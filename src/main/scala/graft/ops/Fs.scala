@@ -203,7 +203,16 @@ object Fs {
       if (scheme == null || scheme == "file") {
         // local fast path: an OS file lock (FileChannel.lock throws —
         // does NOT block — on same-process contention, which the
-        // intern-synchronized above already serializes)
+        // intern-synchronized above already serializes). Opening the
+        // lock file under a missing directory would surface a raw
+        // NoSuchFileException BEFORE the caller's own artifact-missing
+        // require (which runs inside the lock) can fire — check first
+        // and name the real problem.
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(new Path(dirPath).toUri.getPath)))
+          throw new IllegalArgumentException(
+            s"withPathLock: $dirPath does not exist — nothing to lock; " +
+              "build the artifact first")
         val ch = java.nio.channels.FileChannel.open(
           java.nio.file.Paths.get(
             new Path(s"$dirPath/$lockName").toUri.getPath),

@@ -723,7 +723,13 @@ object Streams {
     // a maintainer wired to the wrong table (or to an unstamped index)
     // must refuse at attach, not on the first commit
     val stamp = graft.ops.AnnIndex.readStamp(indexPath)
-    require(stamp.exists(_._1 == srcTableDir),
+    // normalize both sides before comparing: a trailing slash,
+    // relative-vs-absolute spelling, or scheme-qualified variant of
+    // the same directory must not refuse a correctly wired maintainer
+    def qual(p: String): org.apache.hadoop.fs.Path =
+      graft.ops.Fs.of(p, spark)
+        .makeQualified(new org.apache.hadoop.fs.Path(p))
+    require(stamp.exists(s => qual(s._1) == qual(srcTableDir)),
       s"annIndexMaintainer: index at $indexPath is " +
         stamp.fold("unstamped (built from an ad-hoc corpus)")(s =>
           s"stamped to '${s._1}'") +

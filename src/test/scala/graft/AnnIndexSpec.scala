@@ -305,6 +305,15 @@ class AnnIndexSpec extends AnyFunSuite {
         .select(($"id" + 7777).as("id"), $"embedding"), idxDir))
     assert(eGhost.getMessage.contains("GHOST"), eGhost.getMessage)
 
+    // a retry whose ids all overlap but whose EMBEDDINGS changed is
+    // not a retry — the stored encodings diverge from the delta's
+    // vectors, and a silent no-op would keep the stale twins scoring
+    // under a 'verified' stamp
+    val eDiv = intercept[IllegalStateException](
+      AnnIndex.append(
+        fresh.select($"id", reverse($"embedding").as("embedding")), idxDir))
+    assert(eDiv.getMessage.contains("DIVERGE"), eDiv.getMessage)
+
     // v2: an UPDATE past the stamp — append cannot express changed
     // rows, with or without a feed
     spark.sql(s"UPDATE '$tbl' ON id SET embedding = embedding WHERE id < 2").collect()
@@ -566,6 +575,46 @@ class AnnIndexSpec extends AnyFunSuite {
     val want = AnnIndex.topK(queries, AnnIndex.read(spark, rebuilt), 3, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(got == want && got.nonEmpty)
+  }
+
+  test("subset-built index backfills rows the table already holds; true ghosts still refuse") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_subset").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    // index deliberately built over a SUBSET of the table (seeds kept)
+    val rest = corpus.filter($"id" >= 8 && $"id" % 7 === 3)
+    AnnIndex.write(corpus.filter($"id" < 8 || $"id" % 7 =!= 3),
+      cents, cb, idxDir, source = Some((tbl, "id")))
+    // appending the remaining rows is a legitimate backfill: the ids
+    // exist in the table at CURRENT, so this is not a ghost append
+    AnnIndex.append(rest, idxDir)
+    assert(AnnIndex.readStamp(idxDir).contains((tbl, 0L, "id")))
+    // the backfilled index answers exactly like a full build
+    val full = java.nio.file.Files.createTempDirectory("ann_subset_want").toString
+    AnnIndex.write(corpus, cents, cb, full)
+    val got = AnnIndex.topKLive(spark, idxDir, queries, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val want = AnnIndex.topK(queries, AnnIndex.read(spark, full), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // a delta mixing table rows with ids the table does NOT hold is
+    // still a ghost append
+    val eGhost = intercept[IllegalStateException](
+      AnnIndex.append(corpus.filter($"id" < 2)
+        .select(($"id" + 8888).as("id"), $"embedding"), idxDir))
+    assert(eGhost.getMessage.contains("GHOST"), eGhost.getMessage)
+  }
+
+  test("maintenance on a nonexistent index path names the artifact, not a raw NIO error") {
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.reconcile(spark,
+        s"/tmp/graft_no_such_index_${System.nanoTime()}"))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
   }
 
   test("the persisted codes table is cell-clustered (skippable row groups)") {

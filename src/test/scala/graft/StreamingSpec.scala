@@ -988,6 +988,11 @@ class StreamingSpec extends AnyFunSuite {
       Streams.annIndexMaintainer(spark, s"$base/other", idx, s"$base/ck0"))
     assert(eAtt.getMessage.contains("stamped to"), eAtt.getMessage)
 
+    // a path-spelling variant of the SAME table (trailing slash) is
+    // not a wiring error — the attach check compares normalized paths
+    val mqSlash = Streams.annIndexMaintainer(spark, s"$tbl/", idx, s"$base/ck1")
+    mqSlash.stop()
+
     val mq = Streams.annIndexMaintainer(spark, tbl, idx, s"$base/ck")
     try {
       mq.processAllAvailable() // v0's own feed: stamp==CURRENT, no-op

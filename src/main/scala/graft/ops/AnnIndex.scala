@@ -154,30 +154,57 @@ object AnnIndex {
   // materialized, can be VERIFIED insert-only + delta-covered
   private val appendable = Set("MERGE", "CDC")
 
-  /** Verb evidence for `v` of `tbl`: the snapshot's `_commitinfo`
-    * first, the commit-log entry second — the log entry survives a
-    * vacuum that reclaimed the snapshot directory (until truncation),
-    * so a vacuumed published version still adjudicates by verb instead
-    * of masquerading as a claimed-but-never-published number. */
-  private def verbEvidence(tbl: String, v: Long): Option[String] =
-    Upsert.readCommitInfo(s"$tbl/v$v").map(_._1)
-      .orElse(Upsert.readCommitLogVerb(tbl, v))
+  /** Walk cap: adjudicating a gap costs up to one verb read per
+    * PUBLISHED version, and a maintainer lagging thousands of commits
+    * must not pay thousands of driver round-trips before refusing —
+    * mirrors `spark.graft.occ.maxRebaseWalk`'s 64-commit cap on the
+    * OCC rebase walk. Past the cap the walk-based paths refuse and
+    * name [[applyCdf]], whose cost is the ENDPOINT snapshot diff (no
+    * per-version walk at all). */
+  private[graft] val MaxWalkConf = "spark.graft.ann.maxWalk"
 
-  /** Refuse when the gap (stamped, current] extends below the table's
-    * reclaim horizon — the commit-log truncation checkpoint, or the
-    * oldest retained snapshot — where every evidence trail (snapshot
-    * dir, `_commitinfo`, commit-log entry) has been reclaimed and
-    * benign-vs-harmful is UNPROVABLE. Without this guard a vacuumed
-    * published MERGE is indistinguishable from an OCC-discarded
-    * number and the walk would silently pass it — probes then miss
-    * its rows forever, the exact silent-divergence class the contract
-    * exists to refuse (mirrors [[graft.streaming.Streams.feedGapHarm]]'s
-    * ground-truth rule: versions at or below a reclaim checkpoint
-    * refuse). */
-  private def requireProvableGap(
-      who: String, path: String, tbl: String, stamped: Long): Unit = {
+  /** The staleness walks' metadata for the gap (stamped, cur], built
+    * BATCHED — the [[graft.streaming.Streams.feedGapHarm]] shape: one
+    * snapshot-dir listing, one `_commitlog` listing, one `_cdf`
+    * listing (when feeds matter), then at most ONE verb read per
+    * PUBLISHED gap version — instead of 1–3 sequential driver
+    * round-trips per version. On an object store each round-trip is
+    * an RPC; a 64-version gap was ~190 sequential calls, now 3
+    * listings + ≤64 parallel-friendly reads. */
+  private final class GapEvidence(
+      snap: Set[Long], logged: Set[Long], feeds: Set[Long],
+      val verb: Map[Long, String]) {
+    /** On the published chain: a retained snapshot dir or a surviving
+      * commit-log entry (which outlives a vacuumed snapshot until log
+      * truncation). A claimed-but-never-published number is an
+      * OCC-rebase discard: benign, not published. */
+    def published(v: Long): Boolean = snap(v) || logged(v)
+    def hasFeed(v: Long): Boolean = feeds(v)
+  }
+
+  /** Build [[GapEvidence]], enforcing the two guards every walk needs
+    * FIRST: the walk cap (see [[MaxWalkConf]]) and the reclaim-horizon
+    * rule — a gap extending below the commit-log truncation
+    * checkpoint or the oldest retained snapshot has had its evidence
+    * trail reclaimed, so benign-vs-harmful is UNPROVABLE and the walk
+    * refuses instead of silently passing a vacuumed published MERGE
+    * (probes would miss its rows forever — mirrors
+    * [[graft.streaming.Streams.feedGapHarm]]'s ground-truth rule). */
+  private def gapEvidence(
+      spark: SparkSession, who: String, path: String, tbl: String,
+      stamped: Long, cur: Long, needFeeds: Boolean): GapEvidence = {
+    val maxWalk = spark.conf.get(MaxWalkConf, "64").toInt
+    if (cur - stamped > maxWalk)
+      throw new IllegalStateException(
+        s"$who: index at $path lags '$tbl' by ${cur - stamped} versions " +
+          s"(v$stamped -> v$cur), past the $maxWalk-version walk cap " +
+          s"($MaxWalkConf) — refusing to pay a driver metadata read per " +
+          "gap version. Remedy: AnnIndex.applyCdf (its cost is the " +
+          "endpoint snapshot diff — no per-version walk), or rebuild " +
+          "with AnnIndex.write")
+    val snap = Upsert.snapshotVersions(tbl).toSet
     val cp = Upsert.commitLogCheckpoint(tbl)
-    lazy val oldestKept = Upsert.snapshotVersions(tbl).headOption
+    val oldestKept = if (snap.nonEmpty) Some(snap.min) else None
     if (cp.exists(stamped < _) || oldestKept.exists(stamped + 1 < _))
       throw new IllegalStateException(
         s"$who: index at $path was stamped at v$stamped of '$tbl' but " +
@@ -186,6 +213,27 @@ object AnnIndex {
           oldestKept.fold("-")(o => s"v$o") + ") — whether a vacuumed " +
           "in-between version changed rows the index has not seen is no " +
           "longer provable. Remedy: rebuild with AnnIndex.write")
+    val logged = Upsert.commitLogVersions(tbl)
+    val feeds =
+      if (!needFeeds) Set.empty[Long]
+      else Fs.listDirs(Fs.of(tbl),
+          new org.apache.hadoop.fs.Path(s"$tbl/_cdf"))
+        .map(_.getName).filter(_.matches("v\\d+"))
+        .map(_.drop(1).toLong).toSet
+    // verb evidence per PUBLISHED gap version: the snapshot's
+    // `_commitinfo` first, the commit-log entry second (a vacuumed
+    // published version still adjudicates by its logged verb instead
+    // of masquerading as never-published)
+    val verb = ((stamped + 1) to cur).flatMap { v =>
+      val w =
+        if (snap(v))
+          Upsert.readCommitInfo(s"$tbl/v$v").map(_._1)
+            .orElse(if (logged(v)) Upsert.readCommitLogVerb(tbl, v) else None)
+        else if (logged(v)) Upsert.readCommitLogVerb(tbl, v)
+        else None
+      w.map(v -> _)
+    }.toMap
+    new GapEvidence(snap, logged, feeds, verb)
   }
 
   /** Append a delta batch to a persisted index: encode the NEW vectors
@@ -339,14 +387,13 @@ object AnnIndex {
   private def adjudicateAppend(
       spark: SparkSession, path: String, tbl: String,
       stamped: Long, cur: Long, idCol: String, delta: DataFrame): String = {
-    requireProvableGap("AnnIndex.append", path, tbl, stamped)
+    val ev = gapEvidence(spark, "AnnIndex.append", path, tbl,
+      stamped, cur, needFeeds = true)
     var allVerified = true
     val feedDirs = Seq.newBuilder[String]
     ((stamped + 1) to cur).foreach { v =>
-      val verb = verbEvidence(tbl, v)
-      val published = verb.isDefined ||
-        Fs.of(tbl).exists(new org.apache.hadoop.fs.Path(s"$tbl/v$v"))
-      if (published) verb match {
+      val verb = ev.verb.get(v)
+      if (ev.published(v)) verb match {
         case Some(w) if deleteShaped(w) =>
           throw new IllegalStateException(
             s"AnnIndex.append: v$v of '$tbl' committed a $w — append " +
@@ -363,9 +410,7 @@ object AnnIndex {
               "rebuild with AnnIndex.write")
         case Some(w) if rowPreserving(w) => () // row set unchanged
         case Some(w) if appendable(w) =>
-          val feed = s"$tbl/_cdf/v$v"
-          if (Fs.of(tbl).exists(new org.apache.hadoop.fs.Path(feed)))
-            feedDirs += feed
+          if (ev.hasFeed(v)) feedDirs += s"$tbl/_cdf/v$v"
           else allVerified = false // no ground truth — caller's word
         case Some(w) =>
           throw new IllegalStateException(
@@ -464,12 +509,11 @@ object AnnIndex {
           s"'$tbl' but the table is now at v$cur (restored to an older " +
           "version?) — rebuild the index")
     if (cur == stamped) return 0L
-    requireProvableGap("AnnIndex.reconcile", path, tbl, stamped)
+    val ev = gapEvidence(spark, "AnnIndex.reconcile", path, tbl,
+      stamped, cur, needFeeds = false)
     ((stamped + 1) to cur).foreach { v =>
-      val verb = verbEvidence(tbl, v)
-      val published = verb.isDefined || Fs.of(tbl).exists(
-        new org.apache.hadoop.fs.Path(s"$tbl/v$v"))
-      if (published && !verb.exists(deleteShaped) && !verb.exists(rowPreserving))
+      val verb = ev.verb.get(v)
+      if (ev.published(v) && !verb.exists(deleteShaped) && !verb.exists(rowPreserving))
         throw new IllegalStateException(
           s"AnnIndex.reconcile: v$v of '$tbl' committed " +
             verb.fold("an unknown change")(w => s"a $w") +
@@ -698,15 +742,11 @@ object AnnIndex {
             s"'$tbl' but the table is now at v$cur (restored to an older " +
             "version?) — rebuild the index")
       else {
-        requireProvableGap("AnnIndex.topKLive", path, tbl, stamped)
+        val ev = gapEvidence(spark, "AnnIndex.topKLive", path, tbl,
+          stamped, cur, needFeeds = false)
         ((stamped + 1) to cur).foreach { v =>
-          // _commitinfo first, surviving commit-log entry second — a
-          // vacuumed snapshot still adjudicates by its logged verb
-          val verb = verbEvidence(tbl, v)
-          // a claimed-but-never-published number is not on the chain
-          val published = verb.isDefined || Fs.of(tbl).exists(
-            new org.apache.hadoop.fs.Path(s"$tbl/v$v"))
-          if (published && !verb.exists(deleteShaped) &&
+          val verb = ev.verb.get(v)
+          if (ev.published(v) && !verb.exists(deleteShaped) &&
               !verb.exists(rowPreserving))
             throw new IllegalStateException(
               s"AnnIndex.topKLive: index at $path was built at v$stamped " +

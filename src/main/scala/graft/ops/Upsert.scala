@@ -1926,6 +1926,17 @@ object Upsert {
     entries
   }
 
+  /** Every version the commit log holds an entry for — ONE directory
+    * listing, for callers adjudicating a whole version RANGE at once
+    * (the ANN staleness walks): per-version existence probes against
+    * the log cost one round-trip each, this costs one total. */
+  private[graft] def commitLogVersions(tableDir: String): Set[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Fs.listFiles(Fs.of(tableDir), new HPath(commitLogDir(tableDir)))
+      .map(_.getName).filter(_.matches("\\d+\\.json"))
+      .map(_.stripSuffix(".json").toLong).toSet
+  }
+
   /** The published chain's base pointer for `version`, if logged. */
   private[graft] def readCommitLogBase(
       tableDir: String, version: Long): Option[Long] = {

@@ -577,6 +577,64 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("long gaps refuse at the walk cap with the applyCdf remedy; listings stay O(1)") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_walkcap").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+    // a delete-shaped commit wave the index has not seen (queries and
+    // seeds survive every arm)
+    (0 until 4).foreach(i =>
+      spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 11 = $i").collect())
+
+    // within the cap the walk adjudicates as before
+    spark.conf.set(AnnIndex.MaxWalkConf, "4")
+    try {
+      assert(AnnIndex.topKLive(spark, idxDir, queries, 3, 2).count() > 0)
+
+      // the walks' metadata cost is O(1) LISTINGS per adjudication
+      // (snapshot dir + _commitlog), NOT a listing/probe per gap
+      // version — the per-version reads are verb evidence only
+      graft.ops.Fs.Audit.enable()
+      AnnIndex.topKLive(spark, idxDir, queries, 3, 2).count()
+      val ops = graft.ops.Fs.Audit.disable()
+      val listings = ops.collect { case (k, n) if k.startsWith("list:") => n }.sum
+      assert(listings <= 6L,
+        s"a 4-version gap adjudication issued $listings listings — " +
+          s"the walk is not batched: $ops")
+
+      // past the cap: refuse BEFORE paying per-version reads, naming
+      // the walk-free remedy
+      spark.conf.set(AnnIndex.MaxWalkConf, "3")
+      val e = intercept[IllegalStateException](
+        AnnIndex.topKLive(spark, idxDir, queries, 3, 2))
+      assert(e.getMessage.contains("walk cap") &&
+        e.getMessage.contains("applyCdf"), e.getMessage)
+      val eRec = intercept[IllegalStateException](
+        AnnIndex.reconcile(spark, idxDir))
+      assert(eRec.getMessage.contains("walk cap"), eRec.getMessage)
+
+      // the named remedy works: applyCdf diffs endpoints (no walk),
+      // and the probe then answers like a rebuild over CURRENT
+      AnnIndex.applyCdf(spark, idxDir)
+      val got = AnnIndex.topKLive(spark, idxDir, queries, 3, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val rebuilt = java.nio.file.Files.createTempDirectory("ann_walk_want").toString
+      AnnIndex.write(
+        graft.ops.Upsert.readWithDeletes(spark, s"$tbl/v4")
+          .select($"id", $"embedding"),
+        cents, cb, rebuilt)
+      val want = AnnIndex.topK(queries, AnnIndex.read(spark, rebuilt), 3, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.unset(AnnIndex.MaxWalkConf)
+  }
+
   test("subset-built index backfills rows the table already holds; true ghosts still refuse") {
     import spark.implicits._
     val (corpus, cents, queries) = fixture

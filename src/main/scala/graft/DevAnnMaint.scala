@@ -18,14 +18,22 @@ import graft.ops.{AnnIndex, Similarity, Upsert}
   * {"n":…, "touched":…, "fit_s":…, "write_s":…, "apply_s":…,
   *  "rebuild_fit_s":…, "rebuild_write_s":…, "dropped":…, "appended":…}
   *
-  * Usage: runMain graft.DevAnnMaint <sfDir> [mod]
+  * Usage: runMain graft.DevAnnMaint <sfDir> [mod | fixed:<W>]
   *   mod: the wave touches ids ≡3 (update) and ≡5 (delete) mod `mod`
-  *   — default 100, i.e. ~2% of the corpus.
+  *   — default 100, i.e. ~2% of the corpus (corpus-proportional wave).
+  *   fixed:<W>: the wave updates ids [100, 100+W) and deletes
+  *   [100+W, 100+2W) — a FIXED-size delta, the row that adjudicates
+  *   the round-15 file-granular rewrite: with the index laid out at
+  *   ~2k rows/file (file count ∝ corpus, production's fixed-file-size
+  *   shape), apply_s should be ~flat across corpus scales because
+  *   only the files holding the W touched ids are rewritten.
   */
 object DevAnnMaint {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mod = args.lift(1).map(_.toLong).getOrElse(100L)
+    val spec = args.lift(1).getOrElse("100")
+    val fixedW = if (spec.startsWith("fixed:")) Some(spec.drop(6).toLong) else None
+    val mod = if (fixedW.isDefined) 100L else spec.toLong
     val spark = GraftSession.local(
       math.min(32, Runtime.getRuntime.availableProcessors()))
     spark.sparkContext.setLogLevel("WARN")
@@ -50,16 +58,27 @@ object DevAnnMaint {
     val cents = e.filter($"vec_id" < 32)
       .select($"vec_id".as("cid"), $"embedding")
 
-    // REBUILD cost, leg by leg: codebook refit + full encode/write
+    // REBUILD cost, leg by leg: codebook refit + full encode/write.
+    // File count ∝ corpus (~2k rows/file) — production's
+    // fixed-file-size layout, which is what the file-granular rewrite
+    // amortizes against.
+    val parts = math.max(8L, n / 2000L).toInt
     val (cb, tFit) = time(
       Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8))
     val (_, tWrite) = time(AnnIndex.write(corpus, cents, cb, idx,
-      numRangePartitions = 8, source = Some((tbl, "id"))))
+      numRangePartitions = parts, source = Some((tbl, "id"))))
 
-    // the wave: ~n/mod updates + ~n/mod deletes past the stamp
-    spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
-      s"transform(embedding, x -> -x) WHERE id % $mod = 3").collect()
-    spark.sql(s"DELETE FROM '$tbl' ON id WHERE id % $mod = 5").collect()
+    // the wave past the stamp: corpus-proportional (mod) or fixed (W)
+    fixedW match {
+      case Some(w) =>
+        spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+          s"transform(embedding, x -> -x) WHERE id >= 100 AND id < ${100 + w}").collect()
+        spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= ${100 + w} AND id < ${100 + 2 * w}").collect()
+      case None =>
+        spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+          s"transform(embedding, x -> -x) WHERE id % $mod = 3").collect()
+        spark.sql(s"DELETE FROM '$tbl' ON id WHERE id % $mod = 5").collect()
+    }
 
     val ((dropped, appended), tApply) = time(AnnIndex.applyCdf(spark, idx))
 
@@ -70,7 +89,7 @@ object DevAnnMaint {
     val (cb2, tFit2) = time(
       Similarity.pqCodebook(live, "id", "embedding", numSub = 8, codes = 8))
     val (_, tWrite2) = time(AnnIndex.write(live, cents, cb2, s"$base/index2",
-      numRangePartitions = 8, source = Some((tbl, "id"))))
+      numRangePartitions = parts, source = Some((tbl, "id"))))
 
     // Locale.ROOT: the f-interpolator is default-locale-sensitive — a
     // comma-decimal locale (de/tr/fr) would emit invalid JSON

@@ -87,7 +87,13 @@ object AnnIndex {
           corpus.select(col("id"), col("embedding")), centroids),
         "embedding", cb)
       .select(col("id"), col("cell"), col("codes"))
-      .repartitionByRange(numRangePartitions, col("cell"))
+      // range-cluster on (cell, id), not cell alone: probes still skip
+      // by the leading cell bounds, but a heavy cell can now SPLIT
+      // across files — file count scales with the corpus (fixed rows
+      // per file) instead of capping at the cell count, which is what
+      // makes the maintenance layer's file-granular rewrite
+      // delta-proportional at any scale
+      .repartitionByRange(numRangePartitions, col("cell"), col("id"))
       .sortWithinPartitions(col("cell"), col("id"))
       .write.mode("overwrite").parquet(s"$path/codes.parquet")
     // through the Fs substrate (scheme-proof; FsSubstrateSpec's source
@@ -369,7 +375,7 @@ object AnnIndex {
             delta.select(col("id"), col("embedding")), idx.centroids),
           "embedding", idx.codebook)
         .select(col("id"), col("cell"), col("codes"))
-        .repartitionByRange(numRangePartitions, col("cell"))
+        .repartitionByRange(numRangePartitions, col("cell"), col("id"))
         .sortWithinPartitions(col("cell"), col("id"))
         .write.mode("append").parquet(s"$path/codes.parquet")
     advance.foreach { case (tbl, v, idCol, mode) =>
@@ -472,13 +478,124 @@ object AnnIndex {
     if (allVerified) "verified" else "assumed"
   }
 
+  /** FILE-GRANULAR codes rewrite — the maintenance kernel behind
+    * [[reconcile]] and [[applyCdf]]: drop every `touched` id's old
+    * encoding and land `newCodes`, rewriting ONLY the codes files that
+    * actually HOLD a touched id and leaving every other file untouched
+    * on disk (the [[Upsert.upsertByKey]] economics applied to the
+    * index). The pre-r15 shape rewrote the ENTIRE codes table per pass
+    * — at 100 TB the codes table is ~3 TB and a streaming maintainer
+    * pays the pass per micro-batch, so the rewrite must cost ∝ the
+    * files the delta touches, not the corpus.
+    *
+    * Cost shape, leg by leg:
+    *   - candidate prune: one parallel FOOTER pass over the file list
+    *     (KB per file) keeps only files whose typed id bounds can hold
+    *     a touched id — exact only for integral ids, so other id
+    *     types skip the prune, never the membership scan;
+    *   - membership: one column-pruned scan of the candidates' `id`
+    *     column against the (delivery-sized) touched set — the only
+    *     corpus-proportional leg, and it reads one thin column, not
+    *     the rows (a per-file id bloom sidecar would make this
+    *     metadata-only; deliberately not built until a bench shows
+    *     the scan mattering);
+    *   - rewrite: full-row read of ONLY the hit files, anti-join,
+    *     union the new codes, land as fresh (cell,id)-clustered files
+    *     beside the survivors, then delete the hit files.
+    *
+    * Crash-safe via the marker contract every mutator honors: the
+    * refusal-free work (prune, membership, counts) runs BEFORE
+    * INDEX_OK is removed; the unreadable window covers only the
+    * append-new/delete-old/re-stamp sequence, and a crash inside it
+    * leaves an index that refuses to load (duplicate or half-dropped
+    * files are unreachable behind the missing marker).
+    *
+    * @param touched one column `id`, DISTINCT (callers guarantee it —
+    *   membership multiplicity is the dropped-row count)
+    * @param newCodes (id, cell, codes) replacement encodings
+    * @param markerTxt INDEX_OK content to stamp after the swap
+    * @return encoded rows dropped */
+  private def rewriteCodesDelta(
+      spark: SparkSession, path: String, touched: DataFrame,
+      newCodes: Option[DataFrame], numRangePartitions: Int,
+      markerTxt: String): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val codesDir = s"$path/codes.parquet"
+    val files = Layout.listDataFiles(spark, codesDir)
+    val integralId = touched.schema("id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val candidates: Seq[String] =
+      if (!integralId) files
+      else {
+        val r = touched.agg(
+          min(col("id")).cast("long"), max(col("id")).cast("long")).head()
+        if (r.isNullAt(0)) Seq.empty
+        else {
+          val (tmin, tmax) = (r.getLong(0), r.getLong(1))
+          val bounds = Layout.parquetFileStatsFor(spark, files)
+            .filter(col("column") === "id")
+            .groupBy(col("file"))
+            .agg(min(col("min_value").cast("long")).as("mn"),
+              max(col("max_value").cast("long")).as("mx"))
+            .collect()
+          val statted = bounds.map(_.getString(0)).toSet
+          // a file without typed id stats cannot be pruned — keep it
+          bounds.filter(b => b.isNullAt(1) || b.isNullAt(2) ||
+              (b.getLong(2) >= tmin && b.getLong(1) <= tmax))
+            .map(_.getString(0)).toSeq ++ files.filterNot(statted)
+        }
+      }
+    // exact membership: which candidate files HOLD a touched id (and
+    // how many rows — the dropped count). localCheckpoint: the hits
+    // are delivery∩index sized and feed two actions.
+    val hits =
+      if (candidates.isEmpty) None
+      else Some(spark.read.parquet(candidates: _*)
+        .select(col("id"), col("_metadata.file_path").as("__f"))
+        .join(touched.select(col("id")), Seq("id"))
+        .localCheckpoint())
+    val dropped = hits.fold(0L)(_.count())
+    // `_metadata.file_path` and the listing may qualify the same file
+    // differently (file:/ vs file:///) — compare by URI path
+    def canon(s: String): String = new HPath(s).toUri.getPath
+    val hitKeys = hits.fold(Set.empty[String])(
+      _.select(col("__f")).distinct().collect()
+        .map(r => canon(r.getString(0))).toSet)
+    val toRewrite = files.filter(f => hitKeys.contains(canon(f)))
+    val kept =
+      if (toRewrite.isEmpty) None
+      else Some(spark.read.parquet(toRewrite: _*)
+        .join(touched.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("cell"), col("codes")))
+    val pieces = kept.toSeq ++
+      newCodes.map(_.select(col("id"), col("cell"), col("codes"))).toSeq
+    val fs = Fs.of(path)
+    val marker = new HPath(s"$path/INDEX_OK")
+    fs.delete(marker, false) // unreadable during the swap — loud, not stale
+    // land the replacement BESIDE the survivors (the read above is by
+    // explicit file path, so appending into the same directory is
+    // safe), then drop the hit files
+    pieces.reduceOption(_ unionByName _).foreach(
+      _.repartitionByRange(numRangePartitions, col("cell"), col("id"))
+        .sortWithinPartitions(col("cell"), col("id"))
+        .write.mode("append").parquet(codesDir))
+    toRewrite.foreach(f => fs.delete(new HPath(f), false))
+    Fs.writeTextAtomic(fs, marker, markerTxt)
+    dropped
+  }
+
   /** Materialize the delete reconcile ONCE: restrict the codes table
     * to the source's live ids and re-stamp at CURRENT. After heavy
     * deletes, [[topKLive]] pays the live-id semi-join on EVERY probe
     * (correct, delivery-sized — but forever); reconcile is the
     * maintenance move that converts that recurring cost into one
-    * codes-table rewrite, the same economics as COMPACT_DELETES
-    * folding deletion vectors. Refuses unless the divergence is
+    * FILE-GRANULAR rewrite ([[rewriteCodesDelta]] — only the codes
+    * files holding a dead id are rewritten, the rest survive on
+    * disk), the same economics as COMPACT_DELETES folding deletion
+    * vectors. Refuses unless the divergence is
     * provably delete-shaped-or-row-preserving — the exact walk
     * [[topKLive]] runs, reclaim-horizon guard included. Crash-safe via
     * the marker contract: INDEX_OK is removed BEFORE the rewrite and
@@ -522,28 +639,15 @@ object AnnIndex {
             "AnnIndex.append the new vectors, or rebuild with " +
             "AnnIndex.write")
     }
+    // the dead set: encoded ids the table no longer holds (DV
+    // honored) — delivery-sized after deletes, and the only ids whose
+    // files need rewriting
     val live = Upsert.readWithDeletes(spark, s"$tbl/v$cur")
       .select(col(idCol).as("id"))
-    val kept = idx.encoded.join(live, Seq("id"), "left_semi")
-      .select(col("id"), col("cell"), col("codes"))
-      .repartitionByRange(numRangePartitions, col("cell"))
-      .sortWithinPartitions(col("cell"), col("id"))
-    val before = idx.encoded.count()
-    val fs = Fs.of(path)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/INDEX_OK")
-    fs.delete(marker, false) // unreadable during the rewrite — loud, not stale
-    // write-new-then-swap: the source frame reads the dir being
-    // replaced, so land the rewrite beside it first
-    kept.write.mode("overwrite").parquet(s"$path/codes.parquet.new")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes.parquet"), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes.parquet.new"),
-        new org.apache.hadoop.fs.Path(s"$path/codes.parquet")))
-      throw new java.io.IOException(
-        s"AnnIndex.reconcile: swap of $path/codes.parquet failed")
-    val after = spark.read.parquet(s"$path/codes.parquet").count()
-    Fs.writeTextAtomic(fs, marker,
+    val dead = idx.encoded.select(col("id"))
+      .join(live, Seq("id"), "left_anti").distinct()
+    rewriteCodesDelta(spark, path, dead, None, numRangePartitions,
       markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified")))
-    before - after
   }
 
   /** Apply the source table's NET divergence since the stamp —
@@ -556,7 +660,10 @@ object AnnIndex {
     * only the files the commits actually changed — cost ∝ changed
     * data, never a corpus rescan), drop every touched id's old
     * encoding, encode the final insert images with the index's
-    * immutable centroids + codebook, and swap the codes table. No
+    * immutable centroids + codebook, and rewrite ONLY the codes files
+    * the touched ids live in ([[rewriteCodesDelta]] — the write cost
+    * is ∝ the files the delta hits, not the codes table, which is the
+    * amortization a per-micro-batch streaming maintainer needs). No
     * per-version verb walk is needed: the ENDPOINT diff is the ground
     * truth (an intervening delete+reinsert nets to its final image by
     * construction, an update surfaces as delete+insert of the same
@@ -626,27 +733,13 @@ object AnnIndex {
         "vector; rebuild with AnnIndex.write once the column is " +
         "populated")
     val touched = feed.select(col("id")).distinct()
-    val dropped = idx.encoded.join(touched, Seq("id"), "left_semi").count()
     val appended = ins.count()
     val newCodes = Similarity.pqEncode(
         Similarity.nearestCell(ins, idx.centroids), "embedding",
         idx.codebook)
       .select(col("id"), col("cell"), col("codes"))
-    val rewritten = idx.encoded.join(touched, Seq("id"), "left_anti")
-      .select(col("id"), col("cell"), col("codes"))
-      .unionByName(newCodes)
-      .repartitionByRange(numRangePartitions, col("cell"))
-      .sortWithinPartitions(col("cell"), col("id"))
-    val fs = Fs.of(path)
-    val marker = new HPath(s"$path/INDEX_OK")
-    fs.delete(marker, false) // unreadable during the rewrite — loud, not stale
-    rewritten.write.mode("overwrite").parquet(s"$path/codes.parquet.new")
-    fs.delete(new HPath(s"$path/codes.parquet"), true)
-    if (!fs.rename(new HPath(s"$path/codes.parquet.new"),
-        new HPath(s"$path/codes.parquet")))
-      throw new java.io.IOException(
-        s"AnnIndex.applyCdf: swap of $path/codes.parquet failed")
-    Fs.writeTextAtomic(fs, marker,
+    val dropped = rewriteCodesDelta(spark, path, touched, Some(newCodes),
+      numRangePartitions,
       markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified")))
     (dropped, appended)
   }

@@ -535,6 +535,48 @@ class AnnIndexSpec extends AnyFunSuite {
       eVac.getMessage.contains("rebuild"), eVac.getMessage)
   }
 
+  test("applyCdf rewrites only the files holding touched ids; the rest survive on disk") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_filegran").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    // enough files that a narrow wave provably misses most of them
+    AnnIndex.write(corpus, cents, cb, idxDir,
+      numRangePartitions = 8, source = Some((tbl, "id")))
+    def fileStamps: Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$idxDir/codes.parquet")
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = fileStamps
+    assert(before.size >= 6, s"fixture too small for the file-count check: $before")
+    // a two-id wave: the rewrite may touch only the files holding them
+    spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+      "transform(embedding, x -> -x) WHERE id = 41 OR id = 53").collect()
+    val (dropped, appended) = AnnIndex.applyCdf(spark, idxDir)
+    assert(dropped == 2 && appended == 2, s"($dropped, $appended)")
+    val after = fileStamps
+    val survivors = before.count { case (n, st) => after.get(n).contains(st) }
+    assert(survivors >= before.size - 3,
+      s"a 2-id wave rewrote ${before.size - survivors} of ${before.size} " +
+        "codes files — the rewrite is not file-granular")
+    // and the maintained index still answers exactly like a rebuild
+    val got = AnnIndex.topKLive(spark, idxDir, queries, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("ann_fg_want").toString
+    AnnIndex.write(
+      graft.ops.Upsert.readWithDeletes(spark, s"$tbl/v1")
+        .select($"id", $"embedding"),
+      cents, cb, rebuilt)
+    val want = AnnIndex.topK(queries, AnnIndex.read(spark, rebuilt), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("maintenance mutators serialize: racing applyCdf passes have exactly-once effect") {
     import spark.implicits._
     val (corpus, cents, queries) = fixture

@@ -251,8 +251,11 @@ object AnnIndex {
     * contract — refitting them is a REBUILD, not an append), the codes
     * table is the growing one, and each append's own files are
     * cell-clustered so probes keep skipping row groups; accumulated
-    * small appends re-cluster with [[Layout.optimizeTable]] like any
-    * other table. A probe after append is bit-identical to a probe of
+    * small appends re-cluster with [[optimize]] — the index's OWN
+    * compaction verb, which honors the `_MAINTLOCK` and marker
+    * contract (a caller-driven [[Layout.optimizeTable]] over
+    * `codes.parquet` would race this append and could drop its
+    * files). A probe after append is bit-identical to a probe of
     * an index rebuilt over the full corpus with the same artifacts
     * (AnnIndexSpec + `q_ann_append` vs the inline-fit oracle).
     *
@@ -742,6 +745,52 @@ object AnnIndex {
       numRangePartitions,
       markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified")))
     (dropped, appended)
+  }
+
+  /** Re-cluster the codes table INSIDE the index's own lock and
+    * marker discipline — the compaction move for accumulated small
+    * appends and file-granular rewrite deltas. The pre-r15 remedy
+    * (caller-driven [[Layout.optimizeTable]] over `codes.parquet`)
+    * ran OUTSIDE `_MAINTLOCK` and the INDEX_OK contract, so a swap
+    * racing an [[append]] could drop the appended files and a crash
+    * mid-swap left a marker over a half-swapped corpus. This verb
+    * takes the lock, removes the marker, re-clusters on (cell, id),
+    * swaps at file granularity, and re-stamps the marker TEXT
+    * VERBATIM — compaction is row-preserving, and preserving the
+    * recorded stamp AND advance means it can never launder an
+    * `advance: assumed` into a fresh-looking index. Probes are
+    * bit-identical before/after (spec-pinned); a crash mid-swap
+    * leaves an index that refuses to load, same as every mutator.
+    *
+    * @return (data files before, data files after) */
+  def optimize(spark: SparkSession, path: String,
+      numRangePartitions: Int = 4): (Int, Int) =
+    Fs.withPathLock(path, "_MAINTLOCK")(
+      optimizeLocked(spark, path, numRangePartitions))
+
+  private def optimizeLocked(spark: SparkSession, path: String,
+      numRangePartitions: Int): (Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = Fs.of(path)
+    val marker = new HPath(s"$path/INDEX_OK")
+    // preserved verbatim: stamp, advance, and any later marker fields
+    val markerTxt = Fs.readTextIfExists(fs, marker).getOrElse(
+      throw new IllegalArgumentException(
+        s"AnnIndex.optimize: $path has no INDEX_OK marker — missing or " +
+          "incomplete index; build it first"))
+    val codesDir = s"$path/codes.parquet"
+    val before = Layout.listDataFiles(spark, codesDir)
+    // explicit file paths: appending the re-clustered rows into the
+    // same directory is safe while the sources still exist
+    val clustered = spark.read.parquet(before: _*)
+      .select(col("id"), col("cell"), col("codes"))
+      .repartitionByRange(numRangePartitions, col("cell"), col("id"))
+      .sortWithinPartitions(col("cell"), col("id"))
+    fs.delete(marker, false) // unreadable during the swap — loud, not stale
+    clustered.write.mode("append").parquet(codesDir)
+    before.foreach(f => fs.delete(new HPath(f), false))
+    Fs.writeTextAtomic(fs, marker, markerTxt)
+    (before.size, Layout.listDataFiles(spark, codesDir).size)
   }
 
   /** Load the index artifacts; refuses a directory without the marker

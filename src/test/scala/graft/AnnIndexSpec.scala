@@ -717,6 +717,50 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not exist"), e.getMessage)
   }
 
+  test("optimize compacts under the maintenance lock: bit-identical probes, races excluded") {
+    import spark.implicits._
+    val (corpus, cents, queries) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val idxDir = java.nio.file.Files.createTempDirectory("ann_optimize").toString
+    val base = corpus.filter($"id" < 8 || $"id" % 5 =!= 3)
+    val delta = corpus.filter($"id" >= 8 && $"id" % 5 === 3)
+    AnnIndex.write(base, cents, cb, idxDir, numRangePartitions = 4)
+    AnnIndex.append(delta, idxDir) // accumulates extra small files
+    val markerBefore = graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(idxDir),
+      new org.apache.hadoop.fs.Path(s"$idxDir/INDEX_OK")).get
+    val got0 = AnnIndex.topK(queries, AnnIndex.read(spark, idxDir), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+
+    val (nb, na) = AnnIndex.optimize(spark, idxDir, numRangePartitions = 2)
+    assert(nb > 2 && na <= 2, s"optimize went $nb -> $na files")
+    // row-preserving and marker-preserving: probes bit-identical, the
+    // recorded stamp/advance text untouched
+    val got1 = AnnIndex.topK(queries, AnnIndex.read(spark, idxDir), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got1 == got0 && got0.nonEmpty)
+    assert(graft.ops.Fs.readTextIfExists(graft.ops.Fs.of(idxDir),
+      new org.apache.hadoop.fs.Path(s"$idxDir/INDEX_OK")).contains(markerBefore))
+
+    // racing optimizes serialize under _MAINTLOCK — the loser
+    // re-clusters the winner's output instead of double-swapping, and
+    // the index stays readable and bit-identical throughout
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((1 to 3).map(_ =>
+      Future(AnnIndex.optimize(spark, idxDir, numRangePartitions = 2)))), 5.minutes)
+    val got2 = AnnIndex.topK(queries, AnnIndex.read(spark, idxDir), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got2 == got0)
+
+    // an index missing its marker (crashed mid-swap) refuses to
+    // optimize with the artifact message, not a half-swap
+    graft.ops.Fs.of(idxDir).delete(
+      new org.apache.hadoop.fs.Path(s"$idxDir/INDEX_OK"), false)
+    val e = intercept[IllegalArgumentException](AnnIndex.optimize(spark, idxDir))
+    assert(e.getMessage.contains("INDEX_OK"), e.getMessage)
+  }
+
   test("the persisted codes table is cell-clustered (skippable row groups)") {
     val (corpus, cents, _) = fixture
     val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)

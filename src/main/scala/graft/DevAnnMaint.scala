@@ -93,13 +93,14 @@ object DevAnnMaint {
 
     // Locale.ROOT: the f-interpolator is default-locale-sensitive — a
     // comma-decimal locale (de/tr/fr) would emit invalid JSON
+    val qerrRatio = AnnIndex.readQerrRatio(idx).map(_.toString).getOrElse("null")
     println(String.format(java.util.Locale.ROOT,
       """{"n":%d,"touched":%d,"fit_s":%.2f,"write_s":%.2f,""" +
         """"apply_s":%.2f,"rebuild_fit_s":%.2f,"rebuild_write_s":%.2f,""" +
-        """"dropped":%d,"appended":%d}""",
+        """"dropped":%d,"appended":%d,"qerr_ratio":%s}""",
       Long.box(n), Long.box(dropped + appended), Double.box(tFit),
       Double.box(tWrite), Double.box(tApply), Double.box(tFit2),
-      Double.box(tWrite2), Long.box(dropped), Long.box(appended)))
+      Double.box(tWrite2), Long.box(dropped), Long.box(appended), qerrRatio))
     spark.stop()
   }
 }

@@ -82,10 +82,17 @@ object AnnIndex {
     }.toSeq.toDF("subspace", "code", "vec")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook.parquet")
+    // quantization-error BASELINE rides the encode job itself
+    // (CollectMetrics — no second corpus pass): the corpus-mean
+    // squared L2 between each vector and its PQ reconstruction,
+    // recorded in the marker so a later update wave has a number to
+    // measure distribution drift against (see [[applyCdf]])
+    val obs = new org.apache.spark.sql.Observation()
     Similarity.pqEncode(
         Similarity.nearestCell(
           corpus.select(col("id"), col("embedding")), centroids),
         "embedding", cb)
+      .observe(obs, avg(quantErr(cb)).as("qerr_mean"))
       .select(col("id"), col("cell"), col("codes"))
       // range-cluster on (cell, id), not cell alone: probes still skip
       // by the leading cell bounds, but a heavy cell can now SPLIT
@@ -96,11 +103,45 @@ object AnnIndex {
       .repartitionByRange(numRangePartitions, col("cell"), col("id"))
       .sortWithinPartitions(col("cell"), col("id"))
       .write.mode("overwrite").parquet(s"$path/codes.parquet")
+    val qerr = Option(obs.get.getOrElse("qerr_mean", null)) // null on an empty corpus
+      .map(b => qerrJson(b.asInstanceOf[Double], None))
     // through the Fs substrate (scheme-proof; FsSubstrateSpec's source
     // gate forbids raw java.io writes in the ops layer)
     Fs.writeTextAtomic(Fs.of(path),
-      new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"), markerText(cb, stamp))
+      new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"),
+      markerText(cb, stamp, None, qerr))
   }
+
+  /** Per-row PQ quantization error: the squared L2 between the row's
+    * own `embedding` and its code reconstruction — exactly
+    * [[Similarity.adcDistance]] with the vector as its own query. A
+    * pure column expression over a frame that carries both `embedding`
+    * and `codes`. */
+  private def quantErr(cb: Array[Array[Array[Float]]]) =
+    Similarity.adcDistance(col("embedding"), col("codes"), cb)
+
+  // locale-proof number rendering (Double.toString is locale-fixed)
+  private def qerrJson(base: Double, last: Option[(Double, Double)]): String =
+    s"""{"qerrBase":$base""" +
+      last.fold("") { case (l, r) => s""","qerrLast":$l,"qerrRatio":$r""" } + "}"
+
+  private def readMarkerDouble(path: String, field: String): Option[Double] =
+    Fs.readTextIfExists(Fs.of(path),
+        new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"))
+      .flatMap(txt => (s""""$field":([-+0-9.eE]+)""").r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble))
+
+  /** The build-time corpus-mean quantization error, if recorded. */
+  def readQerrBase(path: String): Option[Double] =
+    readMarkerDouble(path, "qerrBase")
+
+  /** The last maintenance pass's delta-mean quantization error over
+    * the build-time baseline, if a pass recorded one — the
+    * distribution-drift signal: ~1 means updates quantize as well as
+    * the corpus the artifacts were fitted on; a growing ratio means
+    * recall is degrading and a rebuild (artifact refit) is due. */
+  def readQerrRatio(path: String): Option[Double] =
+    readMarkerDouble(path, "qerrRatio")
 
   // The stamp line is JSON; a table path (or id column) containing a
   // quote or backslash must round-trip through it, or readStamp would
@@ -117,12 +158,28 @@ object AnnIndex {
   private def markerText(
       cb: Array[Array[Array[Float]]],
       stamp: Option[(String, Long, String)],
-      advance: Option[String] = None): String =
+      advance: Option[String] = None,
+      qerr: Option[String] = None): String =
     s"numSub=${cb.length} codes=${cb(0).length}" +
       stamp.fold("") { case (tbl, v, idCol) =>
         val adv = advance.fold("")(a => s""","advance":"$a"""")
         s"""\n{"src":"${jesc(tbl)}","srcVersion":$v,"idCol":"${jesc(idCol)}"$adv}"""
-      }
+      } +
+      qerr.fold("")(q => s"\n$q")
+
+  /** The marker's quantization-error record, re-rendered for a
+    * mutator that rewrites the marker but did not measure (append,
+    * reconcile) — the baseline must survive every marker rewrite or
+    * the drift signal dies on the first maintenance pass. Read BEFORE
+    * the marker comes off. */
+  private def qerrCarry(path: String): Option[String] =
+    readQerrBase(path).map { b =>
+      val last = for {
+        l <- readMarkerDouble(path, "qerrLast")
+        r <- readMarkerDouble(path, "qerrRatio")
+      } yield (l, r)
+      qerrJson(b, last)
+    }
 
   /** The (tableDir, version, idCol) source stamp of a persisted
     * index, when it was built from a versioned table. */
@@ -168,6 +225,14 @@ object AnnIndex {
     * name [[applyCdf]], whose cost is the ENDPOINT snapshot diff (no
     * per-version walk at all). */
   private[graft] val MaxWalkConf = "spark.graft.ann.maxWalk"
+
+  /** Optional drift threshold for [[applyCdf]]: when set, a pass
+    * whose delta-mean quantization error exceeds `threshold ×
+    * qerrBase` REFUSES (before any file moves) instead of recording
+    * the ratio and proceeding. Unset by default — in-place updates
+    * routinely quantize a little differently than the corpus mean and
+    * the right threshold is workload-specific. */
+  private[graft] val MaxDriftConf = "spark.graft.ann.maxDriftRatio"
 
   /** The staleness walks' metadata for the gap (stamped, cur], built
     * BATCHED — the [[graft.streaming.Streams.feedGapHarm]] shape: one
@@ -384,7 +449,8 @@ object AnnIndex {
     advance.foreach { case (tbl, v, idCol, mode) =>
       Fs.writeTextAtomic(Fs.of(path),
         new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"),
-        markerText(idx.codebook, Some((tbl, v, idCol)), Some(mode)))
+        markerText(idx.codebook, Some((tbl, v, idCol)), Some(mode),
+          qerrCarry(path)))
     }
   }
 
@@ -650,7 +716,8 @@ object AnnIndex {
     val dead = idx.encoded.select(col("id"))
       .join(live, Seq("id"), "left_anti").distinct()
     rewriteCodesDelta(spark, path, dead, None, numRangePartitions,
-      markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified")))
+      markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified"),
+        qerrCarry(path)))
   }
 
   /** Apply the source table's NET divergence since the stamp —
@@ -737,13 +804,42 @@ object AnnIndex {
         "populated")
     val touched = feed.select(col("id")).distinct()
     val appended = ins.count()
-    val newCodes = Similarity.pqEncode(
-        Similarity.nearestCell(ins, idx.centroids), "embedding",
-        idx.codebook)
-      .select(col("id"), col("cell"), col("codes"))
+    val encIns = Similarity.pqEncode(
+      Similarity.nearestCell(ins, idx.centroids), "embedding",
+      idx.codebook)
+    val newCodes = encIns.select(col("id"), col("cell"), col("codes"))
+    // drift telemetry: the wave's mean quantization error against the
+    // build-time baseline. The artifacts are immutable, so an update
+    // wave that drifted the embedding distribution quantizes WORSE —
+    // recall degrades until a rebuild (artifact refit). Recording the
+    // ratio per pass is what makes that rebuild a data-driven decision;
+    // setting [[MaxDriftConf]] turns it into a refusal (BEFORE any
+    // file moves, so a refused pass leaves the index untouched).
+    val base = readQerrBase(path)
+    val deltaQerr =
+      if (appended == 0) None
+      else Option(encIns.agg(avg(quantErr(idx.codebook))).head().get(0))
+        .map(_.asInstanceOf[Double])
+    val qerrLine = base.map { b =>
+      val last = deltaQerr.filter(_ => b > 0).map(l => (l, l / b))
+      last.foreach { case (_, r) =>
+        val thr = spark.conf.get(MaxDriftConf, "").trim
+        if (thr.nonEmpty && r > thr.toDouble)
+          throw new IllegalStateException(
+            s"AnnIndex.applyCdf: the wave's mean quantization error is " +
+              s"${r}x the build-time baseline, past $MaxDriftConf=$thr — " +
+              "the embedding distribution has DRIFTED from the corpus the " +
+              "immutable centroids/codebook were fitted on, and applying " +
+              "the wave would silently degrade recall. Remedy: rebuild " +
+              "with AnnIndex.write (refits the artifacts), or raise the " +
+              "threshold if the drift is acceptable")
+      }
+      qerrJson(b, last)
+    }
     val dropped = rewriteCodesDelta(spark, path, touched, Some(newCodes),
       numRangePartitions,
-      markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified")))
+      markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified"),
+        qerrLine))
     (dropped, appended)
   }
 

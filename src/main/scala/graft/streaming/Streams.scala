@@ -737,8 +737,15 @@ object Streams {
         "AnnIndex.write(source = (tableDir, idCol))")
     cdfStream(spark, srcTableDir, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (_: Dataset[Row], _: Long) =>
+      .foreachBatch { (_: Dataset[Row], batchId: Long) =>
         graft.ops.AnnIndex.applyCdf(spark, indexPath, embCol)
+        // surface the drift signal per pass (applyCdf refuses past
+        // spark.graft.ann.maxDriftRatio when the caller set it; the
+        // log line is the "watch it trend" half of the telemetry)
+        graft.ops.AnnIndex.readQerrRatio(indexPath).foreach(r =>
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"annIndexMaintainer batch $batchId: quantization drift " +
+              s"ratio $r vs build baseline at $indexPath"))
         ()
       }
       .start()

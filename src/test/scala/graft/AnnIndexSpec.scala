@@ -717,6 +717,54 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not exist"), e.getMessage)
   }
 
+  test("applyCdf measures quantization drift; a planted shift trips the threshold, in-distribution does not") {
+    import spark.implicits._
+    val (corpus, cents, _) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_drift").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir, source = Some((tbl, "id")))
+    // the build records the corpus-mean quantization error as baseline
+    val b0 = AnnIndex.readQerrBase(idxDir)
+    assert(b0.exists(_ > 0), s"no quantization baseline recorded: $b0")
+
+    spark.conf.set(AnnIndex.MaxDriftConf, "10.0")
+    try {
+      // in-distribution wave: a 0.1% rescale (an identity update nets
+      // to NOTHING in the endpoint diff) — the re-encode quantizes
+      // like the corpus, ratio ~1, no refusal
+      spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+        "transform(embedding, x -> x * CAST(1.001 AS FLOAT)) " +
+        "WHERE id >= 40 AND id % 9 = 1").collect()
+      AnnIndex.applyCdf(spark, idxDir)
+      val r1 = AnnIndex.readQerrRatio(idxDir)
+      assert(r1.exists(r => r > 0 && r < 10.0), s"in-distribution ratio: $r1")
+      assert(AnnIndex.readQerrBase(idxDir) == b0,
+        "the baseline must survive the marker rewrite")
+
+      // planted distribution shift: scale the vectors x100 — squared
+      // quantization error explodes against artifacts fitted on the
+      // unscaled corpus, and the pass REFUSES before touching files
+      spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+        "transform(embedding, x -> x * CAST(100.0 AS FLOAT)) " +
+        "WHERE id >= 40 AND id % 9 = 2").collect()
+      val e = intercept[IllegalStateException](AnnIndex.applyCdf(spark, idxDir))
+      assert(e.getMessage.contains("DRIFTED") &&
+        e.getMessage.contains("rebuild"), e.getMessage)
+      // refused pass left the index intact (stamp unmoved, readable)
+      assert(AnnIndex.readStamp(idxDir).exists(_._2 == 1L))
+
+      // threshold unset: the same wave applies and RECORDS the drift
+      spark.conf.unset(AnnIndex.MaxDriftConf)
+      AnnIndex.applyCdf(spark, idxDir)
+      assert(AnnIndex.readQerrRatio(idxDir).exists(_ > 10.0))
+      assert(AnnIndex.readQerrBase(idxDir) == b0)
+    } finally spark.conf.unset(AnnIndex.MaxDriftConf)
+  }
+
   test("optimize compacts under the maintenance lock: bit-identical probes, races excluded") {
     import spark.implicits._
     val (corpus, cents, queries) = fixture

@@ -628,6 +628,59 @@ object QueriesVector {
       |  FROM embeddings
       |  WHERE NOT (vec_id >= 40 AND vec_id % 5 = 4)""".stripMargin)
 
+  // --- Streaming maintainer, oracle-gated end product (round-15): the
+  //     same divergence class as q_ann_update, but the index is kept
+  //     current by the CDC-triggered maintainer (Streams.
+  //     annIndexMaintainer → applyCdf per micro-batch) instead of a
+  //     hand-driven batch call — the batch/streaming parity contract
+  //     the CDC mirror family honors, now pinned on the index too. The
+  //     wave commits an embedding-negating UPDATE and a DELETE with
+  //     materialized feeds, the maintainer runs to quiescence, and the
+  //     probe rides the stamp==CURRENT fast path; it must answer the
+  //     updated-corpus inline-fit DuckDB oracle exactly.
+  private def annStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val base = s"/tmp/graft_ann_stream_${System.getProperty("user.name", "u")}_$h"
+    val tbl = s"$base/table"; val path = s"$base/index"
+    val fs = graft.ops.Fs.of(base, s)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    e.select($"vec_id".as("id"), $"embedding").write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    graft.ops.Upsert.materializeCdf(s, tbl, 0L)
+    val corpus = s.read.parquet(s"$tbl/v0")
+    val cents = e.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    graft.ops.AnnIndex.write(corpus, cents, cb, path,
+      source = Some((tbl, "id")))
+    val mq = graft.streaming.Streams.annIndexMaintainer(
+      s, tbl, path, s"$base/ck")
+    try {
+      mq.processAllAvailable() // v0's own feed: stamp==CURRENT, no-op
+      s.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+        "transform(embedding, x -> -x) WHERE id >= 40 AND id % 6 = 2").collect()
+      graft.ops.Upsert.materializeCdf(s, tbl, 1L)
+      s.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 6 = 4").collect()
+      graft.ops.Upsert.materializeCdf(s, tbl, 2L)
+      mq.processAllAvailable()
+    } finally mq.stop()
+    graft.ops.AnnIndex.topKLive(s, path,
+      e.filter($"vec_id" >= 10 && $"vec_id" < 30)
+        .select($"vec_id".as("qid"), $"embedding"),
+      k = 3, probes = 2)
+  }
+
+  private val annStreamSql: String = ivfPqSqlCorpus(
+    """SELECT vec_id AS id,
+      |    CASE WHEN vec_id >= 40 AND vec_id % 6 = 2
+      |         THEN list_transform(embedding, x -> -x)
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings
+      |  WHERE NOT (vec_id >= 40 AND vec_id % 6 = 4)""".stripMargin)
+
   // --- Filtered ANN probe (round-13 verdict #4): real retrieval
   //     workloads filter by metadata (language, license, date) BEFORE
   //     top-k — post-filtering an unfiltered top-k silently under-fills
@@ -794,6 +847,7 @@ object QueriesVector {
     "q_ann_filtered" -> (annFiltered _),
     "q_ann_reconcile" -> (annReconcile _),
     "q_ann_update" -> (annUpdate _),
+    "q_ann_stream" -> (annStream _),
     "q_semantic_dedup" -> (semDedup _),
     "q_pq_ann" -> (pqAnn _),
     "q_ivf_pq" -> (ivfPq _),
@@ -814,6 +868,7 @@ object QueriesVector {
     "q_ann_filtered" -> annFilteredSql, // pushed predicate == pre-filtered inline fit
     "q_ann_reconcile" -> annReconcileSql, // materialized reconcile == surviving-rows inline fit
     "q_ann_update" -> annUpdateSql, // applied net divergence == updated-corpus inline fit
+    "q_ann_stream" -> annStreamSql, // maintainer-driven index == updated-corpus inline fit
     "q_semantic_dedup" -> semDedupSql,
     "q_pq_ann" -> pqAnnSql,
     "q_ivf_pq" -> ivfPqSql,

@@ -16,7 +16,8 @@ class BenchLineSpec extends AnyFunSuite {
     // Worst case: every query present, 7-digit millisecond times.
     val results = realNames.map(n => n -> Some(9999.999))
     val line = Bench.compactLine(results, totalSec = 9999999.999, nFail = 0,
-      sfDir = "/root/testdata/sf0.1", file = "bench_full.json")
+      sfDir = "/root/testdata/sf0.1", file = "bench_full.json",
+      plansFile = "bench_full.json.plans")
     assert(line.length <= Bench.MaxLineChars,
       s"final bench line ${line.length} chars > ${Bench.MaxLineChars}")
     assert(!line.contains("\n"))
@@ -26,6 +27,9 @@ class BenchLineSpec extends AnyFunSuite {
     // WHAT was timed (hash-fold action), so cross-round diffs spanning a
     // regime change can't be misread as perf regressions
     assert((parsed \\ "action").values == "hash")
+    // the plan-fingerprint pointer: driver artifacts must name the
+    // plans sidecar so plan-vs-host adjudication works from them alone
+    assert((parsed \\ "plans_file").values == "bench_full.json.plans")
   }
 
   test("failed queries survive truncation; slowest timings kept first") {

@@ -18,7 +18,7 @@ import graft.ops.{AnnIndex, Similarity, Upsert}
   * {"n":…, "touched":…, "fit_s":…, "write_s":…, "apply_s":…,
   *  "rebuild_fit_s":…, "rebuild_write_s":…, "dropped":…, "appended":…}
   *
-  * Usage: runMain graft.DevAnnMaint <sfDir> [mod | fixed:<W>]
+  * Usage: runMain graft.DevAnnMaint <sfDir> [mod | fixed:<W> | point:<K>]
   *   mod: the wave touches ids ≡3 (update) and ≡5 (delete) mod `mod`
   *   — default 100, i.e. ~2% of the corpus (corpus-proportional wave).
   *   fixed:<W>: the wave updates ids [100, 100+W) and deletes
@@ -27,13 +27,20 @@ import graft.ops.{AnnIndex, Similarity, Upsert}
   *   ~2k rows/file (file count ∝ corpus, production's fixed-file-size
   *   shape), apply_s should be ~flat across corpus scales because
   *   only the files holding the W touched ids are rewritten.
+  *   point:<K>: the wave updates K ids spread at corpus/K strides —
+  *   the streaming maintainer's micro-batch shape. The output gains
+  *   bloom_files/bloom_candidates: how many codes files the id Bloom
+  *   sidecar had to keep for the wave vs the file count — at
+  *   K ≪ files the prune is the difference between scanning the
+  *   corpus's id column and opening only the true holder files.
   */
 object DevAnnMaint {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spec = args.lift(1).getOrElse("100")
     val fixedW = if (spec.startsWith("fixed:")) Some(spec.drop(6).toLong) else None
-    val mod = if (fixedW.isDefined) 100L else spec.toLong
+    val pointK = if (spec.startsWith("point:")) Some(spec.drop(6).toLong) else None
+    val mod = if (fixedW.isDefined || pointK.isDefined) 100L else spec.toLong
     val spark = GraftSession.local(
       math.min(32, Runtime.getRuntime.availableProcessors()))
     spark.sparkContext.setLogLevel("WARN")
@@ -68,16 +75,32 @@ object DevAnnMaint {
     val (_, tWrite) = time(AnnIndex.write(corpus, cents, cb, idx,
       numRangePartitions = parts, source = Some((tbl, "id"))))
 
-    // the wave past the stamp: corpus-proportional (mod) or fixed (W)
-    fixedW match {
-      case Some(w) =>
+    // the wave past the stamp: corpus-proportional (mod), fixed (W),
+    // or point (K scattered ids — the maintainer micro-batch shape)
+    (fixedW, pointK) match {
+      case (Some(w), _) =>
         spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
           s"transform(embedding, x -> -x) WHERE id >= 100 AND id < ${100 + w}").collect()
         spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= ${100 + w} AND id < ${100 + 2 * w}").collect()
-      case None =>
+      case (None, Some(k)) =>
+        val stride = math.max(1L, n / math.max(1L, k))
+        spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+          s"transform(embedding, x -> -x) WHERE id % $stride = 0 AND id < ${stride * k}").collect()
+      case _ =>
         spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
           s"transform(embedding, x -> -x) WHERE id % $mod = 3").collect()
         spark.sql(s"DELETE FROM '$tbl' ON id WHERE id % $mod = 5").collect()
+    }
+
+    // the Bloom prune's effect for this wave, measured directly: how
+    // many codes files survive the sidecar test (what the membership
+    // scan will open) vs the file count
+    val bloomStats = pointK.map { k =>
+      val stride = math.max(1L, n / math.max(1L, k))
+      val waveIds = spark.range(0, stride * k, stride).toDF("id")
+      val files = graft.ops.Layout.listDataFiles(spark, s"$idx/codes.parquet")
+      val kept = AnnIndex.bloomPruneCodes(spark, idx, files, waveIds)
+      (files.size, kept.size)
     }
 
     val ((dropped, appended), tApply) = time(AnnIndex.applyCdf(spark, idx))
@@ -94,13 +117,17 @@ object DevAnnMaint {
     // Locale.ROOT: the f-interpolator is default-locale-sensitive — a
     // comma-decimal locale (de/tr/fr) would emit invalid JSON
     val qerrRatio = AnnIndex.readQerrRatio(idx).map(_.toString).getOrElse("null")
+    val bloomJson = bloomStats.fold("") { case (files, kept) =>
+      s""","bloom_files":$files,"bloom_candidates":$kept"""
+    }
     println(String.format(java.util.Locale.ROOT,
       """{"n":%d,"touched":%d,"fit_s":%.2f,"write_s":%.2f,""" +
         """"apply_s":%.2f,"rebuild_fit_s":%.2f,"rebuild_write_s":%.2f,""" +
-        """"dropped":%d,"appended":%d,"qerr_ratio":%s}""",
+        """"dropped":%d,"appended":%d,"qerr_ratio":%s%s}""",
       Long.box(n), Long.box(dropped + appended), Double.box(tFit),
       Double.box(tWrite), Double.box(tApply), Double.box(tFit2),
-      Double.box(tWrite2), Long.box(dropped), Long.box(appended), qerrRatio))
+      Double.box(tWrite2), Long.box(dropped), Long.box(appended), qerrRatio,
+      bloomJson))
     spark.stop()
   }
 }

@@ -103,6 +103,10 @@ object AnnIndex {
       .repartitionByRange(numRangePartitions, col("cell"), col("id"))
       .sortWithinPartitions(col("cell"), col("id"))
       .write.mode("overwrite").parquet(s"$path/codes.parquet")
+    // per-file id Bloom sidecar: what makes the maintenance layer's
+    // candidate selection metadata-only (see [[rewriteCodesDelta]])
+    appendCodesBloom(spark, path,
+      Layout.listDataFiles(spark, s"$path/codes.parquet"), rebuild = true)
     val qerr = Option(obs.get.getOrElse("qerr_mean", null)) // null on an empty corpus
       .map(b => qerrJson(b.asInstanceOf[Double], None))
     // through the Fs substrate (scheme-proof; FsSubstrateSpec's source
@@ -233,6 +237,27 @@ object AnnIndex {
     * routinely quantize a little differently than the corpus mean and
     * the right threshold is workload-specific. */
   private[graft] val MaxDriftConf = "spark.graft.ann.maxDriftRatio"
+
+  /** Per-codes-file id Bloom sidecar parameters. The sidecar makes
+    * [[rewriteCodesDelta]]'s candidate selection metadata-only for
+    * the files it covers: a file whose filter says "definitely no
+    * touched id here" is excluded without opening its footer or
+    * scanning its id column. A false positive costs one extra file in
+    * the membership scan, never a wrong answer — but it COMPOUNDS
+    * over the wave: a non-holder file survives a K-id probe with
+    * probability ≈ K·p, so the per-key rate p must be sized for the
+    * maintainer's batch size, not for a point lookup. Defaults
+    * (4 KB / 7 hashes) give p ≈ 6e-4 at ~2k rows/file — a 16-id
+    * micro-batch keeps ~1% of non-holders, a 500-id wave ~26% (still
+    * a 4× scan cut; raise bits for bigger waves). */
+  private[graft] val BloomBitsConf = "spark.graft.ann.bloomBits"
+  private[graft] val BloomHashesConf = "spark.graft.ann.bloomHashes"
+
+  /** Probe-size cap for the Bloom path: testing the filters needs the
+    * touched ids' hashes on the driver, so a wave larger than this
+    * skips the Bloom prune (falls back to bounds + membership scan,
+    * which at that wave size would hit most files anyway). */
+  private[graft] val BloomMaxProbeConf = "spark.graft.ann.bloomMaxProbe"
 
   /** The staleness walks' metadata for the gap (stamped, cur], built
     * BATCHED — the [[graft.streaming.Streams.feedGapHarm]] shape: one
@@ -437,7 +462,9 @@ object AnnIndex {
           else adjudicateAppend(spark, path, tbl, stamped, cur, idCol, delta)
         (tbl, cur, idCol, mode)
       }
-    if (!retryOfLanded)
+    if (!retryOfLanded) {
+      val codesDir = s"$path/codes.parquet"
+      val before = Layout.listDataFiles(spark, codesDir).toSet
       Similarity.pqEncode(
           Similarity.nearestCell(
             delta.select(col("id"), col("embedding")), idx.centroids),
@@ -445,7 +472,11 @@ object AnnIndex {
         .select(col("id"), col("cell"), col("codes"))
         .repartitionByRange(numRangePartitions, col("cell"), col("id"))
         .sortWithinPartitions(col("cell"), col("id"))
-        .write.mode("append").parquet(s"$path/codes.parquet")
+        .write.mode("append").parquet(codesDir)
+      appendCodesBloom(spark, path,
+        Layout.listDataFiles(spark, codesDir).filterNot(before),
+        rebuild = false)
+    }
     advance.foreach { case (tbl, v, idCol, mode) =>
       Fs.writeTextAtomic(Fs.of(path),
         new org.apache.hadoop.fs.Path(s"$path/INDEX_OK"),
@@ -558,16 +589,23 @@ object AnnIndex {
     * files the delta touches, not the corpus.
     *
     * Cost shape, leg by leg:
-    *   - candidate prune: one parallel FOOTER pass over the file list
-    *     (KB per file) keeps only files whose typed id bounds can hold
-    *     a touched id — exact only for integral ids, so other id
-    *     types skip the prune, never the membership scan;
+    *   - Bloom prune: ONE read of the `codes_bloom.parquet` sidecar
+    *     (per-file id Bloom filters, maintained by every codes
+    *     writer) excludes files that definitely hold no touched id —
+    *     metadata-only, works for ANY id type, and for a small wave
+    *     cuts both later legs to the true hit set. Conservative
+    *     everywhere: a file without a filter row, an unreadable
+    *     sidecar, or a wave past [[BloomMaxProbeConf]] just skips the
+    *     prune (pre-sidecar indexes behave exactly as before);
+    *   - bounds prune: one parallel FOOTER pass over the surviving
+    *     files (KB per file) keeps only files whose typed id bounds
+    *     can hold a touched id — exact only for integral ids, so
+    *     other id types skip this leg, never the membership scan;
     *   - membership: one column-pruned scan of the candidates' `id`
     *     column against the (delivery-sized) touched set — the only
-    *     corpus-proportional leg, and it reads one thin column, not
-    *     the rows (a per-file id bloom sidecar would make this
-    *     metadata-only; deliberately not built until a bench shows
-    *     the scan mattering);
+    *     potentially corpus-proportional leg, now bounded by the
+    *     Bloom hit set (plus ~2% false positives) instead of the
+    *     corpus;
     *   - rewrite: full-row read of ONLY the hit files, anti-join,
     *     union the new codes, land as fresh (cell,id)-clustered files
     *     beside the survivors, then delete the hit files.
@@ -584,6 +622,82 @@ object AnnIndex {
     * @param newCodes (id, cell, codes) replacement encodings
     * @param markerTxt INDEX_OK content to stamp after the swap
     * @return encoded rows dropped */
+  private def bloomSidecar(path: String) = s"$path/codes_bloom.parquet"
+
+  /** Append per-file id Bloom rows for `freshFiles` to the index's
+    * sidecar (`rebuild = true` replaces it wholesale — build and
+    * optimize, whose passes are corpus-bound anyway). Append-only on
+    * the maintenance paths so the cost is ∝ the files just written:
+    * rows for since-deleted basenames stay behind and are ignored at
+    * probe time (the probe intersects with the live listing), and
+    * [[optimize]]'s rebuild is the compaction point. Advisory by
+    * construction — a crash that loses this write only loses the
+    * prune, never correctness. */
+  private def appendCodesBloom(spark: SparkSession, path: String,
+      freshFiles: Seq[String], rebuild: Boolean): Unit = {
+    if (freshFiles.isEmpty) {
+      if (rebuild) // nothing to index — a stale sidecar must not survive
+        Fs.of(path).delete(
+          new org.apache.hadoop.fs.Path(bloomSidecar(path)), true)
+      return
+    }
+    val bits = spark.conf.get(BloomBitsConf, (1 << 15).toString).toInt
+    val hashes = spark.conf.get(BloomHashesConf, "7").toInt
+    val rows = Layout.bloomManifestFor(spark, freshFiles, "id", bits, hashes)
+      .select(substring_index(col("file"), "/", -1).as("file"),
+        lit(bits).as("bits"), lit(hashes).as("hashes"), col("bloom"))
+    val mode = if (rebuild) "overwrite" else "append"
+    rows.coalesce(1).write.mode(mode).parquet(bloomSidecar(path))
+  }
+
+  /** The Bloom prune behind [[rewriteCodesDelta]]: among `files`
+    * (full paths), drop every file whose sidecar filter proves it
+    * holds none of `touched`'s ids. Returns `files` untouched when
+    * the sidecar is absent/unreadable or the wave exceeds
+    * [[BloomMaxProbeConf]]; a file without a filter row always
+    * survives. Package-private so the spec and dev probes can pin the
+    * prune directly. */
+  private[graft] def bloomPruneCodes(spark: SparkSession, path: String,
+      files: Seq[String], touched: DataFrame): Seq[String] = {
+    val cap = spark.conf.get(BloomMaxProbeConf, "100000").toInt
+    if (touched.limit(cap + 1).count() > cap) return files
+    val sidecar =
+      try {
+        spark.read.parquet(bloomSidecar(path))
+          .select("file", "bits", "hashes", "bloom").collect()
+      } catch { case _: Throwable => return files }
+    if (sidecar.isEmpty) return files
+    // same double hash as the builder ([[Layout.bloomManifestFor]] →
+    // Dedup.hash60 over the stringified key), computed via a Spark
+    // plan so the md5 arithmetic is bit-identical to the build side
+    val probe = touched
+      .select(Dedup.hash60(col("id").cast("string")).as("h1"),
+        Dedup.hash60(concat(lit("b2:"), col("id").cast("string"))).as("h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def mayContain(bloom: Array[Long], bits: Int, hashes: Int,
+        h1: Long, h2: Long): Boolean =
+      (0 until hashes).forall { i =>
+        val p = java.lang.Math.floorMod(
+          h1 + i * java.lang.Math.floorMod(h2, bits.toLong), bits.toLong)
+        (bloom((p / 64).toInt) & (1L << (p % 64))) != 0
+      }
+    // a basename may carry at most one row (files are write-once and
+    // get one row in the same mutation) — but if a retried write ever
+    // left two, ANY row saying "may" keeps the file (conservative)
+    val may = scala.collection.mutable.Map.empty[String, Boolean]
+    sidecar.foreach { r =>
+      val f = r.getString(0)
+      val hit = probe.exists { case (h1, h2) =>
+        mayContain(r.getSeq[Long](3).toArray, r.getInt(1), r.getInt(2), h1, h2)
+      }
+      may(f) = may.getOrElse(f, false) || hit
+    }
+    files.filter { f =>
+      val base = f.substring(f.lastIndexOf('/') + 1)
+      may.getOrElse(base, true) // uncovered file: always a candidate
+    }
+  }
+
   private def rewriteCodesDelta(
       spark: SparkSession, path: String, touched: DataFrame,
       newCodes: Option[DataFrame], numRangePartitions: Int,
@@ -591,7 +705,11 @@ object AnnIndex {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val codesDir = s"$path/codes.parquet"
-    val files = Layout.listDataFiles(spark, codesDir)
+    val allFiles = Layout.listDataFiles(spark, codesDir)
+    // Bloom first: one sidecar read can exclude most files before the
+    // per-file footer pass even starts — on an object store that is
+    // the difference between one RPC and one per file
+    val files = bloomPruneCodes(spark, path, allFiles, touched)
     val integralId = touched.schema("id").dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
@@ -651,6 +769,13 @@ object AnnIndex {
       _.repartitionByRange(numRangePartitions, col("cell"), col("id"))
         .sortWithinPartitions(col("cell"), col("id"))
         .write.mode("append").parquet(codesDir))
+    // Bloom rows for the files just landed (∝ the delta, like the
+    // rewrite itself); the deleted files' rows stay behind harmlessly
+    // until optimize's sidecar rebuild
+    val before = allFiles.toSet
+    appendCodesBloom(spark, path,
+      Layout.listDataFiles(spark, codesDir).filterNot(before),
+      rebuild = false)
     toRewrite.foreach(f => fs.delete(new HPath(f), false))
     Fs.writeTextAtomic(fs, marker, markerTxt)
     dropped
@@ -885,8 +1010,13 @@ object AnnIndex {
     fs.delete(marker, false) // unreadable during the swap — loud, not stale
     clustered.write.mode("append").parquet(codesDir)
     before.foreach(f => fs.delete(new HPath(f), false))
+    val after = Layout.listDataFiles(spark, codesDir)
+    // sidecar compaction point: maintenance passes append Bloom rows
+    // and leave deleted files' rows behind; the rebuild here drops
+    // them along with the files
+    appendCodesBloom(spark, path, after, rebuild = true)
     Fs.writeTextAtomic(fs, marker, markerTxt)
-    (before.size, Layout.listDataFiles(spark, codesDir).size)
+    (before.size, after.size)
   }
 
   /** Load the index artifacts; refuses a directory without the marker

@@ -577,6 +577,81 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("codes Bloom sidecar: sound prune, maintained by every writer, conservative fallbacks") {
+    import spark.implicits._
+    val (corpus, cents, _) = fixture
+    val cb = Similarity.pqCodebook(corpus, "id", "embedding", numSub = 8, codes = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann_bloom").toString
+    val tbl = s"$base/table"; val idxDir = s"$base/index"
+    corpus.write.parquet(s"$tbl/v0")
+    graft.ops.Fs.writeTextAtomic(graft.ops.Fs.of(tbl, spark),
+      new org.apache.hadoop.fs.Path(tbl, "CURRENT"), "v0")
+    AnnIndex.write(corpus, cents, cb, idxDir,
+      numRangePartitions = 8, source = Some((tbl, "id")))
+    def codesFiles = graft.ops.Layout.listDataFiles(spark, s"$idxDir/codes.parquet")
+    def sidecarBasenames = spark.read.parquet(s"$idxDir/codes_bloom.parquet")
+      .select("file").collect().map(_.getString(0)).toSet
+    def basenames(fs: Seq[String]) = fs.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    // build covers every codes file
+    assert(basenames(codesFiles).subsetOf(sidecarBasenames))
+
+    // SOUND: every file that truly holds a touched id survives the prune
+    val touched = Seq(41L, 53L, 97L).toDF("id")
+    val holders = spark.read.parquet(codesFiles: _*)
+      .select(col("id"), col("_metadata.file_path").as("f"))
+      .join(touched, Seq("id")).select("f").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(holders.nonEmpty)
+    val kept = AnnIndex.bloomPruneCodes(spark, idxDir, codesFiles, touched)
+    assert(basenames(holders.toSeq).subsetOf(basenames(kept)),
+      "the Bloom prune dropped a file that holds a touched id")
+
+    // EFFECTIVE: ids absent from the corpus prune every covered file
+    // (at ~25 rows/file against a 2 KB filter the fp rate is ~0)
+    val absent = Seq(10000001L, 10000002L, 10000003L).toDF("id")
+    assert(AnnIndex.bloomPruneCodes(spark, idxDir, codesFiles, absent).isEmpty)
+
+    // append maintains the sidecar for the fresh files
+    val fresh = corpus.filter($"id" < 5)
+      .select(($"id" + 1000000L).as("id"), $"embedding")
+    fresh.createOrReplaceTempView("ann_bloom_ins")
+    spark.sql(
+      s"""MERGE INTO '$tbl' USING (SELECT * FROM ann_bloom_ins) ON id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    graft.ops.Upsert.materializeCdf(spark, tbl, 1L)
+    AnnIndex.append(fresh, idxDir)
+    assert(basenames(codesFiles).subsetOf(sidecarBasenames))
+    val keptFresh = AnnIndex.bloomPruneCodes(spark, idxDir, codesFiles,
+      fresh.select("id").limit(1))
+    assert(keptFresh.nonEmpty && keptFresh.size < codesFiles.size,
+      s"appended-id prune kept ${keptFresh.size} of ${codesFiles.size}")
+
+    // maintenance (applyCdf) keeps the sidecar covering + sound
+    spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+      "transform(embedding, x -> -x) WHERE id = 41").collect()
+    AnnIndex.applyCdf(spark, idxDir)
+    assert(basenames(codesFiles).subsetOf(sidecarBasenames))
+    val kept41 = AnnIndex.bloomPruneCodes(spark, idxDir, codesFiles, Seq(41L).toDF("id"))
+    val holds41 = spark.read.parquet(codesFiles: _*)
+      .select(col("id"), col("_metadata.file_path").as("f"))
+      .filter($"id" === 41L).select("f").collect().map(_.getString(0)).toSet
+    assert(basenames(holds41.toSeq).subsetOf(basenames(kept41)))
+
+    // conservative fallbacks: oversized wave and missing sidecar prune nothing
+    spark.conf.set(AnnIndex.BloomMaxProbeConf, "1")
+    try assert(AnnIndex.bloomPruneCodes(spark, idxDir, codesFiles, absent) == codesFiles)
+    finally spark.conf.unset(AnnIndex.BloomMaxProbeConf)
+    graft.ops.Fs.of(idxDir, spark).delete(
+      new org.apache.hadoop.fs.Path(s"$idxDir/codes_bloom.parquet"), true)
+    assert(AnnIndex.bloomPruneCodes(spark, idxDir, codesFiles, absent) == codesFiles)
+    // and a sidecar-less index still maintains correctly (pre-sidecar compat)
+    spark.sql(s"UPDATE '$tbl' ON id SET embedding = " +
+      "transform(embedding, x -> -x) WHERE id = 53").collect()
+    val (d2, a2) = AnnIndex.applyCdf(spark, idxDir)
+    assert(d2 == 1 && a2 == 1)
+  }
+
   test("maintenance mutators serialize: racing applyCdf passes have exactly-once effect") {
     import spark.implicits._
     val (corpus, cents, queries) = fixture

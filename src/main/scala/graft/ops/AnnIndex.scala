@@ -661,12 +661,13 @@ object AnnIndex {
       files: Seq[String], touched: DataFrame): Seq[String] = {
     val cap = spark.conf.get(BloomMaxProbeConf, "100000").toInt
     if (touched.limit(cap + 1).count() > cap) return files
-    val sidecar =
+    val sidecarDf =
       try {
-        spark.read.parquet(bloomSidecar(path))
-          .select("file", "bits", "hashes", "bloom").collect()
+        val df = spark.read.parquet(bloomSidecar(path))
+          .select("file", "bits", "hashes", "bloom")
+        df.schema // an absent/corrupt sidecar must refuse HERE, not mid-job
+        df
       } catch { case _: Throwable => return files }
-    if (sidecar.isEmpty) return files
     // same double hash as the builder ([[Layout.bloomManifestFor]] →
     // Dedup.hash60 over the stringified key), computed via a Spark
     // plan so the md5 arithmetic is bit-identical to the build side
@@ -674,24 +675,37 @@ object AnnIndex {
       .select(Dedup.hash60(col("id").cast("string")).as("h1"),
         Dedup.hash60(concat(lit("b2:"), col("id").cast("string"))).as("h2"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    def mayContain(bloom: Array[Long], bits: Int, hashes: Int,
-        h1: Long, h2: Long): Boolean =
-      (0 until hashes).forall { i =>
-        val p = java.lang.Math.floorMod(
-          h1 + i * java.lang.Math.floorMod(h2, bits.toLong), bits.toLong)
-        (bloom((p / 64).toInt) & (1L << (p % 64))) != 0
+    // filter tests run DISTRIBUTED over the sidecar with the (capped,
+    // delivery-sized) probe hashes broadcast — the broadcast-Bloom-
+    // probe shape the runtime join prune already uses. The driver
+    // never holds the filter words (file-count × 4 KB — GBs at a
+    // production file count), only (basename, verdict) rows, the same
+    // order as the file listing being pruned.
+    val bc = spark.sparkContext.broadcast(probe)
+    val mayContain = udf { (bloom: Seq[Long], bits: Int, hashes: Int) =>
+      bc.value.exists { case (h1, h2) =>
+        (0 until hashes).forall { i =>
+          val p = java.lang.Math.floorMod(
+            h1 + i * java.lang.Math.floorMod(h2, bits.toLong), bits.toLong)
+          (bloom((p / 64).toInt) & (1L << (p % 64))) != 0
+        }
       }
+    }
     // a basename may carry at most one row (files are write-once and
     // get one row in the same mutation) — but if a retried write ever
     // left two, ANY row saying "may" keeps the file (conservative)
     val may = scala.collection.mutable.Map.empty[String, Boolean]
-    sidecar.foreach { r =>
+    val verdicts =
+      try sidecarDf
+        .select(col("file"),
+          mayContain(col("bloom"), col("bits"), col("hashes")).as("hit"))
+        .collect()
+      finally bc.unpersist(false)
+    verdicts.foreach { r =>
       val f = r.getString(0)
-      val hit = probe.exists { case (h1, h2) =>
-        mayContain(r.getSeq[Long](3).toArray, r.getInt(1), r.getInt(2), h1, h2)
-      }
-      may(f) = may.getOrElse(f, false) || hit
+      may(f) = may.getOrElse(f, false) || r.getBoolean(1)
     }
+    if (may.isEmpty) return files // an empty sidecar adjudicates nothing
     files.filter { f =>
       val base = f.substring(f.lastIndexOf('/') + 1)
       may.getOrElse(base, true) // uncovered file: always a candidate

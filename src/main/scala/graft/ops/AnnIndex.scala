@@ -88,21 +88,32 @@ object AnnIndex {
     // recorded in the marker so a later update wave has a number to
     // measure distribution drift against (see [[applyCdf]])
     val obs = new org.apache.spark.sql.Observation()
-    Similarity.pqEncode(
+    // ONE corpus pass: the encode materializes via localCheckpoint
+    // (the checkpoint action runs under withAction, so the qerr metric
+    // fires here), and the range write's boundary SAMPLING plus the
+    // shuffle itself then read the checkpointed (id, cell, codes)
+    // blocks — ~30× narrower than the float corpus — instead of
+    // re-running the scan+encode per consumer (repartitionByRange
+    // samples its child to pick boundaries, so the un-checkpointed
+    // shape paid the corpus encode TWICE; guide §1.2: fix the number
+    // of passes before anything else).
+    val enc = Similarity.pqEncode(
         Similarity.nearestCell(
           corpus.select(col("id"), col("embedding")), centroids),
         "embedding", cb)
       .observe(obs, avg(quantErr(cb)).as("qerr_mean"))
       .select(col("id"), col("cell"), col("codes"))
-      // range-cluster on (cell, id), not cell alone: probes still skip
-      // by the leading cell bounds, but a heavy cell can now SPLIT
-      // across files — file count scales with the corpus (fixed rows
-      // per file) instead of capping at the cell count, which is what
-      // makes the maintenance layer's file-granular rewrite
-      // delta-proportional at any scale
-      .repartitionByRange(numRangePartitions, col("cell"), col("id"))
+      .localCheckpoint()
+    // range-cluster on (cell, id), not cell alone: probes still skip
+    // by the leading cell bounds, but a heavy cell can now SPLIT
+    // across files — file count scales with the corpus (fixed rows
+    // per file) instead of capping at the cell count, which is what
+    // makes the maintenance layer's file-granular rewrite
+    // delta-proportional at any scale
+    enc.repartitionByRange(numRangePartitions, col("cell"), col("id"))
       .sortWithinPartitions(col("cell"), col("id"))
       .write.mode("overwrite").parquet(s"$path/codes.parquet")
+    enc.unpersist(false)
     // per-file id Bloom sidecar: what makes the maintenance layer's
     // candidate selection metadata-only (see [[rewriteCodesDelta]])
     appendCodesBloom(spark, path,
@@ -383,9 +394,16 @@ object AnnIndex {
     // codes table and a later divergence would leave the stale twin
     // scoring). A PARTIAL overlap has no safe interpretation.
     val deltaIds = delta.select(col("id")).distinct()
-    val nDelta = deltaIds.count()
-    val nAlready = idx.encoded.join(deltaIds, Seq("id"), "left_semi")
-      .select(col("id")).distinct().count()
+    // both adjudication counts in ONE job: distinct delta ids LEFT-join
+    // the encoded id set with a presence marker — count(*) is nDelta,
+    // count(marker) is nAlready (identical to the old semi-join-then-
+    // count pair, which paid two jobs and two scans of the codes table)
+    val cnt = deltaIds
+      .join(idx.encoded.select(col("id")).distinct()
+        .withColumn("__enc", lit(1)), Seq("id"), "left")
+      .agg(count(lit(1)), count(col("__enc"))).head()
+    val nDelta = cnt.getLong(0)
+    val nAlready = cnt.getLong(1)
     require(nAlready == 0 || nAlready == nDelta, {
       s"AnnIndex.append: ${nAlready} of the delta's $nDelta ids are " +
         s"already encoded in $path — a partial overlap is neither a " +
@@ -660,7 +678,27 @@ object AnnIndex {
   private[graft] def bloomPruneCodes(spark: SparkSession, path: String,
       files: Seq[String], touched: DataFrame): Seq[String] = {
     val cap = spark.conf.get(BloomMaxProbeConf, "100000").toInt
-    if (touched.limit(cap + 1).count() > cap) return files
+    // ONE capped job replaces the old limit+count probe followed by a
+    // full probe-hash collect: limit(cap+1) bounds what reaches the
+    // driver, and an over-cap wave skips the prune exactly as before
+    val probeRows = probeHashes(touched).limit(cap + 1).collect()
+    if (probeRows.length > cap) return files
+    bloomPruneCodesProbe(spark, path, files,
+      probeRows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** The touched ids' sidecar probe hashes, as a Spark plan (same
+    * double [[Dedup.hash60]] as the builder — bit-identical md5
+    * arithmetic on both sides). */
+  private def probeHashes(touched: DataFrame): DataFrame =
+    touched.select(Dedup.hash60(col("id").cast("string")).as("h1"),
+      Dedup.hash60(concat(lit("b2:"), col("id").cast("string"))).as("h2"))
+
+  /** [[bloomPruneCodes]] from ALREADY-COLLECTED probe hashes — the
+    * maintenance path computes ids + hashes + bounds in one capped
+    * collect and feeds every leg from it. */
+  private def bloomPruneCodesProbe(spark: SparkSession, path: String,
+      files: Seq[String], probe: Array[(Long, Long)]): Seq[String] = {
     val sidecarDf =
       try {
         val df = spark.read.parquet(bloomSidecar(path))
@@ -668,13 +706,6 @@ object AnnIndex {
         df.schema // an absent/corrupt sidecar must refuse HERE, not mid-job
         df
       } catch { case _: Throwable => return files }
-    // same double hash as the builder ([[Layout.bloomManifestFor]] →
-    // Dedup.hash60 over the stringified key), computed via a Spark
-    // plan so the md5 arithmetic is bit-identical to the build side
-    val probe = touched
-      .select(Dedup.hash60(col("id").cast("string")).as("h1"),
-        Dedup.hash60(concat(lit("b2:"), col("id").cast("string"))).as("h2"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
     // filter tests run DISTRIBUTED over the sidecar with the (capped,
     // delivery-sized) probe hashes broadcast — the broadcast-Bloom-
     // probe shape the runtime join prune already uses. The driver
@@ -720,56 +751,96 @@ object AnnIndex {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val codesDir = s"$path/codes.parquet"
     val allFiles = Layout.listDataFiles(spark, codesDir)
-    // Bloom first: one sidecar read can exclude most files before the
-    // per-file footer pass even starts — on an object store that is
-    // the difference between one RPC and one per file
-    val files = bloomPruneCodes(spark, path, allFiles, touched)
     val integralId = touched.schema("id").dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
+    // Materialize the touched set ONCE: it feeds the capped driver
+    // collect below, the membership join, and (through the tagged
+    // frame) the survivor anti-join — for reconcile the set is an
+    // index-wide anti-join whose subtree previously re-executed per
+    // consumer (membership, then twice under the range write's
+    // boundary sampling; guide §1.2).
+    val touchedChk = touched.localCheckpoint()
+    // ONE capped job collects (id, h1, h2): the Bloom probe hashes AND
+    // the id bounds ride the same delivery-sized collect — previously
+    // three separate jobs (cap probe, hash collect, min/max agg)
+    val cap = spark.conf.get(BloomMaxProbeConf, "100000").toInt
+    val probeRows = touchedChk
+      .select(col("id"),
+        Dedup.hash60(col("id").cast("string")).as("h1"),
+        Dedup.hash60(concat(lit("b2:"), col("id").cast("string"))).as("h2"))
+      .limit(cap + 1).collect()
+    val withinCap = probeRows.length <= cap
+    // Bloom first: one sidecar read can exclude most files before the
+    // per-file footer pass even starts — on an object store that is
+    // the difference between one RPC and one per file
+    val files =
+      if (!withinCap) allFiles
+      else bloomPruneCodesProbe(spark, path, allFiles,
+        probeRows.map(r => (r.getLong(1), r.getLong(2))))
     val candidates: Seq[String] =
       if (!integralId) files
       else {
-        val r = touched.agg(
-          min(col("id")).cast("long"), max(col("id")).cast("long")).head()
-        if (r.isNullAt(0)) Seq.empty
-        else {
-          val (tmin, tmax) = (r.getLong(0), r.getLong(1))
-          val bounds = Layout.parquetFileStatsFor(spark, files)
-            .filter(col("column") === "id")
-            .groupBy(col("file"))
-            .agg(min(col("min_value").cast("long")).as("mn"),
-              max(col("max_value").cast("long")).as("mx"))
-            .collect()
-          val statted = bounds.map(_.getString(0)).toSet
-          // a file without typed id stats cannot be pruned — keep it
-          bounds.filter(b => b.isNullAt(1) || b.isNullAt(2) ||
-              (b.getLong(2) >= tmin && b.getLong(1) <= tmax))
-            .map(_.getString(0)).toSeq ++ files.filterNot(statted)
+        // typed id bounds of the wave: driver-side off the capped
+        // collect when it fit, one agg job past the cap (min/max over
+        // non-null ids — identical to the old agg-with-cast)
+        val bounds0: Option[(Long, Long)] =
+          if (withinCap) {
+            val ids = probeRows.iterator.map(_.get(0))
+              .filter(_ != null).map(_.asInstanceOf[Number].longValue).toSeq
+            if (ids.isEmpty) None else Some((ids.min, ids.max))
+          } else {
+            val r = touchedChk.agg(
+              min(col("id")).cast("long"), max(col("id")).cast("long")).head()
+            if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+          }
+        bounds0 match {
+          case None => Seq.empty
+          case Some((tmin, tmax)) =>
+            val bounds = Layout.parquetFileStatsFor(spark, files)
+              .filter(col("column") === "id")
+              .groupBy(col("file"))
+              .agg(min(col("min_value").cast("long")).as("mn"),
+                max(col("max_value").cast("long")).as("mx"))
+              .collect()
+            val statted = bounds.map(_.getString(0)).toSet
+            // a file without typed id stats cannot be pruned — keep it
+            bounds.filter(b => b.isNullAt(1) || b.isNullAt(2) ||
+                (b.getLong(2) >= tmin && b.getLong(1) <= tmax))
+              .map(_.getString(0)).toSeq ++ files.filterNot(statted)
         }
       }
-    // exact membership: which candidate files HOLD a touched id (and
-    // how many rows — the dropped count). localCheckpoint: the hits
-    // are delivery∩index sized and feed two actions.
-    val hits =
+    // ONE column-pruned read of the candidate files serves BOTH the
+    // exact membership test and the survivor rows: each candidate row
+    // is tagged with its file and whether the wave touched it, then
+    // (a) the hit files + dropped counts come from one grouped collect
+    // and (b) the survivors filter straight off the tagged frame —
+    // previously the hit files were read twice (membership scan, then
+    // a fresh full-row read for the anti-join) plus once more under
+    // the range write's boundary sampling.
+    val tagged =
       if (candidates.isEmpty) None
       else Some(spark.read.parquet(candidates: _*)
-        .select(col("id"), col("_metadata.file_path").as("__f"))
-        .join(touched.select(col("id")), Seq("id"))
+        .select(col("id"), col("cell"), col("codes"),
+          col("_metadata.file_path").as("__f"))
+        .join(touchedChk.select(col("id")).withColumn("__t", lit(1)),
+          Seq("id"), "left")
         .localCheckpoint())
-    val dropped = hits.fold(0L)(_.count())
+    val hitCounts = tagged.fold(Array.empty[org.apache.spark.sql.Row])(
+      _.filter(col("__t").isNotNull)
+        .groupBy(col("__f")).agg(count(lit(1)).as("n")).collect())
+    val dropped = hitCounts.iterator.map(_.getLong(1)).sum
     // `_metadata.file_path` and the listing may qualify the same file
     // differently (file:/ vs file:///) — compare by URI path
     def canon(s: String): String = new HPath(s).toUri.getPath
-    val hitKeys = hits.fold(Set.empty[String])(
-      _.select(col("__f")).distinct().collect()
-        .map(r => canon(r.getString(0))).toSet)
+    val hitFilesRaw = hitCounts.map(_.getString(0)).toSeq
+    val hitKeys = hitFilesRaw.map(canon).toSet
     val toRewrite = files.filter(f => hitKeys.contains(canon(f)))
     val kept =
       if (toRewrite.isEmpty) None
-      else Some(spark.read.parquet(toRewrite: _*)
-        .join(touched.select(col("id")), Seq("id"), "left_anti")
+      else tagged.map(_.filter(col("__t").isNull &&
+          col("__f").isin(hitFilesRaw: _*))
         .select(col("id"), col("cell"), col("codes")))
     val pieces = kept.toSeq ++
       newCodes.map(_.select(col("id"), col("cell"), col("codes"))).toSeq
@@ -792,6 +863,8 @@ object AnnIndex {
       rebuild = false)
     toRewrite.foreach(f => fs.delete(new HPath(f), false))
     Fs.writeTextAtomic(fs, marker, markerTxt)
+    tagged.foreach(_.unpersist(false))
+    touchedChk.unpersist(false)
     dropped
   }
 
@@ -931,22 +1004,38 @@ object AnnIndex {
       .select(col(idCol).as("id"), col(embCol).as("embedding"),
         col("_change_type"))
       .localCheckpoint()
-    require(feed.filter(col("id").isNull).isEmpty,
+    // both integrity refusals from ONE pass over the (checkpointed,
+    // delivery-sized) feed — previously two separate isEmpty jobs
+    val bad = feed.agg(
+      count(when(col("id").isNull, 1)).as("null_ids"),
+      count(when(col("_change_type") === "insert" && col("embedding").isNull, 1))
+        .as("null_emb")).head()
+    require(bad.getLong(0) == 0,
       s"AnnIndex.applyCdf: change images of '$tbl' carry a NULL $idCol " +
         "— the index cannot address them; fix the key, then rebuild")
-    val ins = feed.filter(col("_change_type") === "insert")
-      .select(col("id"), col("embedding"))
-    require(ins.filter(col("embedding").isNull).isEmpty,
+    require(bad.getLong(1) == 0,
       s"AnnIndex.applyCdf: insert images of '$tbl' carry a NULL " +
         s"$embCol (schema-evolution backfill?) — encoding needs the " +
         "vector; rebuild with AnnIndex.write once the column is " +
         "populated")
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(col("id"), col("embedding"))
     val touched = feed.select(col("id")).distinct()
-    val appended = ins.count()
-    val encIns = Similarity.pqEncode(
-      Similarity.nearestCell(ins, idx.centroids), "embedding",
-      idx.codebook)
-    val newCodes = encIns.select(col("id"), col("cell"), col("codes"))
+    // ONE delta-sized pass: the encode materializes via localCheckpoint
+    // with the insert count AND the wave's mean quantization error
+    // riding it as observed metrics — previously the encode expression
+    // executed up to three times (the qerr agg, then twice under the
+    // range write's boundary sampling) plus a separate ins.count() job.
+    val obs = new org.apache.spark.sql.Observation()
+    val newCodes = Similarity.pqEncode(
+        Similarity.nearestCell(ins, idx.centroids), "embedding",
+        idx.codebook)
+      .observe(obs, count(lit(1)).as("n_enc"),
+        avg(quantErr(idx.codebook)).as("qerr_mean"))
+      .select(col("id"), col("cell"), col("codes"))
+      .localCheckpoint()
+    val metrics = obs.get
+    val appended = metrics("n_enc").asInstanceOf[Long]
     // drift telemetry: the wave's mean quantization error against the
     // build-time baseline. The artifacts are immutable, so an update
     // wave that drifted the embedding distribution quantizes WORSE —
@@ -956,9 +1045,7 @@ object AnnIndex {
     // file moves, so a refused pass leaves the index untouched).
     val base = readQerrBase(path)
     val deltaQerr =
-      if (appended == 0) None
-      else Option(encIns.agg(avg(quantErr(idx.codebook))).head().get(0))
-        .map(_.asInstanceOf[Double])
+      Option(metrics.getOrElse("qerr_mean", null)).map(_.asInstanceOf[Double])
     val qerrLine = base.map { b =>
       val last = deltaQerr.filter(_ => b > 0).map(l => (l, l / b))
       last.foreach { case (_, r) =>
@@ -979,6 +1066,8 @@ object AnnIndex {
       numRangePartitions,
       markerText(idx.codebook, Some((tbl, cur, idCol)), Some("verified"),
         qerrLine))
+    newCodes.unpersist(false)
+    feed.unpersist(false)
     (dropped, appended)
   }
 

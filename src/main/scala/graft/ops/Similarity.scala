@@ -236,15 +236,18 @@ object Similarity {
   val MaxCollectedCentroids = 65536
 
   def nearestCell(df: DataFrame, centroids: DataFrame): DataFrame = {
-    // cheap upper-bound probe BEFORE the collect: limit(cap+1).count()
-    // reads at most cap+1 rows, so an over-sized frame fails fast without
-    // materializing itself on the driver
-    val probe = centroids.limit(MaxCollectedCentroids + 1).count()
-    require(probe <= MaxCollectedCentroids,
+    // ONE capped job: orderBy+limit plans as TakeOrdered, so at most
+    // cap+1 rows ever reach the driver — the same over-sized-frame
+    // guard the old separate limit+count probe gave, without paying a
+    // second job for it (nearestCell sits on every ANN build/encode
+    // path, so the probe job repeated per cycle; guide §1.2: cut
+    // driver round-trips before tuning anything else)
+    val rows = centroids.select(col("cid"), col("embedding"))
+      .orderBy(col("cid")).limit(MaxCollectedCentroids + 1).collect()
+    require(rows.length <= MaxCollectedCentroids,
       s"nearestCell collects centroids to the driver for the broadcast argmax; " +
       s"got > $MaxCollectedCentroids rows — that is a corpus, not a coarse " +
       s"quantizer. Pass a k-means/sampled centroid table (C <= a few thousand).")
-    val rows = centroids.select(col("cid"), col("embedding")).orderBy(col("cid")).collect()
     require(rows.nonEmpty, "centroids must be non-empty")
     val cidType = centroids.schema("cid").dataType
     val ctArr = array(rows.map { r =>

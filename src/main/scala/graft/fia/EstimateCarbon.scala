@@ -80,8 +80,10 @@ object EstimateCarbon {
     // into the returned rows — the join path never touched them.
     // Stash the originals, restore on output.
     val stash = Seq("SPCD", "CR", "STDORGCD", "CULL")
-    val stashed = stash.foldLeft(dataPrepped)((d, c0) =>
-      d.withColumn(s"__orig_$c0", col(c0)))
+    // one withColumns wave (the stashes are independent) — each
+    // withColumn call re-analyzes the whole post-kernel plan
+    val stashed = dataPrepped.withColumns(
+      Map(stash.map(c0 => s"__orig_$c0" -> col(c0)): _*))
 
     // three dependency WAVES (not one): SPCD reads the wave-1 STDORGCD
     // rewrite, and SPCD_DIVISION reads the wave-2 SPCD string — within

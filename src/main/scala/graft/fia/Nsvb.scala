@@ -33,10 +33,18 @@ object Nsvb {
     * height at which stem diameter tapers to `dlim`; saplings -> null. */
   def findHt(dbh: Double, tht: Double, dlim: Double,
       alpha: Double, beta: Double, a: Double, b: Double, c: Double): Double = {
-    // taper-derived diameter at height h (op order matches the R source)
+    // taper-derived diameter at height h (op order matches the R source).
+    // The h-invariant prefix of the left-associated product is hoisted
+    // out of the Brent loop: `k0` is computed by the IDENTICAL op
+    // sequence the inline form used (a prefix of a left-assoc chain),
+    // so every kz(h) value is bit-for-bit unchanged while the ~20
+    // Brent iterations per row each save two pow() and four mult/div —
+    // this UDF runs twice per output row (HT4, HTSAW) and dominated
+    // the NSVB stage's per-task compute (guide §1.2 step 2).
+    val k0 = a * math.pow(dbh, b) * math.pow(tht, c) / .005454154 / tht * alpha * beta
     def kz(h: Double): Double = {
       val pd = math.sqrt(
-        a * math.pow(dbh, b) * math.pow(tht, c) / .005454154 / tht * alpha * beta *
+        k0 *
           math.pow(1 - h / tht, alpha - 1) *
           math.pow(1 - math.pow(1 - h / tht, alpha), beta - 1))
       math.abs(pd - dlim)
@@ -217,22 +225,36 @@ object Nsvb {
   def predict(spark: SparkSession, fiadb: DataFrame): DataFrame = {
     val cd = buildCoefDims(spark)
 
+    // SPCD_NUMERIC's expression composes into k/saw directly (Catalyst
+    // collapses the projections to the identical physical expressions
+    // the old three sequential withColumn calls produced) so the whole
+    // prologue is ONE analyzer pass instead of three — every
+    // withColumn call re-analyzes the full post-kernel plan, and the
+    // DAG below runs twice per composed pipeline (one per mortality
+    // variant), so analyzer passes are the driver-side cost here
+    // (measured: construction, not execution, dominates the composed
+    // gates — DevOptPipe).
+    val spcdNum = regexp_replace(col("SPCD"), "1_", "").cast(DoubleType)
     var d = fiadb
-      .withColumn("SPCD_NUMERIC", regexp_replace(col("SPCD"), "1_", "").cast(DoubleType))
-      .withColumn("k", when(col("SPCD_NUMERIC") < 300, lit(9.0)).otherwise(lit(11.0)))
-      .withColumn("saw", when(col("SPCD_NUMERIC") < 300, lit(7.0)).otherwise(lit(9.0)))
+      .withColumns(Map(
+        "SPCD_NUMERIC" -> spcdNum,
+        "k" -> when(spcdNum < 300, lit(9.0)).otherwise(lit(11.0)),
+        "saw" -> when(spcdNum < 300, lit(7.0)).otherwise(lit(9.0))))
 
     // The only joins of the whole DAG: one broadcast per fallback level.
     LEVELS.zipWithIndex.foreach { case (level, li) =>
       d = d.join(broadcast(cd.dims(li)), col(level) === col(s"__k$li"), "left")
     }
 
-    def target(
-        lhs: String,
+    // A prediction target as a COLUMN (the old per-target withColumn
+    // chain, verbatim expression): targets with no mutual dependency
+    // batch into one withColumns wave each — the 15 sequential target
+    // passes plus their interleaved rewrites become 6 waves.
+    def targetCol(
         tables: Seq[String],
         formula: (Column, String => Column) => Column,
         eqOverride: Option[Double] = None,
-        jenkinsEq31: Boolean = false): Unit = {
+        jenkinsEq31: Boolean = false): Column = {
       val levelPred = LEVELS.zipWithIndex.map { case (level, li) =>
         val c = cd.cf(tables, li) _
         val baseEq: Column = eqOverride.map(e => lit(e)).getOrElse(c("equation"))
@@ -240,65 +262,73 @@ object Nsvb {
           if (jenkinsEq31 && level == "JENKINS_SPGRPCD") lit(3.1) else baseEq
         (cd.matched(tables, li), formula(eq, c))
       }
-      val combined = levelPred.foldRight(lit(null).cast(DoubleType): Column) {
+      levelPred.foldRight(lit(null).cast(DoubleType): Column) {
         case ((m, p), acc) => when(m, p).otherwise(acc)
       }
-      d = d.withColumn(lhs, combined)
     }
 
     val cfClosed = closedForm _
-
-    // --- volumes (R/predictCRM2.R:40-171)
-    target("VTOTIB_GROSS", Seq("volib"), cfClosed)
-    target("VTOTBK_GROSS", Seq("volbk"), cfClosed)
-    d = d.withColumn("VTOTOB_GROSS", col("VTOTIB_GROSS") + col("VTOTBK_GROSS"))
-
     def findHtFormula(dlim: Column)(eq: Column, c: String => Column): Column =
       findHtUdf(col("DBH"), col("THT"), dlim, c("alpha"), c("beta"), c("a"), c("b"), c("c"))
-
-    target("HT4", Seq("rcumob", "volob"), findHtFormula(lit(4.0)), eqOverride = Some(7))
-    d = d.withColumn("HT4", pmaxLit(col("HT4"), 5))
-
     def volFormula(hl: Column, hu: String, vol: String)(
         eq: Column, c: String => Column): Column =
       volSeg(hl, col(hu), col("THT"), c("alpha"), c("beta"), col(vol))
-
-    target("VMERIB_GROSS", Seq("rcumib"), volFormula(lit(1), "HT4", "VTOTIB_GROSS"), Some(8))
-    target("VMEROB_GROSS", Seq("rcumib"), volFormula(lit(1), "HT4", "VTOTOB_GROSS"), Some(9))
-    d = d.withColumn("VMERBK_GROSS", col("VMEROB_GROSS") - col("VMERIB_GROSS"))
-
     def stumpFormula(vol: String)(eq: Column, c: String => Column): Column =
       // findVol(hl=0, hu=1): fixed heights
       volSeg(lit(0), lit(1), col("THT"), c("alpha"), c("beta"), col(vol))
-    target("VSTPIB_GROSS", Seq("rcumib"), stumpFormula("VTOTIB_GROSS"), Some(10))
-    target("VSTPOB_GROSS", Seq("rcumib"), stumpFormula("VTOTOB_GROSS"), Some(11))
-    // no stump volumes for saplings
-    d = d
-      .withColumn("VSTPIB_GROSS", when(col("DBH") < 5.0, lit(null)).otherwise(col("VSTPIB_GROSS")))
-      .withColumn("VSTPOB_GROSS", when(col("DBH") < 5.0, lit(null)).otherwise(col("VSTPOB_GROSS")))
-      .withColumn("VSTPBK_GROSS", col("VSTPOB_GROSS") - col("VSTPIB_GROSS"))
-      .withColumn("VTOPIB_GROSS", col("VTOTIB_GROSS") - col("VMERIB_GROSS") - col("VSTPIB_GROSS"))
-      .withColumn("VTOPOB_GROSS", col("VTOTOB_GROSS") - col("VMEROB_GROSS") - col("VSTPOB_GROSS"))
-      .withColumn("VTOPBK_GROSS", col("VTOPOB_GROSS") - col("VTOPIB_GROSS"))
-
-    target("HTSAW", Seq("rcumob", "volob"), findHtFormula(col("saw")), Some(12))
-    d = d.withColumn("HTSAW", pmaxLit(col("HTSAW"), 5))
-    target("VSAWIB_GROSS", Seq("rcumib"), volFormula(lit(1), "HTSAW", "VTOTIB_GROSS"), Some(13))
-    target("VSAWOB_GROSS", Seq("rcumib"), volFormula(lit(1), "HTSAW", "VTOTOB_GROSS"), Some(14))
-    d = d.withColumn("VSAWBK_GROSS", col("VSAWOB_GROSS") - col("VSAWIB_GROSS"))
-
     def htRatFormula(eq: Column, c: String => Column): Column =
       pow(lit(1) - pow(lit(1) - col("ACTUALHT") / col("THT"), c("alpha")), c("beta"))
-    target("HT_RAT_ADJ", Seq("rcumib"), htRatFormula, Some(6.1))
-    d = d.withColumn("HT_RAT_ADJ",
-      ifelseNa(col("ACTUALHT") < col("THT"), col("HT_RAT_ADJ"), lit(1.0)))
 
-    // --- broken-top present volumes (R/predictCRM2.R:244-289).
-    // Arithmetic blocks are batched into dependency "waves" via
-    // withColumns so Catalyst analyzes each wave once instead of once
-    // per column (plan-construction cost, SURVEY §7.4.10).
     def wave(cols: (String, Column)*): Unit = d = d.withColumns(Map(cols: _*))
 
+    // --- volumes (R/predictCRM2.R:40-171), biomass components
+    // (R/predictCRM2.R:358-417) and the height/ratio searches, in
+    // dependency waves. Every expression is the old per-target one with
+    // its interleaved rewrite composed in place (pmax floor, sapling
+    // stump mask, broken-top ratio default) — identical values, and
+    // identical physical plans after projection collapse.
+    // Wave A: reads only base/coefficient columns.
+    wave(
+      "VTOTIB_GROSS" -> targetCol(Seq("volib"), cfClosed),
+      "VTOTBK_GROSS" -> targetCol(Seq("volbk"), cfClosed),
+      "HT4" -> pmaxLit(
+        targetCol(Seq("rcumob", "volob"), findHtFormula(lit(4.0)), Some(7)), 5),
+      "HTSAW" -> pmaxLit(
+        targetCol(Seq("rcumob", "volob"), findHtFormula(col("saw")), Some(12)), 5),
+      "HT_RAT_ADJ" -> ifelseNa(col("ACTUALHT") < col("THT"),
+        targetCol(Seq("rcumib"), htRatFormula, Some(6.1)), lit(1.0)),
+      "Total" -> targetCol(Seq("total_biomass"), cfClosed, jenkinsEq31 = true),
+      "Bark" -> targetCol(Seq("bark_biomass"), cfClosed),
+      "Branch" -> targetCol(Seq("branch_biomass"), cfClosed, jenkinsEq31 = true),
+      "FOLIAGE" -> targetCol(Seq("foliage"), cfClosed))
+    // Wave B: reads wave A (VTOTIB/HT4/HTSAW).
+    wave(
+      "VTOTOB_GROSS" -> (col("VTOTIB_GROSS") + col("VTOTBK_GROSS")),
+      "VMERIB_GROSS" -> targetCol(Seq("rcumib"),
+        volFormula(lit(1), "HT4", "VTOTIB_GROSS"), Some(8)),
+      // no stump volumes for saplings (mask composed over eq 10)
+      "VSTPIB_GROSS" -> when(col("DBH") < 5.0, lit(null)).otherwise(
+        targetCol(Seq("rcumib"), stumpFormula("VTOTIB_GROSS"), Some(10))),
+      "VSAWIB_GROSS" -> targetCol(Seq("rcumib"),
+        volFormula(lit(1), "HTSAW", "VTOTIB_GROSS"), Some(13)))
+    // Wave C: reads VTOTOB_GROSS.
+    wave(
+      "VMEROB_GROSS" -> targetCol(Seq("rcumib"),
+        volFormula(lit(1), "HT4", "VTOTOB_GROSS"), Some(9)),
+      "VSTPOB_GROSS" -> when(col("DBH") < 5.0, lit(null)).otherwise(
+        targetCol(Seq("rcumib"), stumpFormula("VTOTOB_GROSS"), Some(11))),
+      "VSAWOB_GROSS" -> targetCol(Seq("rcumib"),
+        volFormula(lit(1), "HTSAW", "VTOTOB_GROSS"), Some(14)))
+    // Wave D/E: bark and top differences over the masked stumps.
+    wave(
+      "VMERBK_GROSS" -> (col("VMEROB_GROSS") - col("VMERIB_GROSS")),
+      "VSTPBK_GROSS" -> (col("VSTPOB_GROSS") - col("VSTPIB_GROSS")),
+      "VSAWBK_GROSS" -> (col("VSAWOB_GROSS") - col("VSAWIB_GROSS")),
+      "VTOPIB_GROSS" -> (col("VTOTIB_GROSS") - col("VMERIB_GROSS") - col("VSTPIB_GROSS")),
+      "VTOPOB_GROSS" -> (col("VTOTOB_GROSS") - col("VMEROB_GROSS") - col("VSTPOB_GROSS")))
+    wave("VTOPBK_GROSS" -> (col("VTOPOB_GROSS") - col("VTOPIB_GROSS")))
+
+    // --- broken-top present volumes (R/predictCRM2.R:244-289).
     wave(
       "VTOTIB_PRESENT" -> col("VTOTIB_GROSS") * col("HT_RAT_ADJ"),
       "VTOTBK_PRESENT" -> col("VTOTBK_GROSS") * col("HT_RAT_ADJ"),
@@ -353,11 +383,8 @@ object Nsvb {
         (col("SFTWD_HRDWD") === "H" && col("DBH") < 11.0 && col("DBH").isNotNull)
     wave(sawCols.map(c0 => c0 -> when(sawNa, lit(null)).otherwise(col(c0))): _*)
 
-    // --- biomass components (R/predictCRM2.R:358-417)
-    target("Total", Seq("total_biomass"), cfClosed, jenkinsEq31 = true)
-    target("Bark", Seq("bark_biomass"), cfClosed)
-    target("Branch", Seq("branch_biomass"), cfClosed, jenkinsEq31 = true)
-    target("FOLIAGE", Seq("foliage"), cfClosed)
+    // (biomass components Total/Bark/Branch/FOLIAGE ride wave A above —
+    // they read only base/coefficient columns)
 
     // --- weights + reduction factors (R/predictCRM2.R:419-466)
     wave(

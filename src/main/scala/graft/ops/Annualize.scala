@@ -29,6 +29,14 @@ import graft.fia.Interp
   */
 object Annualize {
 
+  // column-dispatch kinds for the kernel's row-assembly loop
+  private final val KindCopy = 0
+  private final val KindYear = 1
+  private final val KindLinear = 2
+  private final val KindStep = 3
+  private final val KindFill = 4
+  private final val KindKey = 5
+
   final case class Config(
       keyCols: Seq[String],
       yearCol: String,
@@ -62,6 +70,23 @@ object Annualize {
     val outSchema = schema.add(cfg.flagCol, BooleanType, nullable = false)
     val range = cfg.range
     val extrapolate = cfg.extrapolate
+
+    // Per-column dispatch table, built ONCE per operator call: the row
+    // assembly loop runs nIn × outputRows times (millions of cells per
+    // task at scale), and the old per-cell Map.contains/apply lookups
+    // plus key-set probes were the loop's hottest instructions — a flat
+    // int switch replaces them (guide §1.2: per-task work, after the
+    // shuffle shape is right).
+    val colKind = new Array[Int](nIn)
+    val colPos = new Array[Int](nIn)
+    // assigned in REVERSE precedence of the old if-chain
+    // (year > linear > step > fill > key > copy), so overlaps resolve
+    // exactly as before
+    keyIdx.foreach(ci => colKind(ci) = KindKey)
+    fillIdx.zipWithIndex.foreach { case (ci, p) => colKind(ci) = KindFill; colPos(ci) = p }
+    stepIdx.zipWithIndex.foreach { case (ci, p) => colKind(ci) = KindStep; colPos(ci) = p }
+    linIdx.zipWithIndex.foreach { case (ci, p) => colKind(ci) = KindLinear; colPos(ci) = p }
+    colKind(yearIdx) = KindYear
 
     // null-safe group key (dplyr group_by treats NA as its own group)
     val keyOf = (r: Row) =>
@@ -115,26 +140,21 @@ object Annualize {
           vs
         }
 
-        val linPos = linIdx.zipWithIndex.toMap
-        val stepPos = stepIdx.zipWithIndex.toMap
-        val fillPos = fillIdx.zipWithIndex.toMap
-        val keySet = keyIdx.toSet
-
         Iterator.tabulate(nYears) { j =>
           val src = obs(j)
           val vals = new Array[Any](nIn + 1)
           var ci = 0
           while (ci < nIn) {
-            vals(ci) =
-              if (ci == yearIdx) years(j)
-              else if (linPos.contains(ci)) {
-                val d = linOut(linPos(ci))(j)
+            vals(ci) = (colKind(ci): @annotation.switch) match {
+              case KindYear => years(j)
+              case KindLinear =>
+                val d = linOut(colPos(ci))(j)
                 if (d.isNaN) null else java.lang.Double.valueOf(d)
-              } else if (stepPos.contains(ci)) stepOut(stepPos(ci))(j)
-              else if (fillPos.contains(ci)) fillOut(fillPos(ci))(j)
-              else if (keySet.contains(ci)) template.get(ci)
-              else if (src != null) src.get(ci)
-              else null
+              case KindStep => stepOut(colPos(ci))(j)
+              case KindFill => fillOut(colPos(ci))(j)
+              case KindKey => template.get(ci)
+              case _ => if (src != null) src.get(ci) else null
+            }
             ci += 1
           }
           vals(nIn) = java.lang.Boolean.valueOf(src == null)

@@ -1316,10 +1316,12 @@ object Upsert {
       val prevAll = spark.read.parquet(bloomIn.toString)
       val perKey = keyCols.flatMap { k =>
         val prevB = prevAll.filter(col("key") === k)
-        if (prevB.limit(1).count() == 0) None
+        // presence probe and params in ONE capped job (was a
+        // limit+count then a separate head per key)
+        val p0 = prevB.select("bits", "hashes").limit(1).collect()
+        if (p0.isEmpty) None
         else {
-          val p = prevB.select("bits", "hashes").head()
-          val (bBits, bHashes) = (p.getInt(0), p.getInt(1))
+          val (bBits, bHashes) = (p0(0).getInt(0), p0(0).getInt(1))
           val carriedB =
             if (touched.isEmpty) prevB
             else prevB.filter(!col("file").isin(touched.toSeq: _*))
@@ -1374,15 +1376,24 @@ object Upsert {
       spark: SparkSession, tablePath: String, outPath: String,
       updates: DataFrame, keyCols: Seq[String],
       allowSchemaEvolution: Boolean = false): (Int, Int, Long) = {
-    val nUp = updates.count()
+    // Cache the delivery (delivery-sized by the verb's contract): its
+    // subtree otherwise re-executes for the count, the touched-file
+    // collect, and the rewrite union — three runs of whatever produced
+    // the batch (guide §1.2). persist + the count below as the
+    // materializing action, NOT an eager localCheckpoint: a separate
+    // materialization job costs more than it saves at small batch
+    // sizes, while a lazy cache rides an action the verb pays anyway.
+    val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUp = up.count()
     val (c, r) = commit(spark, tablePath, outPath,
-      evictKeys = updates.select(keyCols.map(col): _*),
-      append = Some(updates),
+      evictKeys = up.select(keyCols.map(col): _*),
+      append = Some(up),
       keyCols = keyCols, allowSchemaEvolution = allowSchemaEvolution,
       nKeysHint = nUp)
     writeCommitInfo(outPath, "MERGE", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
       "rows_merged" -> nUp))
+    up.unpersist(false)
     (c, r, nUp)
   }
 
@@ -1404,13 +1415,18 @@ object Upsert {
   def deleteByKeys(
       spark: SparkSession, tablePath: String, outPath: String,
       keys: DataFrame, keyCols: Seq[String]): (Int, Int, Long) = {
-    val n = keys.count()
+    // cache the key set — count, touched-file collect and the eviction
+    // anti-join otherwise each re-run its subtree (lazy persist; the
+    // count is the materializing action)
+    val ks = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ks.count()
     val (c, r) = commit(spark, tablePath, outPath,
-      evictKeys = keys.select(keyCols.map(col): _*), append = None,
+      evictKeys = ks.select(keyCols.map(col): _*), append = None,
       keyCols = keyCols, allowSchemaEvolution = false, nKeysHint = n)
     writeCommitInfo(outPath, "DELETE", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
       "keys_requested" -> n))
+    ks.unpersist(false)
     (c, r, n)
   }
 
@@ -1436,16 +1452,25 @@ object Upsert {
       spark: SparkSession, tablePath: String, outPath: String,
       batch: DataFrame, keyCols: Seq[String], opCol: String,
       allowSchemaEvolution: Boolean = false): (Int, Int, Long, Long) = {
-    val upserts = batch.filter(col(opCol) =!= "d").drop(opCol)
-    val nUp = upserts.count()
-    val nDel = batch.filter(col(opCol) === "d").count()
+    // cache the batch (it otherwise re-executes for each count, the
+    // touched-file collect and the rewrite union; the agg below is the
+    // materializing action), and take both op counts from ONE pass.
+    // `op =!= "d"` is 3-valued: a NULL op matches neither count,
+    // exactly like the old filters.
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = b.agg(
+      count(when(col(opCol) =!= "d", 1)),
+      count(when(col(opCol) === "d", 1))).head()
+    val (nUp, nDel) = (cnt.getLong(0), cnt.getLong(1))
+    val upserts = b.filter(col(opCol) =!= "d").drop(opCol)
     val (c, r) = commit(spark, tablePath, outPath,
-      evictKeys = batch.select(keyCols.map(col): _*), append = Some(upserts),
+      evictKeys = b.select(keyCols.map(col): _*), append = Some(upserts),
       keyCols = keyCols, allowSchemaEvolution = allowSchemaEvolution,
       nKeysHint = nUp + nDel)
     writeCommitInfo(outPath, "CDC", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
       "rows_upserted" -> nUp, "rows_deleted" -> nDel))
+    b.unpersist(false)
     (c, r, nUp, nDel)
   }
 

@@ -63,16 +63,19 @@ object Graph {
       val contrib = adj.join(labels, adj("b") === labels("node"))
         .select(adj("a").as("node"), col("lab"),
           (adj("a") === adj("b")).as("self"))
+      // Convergence probe RIDES the round's own materialization as an
+      // observed metric (the localCheckpoint action runs under
+      // withAction, so the metric fires with it) — previously a
+      // separate filter+limit job per round.
+      val obs = new org.apache.spark.sql.Observation()
       val next = contrib
         .groupBy("node")
         .agg(min("lab").as("lab"),
           max(when(col("self"), col("lab"))).as("old"))
+        .observe(obs,
+          count(when(col("lab") =!= col("old"), 1)).as("changed"))
         .localCheckpoint(true)
-      // Convergence probe over the just-materialized in-memory round:
-      // a filter+limit scan of the checkpointed RDD — no join, no
-      // shuffle, no recomputation of lineage.
-      converged =
-        next.filter(col("lab") =!= col("old")).limit(1).count() == 0L
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select("node", "lab")
       i += 1
     }
@@ -137,17 +140,19 @@ object Graph {
         .filter(col("u") =!= col("v"))
       val wDir = Window.partitionBy(col("u"))
       val withMin = large.withColumn("m", min(col("v")).over(wDir))
+      // the round's cardinality rides its own materialization as an
+      // observed metric — previously a separate count job per round
+      val obs = new org.apache.spark.sql.Observation()
       val small = withMin.select(col("v").as("u"), col("m").as("v"))
         .union(withMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
       // Both sides are distinct sets, so equal cardinality plus an
-      // empty one-sided difference proves equality; the count is
-      // near-free on the checkpointed round (and the previous round's
-      // is carried), and the except runs only once the edge set has
-      // stopped shrinking.
-      val smallCount = small.count()
+      // empty one-sided difference proves equality; the except runs
+      // only once the edge set has stopped shrinking.
+      val smallCount = obs.get("n").asInstanceOf[Long]
       converged = smallCount == eCount &&
         small.exceptAll(e).limit(1).count() == 0L
       e = small
@@ -231,11 +236,14 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    // node count rides the node set's own materialization (one job)
+    val obsN = new org.apache.spark.sql.Observation()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .observe(obsN, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val n = nodes.count()
+    val n = obsN.get("n").asInstanceOf[Long]
     require(n > 0, "pageRank needs a non-empty graph")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val base = (PageRankScale * 15L) / (100L * n)

@@ -2403,11 +2403,33 @@ object Upsert {
       }
     val beforeLive = antiDv(align(before0), fromDv)
     val afterLive = antiDv(align(after0), toDv)
-    val deletes = dvImages
-      .map(i => beforeLive.exceptAll(afterLive).unionByName(align(i)))
-      .getOrElse(beforeLive.exceptAll(afterLive))
-    afterLive.exceptAll(beforeLive).withColumn("_change_type", lit("insert"))
-      .unionByName(deletes.withColumn("_change_type", lit("delete")))
+    // ONE signed-count aggregate replaces the exceptAll PAIR. Spark
+    // plans each exceptAll as union(+1 / -1) → count-aggregate →
+    // replicate (RewriteExceptAll), so the old insert and delete legs
+    // each scanned BOTH file-diff sides and paid their own aggregation
+    // exchange: 4 leg scans, 2 Exchanges. Fusing the pair into one
+    // aggregate keyed the same way (every data column) computes
+    // net = count(after) − count(before) per row value: the insert leg
+    // is exactly max(net, 0) copies, the delete leg exactly
+    // max(−net, 0) — the aggregate's null-safe grouping IS exceptAll's
+    // row-equality, so the output multiset is identical (oracle-pinned
+    // by the whole CDC family). 2 scans per leg → 1, 2 Exchanges → 1.
+    val dataCols = allCols.toSeq.map(col)
+    val net = afterLive.withColumn("__sgn", lit(1L))
+      .unionByName(beforeLive.withColumn("__sgn", lit(-1L)))
+      .groupBy(dataCols: _*)
+      .agg(sum(col("__sgn")).as("__net"))
+      .filter(col("__net") =!= 0L)
+    val fileDiff = net
+      .withColumn("_change_type",
+        when(col("__net") > 0L, lit("insert")).otherwise(lit("delete")))
+      .withColumn("__dup", explode(expr("sequence(1L, abs(__net))")))
+      .select(dataCols :+ col("_change_type"): _*)
+    dvImages match {
+      case Some(i) => fileDiff.unionByName(
+        align(i).withColumn("_change_type", lit("delete")))
+      case None => fileDiff
+    }
   }
 
   /** Materialize the change feed of commit `toVersion` as parquet under

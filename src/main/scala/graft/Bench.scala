@@ -224,32 +224,72 @@ object Bench {
     println(s"""{"metric":"plans","plans":$ps,"sf":"$sfDir"}""")
     println(Bench.compactLine(
       ordered.map(_._1).map(n => n -> (if (failed.contains(n)) None else times.get(n))),
-      total, nFail, sfDir, outPath, plansPath))
+      total, nFail, sfDir, outPath, plansPath, cpus.toInt))
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }
 
   /** Build the final stdout line: `{"metric":"total","value":<sec>,"unit":"sec",
-   *  "queries":{<slowest first, ms ints>},"failed":N,"omitted":M,"file":...,"sf":...}`,
-   *  guaranteed <= [[MaxLineChars]] by greedy truncation (slowest queries kept —
-   *  they are the ones worth watching; the full map is in `file`). Failed
-   *  queries are always included (as "error") ahead of timings: a failure
-   *  must never be silently dropped by the length cap. */
-  val MaxLineChars = 1500
+   *  "queries":{<tracked first, then slowest, ms ints>},"failed":N,"omitted":M,
+   *  "file":...,"sf":...}`, guaranteed <= [[MaxLineChars]] by greedy truncation.
+   *  Failed queries are always included (as "error") ahead of timings: a failure
+   *  must never be silently dropped by the length cap.
+   *
+   *  Inclusion order (round-16 reporting fix): the driver diffs THIS line
+   *  round-over-round, and round 15 proved pure slowest-first truncation
+   *  fabricates "dropped_from_bench" entries — five sub-1.1 s queries fell
+   *  off the cap and the driver's tooling counted them as dropped even
+   *  though they were timed (full map in `file`). So every query the driver
+   *  already tracks ([[TrackedQueries]]) is included FIRST (slowest-first
+   *  among them), then the rest slowest-first while the line fits. */
+  val MaxLineChars = 1880 // driver tail capture is 2000 chars; sbt's
+                          // "[success] Total time: ..." epilogue after the
+                          // line measured 72-85 chars + 2 newlines (r15
+                          // artifact), so <=1880 always survives the cut
+  /** The driver's round-over-round comparison set: every query that has
+    * appeared in a driver-captured bench line (union of PERF_r15.json's
+    * per_query keys — rounds 14+15). Reporting PRIORITY only — which
+    * entries survive the length cap — never affects what runs or what a
+    * query computes. New slow queries still enter via slowest-first fill
+    * and become tracked the round after. */
+  val TrackedQueries: Set[String] = Set(
+    "q1_agg", "q_ann_append", "q_ann_delete", "q_ann_filtered",
+    "q_ann_persist", "q_ann_reconcile", "q_ann_stream", "q_ann_update",
+    "q_bigram_xent", "q_bloom_carry", "q_bloom_prune", "q_boilerplate",
+    "q_bpe_corpus", "q_bpe_encode", "q_bpe_merges", "q_bpe_vocab",
+    "q_cdf", "q_compact", "q_contamination", "q_dedup_index", "q_delete",
+    "q_doc_curate", "q_dup_clusters", "q_dup_clusters_star", "q_dv_delete",
+    "q_emb_neardup_banded", "q_fia_incremental", "q_fia_pipeline_oracle",
+    "q_hll_distinct", "q_hll_merge", "q_incr_dedup", "q_ivf_kmeans",
+    "q_ivf_pq", "q_local_supplier", "q_minhash_lsh", "q_ngram_jaccard",
+    "q_optimize", "q_order_priority", "q_pagerank", "q_pop_scale",
+    "q_pq_ann", "q_profile", "q_salted_join", "q_semantic_dedup",
+    "q_shipping_priority", "q_simhash", "q_simhash_pairs", "q_sql_cdf",
+    "q_sql_convert", "q_sql_delete", "q_sql_delete_where", "q_sql_merge",
+    "q_sql_merge_composite", "q_sql_merge_named", "q_sql_optimize",
+    "q_sql_restore", "q_sql_time_travel", "q_sql_update", "q_star_join",
+    "q_stats_moments", "q_substr_dedup", "q_tfidf", "q_upsert",
+    "q_upsert_composite", "q_upsert_partitioned", "q_vacuum_log",
+    "q_winnow_fp")
   def compactLine(results: Seq[(String, Option[Double])], totalSec: Double,
                   nFail: Int, sfDir: String, file: String,
-                  plansFile: String = ""): String = {
+                  plansFile: String = "", cpus: Int = 0): String = {
     val errs = results.collect { case (n, None) => s"\"$n\":\"error\"" }
-    val timed = results.collect { case (n, Some(s)) => (n, math.round(s * 1000)) }
-      .sortBy(-_._2)
+    val timedPairs = results.collect { case (n, Some(s)) => (n, math.round(s * 1000)) }
+    val (tracked, rest) = timedPairs.partition(p => TrackedQueries.contains(p._1))
+    val timed = (tracked.sortBy(-_._2) ++ rest.sortBy(-_._2))
       .map { case (n, ms) => s"\"$n\":$ms" }
     // the plans pointer rides the DRIVER-captured tail so a judge can
     // diff plan fingerprints (dev/plan_diff.py) from driver artifacts
     // alone instead of hand-adjudicating plan-vs-host timing deltas
     val plansField = if (plansFile.isEmpty) "" else s""","plans_file":"$plansFile""""
+    // resolved parallelism rides the line so the driver's scaling probe
+    // can distinguish "env var ignored" from "fixed-cost-bound at this
+    // SF" mechanically (r15's suspect_cpus_ignored false alarm)
+    val cpusField = if (cpus <= 0) "" else s""","cpus":$cpus,"master":"local[$cpus]""""
     def line(entries: Seq[String], omitted: Int): String =
       s"""{"metric":"total","value":${math.round(totalSec * 1000) / 1000.0},"unit":"sec","action":"hash","queries":${
-        entries.mkString("{", ",", "}")},"failed":$nFail,"omitted":$omitted,"file":"$file"$plansField,"sf":"$sfDir"}"""
+        entries.mkString("{", ",", "}")},"failed":$nFail,"omitted":$omitted,"file":"$file"$plansField$cpusField,"sf":"$sfDir"}"""
     var keep = timed.length
     while (keep > 0 && line(errs ++ timed.take(keep), timed.length - keep).length > MaxLineChars)
       keep -= 1

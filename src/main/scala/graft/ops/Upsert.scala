@@ -901,6 +901,14 @@ object Upsert {
     * no job. 64 MiB ≈ 8M long keys. */
   val DvBroadcastMaxBytes: Long = 64L << 20
 
+  /** Per-eval array bound for [[changeDataFeed]]'s row replication:
+    * a row value netting N copies explodes ceil(N/chunk) chunk ids,
+    * then at most `chunk` elements per chunk — never one N-element
+    * array in a single expression eval. 4096 longs = 32 KiB per eval,
+    * and the outer array stays under sequence()'s ~2.1B cap up to
+    * N ≈ 8.8e12 copies. */
+  val ReplicateChunk: Int = 4096
+
   /** Read a snapshot MINUS its deletion vector (merge-on-read): an
     * anti-join against the key column the DV names — broadcast while
     * the sidecar is small ([[DvBroadcastMaxBytes]]), shuffle past it
@@ -2415,15 +2423,41 @@ object Upsert {
     // row-equality, so the output multiset is identical (oracle-pinned
     // by the whole CDC family). 2 scans per leg → 1, 2 Exchanges → 1.
     val dataCols = allCols.toSeq.map(col)
-    val net = afterLive.withColumn("__sgn", lit(1L))
-      .unionByName(beforeLive.withColumn("__sgn", lit(-1L)))
+    // Internal tag columns must not collide with user data: a table
+    // with a column literally named "__sgn" would have its values
+    // overwritten with ±1 AND the sign would join the grouping key, so
+    // nothing cancels. Derive collision-free names from the actual
+    // schema (underscore-prefix until fresh; stays a bare SQL
+    // identifier for the expr() strings below).
+    def freshName(base: String): String = {
+      var n = base
+      while (allCols.contains(n)) n = "_" + n
+      n
+    }
+    val sgnC = freshName("__sgn")
+    val netC = freshName("__net")
+    val chunkC = freshName("__chunk")
+    val net = afterLive.withColumn(sgnC, lit(1L))
+      .unionByName(beforeLive.withColumn(sgnC, lit(-1L)))
       .groupBy(dataCols: _*)
-      .agg(sum(col("__sgn")).as("__net"))
-      .filter(col("__net") =!= 0L)
+      .agg(sum(col(sgnC)).as(netC))
+      .filter(col(netC) =!= 0L)
+    // Replication = |net| copies of each surviving row value. A single
+    // sequence(1, abs(net)) materializes the whole replication array in
+    // ONE expression eval (multi-MB per group when a value nets millions
+    // of copies, hard error past ~2.1B) — a guide-§5 memory hazard the
+    // old exceptAll (streaming ReplicateRows) did not have. Chunked
+    // two-stage explode bounds any one array at ReplicateChunk elements
+    // (outer: ceil(|net|/C) chunk ids, inner: per-chunk count; total
+    // exactly |net|), and the generators stream rows batch-by-batch.
+    val C = ReplicateChunk
     val fileDiff = net
       .withColumn("_change_type",
-        when(col("__net") > 0L, lit("insert")).otherwise(lit("delete")))
-      .withColumn("__dup", explode(expr("sequence(1L, abs(__net))")))
+        when(col(netC) > 0L, lit("insert")).otherwise(lit("delete")))
+      .withColumn(chunkC,
+        explode(expr(s"sequence(0L, (abs($netC) - 1L) div $C)")))
+      .withColumn(freshName("__dup"), explode(expr(
+        s"sequence(1L, least(cast($C as bigint), abs($netC) - $chunkC * $C))")))
       .select(dataCols :+ col("_change_type"): _*)
     dvImages match {
       case Some(i) => fileDiff.unionByName(

@@ -17,9 +17,12 @@ class BenchLineSpec extends AnyFunSuite {
     val results = realNames.map(n => n -> Some(9999.999))
     val line = Bench.compactLine(results, totalSec = 9999999.999, nFail = 0,
       sfDir = "/root/testdata/sf0.1", file = "bench_full.json",
-      plansFile = "bench_full.json.plans")
+      plansFile = "bench_full.json.plans", cpus = 32)
     assert(line.length <= Bench.MaxLineChars,
       s"final bench line ${line.length} chars > ${Bench.MaxLineChars}")
+    // the line + sbt's "[success] Total time ..." epilogue (<=85 chars +
+    // 2 newlines) must survive the driver's 2000-char tail capture
+    assert(line.length + 87 <= 2000)
     assert(!line.contains("\n"))
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     assert((parsed \\ "metric").values == "total")
@@ -30,6 +33,29 @@ class BenchLineSpec extends AnyFunSuite {
     // the plan-fingerprint pointer: driver artifacts must name the
     // plans sidecar so plan-vs-host adjudication works from them alone
     assert((parsed \\ "plans_file").values == "bench_full.json.plans")
+    // resolved parallelism: the scaling probe reads cpus/master from the
+    // line instead of inferring "env var ignored" from flat ratios
+    assert((parsed \\ "cpus").values == 32L)
+    assert((parsed \\ "master").values == "local[32]")
+  }
+
+  test("every driver-tracked query survives truncation, worst case") {
+    // Round 15's PERF fabricated 5 "dropped_from_bench" entries because
+    // slowest-first truncation pushed sub-1.1s TRACKED queries off the
+    // cap. Pin the fix: all TrackedQueries present even at 7-digit ms.
+    val results = realNames.map(n => n -> Some(9999.999))
+    val line = Bench.compactLine(results, totalSec = 9999999.999, nFail = 0,
+      sfDir = "/root/testdata/sf0.1", file = "bench_full.json",
+      plansFile = "bench_full.json.plans", cpus = 32)
+    val missingTracked = Bench.TrackedQueries
+      .filter(realNames.contains(_))
+      .filterNot(n => line.contains("\"" + n + "\":"))
+    assert(missingTracked.isEmpty,
+      s"tracked queries dropped from the line: ${missingTracked.mkString(", ")}")
+    // every tracked name must be a real query (a rename/drop in the
+    // query set would silently strand the priority list)
+    val stale = Bench.TrackedQueries.filterNot(realNames.contains(_))
+    assert(stale.isEmpty, s"TrackedQueries names unknown queries: $stale")
   }
 
   test("failed queries survive truncation; slowest timings kept first") {

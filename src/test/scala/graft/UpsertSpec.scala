@@ -203,6 +203,68 @@ class UpsertSpec extends AnyFunSuite {
     } finally feed.unpersist()
   }
 
+  test("change data feed: duplicate-row multisets replicate exactly (exceptAll multiplicity)") {
+    import spark.implicits._
+    val tbl = s"$base/cdfdup"
+    // v0: key 1 holds THREE byte-identical full rows (1, 7) — the case
+    // where exceptAll semantics bite — plus range filler so pruning has
+    // files to skip
+    spark.range(2, 2000).select($"id".as("k"), ($"id" * 2).as("v"))
+      .unionByName(Seq((1L, 7L), (1L, 7L), (1L, 7L)).toDF("k", "v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    // v1 DEDUPS: the batch carries one (1, 7), eviction drops all three
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v1",
+      Seq((1L, 7L)).toDF("k", "v"), "k")
+    val f01 = Upsert.changeDataFeed(spark, tbl, 0L, 1L).cache()
+    try {
+      // net -2 copies of (1,7): exactly two delete images, zero inserts
+      assert(f01.filter($"_change_type" === "delete" && $"k" === 1L &&
+        $"v" === 7L).count() == 2)
+      assert(f01.filter($"_change_type" === "insert").count() == 0)
+      assert(f01.count() == 2, s"riders must cancel: ${f01.collect().toSeq}")
+    } finally f01.unpersist()
+    // v2 RE-DUPLICATES past the replication chunk: the batch carries
+    // ReplicateChunk + 7 identical copies of (1, 7) — the chunked
+    // two-stage explode must produce EXACTLY net-many insert images
+    val nDup = graft.ops.Upsert.ReplicateChunk + 7
+    Upsert.upsertByKey(spark, s"$tbl/v1", s"$tbl/v2",
+      spark.range(nDup).select(lit(1L).as("k"), lit(7L).as("v")), "k")
+    val f12 = Upsert.changeDataFeed(spark, tbl, 1L, 2L)
+    assert(f12.filter($"_change_type" === "insert" && $"k" === 1L &&
+      $"v" === 7L).count() == nDup - 1)
+    assert(f12.filter($"_change_type" === "delete").count() == 0)
+  }
+
+  test("change data feed survives user columns named like its internal tags") {
+    import spark.implicits._
+    val tbl = s"$base/cdfclash"
+    // user data columns literally named __sgn/__net/__chunk/__dup: the
+    // feed's internal tag names must not capture or overwrite them
+    spark.range(1000).select($"id".as("k"), ($"id" % 5).as("__sgn"),
+        ($"id" % 3).as("__net"), lit(2L).as("__chunk"), lit(9L).as("__dup"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(s"$tbl/v0")
+    val up = Seq((500L, 99L, 99L, 99L, 99L))
+      .toDF("k", "__sgn", "__net", "__chunk", "__dup")
+    Upsert.upsertByKey(spark, s"$tbl/v0", s"$tbl/v1", up, "k")
+    val feed = Upsert.changeDataFeed(spark, tbl, 0L, 1L).cache()
+    try {
+      assert(feed.columns.toSet ==
+        Set("k", "__sgn", "__net", "__chunk", "__dup", "_change_type"))
+      val ins = feed.filter($"_change_type" === "insert").collect()
+      val del = feed.filter($"_change_type" === "delete").collect()
+      assert(ins.length == 1 && del.length == 1)
+      // after image carries the batch's values, before image the old ones
+      assert(ins(0).getAs[Long]("__sgn") == 99L &&
+        ins(0).getAs[Long]("__dup") == 99L)
+      assert(del(0).getAs[Long]("__sgn") == 500L % 5 &&
+        del(0).getAs[Long]("__net") == 500L % 3 &&
+        del(0).getAs[Long]("__chunk") == 2L &&
+        del(0).getAs[Long]("__dup") == 9L)
+    } finally feed.unpersist()
+  }
+
   test("empty update batch commits a pure-link no-op snapshot") {
     import spark.implicits._
     val tbl = s"$base/e1"; val out = s"$base/e1out"

@@ -25,7 +25,13 @@ object DevOptVerb {
         val graft = st.map(_.details).getOrElse("").linesIterator
           .find(l => l.contains("graft.") && !l.contains("DevOptVerb"))
           .getOrElse("").trim
-        log.add(s"${js.stageInfos.size}st $name | $graft")
+        // which SQL execution this job serves: AQE stage sub-jobs carry
+        // the ROOT execution id, so jobs group by ACTION — the unit the
+        // optimization cuts operate on
+        val exec = Option(js.properties)
+          .map(p => Option(p.getProperty("spark.sql.execution.id"))
+            .getOrElse("-")).getOrElse("-")
+        log.add(s"exec=$exec ${js.stageInfos.size}st $name | $graft")
       }
     })
     def leg[T](label: String)(f: => T): T = {
@@ -35,6 +41,14 @@ object DevOptVerb {
       Thread.sleep(200)
       println(f"\n=== $label: ${(System.nanoTime() - t0) / 1e9}%.3f s, ${log.size} jobs ===")
       log.forEach(s => println(s"  job: $s"))
+      // per-execution tally: N executions (driver round-trip actions) and
+      // the AQE stage sub-jobs each one spawned
+      val byExec = new java.util.TreeMap[String, Integer]()
+      log.forEach { s =>
+        val e = s.split(" ")(0)
+        byExec.merge(e, 1, (a, b) => a + b)
+      }
+      println(s"  executions: ${byExec.size}; jobs per exec: $byExec")
       r
     }
 

@@ -977,8 +977,14 @@ object AnnIndex {
   private def applyCdfLocked(spark: SparkSession, path: String,
       embCol: String, numRangePartitions: Int): (Long, Long) = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val idx = read(spark, path)
-    val (tbl, stamped, idCol) = idx.stamp.getOrElse(
+    // adjudicate staleness from the MARKER alone (driver fs reads)
+    // before loading any index artifact: a maintainer polls this verb
+    // once per micro-batch and most polls are no-ops — the up-to-date
+    // exit must cost zero Spark jobs, not a codebook collect plus two
+    // parquet reads
+    require(Fs.of(path).exists(new HPath(s"$path/INDEX_OK")),
+      s"AnnIndex: $path has no INDEX_OK marker — missing or incomplete index")
+    val (tbl, stamped, idCol) = readStamp(path).getOrElse(
       throw new IllegalStateException(
         s"AnnIndex.applyCdf: index at $path carries no source stamp — " +
           "nothing to diff against; rebuild with write(source = ...)"))
@@ -998,6 +1004,7 @@ object AnnIndex {
           "was RECLAIMED (vacuumed) — the divergence since the stamp " +
           "has no diff base and is unprovable. Remedy: rebuild with " +
           "AnnIndex.write")
+    val idx = read(spark, path)
     // delivery-sized; localCheckpoint so the file-diff excepts run
     // once, not once per downstream use
     val feed = Upsert.changeDataFeed(spark, tbl, stamped, cur)

@@ -107,7 +107,16 @@ object Dedup {
   private def nearDupDegree(
       df: DataFrame, idCol: String, t0: DataFrame, threshold: Double,
       maxDocFreq: Option[Int]): DataFrame = {
-    val t = maxDocFreq.fold(t0)(dfCutTokens(t0, _))
+    // Materialize the posting list ONCE. Every downstream leg (sizes,
+    // both self-join sides) re-plans the whole tokenize subtree — and
+    // because `pairs` used to feed the degree union TWICE, the plan
+    // replicated the corpus scan 34 times (60 Exchanges, measured at
+    // r16: plans/r16/q_ngram_jaccard_before.txt). The checkpoint pays
+    // one corpus-token-sized materialization; every consumer then reads
+    // blocks instead of re-running split+explode+distinct per mention
+    // (guide §2.4 "remove shuffles outright" / §3 "materialising an
+    // intermediate truncates the plan").
+    val t = maxDocFreq.fold(t0)(dfCutTokens(t0, _)).localCheckpoint()
     val sizes = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = t.as("a"); val b = t.as("b")
     val inter = a.join(b, col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
@@ -119,8 +128,12 @@ object Dedup {
       .withColumn("jac",
         col("inter").cast(DoubleType) / (col("sz_i") + col("sz_j") - col("inter")).cast(DoubleType))
       .filter(col("jac") > threshold)
-    // symmetric degree per doc; docs with no partner get 0
-    val deg = pairs.select(col("i").as("id")).unionByName(pairs.select(col("j").as("id")))
+    // symmetric degree per doc (docs with no partner get 0): explode
+    // [i, j] per pair — the SAME row multiset the old union of two
+    // `pairs` projections produced, without planning `pairs` (and its
+    // whole upstream) twice
+    val deg = pairs
+      .select(explode(array(col("i"), col("j"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("near_dups"))
     df.select(col(idCol).as("id")).distinct()
       .join(deg, Seq("id"), "left")
@@ -540,23 +553,32 @@ object Dedup {
           .stripMargin)).as("occ"))
       .select(col(idCol), col("occ.pos").as("pos"), hash60(col("occ.g")).as("h"))
     val dupH = grams.groupBy("h").count().filter(col("count") > 1).select("h")
-    val covered = grams.join(dupH, Seq("h"))
+    // Covered indexes aggregate into ONE per-doc set (collect_set
+    // dedups like the old `.distinct()`), and the rebuild is a pure
+    // array computation over the doc's own token array: kept indexes =
+    // array_except(all indexes, covered) — hash-set based, ascending
+    // order preserved (exactly the old array_sort(collect_list) order,
+    // idx is unique per doc) — each mapped back to its token. This
+    // removes the old corpus-TOKEN-scale path entirely: the posexplode
+    // of every token, the (id, idx)-keyed distinct + anti-join
+    // exchanges, the collect_list(struct) re-assembly shuffle, and the
+    // extra full docs scan for n_toks (guide §2.3/§2.4: 18 Exchanges /
+    // 8 corpus scans → 7 / 3, plans/r16/q_substr_dedup_before|after).
+    val covSets = grams.join(dupH, Seq("h"))
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("idx"))
-      .distinct()
-    val tokens = toks.select(col(idCol),
-      posexplode(col("__toks")).as(Seq("idx", "tok")))
-    val rebuilt = tokens.join(covered, Seq(idCol, "idx"), "left_anti")
       .groupBy(col(idCol))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("idx"), col("tok")))),
-          s => s.getField("tok")), " ").as("dedup_text"),
-        count(lit(1)).as("n_kept"))
-    docs.select(col(idCol), size(split(col(textCol), " ")).as("n_toks"))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(collect_set(col("idx")).as("__cov"))
+    val keptIdx = array_except(
+      sequence(lit(0), size(col("__toks")) - 1),
+      coalesce(col("__cov"), array().cast("array<int>")))
+    toks.join(covSets, Seq(idCol), "left")
+      .select(col(idCol), keptIdx.as("__kept"), col("__toks"))
       .select(col(idCol),
-        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        col("n_toks"))
+        coalesce(
+          array_join(transform(col("__kept"),
+            i => element_at(col("__toks"), i + 1)), " "),
+          lit("")).as("dedup_text"),
+        coalesce(size(col("__kept")).cast("long"), lit(0L)).as("n_kept"),
+        size(col("__toks")).as("n_toks"))
   }
 }

@@ -130,6 +130,89 @@ object Upsert {
       keyType: DataType, root: String): DataFrame =
     footerBoundsMulti(spark, files, Seq(keyCol -> keyType), root)
 
+  /** Past this many fresh files a commit's footer-bounds pass runs
+    * distributed ([[footerBoundsMulti]]); at or below it the driver
+    * reads the footers in-process ([[footerBoundsLocal]]) — metadata
+    * calls, no Spark job. A typical commit rewrites a handful of
+    * files (cost ∝ touched files is the engine's contract), so the
+    * common case pays zero jobs; a backfill that rewrites hundreds
+    * still fans out. */
+  private[graft] val DriverFooterMaxFiles = 32
+
+  /** Driver-side [[footerBoundsMulti]] for small fresh-file sets: the
+    * SAME footer statistics (same ParquetFileReader calls as
+    * [[Layout.parquetFileStatsFor]]), read in-process. Aggregation
+    * semantics mirror the distributed expressions exactly: per file,
+    * min/max over row-group stats cast through the key's native type
+    * (integral text parses width-independently; strings compare in
+    * UTF8String binary order — the order Spark's min/max uses), and a
+    * file with no non-null stats for a key gets NO row.
+    * FooterBoundsParitySpec pins local == distributed on a mixed
+    * fixture. */
+  private[graft] def footerBoundsLocal(
+      spark: SparkSession, files: Seq[String],
+      keys: Seq[(String, DataType)], root: String)
+      : Seq[(String, String, String, String)] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import scala.jdk.CollectionConverters._
+    val rels = files.map(f => (f, relPath(root, f)))
+    val (pKeys, dKeys) = keys.partition { case (k, _) =>
+      rels.nonEmpty &&
+        rels.forall { case (_, rel) => partitionValueOf(rel, k).isDefined }
+    }
+    val pRows = for ((k, _) <- pKeys; (_, rel) <- rels) yield {
+      val v = partitionValueOf(rel, k).get
+      (rel, k, v, v)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val typeOf = dKeys.toMap
+    // (rel, key) -> (mn, mx) over row groups, nulls skipped like min()/max()
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (Any, Any)]
+    def less(t: DataType, a: Any, b: Any): Boolean = t match {
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String])) < 0
+      case _ => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    }
+    def cast(t: DataType, s: String): Any =
+      if (s == null) null
+      else t match {
+        case StringType => s
+        case _ => java.lang.Long.parseLong(s.trim) // integral widths share text
+      }
+    for ((f, rel) <- rels if dKeys.nonEmpty) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(f), conf))
+      try {
+        for (bg <- reader.getFooter.getBlocks.asScala;
+             cc <- bg.getColumns.asScala) {
+          val name = cc.getPath.toDotString
+          typeOf.get(name).foreach { t =>
+            val st = Option(cc.getStatistics)
+            val mnV = cast(t, st.map(_.minAsString).orNull)
+            val mxV = cast(t, st.map(_.maxAsString).orNull)
+            val (mn0, mx0) = acc.getOrElse((rel, name), (null, null))
+            val mn1 =
+              if (mnV == null) mn0
+              else if (mn0 == null || less(t, mnV, mn0)) mnV else mn0
+            val mx1 =
+              if (mxV == null) mx0
+              else if (mx0 == null || less(t, mx0, mxV)) mxV else mx0
+            acc((rel, name)) = (mn1, mx1)
+          }
+        }
+      } finally reader.close()
+    }
+    val dRows = acc.toSeq.collect {
+      case ((rel, k), (mn, mx)) if mn != null || mx != null =>
+        (rel, k,
+          Option(mn).map(_.toString).orNull,
+          Option(mx).map(_.toString).orNull)
+    }
+    pRows ++ dRows
+  }
+
   /** [[footerBounds]] for SEVERAL key columns sharing ONE footer-stats
     * pass — a composite-key commit must not re-read the identical
     * fresh-file footers once per key. Partition-column keys resolve
@@ -137,7 +220,7 @@ object Upsert {
     * aggregate out of a single [[Layout.parquetFileStatsFor]] frame via
     * conditional min/max per key, then unpivot back to the manifest's
     * (file, key, mn, mx) row shape. */
-  private def footerBoundsMulti(
+  private[graft] def footerBoundsMulti(
       spark: SparkSession, files: Seq[String],
       keys: Seq[(String, DataType)], root: String): DataFrame = {
     import spark.implicits._
@@ -1008,11 +1091,26 @@ object Upsert {
     *                  upper bound is fine) — drives the broadcast /
     *                  shuffle anti-join decision without an extra job
     * @return (filesCopied, filesRewritten) */
+  /** @param evictDistinct caller guarantees `evictKeys` already holds
+    *   DISTINCT key tuples (the predicate verbs derive it via
+    *   `.distinct()`), so the engine can skip its own distinct pass —
+    *   one aggregation exchange per verb — whenever no DV fold widens
+    *   the set and the key types need no cast.
+    * @param evictRangeHint the evict set's leading-key (min, max)
+    *   already rendered via `cast(string)` of the native type — the
+    *   verbs compute it inside an aggregation they pay anyway
+    *   (matchedStats / the batch count), sparing the engine its own
+    *   range job. Outer None = not provided (compute here); Some(None)
+    *   = provided and known empty (all-NULL keys). Ignored when a DV
+    *   fold widens the evict set — the TxnInfo range must cover the DV
+    *   keys too (the OCC conflict contract). */
   private def commit(
       spark: SparkSession, tablePath: String, outPath: String,
       evictKeys: DataFrame, append: Option[DataFrame], keyCols: Seq[String],
       allowSchemaEvolution: Boolean, nKeysHint: Long,
-      knownLogical: Option[org.apache.spark.sql.types.StructType] = None)
+      knownLogical: Option[org.apache.spark.sql.types.StructType] = None,
+      evictDistinct: Boolean = false,
+      evictRangeHint: Option[Option[(String, String)]] = None)
       : (Int, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
 
@@ -1091,21 +1189,41 @@ object Upsert {
 
     // distinct key TUPLES, cast to native types, positionally renamed
     // __k0..__kN — pruning consults the leading component, eviction the
-    // full tuple
-    val upKeys = evictAll.select(
+    // full tuple. When the caller guarantees distinctness, no DV fold
+    // widened the set, and the casts are identity, the engine's own
+    // distinct pass (one aggregation exchange per verb) is redundant.
+    val castIdentity = keyCols.zip(keyTypes).forall { case (k, t) =>
+      evictAll.schema(k).dataType == t
+    }
+    val upKeys0 = evictAll.select(
       keyCols.zip(keyTypes).zipWithIndex.map { case ((k, t), i) =>
         col(k).cast(t).as(s"__k$i")
-      }: _*).distinct()
+      }: _*)
+    val upKeys =
+      if (evictDistinct && dvKeys.isEmpty && castIdentity) upKeys0
+      else upKeys0.distinct()
 
     // a file is TOUCHED iff some evict tuple's LEADING component falls
     // inside its bounds — manifest is small (one row per file), so it
     // broadcasts against the distinct keys; bounds compare in the key's
-    // NATIVE type
-    val touched = broadcast(manifest)
-      .join(upKeys.select(col("__k0")).distinct(),
-        col("__k0").between(col("mn").cast(leadType), col("mx").cast(leadType)),
-        "left_semi")
-      .select(col("file")).collect().map(_.getString(0)).toSet
+    // NATIVE type. A single-component key is already lead-distinct
+    // (upKeys is tuple-distinct), so the extra distinct pass is
+    // composite-key-only. An EMPTY evict set with no DV fold touches
+    // nothing — the verbs' no-match commits skip the probe job outright
+    // (nKeysHint == 0 asserts an empty evict set; every caller passes
+    // the set's own count).
+    val touched =
+      if (nKeysHint == 0L && dvKeys.isEmpty) Set.empty[String]
+      else {
+        val leadKeys =
+          if (keyCols.size == 1) upKeys.select(col("__k0"))
+          else upKeys.select(col("__k0")).distinct()
+        broadcast(manifest)
+          .join(leadKeys,
+            col("__k0").between(col("mn").cast(leadType), col("mx").cast(leadType)),
+            "left_semi")
+          .select(col("file")).collect().map(_.getString(0)).toSet
+      }
     // classification is by snapshot-RELATIVE path (what the manifest
     // stores): unique by construction on any layout, including Hive
     // partition dirs whose part-NNNNN basenames repeat across
@@ -1272,10 +1390,24 @@ object Upsert {
       else carriedAll.filter(!col("file").isin(touched.toSeq: _*))
     val freshFiles = Layout.listDataFiles(spark, outPath)
       .filterNot(f => untouchedRels.contains(relPath(outPath, f)))
-    val fresh =
-      (if (freshFiles.isEmpty) carried.limit(0)
-       else footerBoundsMulti(spark, freshFiles,
-         keyCols.zip(keyTypes) ++ extraKeys, outPath)).cache()
+    // fresh-file bounds land on the DRIVER: in-process footer reads for
+    // the common few-files commit (no job), a distributed pass collected
+    // down for backfill-sized rewrites. Either way the rows feed the
+    // manifest write as a local relation AND the TxnInfo lead bounds
+    // without the old cache + second collect execution.
+    val freshKeySpec = keyCols.zip(keyTypes) ++ extraKeys
+    val freshRows: Seq[(String, String, String, String)] =
+      if (freshFiles.isEmpty) Nil
+      else if (freshFiles.size <= DriverFooterMaxFiles)
+        footerBoundsLocal(spark, freshFiles, freshKeySpec, outPath)
+      else footerBoundsMulti(spark, freshFiles, freshKeySpec, outPath)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSeq
+    val fresh = {
+      import spark.implicits._
+      freshRows.toDF("file", "key", "mn", "mx")
+    }
     carried.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(outPath))
     writeManifestKeys(spark, outPath, keyCols ++ extraKeys.map(_._1),
@@ -1283,21 +1415,26 @@ object Upsert {
 
     // Transaction sidecar for conflict-aware OCC (see [[TxnInfo]]):
     // the touched/fresh file sets fall out of the classification
-    // above; the fresh files' lead bounds ride the cached `fresh`
-    // frame (no extra footer pass), and the evict-key range is one
-    // agg over the distinct key tuples (evict-batch-scale).
-    val freshLead = fresh.filter(col("key") === leadCol)
-      .select("file", "mn", "mx").collect()
-      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
-    fresh.unpersist()
+    // above; the fresh files' lead bounds ride the driver-held rows
+    // (no extra footer pass, no extra job), and the evict-key range
+    // rides the verbs' own aggregations (hint) or one agg here.
+    val freshLead = freshRows.collect {
+      case (f, k, mn, mx) if k == leadCol && mn != null && mx != null =>
+        (f, mn, mx)
+    }
+    // the verbs pre-compute the range inside an aggregation they run
+    // anyway; the engine's own job remains only for DV-widened sets
+    // (the TxnInfo range must cover the folded DV keys) and legacy
+    // callers that pass no hint
     val evictRange =
       if (nKeysHint == 0L) None
-      else {
-        val r = upKeys.agg(
-          min(col("__k0")).cast("string"), max(col("__k0")).cast("string"))
-          .head()
-        if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+      else evictRangeHint match {
+        case Some(hinted) if dvKeys.isEmpty => hinted
+        case _ =>
+          val r = upKeys.agg(
+            min(col("__k0")).cast("string"), max(col("__k0")).cast("string"))
+            .head()
+          if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
       }
     writeTxnInfo(outPath, TxnInfo(
       keys = keyCols,
@@ -1392,12 +1529,22 @@ object Upsert {
     // materialization job costs more than it saves at small batch
     // sizes, while a lazy cache rides an action the verb pays anyway.
     val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nUp = up.count()
+    // the count is the materializing action; the evict range rides it
+    // (min/max of the leading key, string-rendered — the commit engine's
+    // own range job becomes redundant; supported key types are integral
+    // or string, whose text rendering is width-independent, so the
+    // batch-typed min/max equals the engine's table-typed one)
+    val cnt = up.agg(count(lit(1)),
+      min(col(keyCols.head)).cast("string"),
+      max(col(keyCols.head)).cast("string")).head()
+    val nUp = cnt.getLong(0)
+    val range = if (cnt.isNullAt(1)) None
+                else Some((cnt.getString(1), cnt.getString(2)))
     val (c, r) = commit(spark, tablePath, outPath,
       evictKeys = up.select(keyCols.map(col): _*),
       append = Some(up),
       keyCols = keyCols, allowSchemaEvolution = allowSchemaEvolution,
-      nKeysHint = nUp)
+      nKeysHint = nUp, evictRangeHint = Some(range))
     writeCommitInfo(outPath, "MERGE", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
       "rows_merged" -> nUp))
@@ -1427,10 +1574,17 @@ object Upsert {
     // anti-join otherwise each re-run its subtree (lazy persist; the
     // count is the materializing action)
     val ks = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = ks.count()
+    // count = materializing action, evict range riding it (see upsertByKeys)
+    val cnt = ks.agg(count(lit(1)),
+      min(col(keyCols.head)).cast("string"),
+      max(col(keyCols.head)).cast("string")).head()
+    val n = cnt.getLong(0)
+    val range = if (cnt.isNullAt(1)) None
+                else Some((cnt.getString(1), cnt.getString(2)))
     val (c, r) = commit(spark, tablePath, outPath,
       evictKeys = ks.select(keyCols.map(col): _*), append = None,
-      keyCols = keyCols, allowSchemaEvolution = false, nKeysHint = n)
+      keyCols = keyCols, allowSchemaEvolution = false, nKeysHint = n,
+      evictRangeHint = Some(range))
     writeCommitInfo(outPath, "DELETE", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
       "keys_requested" -> n))
@@ -1468,13 +1622,19 @@ object Upsert {
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = b.agg(
       count(when(col(opCol) =!= "d", 1)),
-      count(when(col(opCol) === "d", 1))).head()
+      count(when(col(opCol) === "d", 1)),
+      // evict range over the WHOLE batch (deletes evict too), riding
+      // the same materializing agg — see upsertByKeys
+      min(col(keyCols.head)).cast("string"),
+      max(col(keyCols.head)).cast("string")).head()
     val (nUp, nDel) = (cnt.getLong(0), cnt.getLong(1))
+    val range = if (cnt.isNullAt(2)) None
+                else Some((cnt.getString(2), cnt.getString(3)))
     val upserts = b.filter(col(opCol) =!= "d").drop(opCol)
     val (c, r) = commit(spark, tablePath, outPath,
       evictKeys = b.select(keyCols.map(col): _*), append = Some(upserts),
       keyCols = keyCols, allowSchemaEvolution = allowSchemaEvolution,
-      nKeysHint = nUp + nDel)
+      nKeysHint = nUp + nDel, evictRangeHint = Some(range))
     writeCommitInfo(outPath, "CDC", Seq(
       "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
       "rows_upserted" -> nUp, "rows_deleted" -> nDel))
@@ -1545,7 +1705,7 @@ object Upsert {
         s"updateWhere: SET names '$c' but the table's columns are " +
           schema.fieldNames.mkString(", "))
     }
-    val (nMatched, nNullKey, mnK, mxK, mkeys) =
+    val (nMatched, nNullKey, mnK, mxK, rangeStr, mkeys) =
       matchedStats(live, keyCols, predicate)
     try {
       requireNoNullKeyMatches("updateWhere", keyCols, nNullKey)
@@ -1559,7 +1719,7 @@ object Upsert {
           "rows_updated" -> 0L))
         return (c0, r0, 0L)
       }
-      val keys = mkeys.distinct() // cache-fed: no second predicate scan
+      val keys = localizedKeys(spark, mkeys, nMatched)
       // fresh scan for the payload side (joining `live` with a frame
       // derived from itself trips Spark's ambiguous-self-join lineage),
       // pre-filtered to the matched LEADING keys' RANGE: every evicted
@@ -1569,7 +1729,13 @@ object Upsert {
       val sets = assignments.toMap
       val payloadSrc = readWithDeletes(spark, tablePath)
         .filter(col(keyCols.head).between(lit(mnK), lit(mxK)))
-      val payload = payloadSrc.join(keys, keyCols, "left_semi").select(
+      // broadcast the matched keys while provably small — the same
+      // bound the commit engine applies to its eviction anti-join, so
+      // BOTH joins hash the one broadcast key set instead of the semi
+      // join shuffling the range-pruned payload scan
+      val keysJ =
+        if (nMatched <= CommitBroadcastMaxKeys) broadcast(keys) else keys
+      val payload = payloadSrc.join(keysJ, keyCols, "left_semi").select(
         schema.fields.map { f =>
           sets.get(f.name) match {
             case Some(e) =>
@@ -1580,7 +1746,8 @@ object Upsert {
       val (c, r) = commit(spark, tablePath, outPath,
         evictKeys = keys, append = Some(payload), keyCols = keyCols,
         allowSchemaEvolution = false, nKeysHint = nMatched,
-        knownLogical = Some(schema))
+        knownLogical = Some(schema),
+        evictDistinct = true, evictRangeHint = Some(rangeStr))
       writeCommitInfo(outPath, "UPDATE", Seq(
         "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
         "rows_updated" -> nMatched))
@@ -1610,7 +1777,7 @@ object Upsert {
     * and before the optimizer folds the current-time literals in. */
   private def matchedStats(
       live: DataFrame, keyCols: Seq[String], predicate: Column)
-      : (Long, Long, Any, Any, DataFrame) = {
+      : (Long, Long, Any, Any, Option[(String, String)], DataFrame) = {
     import org.apache.spark.sql.catalyst.expressions.{
       CurrentDate, CurrentTimestampLike, LocalTimestamp}
     val filtered = live.filter(predicate)
@@ -1637,10 +1804,42 @@ object Upsert {
     // pre-filters on); a NULL in ANY component disqualifies the row
     val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
     val lead = col(keyCols.head)
+    // the string-rendered range rides the same job: it is EXACTLY the
+    // TxnInfo evict range the commit engine used to re-aggregate (the
+    // live view's key type IS the table's logical type, and the SQL
+    // cast-to-string here matches the engine's rendering bit for bit)
     val r = mkeys.agg(
-      count(lit(1)), count(when(anyNull, 1)), min(lead), max(lead)).head()
-    (r.getLong(0), r.getLong(1), r.get(2), r.get(3), mkeys)
+      count(lit(1)), count(when(anyNull, 1)), min(lead), max(lead),
+      min(lead).cast("string"), max(lead).cast("string")).head()
+    val rangeStr =
+      if (r.isNullAt(4)) None else Some((r.getString(4), r.getString(5)))
+    (r.getLong(0), r.getLong(1), r.get(2), r.get(3), rangeStr, mkeys)
   }
+
+  /** Lift a small matched-key set into a DISTINCT driver-local
+    * relation. The predicate verbs consume the matched keys in THREE
+    * separate executions (the touched-file probe, the rewrite's
+    * semi+anti joins, and DELETE's survivor count), and each execution
+    * re-runs the distinct aggregation — cache-fed but still an
+    * exchange plus AQE stage sub-jobs per execution — then collects it
+    * to the driver anyway to build its broadcast relation. Collecting
+    * ONCE (a cache-fed scan, no exchange), deduplicating on the driver
+    * (key types are integral or string only — structural equality IS
+    * SQL DISTINCT for them), and substituting a LocalRelation makes
+    * every downstream broadcast build driver-local (no job at all) at
+    * identical driver memory exposure: the bound is
+    * [[CommitBroadcastMaxKeys]], the same one the broadcasts already
+    * enforce. Past the bound the distributed distinct passes through
+    * untouched (shuffle joins). */
+  private def localizedKeys(
+      spark: SparkSession, mkeys: DataFrame, nUpper: Long): DataFrame =
+    if (nUpper > CommitBroadcastMaxKeys) mkeys.distinct()
+    else {
+      val rows = mkeys.collect().map(_.toSeq).distinct
+        .map(org.apache.spark.sql.Row.fromSeq)
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), mkeys.schema)
+    }
 
   private def requireNoNullKeyMatches(
       verb: String, keyCols: Seq[String], nNullKey: Long): Unit =
@@ -1676,7 +1875,7 @@ object Upsert {
       spark: SparkSession, tablePath: String, outPath: String,
       keyCols: Seq[String], predicate: Column): (Int, Int, Long) = {
     val live = readWithDeletes(spark, tablePath)
-    val (nMatched, nNullKey, mnK, mxK, mkeys) =
+    val (nMatched, nNullKey, mnK, mxK, rangeStr, mkeys) =
       matchedStats(live, keyCols, predicate)
     try {
       requireNoNullKeyMatches("deleteWhere", keyCols, nNullKey)
@@ -1690,18 +1889,22 @@ object Upsert {
           "rows_deleted" -> 0L))
         return (c0, r0, 0L)
       }
-      val keys = mkeys.distinct() // cache-fed: no second predicate scan
+      val keys = localizedKeys(spark, mkeys, nMatched)
       // fresh scan pre-filtered to the matched key range; see updateWhere
+      // (incl. the broadcast bound on the semi join's key side)
       val payloadSrc = readWithDeletes(spark, tablePath)
         .filter(col(keyCols.head).between(lit(mnK), lit(mxK)))
-      val survivors = payloadSrc.join(keys, keyCols, "left_semi")
+      val keysJ =
+        if (nMatched <= CommitBroadcastMaxKeys) broadcast(keys) else keys
+      val survivors = payloadSrc.join(keysJ, keyCols, "left_semi")
         .filter(!coalesce(predicate, lit(false)))
       val nSurv = survivors.count()
       val (c, r) = commit(spark, tablePath, outPath,
         evictKeys = keys,
         append = if (nSurv == 0) None else Some(survivors),
         keyCols = keyCols, allowSchemaEvolution = false, nKeysHint = nMatched,
-        knownLogical = Some(live.schema))
+        knownLogical = Some(live.schema),
+        evictDistinct = true, evictRangeHint = Some(rangeStr))
       writeCommitInfo(outPath, "DELETE", Seq(
         "files_copied" -> c.toLong, "files_rewritten" -> r.toLong,
         "rows_deleted" -> nMatched, "rows_reinserted" -> nSurv))

@@ -68,6 +68,14 @@ object DevOptVerb {
         "transform(embedding, x -> -x) WHERE id >= 40 AND id % 5 = 2").collect())
     leg("SQL DELETE")(
       spark.sql(s"DELETE FROM '$tbl' ON id WHERE id >= 40 AND id % 5 = 4").collect())
+    // the batch verb (MERGE → upsertByKeys): the key set rides the
+    // persisted batch, distinct+broadcast localized inside commit
+    e.select(($"vec_id" + 100000).as("id"), $"embedding")
+      .limit(500).createOrReplaceTempView("devopt_merge_batch")
+    leg("SQL MERGE")(
+      spark.sql(s"MERGE INTO '$tbl' USING (SELECT * FROM devopt_merge_batch) " +
+        "ON id WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect())
     spark.stop()
   }
 }

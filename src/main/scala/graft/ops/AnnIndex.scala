@@ -798,17 +798,52 @@ object AnnIndex {
         bounds0 match {
           case None => Seq.empty
           case Some((tmin, tmax)) =>
-            val bounds = Layout.parquetFileStatsFor(spark, files)
-              .filter(col("column") === "id")
-              .groupBy(col("file"))
-              .agg(min(col("min_value").cast("long")).as("mn"),
-                max(col("max_value").cast("long")).as("mx"))
-              .collect()
-            val statted = bounds.map(_.getString(0)).toSet
+            // (file, id-min, id-max) per candidate file: driver-side
+            // footer reads for the common few-files wave (zero jobs —
+            // the same split Upsert's commit engine applies via
+            // DriverFooterMaxFiles), the distributed stats pass past it
+            val bounds: Seq[(String, Option[Long], Option[Long])] =
+              if (files.size <= Upsert.DriverFooterMaxFiles) {
+                import scala.jdk.CollectionConverters._
+                val conf = spark.sparkContext.hadoopConfiguration
+                files.map { f =>
+                  val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+                    org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                      new HPath(f), conf))
+                  try {
+                    var mn: Option[Long] = None; var mx: Option[Long] = None
+                    for (bg <- reader.getFooter.getBlocks.asScala;
+                         cc <- bg.getColumns.asScala
+                         if cc.getPath.toDotString == "id") {
+                      val st = Option(cc.getStatistics)
+                      st.map(_.minAsString).filter(_ != null).foreach { s =>
+                        val v = java.lang.Long.parseLong(s.trim)
+                        mn = Some(mn.fold(v)(math.min(_, v)))
+                      }
+                      st.map(_.maxAsString).filter(_ != null).foreach { s =>
+                        val v = java.lang.Long.parseLong(s.trim)
+                        mx = Some(mx.fold(v)(math.max(_, v)))
+                      }
+                    }
+                    (f, mn, mx)
+                  } finally reader.close()
+                }
+              } else
+                Layout.parquetFileStatsFor(spark, files)
+                  .filter(col("column") === "id")
+                  .groupBy(col("file"))
+                  .agg(min(col("min_value").cast("long")).as("mn"),
+                    max(col("max_value").cast("long")).as("mx"))
+                  .collect()
+                  .map(r => (r.getString(0),
+                    if (r.isNullAt(1)) None else Some(r.getLong(1)),
+                    if (r.isNullAt(2)) None else Some(r.getLong(2))))
+                  .toSeq
+            val statted = bounds.map(_._1).toSet
             // a file without typed id stats cannot be pruned — keep it
-            bounds.filter(b => b.isNullAt(1) || b.isNullAt(2) ||
-                (b.getLong(2) >= tmin && b.getLong(1) <= tmax))
-              .map(_.getString(0)).toSeq ++ files.filterNot(statted)
+            bounds.filter { case (_, mn, mx) =>
+              mn.isEmpty || mx.isEmpty || (mx.get >= tmin && mn.get <= tmax)
+            }.map(_._1) ++ files.filterNot(statted)
         }
       }
     // ONE column-pruned read of the candidate files serves BOTH the

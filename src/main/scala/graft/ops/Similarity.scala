@@ -537,8 +537,14 @@ object Similarity {
   private[graft] def semanticGroups(
       corpus: DataFrame, centroids: DataFrame, maxCell: Int): DataFrame = {
     require(maxCell > 0, "maxCell must be positive")
+    // materialize the cell assignment ONCE: the argmax-over-centroids
+    // projection otherwise re-executes for the hot-cell probe AND the
+    // pair join's sides (at production C the per-row argmax costs C
+    // dot products — re-running it is far dearer than storing
+    // (id, embedding, nrm, cell) blocks once; guide §1.2/§5)
     val cells = nearestCell(corpus.select(col("id"), col("embedding")), centroids)
       .withColumn("nrm", norm(col("embedding")))
+      .localCheckpoint()
     val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
     val hottest = Option(counts.agg(max(col("cell_n"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)

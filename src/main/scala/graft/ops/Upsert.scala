@@ -1199,9 +1199,25 @@ object Upsert {
       keyCols.zip(keyTypes).zipWithIndex.map { case ((k, t), i) =>
         col(k).cast(t).as(s"__k$i")
       }: _*)
-    val upKeys =
+    val upKeysD =
       if (evictDistinct && dvKeys.isEmpty && castIdentity) upKeys0
       else upKeys0.distinct()
+    // Within the broadcast bound, land the distinct key tuples in a
+    // driver-local relation ONCE: the touched-file probe and the
+    // eviction anti-join are separate executions that would otherwise
+    // EACH re-run the distinct (and build their broadcast from a job);
+    // a local relation's broadcast builds driver-side with no job.
+    // Memory exposure is unchanged — a broadcast collects to the
+    // driver anyway, under the same wantBroadcast bound. When the
+    // caller already passed a local key set (the predicate verbs), the
+    // collect below runs without any job at all.
+    val upKeys =
+      if (!wantBroadcast) upKeysD
+      else {
+        val rows = upKeysD.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), upKeysD.schema)
+      }
 
     // a file is TOUCHED iff some evict tuple's LEADING component falls
     // inside its bounds — manifest is small (one row per file), so it

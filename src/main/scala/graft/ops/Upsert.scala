@@ -1202,17 +1202,19 @@ object Upsert {
     val upKeysD =
       if (evictDistinct && dvKeys.isEmpty && castIdentity) upKeys0
       else upKeys0.distinct()
-    // Within the broadcast bound, land the distinct key tuples in a
+    // Below the localization bound, land the distinct key tuples in a
     // driver-local relation ONCE: the touched-file probe and the
     // eviction anti-join are separate executions that would otherwise
     // EACH re-run the distinct (and build their broadcast from a job);
     // a local relation's broadcast builds driver-side with no job.
-    // Memory exposure is unchanged — a broadcast collects to the
-    // driver anyway, under the same wantBroadcast bound. When the
-    // caller already passed a local key set (the predicate verbs), the
-    // collect below runs without any job at all.
+    // Bounded by DriverLocalizeMaxKeys, NOT the broadcast bound —
+    // embedding multi-million-row local relations into several plans
+    // measured 2.5× slower at the 100× tier (see the val's scaladoc);
+    // past the bound the r15-shaped distributed plan runs unchanged.
+    // When the caller already passed a local key set (the predicate
+    // verbs), the collect below runs without any job at all.
     val upKeys =
-      if (!wantBroadcast) upKeysD
+      if (nKeysHint + dvBytes / 8 > DriverLocalizeMaxKeys) upKeysD
       else {
         val rows = upKeysD.collect()
         spark.createDataFrame(
@@ -1750,7 +1752,7 @@ object Upsert {
       // BOTH joins hash the one broadcast key set instead of the semi
       // join shuffling the range-pruned payload scan
       val keysJ =
-        if (nMatched <= CommitBroadcastMaxKeys) broadcast(keys) else keys
+        if (nMatched <= DriverLocalizeMaxKeys) broadcast(keys) else keys
       val payload = payloadSrc.join(keysJ, keyCols, "left_semi").select(
         schema.fields.map { f =>
           sets.get(f.name) match {
@@ -1832,6 +1834,20 @@ object Upsert {
     (r.getLong(0), r.getLong(1), r.get(2), r.get(3), rangeStr, mkeys)
   }
 
+  /** Past this many key tuples the verbs stop lifting the key set
+    * into a driver-local relation and keep the distributed distinct +
+    * broadcast/shuffle joins. The localized path wins by removing
+    * per-execution distinct re-runs and broadcast-build jobs, but a
+    * LocalRelation's rows are copied into every plan that references
+    * them and single-thread through driver dedup — measured at the
+    * organic 100× tier, localizing multi-million-key sets made the
+    * lakehouse verbs 2.5× SLOWER while sub-100k sets only got faster.
+    * 100k tuples ≈ a few MB embedded — trivial at any scale; beyond
+    * that the distributed plan is the right one. (Deliberately far
+    * below [[CommitBroadcastMaxKeys]], which bounds broadcast safety,
+    * not plan-embedding sanity.) */
+  private[graft] val DriverLocalizeMaxKeys: Long = 100000L
+
   /** Lift a small matched-key set into a DISTINCT driver-local
     * relation. The predicate verbs consume the matched keys in THREE
     * separate executions (the touched-file probe, the rewrite's
@@ -1842,14 +1858,13 @@ object Upsert {
     * ONCE (a cache-fed scan, no exchange), deduplicating on the driver
     * (key types are integral or string only — structural equality IS
     * SQL DISTINCT for them), and substituting a LocalRelation makes
-    * every downstream broadcast build driver-local (no job at all) at
-    * identical driver memory exposure: the bound is
-    * [[CommitBroadcastMaxKeys]], the same one the broadcasts already
-    * enforce. Past the bound the distributed distinct passes through
-    * untouched (shuffle joins). */
+    * every downstream broadcast build driver-local (no job at all).
+    * Bounded by [[DriverLocalizeMaxKeys]]; past it the distributed
+    * distinct passes through untouched (broadcast/shuffle joins as
+    * before). */
   private def localizedKeys(
       spark: SparkSession, mkeys: DataFrame, nUpper: Long): DataFrame =
-    if (nUpper > CommitBroadcastMaxKeys) mkeys.distinct()
+    if (nUpper > DriverLocalizeMaxKeys) mkeys.distinct()
     else {
       val rows = mkeys.collect().map(_.toSeq).distinct
         .map(org.apache.spark.sql.Row.fromSeq)
@@ -1911,7 +1926,7 @@ object Upsert {
       val payloadSrc = readWithDeletes(spark, tablePath)
         .filter(col(keyCols.head).between(lit(mnK), lit(mxK)))
       val keysJ =
-        if (nMatched <= CommitBroadcastMaxKeys) broadcast(keys) else keys
+        if (nMatched <= DriverLocalizeMaxKeys) broadcast(keys) else keys
       val survivors = payloadSrc.join(keysJ, keyCols, "left_semi")
         .filter(!coalesce(predicate, lit(false)))
       val nSurv = survivors.count()
